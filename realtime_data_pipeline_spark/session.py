@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Generalizes the reference's session setup (``spark_jobs/batch_etl.py:18-26``:
+``local[*]`` master, ``spark.sql.shuffle.partitions=16``,
+``spark.sql.files.maxPartitionBytes=64m``, ``spark.sql.caseSensitive=false``)
+into a parameterized builder with scale-ready defaults:
+
+* AQE on (runtime shuffle-partition coalescing, skew-join splitting) instead
+  of the reference's hardcoded partition count — the right answer at 100 TB
+  where no static number is correct for every stage.
+* Session timezone pinned to UTC so timestamp semantics are stable across
+  engines (required for the DuckDB oracle parity checks).
+* Arrow enabled for any pandas interchange (vectorized UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "realtime_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    max_partition_bytes: str = "128m",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Parameters mirror the reference's CLI knobs (SURVEY.md §2.11) but default
+    to adaptive behavior rather than hardcoded dev sizes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        .config("spark.sql.caseSensitive", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

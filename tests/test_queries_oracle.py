@@ -1,0 +1,30 @@
+"""Every declared query in the registry must match its DuckDB oracle —
+the same comparison the driver runs at sf0.01 (here at the test SF)."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_data_pipeline_spark import queries as q
+from tests.oracle import assert_matches_oracle
+
+ORACLE_KEYS = sorted(q.ORACLE_SQL)
+
+
+def test_registry_consistency():
+    assert set(q.ORACLE_SQL) <= set(q.QUERIES), (
+        "every oracle entry needs a queries() entry"
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = q.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, q.ORACLE_SQL[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(set(q.QUERIES) - set(q.ORACLE_SQL)))
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = q.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
