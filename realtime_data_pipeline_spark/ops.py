@@ -1,0 +1,119 @@
+"""Reusable relational operators beyond raw DataFrame methods.
+
+All are pure DataFrame compositions — Catalyst sees through every one of
+them (no UDFs, no collects), so pushdown/pruning/AQE apply unchanged.
+These fill SURVEY.md §2.3/§2.5/§2.6 gaps the reference never needed
+(single-table pipeline) but an engine must expose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number (L3). Shuffles once on the group
+    keys; at scale prefer this over sort-limit per group collectors.
+    Pass fully deterministic ``order_cols`` (include a unique tiebreaker)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (J5): for each left row, attach the most recent right row
+    with ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Spark has no native as-of join. The scalable pattern (instead of a range
+    join that explodes, or per-group ``merge_asof`` in pandas) is
+    **union + ordered window carry-forward**:
+
+    1. tag both sides, union on (key, ts) with right's value columns;
+    2. one window per key ordered by (ts, side) with
+       ``last(value, ignorenulls=True)`` carrying the latest right value
+       forward;
+    3. keep left rows.
+
+    Cost: ONE shuffle on the key (same as any join), no state explosion, no
+    skew beyond the key's own skew — this is how you as-of join two 10 TB
+    tables. Right-side ties on (key, ts) are broken by taking the last value
+    in ``right_ts`` order deterministically only if the caller de-dups;
+    callers wanting strict determinism should pre-aggregate right to one row
+    per (key, ts).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__left"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__side",
+        "__left",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    ).filter(F.col("__side") == 1)
+    return carried.select(
+        *[F.col(f"__left.{c}").alias(c) for c in lcols],
+        *[F.col(f"__r_{c}").alias(f"{c}_asof") for c in right_value_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap from the
+    previous event of the same key exceeds ``gap_minutes``. Window + cumsum —
+    one shuffle on the key. Streaming twin: ``F.session_window`` (W4)."""
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
