@@ -27,7 +27,7 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: single-pass DQ conditional aggregation + revenue per
     return flag over sf0.001 lineitem (SURVEY.md §7 milestone 0)."""
-    return q.dq_pricing_summary(spark, SF0001)
+    return q.QUERIES["dq_pricing_summary"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,6 +16,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     spark = get_spark(app_name="rdp-tests", shuffle_partitions=8)
     yield spark
+    spark.stop()
 
 
 @pytest.fixture(scope="session")
