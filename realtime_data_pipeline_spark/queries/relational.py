@@ -1,0 +1,417 @@
+"""Relational breadth: joins (J1–J4, J6), top-k (L2–L3), window functions
+(SURVEY.md §2.5), and set operations (§2.7).
+
+The reference is a single-table pipeline with no joins; this module is the
+engine-shaped completion SURVEY.md §2.3 declares, exercised on the TPC-H-ish
+fixture star schema. Scale notes per query:
+
+* dimension joins broadcast the small side explicitly (`F.broadcast`) so the
+  plan is a BroadcastHashJoin with NO shuffle of the fact table — at 100 TB
+  the fact side streams through map tasks; only missing-stats dims need the
+  hint, but being explicit documents intent;
+* fact-fact joins (lineitem⋈orders) shuffle both sides on the key once —
+  unavoidable and correct; AQE handles skew (session.py);
+* top-k uses TakeOrderedAndProject (no global sort); top-k per group uses a
+  single shuffle on the group key via row_number;
+* set ops on projected single columns keep the shuffle payload minimal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import ops
+from realtime_data_pipeline_spark.queries.core import load
+from realtime_data_pipeline_spark.queries.util import dsum
+
+
+# ---------------------------------------------------------------------------
+# J1: equi inner join chain with broadcast dims — revenue per nation.
+# ---------------------------------------------------------------------------
+
+
+def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders (fact-fact, one shuffle) ⋈ customer ⋈ nation
+    (broadcast dims). The canonical enrichment join the reference never had
+    (SURVEY.md §2.3 J1)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REVENUE_PER_NATION_SQL = """
+SELECT
+  n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)
+    AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2: left outer join — per-customer order stats, keeping orderless customers.
+# ---------------------------------------------------------------------------
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_totalprice").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+CUSTOMER_ORDER_STATS_SQL = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  COUNT(o_totalprice) AS n_orders,
+  COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE), 0.0)
+    AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3: anti + semi joins.
+# ---------------------------------------------------------------------------
+
+
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — the idiomatic orphan-key check (SURVEY.md §2.3 J3).
+    Filtered to >300k orders so the result is non-empty in the fixtures
+    (every customer has *some* order) and the anti semantics are actually
+    evidenced."""
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300_000)
+        .select("o_custkey")
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
+def parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — existence filter without duplication."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+PARTS_WITH_LINEITEMS_SQL = """
+SELECT p_partkey, p_brand
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: theta/range join — orders bucketed into inline price bands.
+# BroadcastNestedLoopJoin against a 4-row literal dim: the correct physical
+# plan for a non-equi join with a tiny build side.
+# ---------------------------------------------------------------------------
+
+_PRICE_BANDS = [
+    ("p1_low", 0.0, 100_000.0),
+    ("p2_mid", 100_000.0, 250_000.0),
+    ("p3_high", 250_000.0, 400_000.0),
+    ("p4_top", 400_000.0, 1e12),
+]
+
+
+def orders_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, ["band", "lo", "hi"])
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        orders.join(F.broadcast(bands), cond, "inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("band_revenue"),
+        )
+    )
+
+
+ORDERS_PRICE_BAND_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('p1_low', 0.0, 100000.0),
+         ('p2_mid', 100000.0, 250000.0),
+         ('p3_high', 250000.0, 400000.0),
+         ('p4_top', 400000.0, 1e12)
+)
+SELECT
+  band,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE)
+    AS band_revenue
+FROM orders
+JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6: cross join — only sane on tiny dims (the LSH fallback shape, §2.9).
+# ---------------------------------------------------------------------------
+
+
+def region_nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select("r_name")
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+REGION_NATION_GRID_SQL = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# L2: global top-k — Spark plans TakeOrderedAndProject (per-partition top-k
+# + driver merge of k·P rows), never a full sort.
+# ---------------------------------------------------------------------------
+
+
+def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+TOP_ORDERS_BY_PRICE_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# L3: top-k per group via ops.topk_per_group (row_number window).
+# ---------------------------------------------------------------------------
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    top = ops.topk_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return top.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+TOP_ORDERS_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions: ranking + analytic (lag) + running frame aggregate,
+# one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+
+
+def customer_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("order_seq"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(running), 2
+        )
+        .cast("double")
+        .alias("running_spend"),
+        F.coalesce(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+            ),
+            F.lit(-1),
+        )
+        .cast("int")
+        .alias("days_since_prev"),
+    )
+
+
+CUSTOMER_ORDER_WINDOW_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    AS running_spend,
+  CAST(COALESCE(date_diff('day',
+      CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+      CAST(o_orderdate AS DATE)), -1) AS INTEGER) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations.
+# ---------------------------------------------------------------------------
+
+
+def high_value_open_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll: multiset difference — custkeys of high-value orders minus
+    custkeys of fulfilled orders (bag semantics preserved)."""
+    orders = load(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 300_000).select("o_custkey")
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return high.exceptAll(fulfilled)
+
+
+HIGH_VALUE_OPEN_CUSTKEYS_SQL = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def buyer_and_building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (distinct): customers in the BUILDING segment who actually
+    placed an order."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = orders.select(F.col("o_custkey").alias("custkey"))
+    return building.intersect(buyers)
+
+
+BUYER_AND_BUILDING_CUSTKEYS_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def nation_supplier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct: nation keys present on either side."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.unionByName(supp).distinct()
+
+
+NATION_SUPPLIER_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "revenue_per_nation": revenue_per_nation,
+    "customer_order_stats": customer_order_stats,
+    "customers_without_big_orders": customers_without_big_orders,
+    "parts_with_lineitems": parts_with_lineitems,
+    "orders_price_band": orders_price_band,
+    "region_nation_grid": region_nation_grid,
+    "top_orders_by_price": top_orders_by_price,
+    "top_orders_per_segment": top_orders_per_segment,
+    "customer_order_window": customer_order_window,
+    "high_value_open_custkeys": high_value_open_custkeys,
+    "buyer_and_building_custkeys": buyer_and_building_custkeys,
+    "nation_supplier_union": nation_supplier_union,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "revenue_per_nation": REVENUE_PER_NATION_SQL,
+    "customer_order_stats": CUSTOMER_ORDER_STATS_SQL,
+    "customers_without_big_orders": CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
+    "parts_with_lineitems": PARTS_WITH_LINEITEMS_SQL,
+    "orders_price_band": ORDERS_PRICE_BAND_SQL,
+    "region_nation_grid": REGION_NATION_GRID_SQL,
+    "top_orders_by_price": TOP_ORDERS_BY_PRICE_SQL,
+    "top_orders_per_segment": TOP_ORDERS_PER_SEGMENT_SQL,
+    "customer_order_window": CUSTOMER_ORDER_WINDOW_SQL,
+    "high_value_open_custkeys": HIGH_VALUE_OPEN_CUSTKEYS_SQL,
+    "buyer_and_building_custkeys": BUYER_AND_BUILDING_CUSTKEYS_SQL,
+    "nation_supplier_union": NATION_SUPPLIER_UNION_SQL,
+}
