@@ -1,0 +1,66 @@
+"""Deduplication operators for large-scale training-data pipelines (X1/X2).
+
+Exact dedup and keep-latest are pure DataFrame compositions (one shuffle on
+the key set). Near-dup (MinHash / SimHash / n-gram Jaccard) lives in
+``neardup.py``; this module is the exact family.
+
+Scale notes:
+* ``exact_dedup`` shuffles once on the full key tuple — at 100 TB prefer
+  hashing wide key tuples down to one column first (``fingerprint_dedup``)
+  so the shuffle payload is 8-16 bytes/row, not the whole row;
+* ``keep_latest`` is a single ``row_number`` window — one shuffle on the
+  entity key; skew in a hot key is bounded by that key's own row count and
+  AQE skew-split handles the join-side cousins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """X1: exact deduplication. ``keys=None`` dedups whole rows.
+
+    ``dropDuplicates`` keeps an ARBITRARY row per key (first seen per
+    partition) — fine for true duplicates, wrong for entity resolution;
+    use :func:`keep_latest` when rows differ outside the key columns.
+    """
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """X1: deterministic one-row-per-key dedup — keep the first row per key
+    under ``order_by`` (pass ``ts.desc()`` + a unique tiebreaker for
+    keep-latest semantics). One shuffle on ``keys``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 hex) for exact content
+    dedup — hash, then dedup on the 32-char digest instead of shuffling the
+    full document text. Cross-engine stable (DuckDB ``md5`` matches)."""
+    return F.md5(col.cast("string"))
+
+
+def fingerprint_dedup(
+    df: DataFrame, content_col: str, tiebreak: list[Column]
+) -> DataFrame:
+    """X1 at scale: dedup documents by content hash. The shuffle moves the
+    32-byte digest + row, grouped on the digest; ``tiebreak`` makes the
+    survivor deterministic (e.g. lowest doc_id)."""
+    return keep_latest(
+        df.withColumn("__fp", content_fingerprint(F.col(content_col))),
+        ["__fp"],
+        tiebreak,
+    ).drop("__fp")

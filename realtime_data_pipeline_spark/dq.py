@@ -137,8 +137,18 @@ def evaluate(
 
 
 def any_violation(rules: list[Rule]) -> Column:
-    """Disjunction of all rule predicates — True for rows violating ≥1 rule."""
-    return reduce(lambda a, b: a | b, [r.predicate for r in rules])
+    """Disjunction of all rule predicates — True for rows violating ≥1 rule.
+
+    Each predicate is NULL-coalesced to False so a NULL evaluation (e.g.
+    ``l_quantity > 45`` with NULL l_quantity) counts as NON-violating —
+    matching ``violation_counts_df`` (where ``F.when(NULL, 1).otherwise(0)``
+    yields 0) and guaranteeing clean ∪ violations partitions the input.
+    Without this, ``filter(bad)`` and ``filter(~bad)`` would BOTH drop
+    NULL-predicate rows (three-valued logic)."""
+    return reduce(
+        lambda a, b: a | b,
+        [F.coalesce(r.predicate, F.lit(False)) for r in rules],
+    )
 
 
 def split_clean_violations(

@@ -1,0 +1,206 @@
+"""LLM-training-data operators, oracle-checked (SURVEY.md §2.9 X1/X4).
+
+X1 exact dedup / keep-latest over ``events`` and ``documents``; X4 text
+analysis (tokenization, quality, lang-ID vote, fingerprints) over
+``documents``. Near-dup (X2) and similarity search (X3) live in their own
+modules — they need LSH machinery; everything here is pure column
+expressions + one window or groupBy, i.e. at most one shuffle per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import dedup, text
+from realtime_data_pipeline_spark.queries.core import load
+from realtime_data_pipeline_spark.queries.util import davg
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.parquet`` stores TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects. Read nanos as long and convert with integer
+    division (``DIV 1000`` — float division would lose precision above 2^53
+    nanoseconds). DuckDB reads the same column natively as TIMESTAMP_NS, and
+    micro-truncation cannot flip any ordering the oracle sees (fixture
+    timestamps are microsecond-resolution)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+# ---------------------------------------------------------------------------
+# X1: keep-latest per entity — THE streaming-upsert compaction shape.
+# ---------------------------------------------------------------------------
+
+
+def events_keep_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    latest = dedup.keep_latest(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+EVENTS_KEEP_LATEST_PER_USER_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def events_distinct_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 in its simplest form: exact dedup on a key subset."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type")
+    return dedup.exact_dedup(ev)
+
+
+EVENTS_DISTINCT_USER_TYPE_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def docs_dedup_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 at scale: content-hash dedup — shuffle the 32-byte digest, not the
+    document text; deterministic survivor = lowest doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs, "text", [F.col("doc_id").asc()]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DOCS_DEDUP_BY_CONTENT_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# X4: per-document text features — narrow transforms, no shuffle at all.
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.word_count(t).cast("int").alias("word_count"),
+        text.distinct_word_count(t).cast("int").alias("distinct_words"),
+        text.token_count_re(t).cast("int").alias("token_count"),
+        F.round(text.avg_word_len(t), 4).alias("avg_word_len"),
+        F.round(text.stopword_ratio(t), 4).alias("stopword_ratio"),
+        text.quality_band(t).alias("quality_band"),
+        text.lang_id_en_vote(t).alias("lang_vote"),
+        text.fingerprint(t).alias("fp"),
+    )
+
+
+DOC_QUALITY_PROFILE_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         regexp_extract_all(text, '[a-z0-9]+') AS retoks,
+         text
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(toks) AS INTEGER) AS word_count,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS distinct_words,
+  CAST(len(retoks) AS INTEGER) AS token_count,
+  ROUND(CASE WHEN len(toks) > 0
+        THEN list_sum(list_transform(toks, w -> length(w))) / len(toks)
+        ELSE 0.0 END, 4) AS avg_word_len,
+  ROUND(CASE WHEN len(toks) > 0
+        THEN len(list_filter(toks,
+             w -> w IN ('the','a','an','and','of','to','in','is','it')))
+             / len(toks)
+        ELSE 0.0 END, 4) AS stopword_ratio,
+  CASE
+    WHEN len(toks) >= 50
+         AND len(list_distinct(toks)) / len(toks) > 0.3 THEN 'high'
+    WHEN len(toks) >= 10
+         AND len(list_distinct(toks)) / len(toks) > 0.15 THEN 'medium'
+    ELSE 'low'
+  END AS quality_band,
+  CASE WHEN (CASE WHEN len(toks) > 0
+        THEN len(list_filter(toks,
+             w -> w IN ('the','a','an','and','of','to','in','is','it')))
+             / len(toks)
+        ELSE 0.0 END) > 0.05 THEN 'en' ELSE 'unk' END AS lang_vote,
+  md5(text) AS fp
+FROM f
+"""
+
+
+def doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 aggregate: corpus profile per language tag — the groupBy moves four
+    small numeric columns, never the text."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        F.col("n_chars"),
+        text.word_count(t).alias("wc"),
+        text.stopword_ratio(t).alias("sr"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("wc").cast("bigint").alias("total_words"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        davg(F.col("sr"), 4).alias("avg_stopword_ratio"),
+    )
+
+
+DOC_LANG_PROFILE_SQL = r"""
+WITH f AS (
+  SELECT lang, n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS wc,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+              THEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                   w -> w IN ('the','a','an','and','of','to','in','is','it')))
+                   / len(string_split_regex(trim(text), '\s+'))
+              ELSE 0.0 END AS sr
+  FROM documents
+)
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(wc) AS BIGINT) AS total_words,
+  ROUND(AVG(n_chars), 2) AS avg_chars,
+  ROUND(CAST(SUM(CAST(sr AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
+    AS avg_stopword_ratio
+FROM f
+GROUP BY lang
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_keep_latest_per_user": events_keep_latest_per_user,
+    "events_distinct_user_type": events_distinct_user_type,
+    "docs_dedup_by_content": docs_dedup_by_content,
+    "doc_quality_profile": doc_quality_profile,
+    "doc_lang_profile": doc_lang_profile,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "events_keep_latest_per_user": EVENTS_KEEP_LATEST_PER_USER_SQL,
+    "events_distinct_user_type": EVENTS_DISTINCT_USER_TYPE_SQL,
+    "docs_dedup_by_content": DOCS_DEDUP_BY_CONTENT_SQL,
+    "doc_quality_profile": DOC_QUALITY_PROFILE_SQL,
+    "doc_lang_profile": DOC_LANG_PROFILE_SQL,
+}

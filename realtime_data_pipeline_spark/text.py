@@ -1,0 +1,90 @@
+"""Text-analysis operators for training-data pipelines (X4).
+
+Everything here is a Column expression built from JVM-side
+``pyspark.sql.functions`` — no Python UDFs anywhere, so whole-stage codegen
+applies and the operators cost one projection over the scan. Each has a
+DuckDB-expressible twin (see ``queries/llm.py``) so the driver can
+hash-verify semantics.
+
+Design for 100 TB: these are all narrow (per-row) transforms — zero
+shuffles; they pipeline into whatever aggregation follows. The only wide op
+in this module's query surface is the final groupBy, which aggregates a few
+small columns, not the document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list — enough signal for ratio features and the
+# lang-ID vote; a real deployment would broadcast a per-language lexicon.
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it"]
+
+WORD_RE = "[a-z0-9]+"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (split on one-or-more spaces, drop empties —
+    split already drops interior empties for the + pattern; trim guards the
+    edges)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def token_count_re(col: Column) -> Column:
+    """BPE-ish token counting: count maximal ``[a-z0-9]+`` runs. A regex
+    proxy for tokenizer cost estimation — deterministic and engine-portable
+    (Java regex and RE2 agree on this class)."""
+    return F.size(F.regexp_extract_all(col, F.lit(WORD_RE), 0))
+
+
+def distinct_word_count(col: Column) -> Column:
+    return F.size(F.array_distinct(words(col)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords — a standard quality
+    / language signal. NULL-safe: empty text → 0.0."""
+    toks = words(col)
+    stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_word_len(col: Column) -> Column:
+    toks = words(col)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_band(col: Column) -> Column:
+    """Coarse quality score: length + lexical-diversity heuristic, banded so
+    downstream sampling can stratify. Deterministic, SQL-expressible."""
+    wc = word_count(col)
+    diversity = F.when(wc > 0, distinct_word_count(col) / wc).otherwise(F.lit(0.0))
+    return (
+        F.when((wc >= 50) & (diversity > 0.3), F.lit("high"))
+        .when((wc >= 10) & (diversity > 0.15), F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+
+
+def lang_id_en_vote(col: Column) -> Column:
+    """Minimal n-gram/stopword language-ID heuristic: vote 'en' when English
+    stopwords exceed 5% of tokens, else 'unk'. Stands in for a real n-gram
+    profile model; the Spark shape (pure column expr, no shuffle) is what
+    matters at scale."""
+    return F.when(stopword_ratio(col) > 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 hex digest (cross-engine stable). For
+    rolling/shift-resistant fingerprints see ``neardup.simhash``."""
+    return F.md5(col.cast("string"))

@@ -76,6 +76,23 @@ def test_clean_quarantine_split(spark, toy):
     assert bad.count() == 5
 
 
+def test_split_partitions_input_with_null_predicates(spark):
+    """Rows where a predicate evaluates to NULL (not True/False) must land in
+    exactly one side — clean — matching violation_counts_df, which counts a
+    NULL predicate as non-violating. Regression for the three-valued-logic
+    row-drop bug."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (300.0, 2.0), (50.0, None)],
+        "trip_distance double, fare_amount double",
+    )
+    null_unaware = [dq.Rule("long_distance", F.col("trip_distance") > 200)]
+    clean, bad = dq.split_clean_violations(df, null_unaware)
+    assert bad.count() == 1
+    assert clean.count() == 2  # NULL-distance row is clean, not dropped
+    counts = dq.violation_counts_df(df, null_unaware).collect()[0]
+    assert counts["long_distance"] == bad.count()
+
+
 def test_report_artifact(tmp_path, spark, toy):
     report = dq.evaluate(toy, rules(), warn_only=True)
     path = report.write_json(tmp_path)
