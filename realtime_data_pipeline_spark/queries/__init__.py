@@ -22,12 +22,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from realtime_data_pipeline_spark.queries import core, llm, relational
+from realtime_data_pipeline_spark.queries import analytics, core, llm, relational
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
-for _mod in (core, relational, llm):
+for _mod in (core, relational, llm, analytics):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

@@ -1,0 +1,205 @@
+"""Aggregation & semi-structured breadth: S9 (JSON column reader),
+A4 (distinct / count-distinct / approx), A5 (rollup matrices),
+A6 (quantiles / threshold calibration). SURVEY.md §2.1/§2.4.
+
+Scale notes:
+* JSON parsing is a narrow per-row projection (``get_json_object`` runs
+  JVM-side); parse ONCE into typed columns at the bronze boundary, never
+  re-parse per downstream query — the query here models that boundary;
+* exact count-distinct shuffles the (group, value) pairs; the approx twin
+  (HLL sketch, fixed ~KB state per group) is what you run at 100 TB —
+  declared rows-only because sketches are engine-specific;
+* rollup computes all grouping sets in one shuffle (Expand + partial agg),
+  NOT one job per level;
+* exact percentiles need a global sort-ish aggregation — fine per group;
+  the approx twin (``percentile_approx``, t-digest-style mergeable sketch)
+  is the 100 TB calibration path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.queries.core import load
+from realtime_data_pipeline_spark.queries.llm import load_events
+from realtime_data_pipeline_spark.queries.util import dsum
+
+
+# ---------------------------------------------------------------------------
+# S9: JSON column reader — events.props '{"k": <int>}' → typed column.
+# ---------------------------------------------------------------------------
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )
+
+
+EVENTS_PROPS_STATS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(k) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS INTEGER) AS max_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k,
+       CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM e
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: exact + approx cardinality.
+# ---------------------------------------------------------------------------
+
+
+def events_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_USER_CARDINALITY_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 approx: HLL++ sketch — constant memory per group, single shuffle of
+    sketches not values; the 100 TB cardinality path. Rows-only (sketch
+    estimates are engine-specific)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: rollup — all grouping sets in ONE Expand+aggregate pass.
+# ---------------------------------------------------------------------------
+
+
+def lineitem_rollup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ-style summary matrix over (returnflag, linestatus) with subtotal
+    and grand-total rows. Grouping NULLs are coalesced to 'ALL' on both
+    sides so the hash compare never sees engine-specific NULL rendering."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "revenue",
+            "sum_qty",
+        )
+    )
+
+
+LINEITEM_ROLLUP_MATRIX_SQL = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_rows,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)
+    AS DOUBLE) AS revenue,
+  ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: exact quantiles (oracle) + approx calibration twin (rows-only).
+# ---------------------------------------------------------------------------
+
+
+def quantity_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(q, F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile(q, F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile(q, F.lit(0.75)), 4).alias("q75"),
+        F.round(F.percentile(q, F.lit(0.95)), 4).alias("q95"),
+        F.min(q).alias("qmin"),
+        F.max(q).alias("qmax"),
+    )
+
+
+QUANTITY_QUANTILES_BY_FLAG_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.50), 4) AS q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       ROUND(quantile_cont(l_quantity, 0.95), 4) AS q95,
+       MIN(l_quantity) AS qmin,
+       MAX(l_quantity) AS qmax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def dq_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 approx: percentile_approx sketches sized for 100 TB — mergeable,
+    bounded-memory; used to calibrate DQ rule thresholds (e.g. flag the
+    top 1% quantity tail). Rows-only: sketch outputs are engine-specific."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_quantity", 0.99, 10_000).alias("qty_p99"),
+        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("price_p99"),
+        F.percentile_approx("l_discount", 0.99, 10_000).alias("discount_p99"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_props_stats": events_props_stats,
+    "events_user_cardinality": events_user_cardinality,
+    "events_user_cardinality_approx": events_user_cardinality_approx,
+    "lineitem_rollup_matrix": lineitem_rollup_matrix,
+    "quantity_quantiles_by_flag": quantity_quantiles_by_flag,
+    "dq_threshold_calibration": dq_threshold_calibration,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "events_props_stats": EVENTS_PROPS_STATS_SQL,
+    "events_user_cardinality": EVENTS_USER_CARDINALITY_SQL,
+    "lineitem_rollup_matrix": LINEITEM_ROLLUP_MATRIX_SQL,
+    "quantity_quantiles_by_flag": QUANTITY_QUANTILES_BY_FLAG_SQL,
+}
