@@ -22,12 +22,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from realtime_data_pipeline_spark.queries import analytics, core, llm, relational
+from realtime_data_pipeline_spark.queries import (
+    analytics,
+    core,
+    llm,
+    relational,
+    vectors,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
-for _mod in (core, relational, llm, analytics):
+for _mod in (core, relational, llm, analytics, vectors):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

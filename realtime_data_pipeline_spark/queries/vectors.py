@@ -1,0 +1,139 @@
+"""X3 similarity-search queries over the ``embeddings`` fixture.
+
+Brute-force cosine top-k is DuckDB-oracle-checked (both engines do
+index-ordered double arithmetic; orderings use round-6 sims with id
+tiebreaks). The LSH variant is rows-only — recall is approximate by design;
+its quality gate lives in ``tests/test_similarity.py`` (recall@10 vs the
+exact baseline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import lsh, similarity
+from realtime_data_pipeline_spark.ops import topk_per_group
+from realtime_data_pipeline_spark.queries.core import load
+
+N_QUERIES = 5
+K = 10
+
+
+def embedding_dims_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vec = similarity.as_double_array(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(similarity.l2_norm(vec), 4).alias("l2_norm"),
+    )
+
+
+EMBEDDING_DIMS_NORMS_SQL = """
+SELECT vec_id,
+       label,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> x * x))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_knn(corpus, _query_set(spark, sf_dir), k=K)
+
+
+EMBEDDING_KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id,
+         e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6)
+           AS sim6
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim6,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim6 DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, ROUND(sim6, 4) AS sim, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {K}
+"""
+
+
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path: banded SimHash-LSH candidates + exact cosine re-rank.
+    16 bands × 2 bits keeps recall high on the (unclustered) synthetic
+    fixture; real corpora tighten bands as similarity structure appears.
+    Rows-only: approximate recall has no SQL oracle."""
+    corpus = load(spark, sf_dir, "embeddings")
+    queries = _query_set(spark, sf_dir)
+    planes = lsh.random_hyperplanes(n_planes=32, dim=64, seed=42)
+    cands = lsh.lsh_candidate_pairs(queries, corpus, planes, n_bands=16)
+    cands = cands.filter(F.col("vec_id") != F.col("query_id"))
+    rejoined = (
+        cands.join(
+            corpus.select("vec_id", similarity.as_double_array(
+                F.col("embedding")).alias("__vec")),
+            "vec_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    "query_id",
+                    similarity.as_double_array(F.col("query_vec")).alias("__qvec"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(similarity.cosine(F.col("__qvec"), F.col("__vec")), 6).alias(
+                "sim6"
+            ),
+        )
+    )
+    top = topk_per_group(
+        rejoined, ["query_id"], [F.col("sim6").desc(), F.col("vec_id").asc()], k=K
+    )
+    return top.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("sim6"), 4).alias("sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_dims_norms": embedding_dims_norms,
+    "embedding_knn_bruteforce": embedding_knn_bruteforce,
+    "embedding_knn_lsh": embedding_knn_lsh,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "embedding_dims_norms": EMBEDDING_DIMS_NORMS_SQL,
+    "embedding_knn_bruteforce": EMBEDDING_KNN_BRUTEFORCE_SQL,
+}

@@ -1,0 +1,42 @@
+"""X3 quality gates the oracle can't express: LSH recall vs the exact
+brute-force baseline, and cosine sanity properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import similarity
+from realtime_data_pipeline_spark.queries import vectors
+
+
+def test_cosine_self_similarity_is_one(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    vec = similarity.as_double_array(F.col("embedding"))
+    rows = emb.select(
+        F.round(similarity.cosine(vec, vec), 6).alias("self_sim")
+    ).collect()
+    assert rows and all(abs(r.self_sim - 1.0) < 1e-6 for r in rows)
+
+
+def test_bruteforce_knn_shape(spark, sf_dir):
+    top = vectors.embedding_knn_bruteforce(spark, sf_dir)
+    pdf = top.toPandas()
+    assert set(pdf["query_id"].unique()) == set(range(vectors.N_QUERIES))
+    assert (pdf.groupby("query_id").size() == vectors.K).all()
+    # ranks are 1..K and sims non-increasing within each query
+    for _, g in pdf.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, vectors.K + 1))
+        assert (g["sim"].diff().dropna() <= 1e-9).all()
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = vectors.embedding_knn_bruteforce(spark, sf_dir).toPandas()
+    approx = vectors.embedding_knn_lsh(spark, sf_dir).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall {recalls}"
