@@ -1,0 +1,245 @@
+"""Near-duplicate text detection (X2): n-gram Jaccard, MinHash-LSH, SimHash.
+
+Pipeline shape (the only one that survives 100 TB):
+
+    shingle -> signature -> band -> equi-join buckets -> exact verify
+
+All-pairs comparison is O(N²) and never materialized; candidate volume is
+controlled by (bands × rows-per-band) and every join is an equi-join on a
+short key that AQE can re-plan. The exact verify step re-checks candidates
+with true Jaccard, so false positives from banding cost only compute, not
+correctness.
+
+Shingling, hashing, and MinHash permutations are pure JVM column
+expressions (xxhash64 + universal hashing `(a·h + b) mod p` over 32-bit
+folded hashes — products stay < 2^63, no overflow). SimHash bit-folding is
+the one numpy step (Arrow-batched pandas UDF), because per-bit expression
+trees would interpret 64 × n_shingles element hops per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Universal-hash modulus: smallest prime > 2^32.
+_P = 4_294_967_311
+_MASK32 = 0xFFFFFFFF
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Overlapping word n-grams; empty array when the text is shorter than
+    n words (guard matters: Spark `sequence(1, 0)` would count DOWN)."""
+    toks = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 per shingle, folded to 32 bits so downstream universal
+    hashing can't overflow a long."""
+    return F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)))
+
+
+def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
+    rs = np.random.RandomState(seed)
+    return [
+        (int(rs.randint(1, 1 << 31)), int(rs.randint(0, 1 << 31)))
+        for _ in range(k)
+    ]
+
+
+def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """k-permutation MinHash signature (array<long>); empty-shingle rows get
+    sentinel _P so they never spuriously collide."""
+    hashes = shingle_hashes(shingles)
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, lambda h: (h * a + b) % _P)),
+            F.lit(_P),
+        )
+        for a, b in _hash_params(k, seed)
+    ]
+    return F.array(*mins)
+
+
+def minhash_est_jaccard(sig_a: Column, sig_b: Column, k: int) -> Column:
+    """Fraction of agreeing signature positions — unbiased Jaccard estimate."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                            lambda v: v))
+    return agree / F.lit(float(k))
+
+
+def exact_jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact distinct-set Jaccard (array_intersect/array_union are
+    set-semantics builtins). 0.0 when both sides are empty."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def _banded(sig_df: DataFrame, id_col: str, n_bands: int, r: int) -> DataFrame:
+    return sig_df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-", F.slice(F.col("__sig"), b * r + 1, r)
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__band.band_id", "__band.band_key")
+
+
+def neardup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    Returns (id_a, id_b, est_jaccard, jaccard) for candidate pairs whose
+    EXACT n-gram Jaccard ≥ threshold, id_a < id_b. Band geometry: collision
+    probability for true Jaccard j is 1-(1-j^r)^b with r = k/n_bands.
+    """
+    r = k // n_bands
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
+    )
+    sigs = base.select(
+        id_col, "__sh", minhash_signature(F.col("__sh"), k, seed).alias("__sig")
+    )
+    bands = _banded(sigs, id_col, n_bands, r)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.col("__sig").alias("__sig_a"),
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.col("__sig").alias("__sig_b"),
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                minhash_est_jaccard(F.col("__sig_a"), F.col("__sig_b"), k), 4
+            ).alias("est_jaccard"),
+            F.round(exact_jaccard(F.col("__sh_a"), F.col("__sh_b")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash_udf():
+    """array<long> shingle hashes -> 64-bit SimHash (bigint). One numpy
+    pass per Arrow batch: per-bit ±1 votes summed over shingles, sign
+    packed back into an int64."""
+    weights = 1 << np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        out = np.empty(len(hash_arrays), dtype=np.int64)
+        for i, arr in enumerate(hash_arrays):
+            if arr is None or len(arr) == 0:
+                out[i] = 0
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = (weights[votes >= 0]).sum().astype(np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    return _simhash
+
+
+def neardup_pairs_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, 4×16-bit band join
+    (pigeonhole: any pair with hamming ≤ 3 must agree on ≥1 of 4 bands),
+    exact hamming verify via bit_count(xor).
+
+    Note the full shingle hash set is used for the fingerprint but never
+    shuffled — only the 8-byte simhash and band keys move.
+    """
+    sh = df.select(
+        F.col(id_col),
+        shingle_hashes(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("__h"),
+    )
+    fp = sh.select(id_col, simhash_udf()(F.col("__h")).alias("__fp"))
+    bands = fp.select(
+        id_col,
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("__fp"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__fp", "__band.band_id", "__band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

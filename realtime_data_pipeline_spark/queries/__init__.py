@@ -27,13 +27,14 @@ from realtime_data_pipeline_spark.queries import (
     core,
     llm,
     relational,
+    textdup,
     vectors,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
-for _mod in (core, relational, llm, analytics, vectors):
+for _mod in (core, relational, llm, analytics, vectors, textdup):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

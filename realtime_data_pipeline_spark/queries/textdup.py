@@ -1,0 +1,104 @@
+"""X2 near-duplicate queries over ``documents``.
+
+``docs_jaccard_top_pairs`` is the oracle-checked exact baseline (small-N
+crossJoin fallback — the shape SURVEY §2.9 allows only under a row-count
+guard). The MinHash / SimHash variants are the scale path: banded signature
+joins, rows-only declarations (their quality gates live in
+``tests/test_neardup.py`` with planted near-duplicates — the synthetic
+corpus itself contains no near-dups, so empty results here are correct).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import neardup
+from realtime_data_pipeline_spark.queries.core import load
+
+N_DOCS = 100
+TOP = 20
+
+
+def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < N_DOCS)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(neardup.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                neardup.exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6
+            ).alias("j6"),
+        )
+    )
+    return (
+        pairs.orderBy(F.col("j6").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(TOP)
+        .select("id_a", "id_b", F.round(F.col("j6"), 4).alias("jaccard"))
+    )
+
+
+DOCS_JACCARD_TOP_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE doc_id < {N_DOCS}
+),
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CASE
+           WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+           THEN len(list_intersect(a.sh, b.sh))
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+           ELSE 0.0 END, 6) AS j6
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(j6, 4) AS jaccard
+FROM p
+ORDER BY j6 DESC, id_a ASC, id_b ASC
+LIMIT {TOP}
+"""
+
+
+def docs_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup sweep at Jaccard ≥ 0.3. Rows-only; expected
+    empty on the synthetic corpus (no planted dups) — the test suite plants
+    them to exercise recall."""
+    docs = load(spark, sf_dir, "documents")
+    return neardup.neardup_pairs_minhash(
+        docs, "doc_id", "text", n=3, k=64, n_bands=16, threshold=0.3
+    )
+
+
+def docs_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming ≤ 10 sweep (rows-only, same rationale)."""
+    docs = load(spark, sf_dir, "documents")
+    return neardup.neardup_pairs_simhash(
+        docs, "doc_id", "text", n=3, max_hamming=10
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
+    "docs_neardup_minhash": docs_neardup_minhash,
+    "docs_neardup_simhash": docs_neardup_simhash,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "docs_jaccard_top_pairs": DOCS_JACCARD_TOP_PAIRS_SQL,
+}

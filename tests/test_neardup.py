@@ -1,0 +1,91 @@
+"""X2 quality gates: planted near-duplicates must be found by MinHash-LSH
+and SimHash; unrelated random docs must not pass the exact-Jaccard verify."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import neardup
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    """20 fixture docs + a near-dup of each (one word substituted) with
+    id = orig + 10_000, plus the originals' ids for assertions."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    rows = docs.collect()
+    dup_rows = []
+    for r in rows:
+        words = r.text.split()
+        words[len(words) // 2] = "zzzmutant"
+        dup_rows.append((r.doc_id + 10_000, " ".join(words)))
+    dups = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    return docs.unionByName(dups), {r.doc_id for r in rows}
+
+
+def test_minhash_finds_planted_pairs(spark, planted):
+    df, orig_ids = planted
+    found = neardup.neardup_pairs_minhash(
+        df, "doc_id", "text", n=3, k=64, n_bands=16, threshold=0.5
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in found}
+    expected = {(i, i + 10_000) for i in orig_ids}
+    assert expected <= pairs, f"missing: {expected - pairs}"
+    # LSH candidates that survive the exact verify must really be near-dups
+    for r in found:
+        assert r.jaccard >= 0.5
+        # the MinHash estimate tracks the exact value
+        assert abs(r.est_jaccard - r.jaccard) < 0.3
+
+
+def test_exact_jaccard_identity_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [("a b c d e f g h", "a b c d e f g h"), ("a b c d e", "v w x y z")],
+        "ta string, tb string",
+    )
+    out = df.select(
+        F.round(
+            neardup.exact_jaccard(
+                neardup.word_shingles(F.col("ta"), 3),
+                neardup.word_shingles(F.col("tb"), 3),
+            ),
+            4,
+        ).alias("j")
+    ).collect()
+    assert out[0].j == 1.0
+    assert out[1].j == 0.0
+
+
+def test_short_text_shingles_empty(spark):
+    df = spark.createDataFrame([("one two",)], "t string")
+    n = df.select(F.size(neardup.word_shingles(F.col("t"), 3)).alias("n")).first().n
+    assert n == 0
+
+
+def test_simhash_finds_planted_pairs(spark, planted):
+    df, orig_ids = planted
+    found = neardup.neardup_pairs_simhash(
+        df, "doc_id", "text", n=3, max_hamming=16
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in found}
+    expected = {(i, i + 10_000) for i in orig_ids}
+    # one-word substitutions perturb few shingles -> small hamming distance;
+    # allow a small miss rate (simhash is lossier than minhash)
+    hit = len(expected & pairs) / len(expected)
+    assert hit >= 0.8, f"simhash recall {hit}: {expected - pairs}"
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    found = neardup.neardup_pairs_simhash(df, "doc_id", "text", max_hamming=0)
+    rows = found.collect()
+    assert len(rows) == 1 and rows[0].hamming == 0
