@@ -1,0 +1,130 @@
+"""Medallion zone catalog + parquet sinks (S2/S3) and the bronze/silver/DQ
+jobs — the engine-shaped rebuild of ``spark_jobs/batch_etl.py``,
+``write_silver.py`` and ``dq_checks.py``'s write path.
+
+Write posture for 100 TB:
+* hive-partition by the derived date column (partition pruning on read —
+  the reference's stated goal at ``spark_jobs/batch_etl.py:75-80``);
+* ``maxRecordsPerFile`` caps file size instead of a blind global
+  ``repartition(n)`` (the reference hardcodes 16/4 output partitions at
+  ``batch_etl.py:70`` / ``write_silver.py:39-40`` — wrong at any other
+  scale); AQE coalescing right-sizes the write tasks;
+* overwrite is dynamic-partition-safe: only partitions present in the
+  batch are replaced, so incremental backfills don't truncate the table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from realtime_data_pipeline_spark import dq, etl
+
+
+@dataclass(frozen=True)
+class Zones:
+    """Named medallion roots (generalizes the path constants at
+    ``spark_jobs/batch_etl.py:8-9``, ``dq_checks.py:7-9``)."""
+
+    root: str
+
+    @property
+    def raw(self) -> str:
+        return f"{self.root}/raw"
+
+    @property
+    def bronze(self) -> str:
+        return f"{self.root}/bronze"
+
+    @property
+    def silver(self) -> str:
+        return f"{self.root}/silver"
+
+    @property
+    def quarantine(self) -> str:
+        return f"{self.root}/quarantine"
+
+    @property
+    def artifacts(self) -> str:
+        return f"{self.root}/artifacts"
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    max_records_per_file: int | None = 1_000_000,
+) -> None:
+    """S2/S3: parquet sink with selectable save-mode and optional hive
+    partitioning (parity: ``spark_jobs/batch_etl.py:76-81``,
+    ``write_silver.py:42``)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def run_bronze(
+    spark: SparkSession,
+    raw_path: str,
+    bronze_path: str,
+    ts_col: str,
+    keep_cols: list[str],
+    date_col: str = "event_date",
+    mode: str = "overwrite",
+) -> dict:
+    """raw → bronze job (rebuild of ``spark_jobs/batch_etl.py`` main).
+    Returns run metrics; the single count() is taken from the written
+    result, not a pre-write double-scan (the reference counts the input
+    AND writes it — two jobs; ``batch_etl.py:66,76``)."""
+    raw = spark.read.parquet(raw_path)
+    bronze = etl.bronze_transform(raw, ts_col, keep_cols, date_col)
+    write_parquet(bronze, bronze_path, mode=mode, partition_by=date_col)
+    written = spark.read.parquet(bronze_path)
+    return {
+        "rows": written.count(),
+        "columns": written.columns,
+        "partition_col": date_col,
+    }
+
+
+def run_silver(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    quarantine_path: str,
+    rules: list[dq.Rule],
+    artifacts_dir: str | None = None,
+    warn_only: bool = False,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+) -> dq.DQReport:
+    """bronze → DQ gate → silver + quarantine (rebuild of
+    ``spark_jobs/dq_checks.py:102-120`` + ``write_silver.py``).
+
+    One rule-evaluation scan (single-pass conditional agg), then one write
+    per destination; rows violating ANY rule are quarantined, clean rows
+    get the silver transforms. Gate semantics: raises ``DQCheckFailed``
+    (exit code 2) AFTER writing + reporting, unless ``warn_only``."""
+    bronze = spark.read.parquet(bronze_path)
+    report = dq.evaluate(bronze, rules, warn_only=warn_only, raise_on_fail=False)
+    clean, bad = dq.split_clean_violations(bronze, rules)
+    write_parquet(
+        etl.silver_transform(clean), silver_path, mode=mode, partition_by=partition_by
+    )
+    write_parquet(bad, quarantine_path, mode=mode, partition_by=partition_by)
+    if artifacts_dir:
+        report.write_json(Path(artifacts_dir))
+    if not report.passed and not warn_only:
+        raise dq.DQCheckFailed(
+            [n for n, r in report.results.items() if not r["passed"]]
+        )
+    return report

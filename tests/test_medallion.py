@@ -1,0 +1,148 @@
+"""Golden medallion test — parity with the reference's only test
+(``/root/reference/tests/test_batch_etl.py:7-11``: output exists, hive
+partition dirs present) plus round-trip and DQ-gate assertions it lacked."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import dq, medallion
+from realtime_data_pipeline_spark.etl import (
+    bronze_transform,
+    normalize_columns,
+    trim_strings,
+)
+
+
+@pytest.fixture(scope="module")
+def raw_path(spark, tmp_path_factory):
+    """Messy raw data: unnormalized column names, whitespace in strings, a
+    scratch column, three distinct dates, two bad rows."""
+    path = str(tmp_path_factory.mktemp("medallion") / "raw")
+    rows = [
+        ("2024-01-01 08:00:00", 10.0, 1, "  ok  ", "x"),
+        ("2024-01-01 09:30:00", 12.5, 2, " fine", "x"),
+        ("2024-01-02 10:00:00", -3.0, 1, "neg fare ", "x"),
+        ("2024-01-02 11:00:00", 8.0, None, "null vendor", "x"),
+        ("2024-01-03 12:00:00", 20.0, 2, "ok", "x"),
+        ("2024-01-03 13:00:00", 15.0, 1, " ok", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`Pickup Datetime` string, `Fare Amount` double, `Vendor ID` int, "
+        "note string, `_tmp_scratch` string",
+    ).withColumn("Pickup Datetime", F.to_timestamp("Pickup Datetime"))
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def rules():
+    return [
+        dq.Rule("neg_fare", (F.col("fare_amount") < 0)),
+        dq.Rule("null_vendor", F.col("vendor_id").isNull()),
+    ]
+
+
+def test_normalize_columns_single_pass(spark):
+    df = spark.createDataFrame([(1, 2)], "` A B ` int, `c D` int")
+    assert normalize_columns(df).columns == ["a_b", "c_d"]
+
+
+def test_bronze_job_partitions_and_schema(spark, raw_path, tmp_path):
+    bronze_path = str(tmp_path / "bronze")
+    metrics = medallion.run_bronze(
+        spark,
+        raw_path,
+        bronze_path,
+        ts_col="pickup_datetime",
+        keep_cols=["pickup_datetime", "fare_amount", "vendor_id", "note"],
+        date_col="pickup_date",
+    )
+    assert metrics["rows"] == 6
+    # hive partition layout, like the reference's year=/month= assert
+    dirs = sorted(d for d in os.listdir(bronze_path) if d.startswith("pickup_date="))
+    assert dirs == [
+        "pickup_date=2024-01-01",
+        "pickup_date=2024-01-02",
+        "pickup_date=2024-01-03",
+    ]
+    out = spark.read.parquet(bronze_path)
+    assert set(out.columns) == {
+        "pickup_datetime", "fare_amount", "vendor_id", "note", "pickup_date",
+    }
+    assert "_tmp_scratch" not in out.columns  # projected away at bronze
+
+
+def test_bronze_round_trip_exceptall(spark, raw_path, tmp_path):
+    bronze_path = str(tmp_path / "bronze_rt")
+    medallion.run_bronze(
+        spark, raw_path, bronze_path,
+        ts_col="pickup_datetime",
+        keep_cols=["pickup_datetime", "fare_amount", "vendor_id", "note"],
+        date_col="pickup_date",
+    )
+    expected = bronze_transform(
+        spark.read.parquet(raw_path),
+        "pickup_datetime",
+        ["pickup_datetime", "fare_amount", "vendor_id", "note"],
+        "pickup_date",
+    )
+    actual = spark.read.parquet(bronze_path).select(*expected.columns)
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+
+
+def test_silver_job_gate_and_quarantine(spark, raw_path, tmp_path):
+    bronze_path = str(tmp_path / "bronze2")
+    medallion.run_bronze(
+        spark, raw_path, bronze_path,
+        ts_col="pickup_datetime",
+        keep_cols=["pickup_datetime", "fare_amount", "vendor_id", "note"],
+        date_col="pickup_date",
+    )
+    with pytest.raises(dq.DQCheckFailed) as exc:
+        medallion.run_silver(
+            spark, bronze_path,
+            str(tmp_path / "silver"), str(tmp_path / "quarantine"),
+            rules(), artifacts_dir=str(tmp_path / "artifacts"),
+        )
+    assert exc.value.code == 2
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    bad = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert silver.count() == 4 and bad.count() == 2
+    assert "silver_loaded_at" in silver.columns
+    # trim applied at the silver boundary
+    notes = {r.note for r in silver.select("note").collect()}
+    assert notes == {"ok", "fine"}
+    # report artifact written
+    arts = os.listdir(tmp_path / "artifacts")
+    assert any(a.startswith("dq_summary_") for a in arts)
+
+
+def test_silver_warn_only_passes_gate(spark, raw_path, tmp_path):
+    bronze_path = str(tmp_path / "bronze3")
+    medallion.run_bronze(
+        spark, raw_path, bronze_path,
+        ts_col="pickup_datetime",
+        keep_cols=["pickup_datetime", "fare_amount", "vendor_id", "note"],
+        date_col="pickup_date",
+    )
+    report = medallion.run_silver(
+        spark, bronze_path,
+        str(tmp_path / "silver_w"), str(tmp_path / "quarantine_w"),
+        rules(), warn_only=True,
+    )
+    assert not report.passed  # violations still reported
+
+
+def test_save_mode_append_vs_overwrite(spark, raw_path, tmp_path):
+    out = str(tmp_path / "modes")
+    df = trim_strings(spark.read.parquet(raw_path))
+    medallion.write_parquet(df, out, mode="overwrite")
+    medallion.write_parquet(df, out, mode="append")
+    assert spark.read.parquet(out).count() == 12
+    medallion.write_parquet(df, out, mode="overwrite")
+    assert spark.read.parquet(out).count() == 6
