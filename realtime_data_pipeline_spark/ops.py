@@ -109,9 +109,12 @@ def sessionize(
     one shuffle on the key. Streaming twin: ``F.session_window`` (W4)."""
     order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    # double epoch seconds keeps sub-second precision (a long cast would
+    # truncate and misjudge gaps that straddle a second boundary)
+    sec = F.col(ts).cast("double")
+    gap = sec - F.lag(sec).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        gap.isNull() | (gap >= gap_minutes * 60.0), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_id",

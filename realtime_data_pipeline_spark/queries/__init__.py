@@ -29,12 +29,13 @@ from realtime_data_pipeline_spark.queries import (
     relational,
     textdup,
     vectors,
+    windows,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
-for _mod in (core, relational, llm, analytics, vectors, textdup):
+for _mod in (core, relational, llm, analytics, vectors, textdup, windows):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

@@ -1,0 +1,153 @@
+"""Batch twins of the streaming window operators (W3/W4), oracle-checked.
+
+``F.window`` / ``F.session_window`` / the sessionize window-cumsum all run
+identically on batch DataFrames — declaring them here gives the driver a
+hash-verifiable statement of the streaming operators' event-time semantics
+(the streaming-only parts — watermarks, state, triggers — are covered by
+``tests/test_streaming.py``; no SQL oracle can express them).
+
+Session boundary convention (both engines): an event starts a NEW session
+when ``ts - prev_ts >= gap`` (Spark session windows are [start, end) with
+end = last + gap, so a gap of exactly ``gap`` does not extend).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import ops, streaming
+from realtime_data_pipeline_spark.queries.llm import load_events
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    counts = streaming.tumbling_counts(ev, "ts", "5 minutes", keys=["event_type"])
+    return counts.select(
+        F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+EVENTS_TUMBLING_5MIN_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{TS_FMT_DUCK}')
+         AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows = each event contributes to width/slide windows; the
+    oracle expresses that as a union of two phase-shifted tumbling grids."""
+    ev = load_events(spark, sf_dir)
+    counts = streaming.tumbling_counts(
+        ev, "ts", "10 minutes", keys=["event_type"], slide="5 minutes"
+    )
+    return counts.select(
+        F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+EVENTS_SLIDING_10M_5M_SQL = f"""
+WITH both_grids AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         event_type
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes')
+           AS window_start,
+         event_type
+  FROM events
+)
+SELECT strftime(window_start, '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM both_grids
+GROUP BY 1, 2
+"""
+
+
+def events_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 batch twin: gap-merged sessions per user via F.session_window."""
+    ev = load_events(spark, sf_dir)
+    sess = streaming.session_aggregate(ev, "ts", "30 minutes", ["user_id"])
+    return sess.select(
+        "user_id",
+        F.date_format(F.col("s.start"), TS_FMT).alias("session_start"),
+        "n_events",
+    )
+
+
+EVENTS_SESSIONS_30M_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row session ids (ops.sessionize — window + cumsum, one shuffle
+    on the key); the row-level view the aggregate above collapses."""
+    ev = load_events(spark, sf_dir)
+    out = ops.sessionize(ev, "user_id", "ts", 30, order_tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", F.col("session_id").cast("int").alias("session_id")
+    )
+
+
+EVENTS_SESSIONIZED_SQL = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+FROM flagged
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_tumbling_5min": events_tumbling_5min,
+    "events_sliding_10m_5m": events_sliding_10m_5m,
+    "events_sessions_30m": events_sessions_30m,
+    "events_sessionized": events_sessionized,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "events_tumbling_5min": EVENTS_TUMBLING_5MIN_SQL,
+    "events_sliding_10m_5m": EVENTS_SLIDING_10M_5M_SQL,
+    "events_sessions_30m": EVENTS_SESSIONS_30M_SQL,
+    "events_sessionized": EVENTS_SESSIONIZED_SQL,
+}

@@ -1,0 +1,252 @@
+"""Structured Streaming layer (W1–W8) — the real pipeline the reference
+only simulated.
+
+The reference's ``scripts/simulate_stream.py`` slices bronze into CSV
+files dropped in an inbox dir (``:6,26-33``) with NO consumer. Here the
+inbox is consumed by the Structured Streaming **file source** (W1), flows
+through event-time operators (W2–W6), and lands via a micro-batch DQ gate
+(W7) into checkpointed exactly-once sinks (W8).
+
+Scale/ops posture:
+* explicit schema on every stream source (file sources require it; also
+  pins the contract the batch path infers);
+* ``maxFilesPerTrigger`` bounds per-batch work; ``availableNow`` gives
+  deterministic catch-up runs that still respect those bounds;
+* every stateful op is bounded by a watermark — no unbounded state; state
+  store scales horizontally with shuffle partitions;
+* ``foreachBatch`` reuses the BATCH DQ engine per micro-batch — one rule
+  scan per batch, clean/quarantine routed to separate parquet roots. The
+  checkpoint makes re-processing idempotent at the batch level.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from realtime_data_pipeline_spark import dq, medallion
+
+
+def read_file_stream(
+    spark: SparkSession,
+    inbox: str,
+    schema: StructType | str,
+    fmt: str = "csv",
+    max_files_per_trigger: int = 1,
+    header: bool = True,
+) -> DataFrame:
+    """W1: micro-batch file-source ingest — the consumer
+    ``scripts/simulate_stream.py`` never had."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", str(header).lower())
+    return reader.format(fmt).load(inbox)
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    """W2: bound state + late-data admission by event time."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "5 minutes",
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """W3: tumbling (or sliding, when ``slide`` is set) windowed counts.
+    Works identically on batch DataFrames (no watermark applied there) —
+    the batch twin is what the DuckDB oracle checks."""
+    if df.isStreaming:
+        df = with_watermark(df, ts_col, watermark)
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return df.groupBy(win.alias("w"), *(keys or [])).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def session_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """W4: session windows (gap-merged); batch-compatible."""
+    if df.isStreaming:
+        df = with_watermark(df, ts_col, watermark)
+    return df.groupBy(F.session_window(ts_col, gap).alias("s"), *keys).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """W5: streaming exact dedup with bounded state — duplicates arriving
+    within the watermark horizon are dropped; state older than the horizon
+    is evicted (the batch twin is X1 ``exact_dedup``)."""
+    return with_watermark(df, ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_count_per_key(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+):
+    """W6: custom stateful per-key logic via ``applyInPandasWithState`` —
+    running event count + last-seen timestamp per key, emitted every
+    micro-batch. The state dict is O(1) per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_events bigint, last_ts timestamp"
+    )
+    state_schema = "n bigint, last_ts timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        last = None
+        if state.exists:
+            n, last = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf[ts_col].max()
+            last = batch_max if last is None else max(last, batch_max)
+        state.update((n, last))
+        yield pd.DataFrame(
+            [[*key, n, last]], columns=[*keys, "n_events", "last_ts"]
+        )
+
+    return (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def dq_gated_stream(
+    df: DataFrame,
+    rules: list[dq.Rule],
+    silver_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """W7+W8: per-micro-batch DQ gate → clean/quarantine parquet sinks,
+    checkpointed. Reuses the batch single-pass DQ split, so rule cost is
+    one scan of each micro-batch. Restarts resume from the checkpoint and
+    re-deliver at batch granularity (idempotent for a given batch id)."""
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        clean, bad = dq.split_clean_violations(batch_df, rules)
+        medallion.write_parquet(
+            clean, silver_path, mode="append", max_records_per_file=None
+        )
+        medallion.write_parquet(
+            bad, quarantine_path, mode="append", max_records_per_file=None
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    partition_by: str | None = None,
+) -> StreamingQuery:
+    """W8: exactly-once file sink — parquet + checkpoint (the file sink's
+    output log makes replays idempotent)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def memory_sink(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Deterministic test sink (SURVEY §5 item 4)."""
+    writer = (
+        df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def slice_to_inbox(
+    df: DataFrame,
+    inbox: str,
+    n_batches: int,
+    order_col: str,
+) -> list[str]:
+    """Test helper replicating ``scripts/simulate_stream.py:21-33`` with a
+    DETERMINISTIC slicer (row_number over ``order_col``, not the
+    reference's unordered limit/tail). Writes n_batches CSV files named so
+    file-source ordering matches slice order. Driver-side by design — it
+    exists to feed the streaming tests, not to run at scale."""
+    import os
+
+    from pyspark.sql import Window
+
+    os.makedirs(inbox, exist_ok=True)
+    w = Window.orderBy(order_col)
+    rows = df.withColumn("__rn", F.row_number().over(w)).collect()
+    per = max(1, len(rows) // n_batches)
+    paths = []
+    cols = [c for c in df.columns]
+    for i in range(n_batches):
+        chunk = rows[i * per: (i + 1) * per] if i < n_batches - 1 else rows[
+            (n_batches - 1) * per:
+        ]
+        path = os.path.join(inbox, f"batch_{i}.csv")
+        with open(path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for r in chunk:
+                f.write(
+                    ",".join("" if r[c] is None else str(r[c]) for c in cols)
+                    + "\n"
+                )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(path)
+    return paths

@@ -1,0 +1,176 @@
+"""Structured Streaming tests (W1–W8) — deterministic via availableNow
+triggers, memory sinks, and modification-time-ordered inbox files
+(SURVEY.md §5 item 4). The inbox feeding replicates
+``scripts/simulate_stream.py`` batches, now with an actual consumer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import dq, streaming
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def write_inbox(tmp_path, batches):
+    """batches: list of list of (event_id, ts_str, user_id, value)."""
+    import os
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(inbox, f"batch_{i}.csv")
+        with open(p, "w") as f:
+            f.write("event_id,ts,user_id,value\n")
+            for r in rows:
+                f.write(",".join(str(x) for x in r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return inbox
+
+
+def test_file_stream_tumbling_counts_match_batch(spark, tmp_path):
+    """W1+W3: stream the inbox, window it, compare against the batch twin
+    on the very same files."""
+    batches = [
+        [(i, f"2024-01-01 10:{m:02d}:00", i % 3, 1.0) for i, m in enumerate(range(0, 10))],
+        [(100 + i, f"2024-01-01 10:{m:02d}:00", i % 3, 2.0) for i, m in enumerate(range(10, 20))],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    counts = streaming.tumbling_counts(stream, "ts", "5 minutes")
+    q = streaming.memory_sink(counts, "tumbling_t", output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.w.start.isoformat(), r.n_events)
+        for r in spark.table("tumbling_t").collect()
+    }
+    batch_df = spark.read.schema(SCHEMA).option("header", "true").csv(inbox)
+    want = {
+        (r.w.start.isoformat(), r.n_events)
+        for r in streaming.tumbling_counts(batch_df, "ts", "5 minutes").collect()
+    }
+    assert got == want and len(want) == 4
+
+
+def test_watermark_finalizes_windows_and_drops_too_late_rows(spark, tmp_path):
+    """W2: once the watermark passes a window's end, the window is emitted
+    exactly once (append mode) and later rows for it are DROPPED — the
+    hard watermark guarantee (rows merely behind the watermark but ahead
+    of state eviction may still be admitted; that side is best-effort)."""
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 1.0),
+         (2, "2024-01-01 10:01:00", 1, 1.0),
+         (3, "2024-01-01 10:04:00", 1, 1.0)],
+        # advances the watermark past 10:05 -> [10:00, 10:05) finalizes
+        [(4, "2024-01-01 10:20:00", 1, 1.0)],
+        # advances it past 10:25 -> [10:20, 10:25) finalizes too
+        [(5, "2024-01-01 10:40:00", 1, 1.0)],
+        # too late: [10:00) was finalized batches ago -> must be dropped;
+        # append mode can never emit a duplicate window key
+        [(6, "2024-01-01 10:01:30", 1, 1.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA, max_files_per_trigger=1)
+    counts = streaming.tumbling_counts(stream, "ts", "5 minutes", watermark="10 minutes")
+    q = streaming.memory_sink(counts, "late_t", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("late_t").collect()
+    got = {(r.w.start.isoformat(), r.n_events) for r in rows}
+    # closed windows emitted once with on-time counts; the too-late row
+    # neither re-emits [10:00) nor appears anywhere; 10:40 stays open
+    assert got == {("2024-01-01T10:00:00", 3), ("2024-01-01T10:20:00", 1)}
+    assert len(rows) == 2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """W5: duplicate event_ids across micro-batches inside the watermark
+    horizon are suppressed."""
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:01:00", 1, 1.0)],
+        [(1, "2024-01-01 10:00:30", 1, 1.0),  # dup of event 1
+         (3, "2024-01-01 10:02:00", 2, 1.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA, max_files_per_trigger=1)
+    deduped = streaming.stream_dedup(stream, ["event_id"], "ts")
+    q = streaming.memory_sink(deduped, "dedup_t", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.event_id for r in spark.table("dedup_t").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_stateful_running_count(spark, tmp_path):
+    """W6: applyInPandasWithState accumulates per-key state across
+    micro-batches."""
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:01:00", 2, 1.0)],
+        [(3, "2024-01-01 10:02:00", 1, 1.0), (4, "2024-01-01 10:03:00", 1, 1.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(
+        spark,
+        inbox,
+        SCHEMA,
+        max_files_per_trigger=1,
+    ).withColumn("user_id", F.col("user_id").cast("string"))
+    counted = streaming.running_count_per_key(stream, ["user_id"], "ts")
+    q = streaming.memory_sink(counted, "state_t", output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("state_t").collect()
+    final = {}
+    for r in rows:  # last update per key wins; max() == final running count
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
+    assert final == {"1": 3, "2": 1}
+
+
+def test_dq_gated_stream_routes_clean_and_quarantine(spark, tmp_path):
+    """W7+W8: per-micro-batch DQ gate appends clean rows to silver and
+    violations to quarantine, under a checkpoint."""
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 10.0), (2, "2024-01-01 10:01:00", 1, -5.0)],
+        [(3, "2024-01-01 10:02:00", 2, 7.0), (4, "2024-01-01 10:03:00", 2, -1.0),
+         (5, "2024-01-01 10:04:00", 3, 3.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA, max_files_per_trigger=1)
+    rules = [dq.Rule("neg_value", F.col("value") < 0)]
+    silver = str(tmp_path / "silver")
+    quarantine = str(tmp_path / "quarantine")
+    q = streaming.dq_gated_stream(
+        stream, rules, silver, quarantine, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(silver).count() == 3
+    bad = spark.read.parquet(quarantine)
+    assert bad.count() == 2
+    assert {r.event_id for r in bad.collect()} == {2, 4}
+
+
+def test_session_window_stream_runs(spark, tmp_path):
+    """W4: session windows over a stream — gap-merged counts preserve the
+    event total."""
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:02:00", 1, 1.0),
+         (3, "2024-01-01 11:00:00", 1, 1.0), (4, "2024-01-01 10:00:00", 2, 1.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    sessions = streaming.session_aggregate(
+        stream, "ts", "5 minutes", ["user_id"]
+    )
+    q = streaming.memory_sink(sessions, "session_t", output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("session_t").collect()
+    total = sum(r.n_events for r in rows)
+    assert total == 4
+    # user 1 has two sessions (10:00 block, 11:00 block), user 2 one
+    per_user = {}
+    for r in rows:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user == {1: 2, 2: 1}
