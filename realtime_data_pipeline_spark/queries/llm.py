@@ -189,7 +189,19 @@ GROUP BY lang
 """
 
 
+def docs_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: attach deterministic synthetic media structs to documents and run
+    the Arrow-batched decode/featurize pipeline (stubbed codec — see
+    ``multimodal._decode_payload``). Rows-only: binary plumbing has no SQL
+    oracle; schema/determinism gates live in tests/test_multimodal.py."""
+    from realtime_data_pipeline_spark import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.attach_fake_media(docs, "doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_multimodal_decode": docs_multimodal_decode,
     "events_keep_latest_per_user": events_keep_latest_per_user,
     "events_distinct_user_type": events_distinct_user_type,
     "docs_dedup_by_content": docs_dedup_by_content,
