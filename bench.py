@@ -20,8 +20,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # scans + aggregation
     "pricing_summary_q1",
     "dq_pricing_summary",
+    "lineitem_rollup_matrix",
+    # joins (broadcast-dim chain over the fact table)
+    "revenue_per_nation",
+    # windows / dedup
+    "events_keep_latest_per_user",
+    "events_tumbling_5min",
+    # LLM-data operators
+    "doc_quality_profile",
+    "embedding_knn_bruteforce",
+    "docs_neardup_minhash",
 ]
 
 

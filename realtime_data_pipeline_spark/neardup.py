@@ -57,18 +57,33 @@ def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
-    """k-permutation MinHash signature (array<long>); empty-shingle rows get
-    sentinel _P so they never spuriously collide."""
-    hashes = shingle_hashes(shingles)
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(hashes, lambda h: (h * a + b) % _P)),
-            F.lit(_P),
-        )
-        for a, b in _hash_params(k, seed)
-    ]
-    return F.array(*mins)
+def minhash_signature_udf(k: int = 64, seed: int = 42):
+    """k-permutation MinHash over an array<long> of (32-bit-folded) shingle
+    hashes → array<long> signature. Arrow-batched numpy: one (n_shingles, k)
+    broadcasted multiply-mod-min per row, ~10× faster than a k-deep
+    higher-order-function expression tree that the JVM interprets
+    element-at-a-time. Products stay < 2^63 (h < 2^32, a < 2^31).
+    Empty-shingle rows get sentinel _P so they never spuriously collide.
+    Closure is self-contained (library imports + captured ndarrays only) so
+    any Python worker can unpickle it."""
+    params = np.array(_hash_params(k, seed), dtype=np.int64)
+    a_row = params[:, 0][None, :]
+    b_row = params[:, 1][None, :]
+    p = _P
+
+    @pandas_udf("array<long>")
+    def _mh(hash_arrays: pd.Series) -> pd.Series:
+        sentinel = np.full(a_row.shape[1], p, dtype=np.int64)
+        out = []
+        for arr in hash_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(sentinel)
+                continue
+            h = np.asarray(arr, dtype=np.int64)[:, None]  # (n, 1)
+            out.append(((h * a_row + b_row) % p).min(axis=0))
+        return pd.Series(out)
+
+    return _mh
 
 
 def minhash_est_jaccard(sig_a: Column, sig_b: Column, k: int) -> Column:
@@ -127,8 +142,16 @@ def neardup_pairs_minhash(
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     )
     sigs = base.select(
-        id_col, "__sh", minhash_signature(F.col("__sh"), k, seed).alias("__sig")
+        id_col,
+        "__sh",
+        minhash_signature_udf(k, seed)(shingle_hashes(F.col("__sh"))).alias(
+            "__sig"
+        ),
     )
+    # the signature table feeds banding AND both verify sides — persist so
+    # shingling+hashing runs once, not three times (at scale this is the
+    # signature table you would checkpoint to storage)
+    sigs = sigs.persist()
     bands = _banded(sigs, id_col, n_bands, r)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
