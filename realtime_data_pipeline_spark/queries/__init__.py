@@ -24,9 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from realtime_data_pipeline_spark.queries import (
     analytics,
+    asof,
     core,
     llm,
     relational,
+    scalars,
     textdup,
     vectors,
     windows,
@@ -35,7 +37,17 @@ from realtime_data_pipeline_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
-for _mod in (core, relational, llm, analytics, vectors, textdup, windows):
+for _mod in (
+    core,
+    relational,
+    llm,
+    analytics,
+    vectors,
+    textdup,
+    windows,
+    asof,
+    scalars,
+):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

@@ -1,0 +1,62 @@
+"""S4 fetch utility + the runnable bronze/silver CLI (exit-code parity
+with the reference's gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_fetch_to_raw_file_url(tmp_path):
+    from realtime_data_pipeline_spark.sources import fetch_to_raw
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"parquet-bytes-stand-in")
+    dest = tmp_path / "raw" / "data.bin"
+    out = fetch_to_raw(src.as_uri(), dest)
+    assert out.read_bytes() == b"parquet-bytes-stand-in"
+    # skip-if-exists: a source change must NOT trigger a re-fetch
+    src.write_bytes(b"changed")
+    out2 = fetch_to_raw(src.as_uri(), dest)
+    assert out2.read_bytes() == b"parquet-bytes-stand-in"
+    assert not (tmp_path / "raw" / "data.bin.part").exists()
+
+
+@pytest.fixture()
+def raw_events(spark, tmp_path):
+    path = str(tmp_path / "raw")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (2, "2024-01-01 11:00:00", -2.0),
+            (3, "2024-01-02 10:00:00", 7.0),
+        ],
+        "`Event ID` long, `TS` string, `Value` double",
+    ).selectExpr("`Event ID`", "CAST(TS AS TIMESTAMP) AS `TS`", "`Value`")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_cli_bronze_then_silver_gate(raw_events, tmp_path, capsys):
+    from realtime_data_pipeline_spark import cli
+
+    bronze = str(tmp_path / "bronze")
+    rc = cli.main([
+        "bronze", "--raw", raw_events, "--bronze", bronze,
+        "--ts-col", "ts", "--keep-cols", "event_id,ts,value",
+    ])
+    assert rc == 0
+    # gate fails on the negative value (exit 2, reference parity)
+    rc = cli.main([
+        "silver", "--bronze", bronze,
+        "--silver", str(tmp_path / "silver"),
+        "--quarantine", str(tmp_path / "quarantine"),
+    ])
+    assert rc == 2
+    # warn-only passes and still writes both outputs
+    rc = cli.main([
+        "silver", "--bronze", bronze,
+        "--silver", str(tmp_path / "silver"),
+        "--quarantine", str(tmp_path / "quarantine"),
+        "--warn-only",
+    ])
+    assert rc == 0
