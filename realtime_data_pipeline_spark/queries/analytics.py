@@ -118,7 +118,7 @@ def lineitem_rollup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
@@ -137,7 +137,7 @@ SELECT
   COUNT(*) AS n_rows,
   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)
     AS DOUBLE) AS revenue,
-  ROUND(SUM(l_quantity), 2) AS sum_qty
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
