@@ -97,6 +97,41 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (large, skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side once per bucket,
+    so a hot key's rows spread over ``salt_buckets`` tasks instead of one
+    straggler.
+
+    This is the manual fallback for engines/stages where AQE skew-split
+    can't kick in (e.g. a skewed key feeding a stateful op). Cost: the
+    right side is duplicated ``salt_buckets``× through the shuffle — use
+    only when right is much smaller than the hot key's row count.
+    ``how`` must be inner/left (right-side semantics would change under
+    replication)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+    ).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    out = l_salted.join(r_salted, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -127,10 +127,21 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path #2: IVF coarse quantization — probe 4 of 16 cells, exact
+    re-rank within. Rows-only (approximate recall; gate in
+    tests/test_similarity.py with planted neighbors)."""
+    corpus = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(
+        corpus, _query_set(spark, sf_dir), k=K, n_centroids=16, nprobe=4
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dims_norms": embedding_dims_norms,
     "embedding_knn_bruteforce": embedding_knn_bruteforce,
     "embedding_knn_lsh": embedding_knn_lsh,
+    "embedding_knn_ivf": embedding_knn_ivf,
 }
 
 ORACLE_SQL: dict[str, str] = {

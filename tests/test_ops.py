@@ -1,0 +1,76 @@
+"""Operator-library semantics: salted join equivalence, as-of join edge
+cases, top-k determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import ops
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a tail — the shape salting exists for
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k950", 2.0), ("missing", 3.0)], "k string, w double"
+    )
+    return left, right
+
+
+def canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_inner(spark, skewed):
+    left, right = skewed
+    plain = left.join(right, "k", "inner").select("k", "v", "w")
+    salted = ops.salted_join(left, right, "k", "inner").select("k", "v", "w")
+    assert canon(salted) == canon(plain)
+    assert plain.count() == 901  # hot 900 + k950
+
+
+def test_salted_join_matches_plain_left(spark, skewed):
+    left, right = skewed
+    plain = left.join(right, "k", "left").select("k", "v", "w")
+    salted = ops.salted_join(left, right, "k", "left").select("k", "v", "w")
+    assert canon(salted) == canon(plain)
+
+
+def test_salted_join_rejects_right_outer(spark, skewed):
+    left, right = skewed
+    with pytest.raises(ValueError):
+        ops.salted_join(left, right, "k", "right")
+
+
+def test_asof_join_no_match_yields_null(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (2, 50, "b")], "k long, ts long, ev string"
+    )
+    right = spark.createDataFrame([(1, 60, 9.0), (2, 70, 8.0)], "k long, ts long, v double")
+    out = ops.asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    by_ev = {r.ev: r.v_asof for r in out}
+    assert by_ev == {"a": 9.0, "b": None}  # b's only right row is later
+
+
+def test_asof_join_same_ts_visible(spark):
+    left = spark.createDataFrame([(1, 60, "a")], "k long, ts long, ev string")
+    right = spark.createDataFrame([(1, 60, 5.0)], "k long, ts long, v double")
+    out = ops.asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    assert out[0].v_asof == 5.0
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 10.0)], "grp string, id int, score double"
+    )
+    top = ops.topk_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id").asc()], k=2
+    )
+    assert [r.id for r in top.orderBy("rn").collect()] == [1, 2]

@@ -30,6 +30,40 @@ def test_bruteforce_knn_shape(spark, sf_dir):
         assert (g["sim"].diff().dropna() <= 1e-9).all()
 
 
+def test_ivf_finds_planted_neighbors(spark, sf_dir):
+    """IVF must recover near-identical planted neighbors: a tiny
+    perturbation of a query vector lands in the same coarse cell with
+    overwhelming probability, and the exact re-rank ranks it #1."""
+    import numpy as np
+    from realtime_data_pipeline_spark import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+    rows = queries.collect()
+    planted = [
+        (
+            100_000 + r.query_id,
+            [float(x) + 0.001 * ((i % 3) - 1) for i, x in enumerate(r.query_vec)],
+            -1,
+        )
+        for r in rows
+    ]
+    corpus = emb.unionByName(
+        spark.createDataFrame(
+            planted, "vec_id long, embedding array<float>, label int"
+        )
+    )
+    top = sim.ivf_knn(corpus, queries, k=5).toPandas()
+    best = top[top["rank"] == 1].set_index("query_id")["vec_id"]
+    hits = sum(best.get(q) == 100_000 + q for q in range(5))
+    assert hits >= 4, f"planted neighbor missed: {best.to_dict()}"
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     exact = vectors.embedding_knn_bruteforce(spark, sf_dir).toPandas()
     approx = vectors.embedding_knn_lsh(spark, sf_dir).toPandas()
