@@ -145,6 +145,36 @@ def running_count_per_key(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval
+    (``left_ts - max_delay <= right_ts <= left_ts``) — the streaming
+    counterpart of the batch as-of/interval join (J5). Both watermarks plus
+    the time-bound condition let Spark evict join state: right rows older
+    than ``watermark + max_delay`` below the left watermark can never match
+    again and are dropped. Column names must be disjoint apart from the
+    keys (rename upstream). Works identically on batch frames (watermarks
+    skipped) — that twin is what tests compare against."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[left_key] == right[right_key])
+        & (right[right_ts] <= left[left_ts])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.join(right, cond, "inner")
+
+
 def dq_gated_stream(
     df: DataFrame,
     rules: list[dq.Rule],

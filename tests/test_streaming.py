@@ -151,6 +151,54 @@ def test_dq_gated_stream_routes_clean_and_quarantine(spark, tmp_path):
     assert {r.event_id for r in bad.collect()} == {2, 4}
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds produces exactly the
+    pairs its batch twin produces on the same files."""
+    clicks = [
+        [(1, "2024-01-01 10:00:00", 1, 0.0), (2, "2024-01-01 10:08:00", 1, 0.0),
+         (3, "2024-01-01 10:30:00", 2, 0.0)],
+    ]
+    purchases = [
+        [(101, "2024-01-01 09:55:00", 1, 50.0),   # within 10min of click 1+2? 1 yes, 2 (13min) no
+         (102, "2024-01-01 10:29:00", 2, 70.0),   # within 10min of click 3
+         (103, "2024-01-01 11:00:00", 2, 90.0)],  # after click 3 -> no match
+    ]
+    c_inbox = write_inbox(tmp_path / "c", clicks)
+    p_inbox = write_inbox(tmp_path / "p", purchases)
+
+    def prep(cdf, pdf_):
+        c = cdf.select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("cuser"),
+        )
+        p = pdf_.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("puser"),
+            F.col("value").alias("amount"),
+        )
+        return streaming.interval_join_stream(
+            c, p, "cuser", "puser", "click_ts", "purchase_ts", "10 minutes"
+        ).select("click_id", "purchase_id", "amount")
+
+    got_stream = prep(
+        streaming.read_file_stream(spark, c_inbox, SCHEMA),
+        streaming.read_file_stream(spark, p_inbox, SCHEMA),
+    )
+    q = streaming.memory_sink(got_stream, "ssj_t", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.click_id, r.purchase_id) for r in spark.table("ssj_t").collect()}
+
+    read = lambda p: spark.read.schema(SCHEMA).option("header", "true").csv(p)
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in prep(read(c_inbox), read(p_inbox)).collect()
+    }
+    assert got == want == {(1, 101), (3, 102)}
+
+
 def test_session_window_stream_runs(spark, tmp_path):
     """W4: session windows over a stream — gap-merged counts preserve the
     event total."""
