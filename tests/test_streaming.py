@@ -199,6 +199,35 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want == {(1, 101), (3, 102)}
 
 
+def test_checkpointed_sink_restart_is_exactly_once(spark, tmp_path):
+    """W8: an availableNow run, a new inbox file, then a RESTART from the
+    same checkpoint — already-committed batches must not be re-delivered
+    and the new file must be; output rows stay unique."""
+    inbox = write_inbox(tmp_path, [
+        [(1, "2024-01-01 10:00:00", 1, 1.0)],
+        [(2, "2024-01-01 10:01:00", 1, 1.0)],
+    ])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+        q = streaming.parquet_sink(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    # third file arrives while no query is running
+    import os
+    p = os.path.join(inbox, "batch_2.csv")
+    with open(p, "w") as f:
+        f.write("event_id,ts,user_id,value\n3,2024-01-01 10:02:00,2,1.0\n")
+    os.utime(p, (1_700_000_002, 1_700_000_002))
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]  # no re-delivery
+
+
 def test_session_window_stream_runs(spark, tmp_path):
     """W4: session windows over a stream — gap-merged counts preserve the
     event total."""
