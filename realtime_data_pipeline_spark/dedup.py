@@ -64,3 +64,19 @@ def fingerprint_dedup(
         ["__fp"],
         tiebreak,
     ).drop("__fp")
+
+
+def drop_neardups(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """X2 end-to-end: given near-dup ``pairs`` (id_a < id_b), keep the
+    lowest-id member of every dup relation by anti-joining away each id
+    that appears as the GREATER side of a pair.
+
+    This greedy rule is a single anti join (one shuffle on the id) and
+    removes every detected duplicate; it can over-drop relative to full
+    connected-components clustering (b dropped for a, c dropped for b even
+    if a–c were never compared), which is the standard trade at corpus
+    scale — CC needs an iterative join loop."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -93,10 +93,42 @@ def docs_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 end-to-end: detect near-dups (MinHash-LSH) then DROP them,
+    keeping the lowest doc_id of each dup relation — the full
+    training-data dedup pass. Rows-only."""
+    from realtime_data_pipeline_spark import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = neardup.neardup_pairs_minhash(
+        docs, "doc_id", "text", n=3, k=64, n_bands=16, threshold=0.5
+    )
+    return dedup.drop_neardups(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 rolling-hash fingerprints (winnowing): per-doc fingerprint counts.
+    Rows-only — xxhash64 values are engine-specific; the shift-resistance
+    property is gated in tests/test_neardup.py."""
+    from realtime_data_pipeline_spark import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("int").alias("n_fingerprints"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
     "docs_neardup_minhash": docs_neardup_minhash,
     "docs_neardup_simhash": docs_neardup_simhash,
+    "docs_neardup_dedup": docs_neardup_dedup,
+    "docs_winnow_fingerprints": docs_winnow_fingerprints,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -86,5 +86,28 @@ def lang_id_en_vote(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 hex digest (cross-engine stable). For
-    rolling/shift-resistant fingerprints see ``neardup.simhash``."""
+    rolling/shift-resistant fingerprints see :func:`winnow_fingerprints`."""
     return F.md5(col.cast("string"))
+
+
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 6) -> Column:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    character k-gram, then keep the minimum hash of each sliding window of
+    ``w`` k-grams, distinct. Local edits perturb only the fingerprints
+    whose windows overlap the edit — unlike a whole-document digest — so
+    two near-identical documents share most fingerprints.
+
+    Pure JVM expressions: substring k-grams → xxhash64 → windowed
+    array_min. O(len·w) per row, no shuffle."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - k + 1),
+        lambda i: F.xxhash64(F.substr(col, i, F.lit(k))),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - w + 1),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    guarded = F.when(
+        (F.length(col) >= k) & (F.size(grams) >= w), F.array_distinct(windows)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return guarded

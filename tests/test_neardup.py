@@ -80,6 +80,38 @@ def test_simhash_finds_planted_pairs(spark, planted):
     assert hit >= 0.8, f"simhash recall {hit}: {expected - pairs}"
 
 
+def test_drop_neardups_keeps_lowest_id(spark, planted):
+    from realtime_data_pipeline_spark import dedup, neardup as nd
+
+    df, orig_ids = planted
+    pairs = nd.neardup_pairs_minhash(
+        df, "doc_id", "text", n=3, k=64, n_bands=16, threshold=0.5
+    )
+    losers = {r.id_b for r in pairs.select("id_b").collect()}
+    kept = dedup.drop_neardups(df, pairs, "doc_id")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every mutant pairs with its original -> all dropped
+    assert not any(i + 10_000 in kept_ids for i in orig_ids)
+    # originals survive unless they are the greater side of a genuine
+    # fixture-internal near-dup pair (the corpus contains some)
+    assert kept_ids == {i for i in orig_ids if i not in losers}
+
+
+def test_winnow_fingerprints_shift_resistant(spark):
+    from realtime_data_pipeline_spark import text as T
+
+    base = "the quick brown fox jumps over the lazy dog again and again and again"
+    edited = base.replace("lazy", "hazy")
+    df = spark.createDataFrame([(base,), (edited,), (base,)], "t string")
+    rows = df.select(T.winnow_fingerprints(F.col("t")).alias("fp")).collect()
+    a, b, c = (set(r.fp) for r in rows)
+    assert a == c  # identical text -> identical fingerprint set
+    overlap = len(a & b) / len(a | b)
+    # a one-character edit only perturbs windows overlapping it
+    assert overlap > 0.5, f"winnowing not shift-resistant: {overlap}"
+    assert len(a) > 5
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta"),
