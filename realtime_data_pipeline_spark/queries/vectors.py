@@ -137,7 +137,85 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIM_THRESHOLD = 0.35
+PAIR_N = 300
+
+
+def embeddings_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact small-N baseline (oracle): all
+    pairs above the similarity threshold among the first PAIR_N vectors.
+    The crossJoin is the guarded small-N fallback; the corpus-scale path
+    is embeddings_neardup_lsh."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PAIR_N)
+        .select("vec_id", similarity.as_double_array(F.col("embedding")).alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim6"),
+        )
+        .filter(F.col("sim6") >= SIM_THRESHOLD)
+        .select("id_a", "id_b", F.round(F.col("sim6"), 4).alias("sim"))
+    )
+
+
+EMBEDDINGS_COSINE_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {PAIR_N}
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim6
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(sim6, 4) AS sim
+FROM p WHERE sim6 >= {SIM_THRESHOLD}
+"""
+
+
+def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at corpus scale: banded hyperplane LSH
+    self-pairing + exact cosine verify (rows-only; recall gated in
+    tests/test_similarity.py against the exact subset)."""
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    planes = lsh.random_hyperplanes(n_planes=32, dim=64, seed=42)
+    cands = lsh.lsh_candidate_pairs(left, emb, planes, n_bands=16).filter(
+        F.col("query_id") < F.col("vec_id")
+    )
+    va = emb.select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double_array(F.col("embedding")).alias("va"),
+    )
+    vb = emb.select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("vb")
+    )
+    return (
+        cands.join(va, "query_id")
+        .join(vb, "vec_id")
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim6"),
+        )
+        .filter(F.col("sim6") >= SIM_THRESHOLD)
+        .select("id_a", "id_b", F.round(F.col("sim6"), 4).alias("sim"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embeddings_cosine_pairs": embeddings_cosine_pairs,
+    "embeddings_neardup_lsh": embeddings_neardup_lsh,
     "embedding_dims_norms": embedding_dims_norms,
     "embedding_knn_bruteforce": embedding_knn_bruteforce,
     "embedding_knn_lsh": embedding_knn_lsh,
@@ -147,4 +225,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "embedding_dims_norms": EMBEDDING_DIMS_NORMS_SQL,
     "embedding_knn_bruteforce": EMBEDDING_KNN_BRUTEFORCE_SQL,
+    "embeddings_cosine_pairs": EMBEDDINGS_COSINE_PAIRS_SQL,
 }

@@ -64,6 +64,26 @@ def test_ivf_finds_planted_neighbors(spark, sf_dir):
     assert hits >= 4, f"planted neighbor missed: {best.to_dict()}"
 
 
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """The LSH self-pairing sweep must recover most above-threshold pairs
+    the exact small-N baseline finds within the same id range."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in vectors.embeddings_cosine_pairs(spark, sf_dir).collect()
+    }
+    if not exact:  # sf too small to contain above-threshold pairs
+        return
+    approx_all = {
+        (r.id_a, r.id_b)
+        for r in vectors.embeddings_neardup_lsh(spark, sf_dir).collect()
+    }
+    approx = {p for p in approx_all if p[0] < vectors.PAIR_N and p[1] < vectors.PAIR_N}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"lsh pair recall {recall} ({len(exact)} exact pairs)"
+    # precision of the verify stage is exact by construction
+    assert approx <= exact
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     exact = vectors.embedding_knn_bruteforce(spark, sf_dir).toPandas()
     approx = vectors.embedding_knn_lsh(spark, sf_dir).toPandas()
