@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from realtime_data_pipeline_spark import ops
+
 # Universal-hash modulus: smallest prime > 2^32.
 _P = 4_294_967_311
 _MASK32 = 0xFFFFFFFF
@@ -137,7 +139,7 @@ def neardup_pairs_minhash(
     probability for true Jaccard j is 1-(1-j^r)^b with r = k/n_bands.
     """
     r = k // n_bands
-    base = df.select(
+    base = ops.spread(df, id_col).select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
     )
@@ -148,10 +150,13 @@ def neardup_pairs_minhash(
             "__sig"
         ),
     )
-    # the signature table feeds banding AND both verify sides — persist so
-    # shingling+hashing runs once, not three times (at scale this is the
-    # signature table you would checkpoint to storage)
+    # the signature table feeds banding AND both verify sides — persist and
+    # materialize eagerly so shingling+hashing runs exactly once (a lazy
+    # persist lets the join's build and probe sides race to compute it
+    # concurrently). At scale this is the signature table you would
+    # checkpoint to storage.
     sigs = sigs.persist()
+    sigs.count()
     bands = _banded(sigs, id_col, n_bands, r)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -228,7 +233,7 @@ def neardup_pairs_simhash(
     Note the full shingle hash set is used for the fingerprint but never
     shuffled — only the 8-byte simhash and band keys move.
     """
-    sh = df.select(
+    sh = ops.spread(df, id_col).select(
         F.col(id_col),
         shingle_hashes(
             F.array_distinct(word_shingles(F.col(text_col), n))

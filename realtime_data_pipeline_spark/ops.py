@@ -12,6 +12,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    arrives in fewer partitions (one small file, driver-lifted rows).
+
+    At target scale the scan already yields >= cores splits
+    (``spark.sql.files.maxPartitionBytes``) and this is a no-op — the guard
+    exists for the small-input case, where a single split would otherwise
+    serialize every downstream stage (Arrow UDFs included) onto one core.
+    Pass key columns to hash-partition by them; otherwise round-robin.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -150,16 +150,25 @@ def embeddings_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < PAIR_N)
         .select("vec_id", similarity.as_double_array(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", similarity.l2_norm(F.col("v")).alias("n"))
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim6"),
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim6"),
         )
         .filter(F.col("sim6") >= SIM_THRESHOLD)
         .select("id_a", "id_b", F.round(F.col("sim6"), 4).alias("sim"))
@@ -196,17 +205,21 @@ def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = emb.select(
         F.col("vec_id").alias("query_id"),
         similarity.as_double_array(F.col("embedding")).alias("va"),
-    )
+    ).select("query_id", "va", similarity.l2_norm(F.col("va")).alias("na"))
     vb = emb.select(
         "vec_id", similarity.as_double_array(F.col("embedding")).alias("vb")
-    )
+    ).select("vec_id", "vb", similarity.l2_norm(F.col("vb")).alias("nb"))
     return (
         cands.join(va, "query_id")
         .join(vb, "vec_id")
         .select(
             F.col("query_id").alias("id_a"),
             F.col("vec_id").alias("id_b"),
-            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim6"),
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim6"),
         )
         .filter(F.col("sim6") >= SIM_THRESHOLD)
         .select("id_a", "id_b", F.round(F.col("sim6"), 4).alias("sim"))

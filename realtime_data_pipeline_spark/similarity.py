@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from realtime_data_pipeline_spark import ops
 from realtime_data_pipeline_spark.ops import topk_per_group
 
 
@@ -92,17 +93,20 @@ def ivf_knn(
     candidate pairing is an equi-join on the cell id. Recall is bounded by
     the probe coverage — the test gate plants known neighbors."""
     cents = random_centroids(n_centroids, dim, seed)
+    corpus = ops.spread(corpus, id_col)
     corpus_cells = corpus.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("__vec"),
         F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
-    )
+    ).select(id_col, "__vec", "cell", l2_norm(F.col("__vec")).alias("__n"))
     query_cells = queries.select(
         F.col(query_id_col),
         as_double_array(F.col(query_vec_col)).alias("__qvec"),
         F.explode(ivf_cells_udf(cents, nprobe)(F.col(query_vec_col))).alias(
             "cell"
         ),
+    ).select(
+        query_id_col, "__qvec", "cell", l2_norm(F.col("__qvec")).alias("__qn")
     )
     pairs = (
         corpus_cells.join(F.broadcast(query_cells), "cell")
@@ -110,7 +114,11 @@ def ivf_knn(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("__qvec"), F.col("__vec")), 6).alias("sim6"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__vec"))
+                / (F.col("__qn") * F.col("__n")),
+                6,
+            ).alias("sim6"),
         )
         .dropDuplicates([query_id_col, id_col])
     )
@@ -143,11 +151,19 @@ def brute_force_knn(
     to 6 decimals with the candidate id as tiebreaker, making the result
     set deterministic and engine-portable.
     """
-    cand = corpus.select(
+    # norms are hoisted below the join: computed once per row, not once per
+    # pair (the join boundary stops Catalyst collapsing the projection).
+    # dot/(qn*n) evaluates the identical double ops in the identical order
+    # as cosine(q, v), so oracle round-6 parity is unaffected.
+    cand = ops.spread(corpus, id_col).select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("__vec")
+    ).select(
+        id_col, "__vec", l2_norm(F.col("__vec")).alias("__n")
     )
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(query_vec_col)).alias("__qvec")
+    ).select(
+        query_id_col, "__qvec", l2_norm(F.col("__qvec")).alias("__qn")
     )
     pairs = (
         cand.crossJoin(F.broadcast(q))
@@ -155,7 +171,11 @@ def brute_force_knn(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("__qvec"), F.col("__vec")), 6).alias("sim6"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__vec"))
+                / (F.col("__qn") * F.col("__n")),
+                6,
+            ).alias("sim6"),
         )
     )
     top = topk_per_group(
