@@ -386,6 +386,76 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+# ---------------------------------------------------------------------------
+# J2 (full/right outer): date spines that only partially overlap.
+# Both inputs are pre-aggregated before the join, so the outer join runs on
+# one row per date (~2.4k rows at any SF) — aggregate-then-join, never
+# join-then-aggregate, is the shape that holds at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def daily_orders_vs_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of the per-day order count vs the per-day shipment
+    count. Order dates and ship dates cover offset ranges (shipments trail
+    orders), so both null sides are genuinely exercised."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+    )
+    return (
+        o.join(s, "d", "full")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+        )
+    )
+
+
+DAILY_ORDERS_VS_SHIPMENTS_SQL = """
+WITH o AS (
+  SELECT o_orderdate AS d, COUNT(*) AS n_orders FROM orders GROUP BY 1
+),
+s AS (
+  SELECT l_shipdate AS d, COUNT(*) AS n_shipments FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(o.d, s.d) AS d,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_shipments, 0) AS n_shipments
+FROM o FULL OUTER JOIN s ON o.d = s.d
+"""
+
+
+def nation_order_counts_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: orders ⟖ customer keeps every customer (orderless
+    ones count 0), then rolls up to the nation grain."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_join_rows"),
+        )
+    )
+
+
+NATION_ORDER_COUNTS_RIGHT_SQL = """
+SELECT c_nationkey,
+       COUNT(o_orderkey) AS n_orders,
+       COUNT(*) AS n_join_rows
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_per_nation": revenue_per_nation,
     "customer_order_stats": customer_order_stats,
@@ -399,6 +469,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "high_value_open_custkeys": high_value_open_custkeys,
     "buyer_and_building_custkeys": buyer_and_building_custkeys,
     "nation_supplier_union": nation_supplier_union,
+    "daily_orders_vs_shipments": daily_orders_vs_shipments,
+    "nation_order_counts_right": nation_order_counts_right,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -414,4 +486,6 @@ ORACLE_SQL: dict[str, str] = {
     "high_value_open_custkeys": HIGH_VALUE_OPEN_CUSTKEYS_SQL,
     "buyer_and_building_custkeys": BUYER_AND_BUILDING_CUSTKEYS_SQL,
     "nation_supplier_union": NATION_SUPPLIER_UNION_SQL,
+    "daily_orders_vs_shipments": DAILY_ORDERS_VS_SHIPMENTS_SQL,
+    "nation_order_counts_right": NATION_ORDER_COUNTS_RIGHT_SQL,
 }
