@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the properties SCALE.md claims must show up
+in ``explain`` output, so a regression that silently de-optimizes a plan
+(losing pushdown, un-broadcasting a dim, dropping partial top-k, or
+introducing a row-at-a-time Python UDF) fails the suite instead of only
+showing up as a bench slowdown.
+
+These parse the *initial* (pre-AQE) formatted plan via the public
+``DataFrame.explain`` API — stable text anchors only.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from realtime_data_pipeline_spark import queries as q
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_date_filter_into_scan(spark, sf_dir):
+    df = q.QUERIES["pricing_summary_q1"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # single-stage agg: exactly one shuffle (partial -> final hash agg)
+    simple = plan_str(df, mode="simple")
+    assert simple.count("Exchange") - simple.count("BroadcastExchange") == 1
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    plan = plan_str(q.QUERIES["pricing_summary_q1"](spark, sf_dir))
+    scan = next(s for s in plan.splitlines() if "ReadSchema" in s)
+    # 7 needed columns, not the 16-column table
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_revenue_per_nation_broadcasts_dims(spark, sf_dir):
+    plan = plan_str(q.QUERIES["revenue_per_nation"](spark, sf_dir))
+    # customer and nation are hint-broadcast: never a shuffle join for dims
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_str(q.QUERIES["top_orders_by_price"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan  # never a full global sort
+
+
+@pytest.mark.parametrize(
+    "name", ["top_orders_per_segment", "events_keep_latest_per_user"]
+)
+def test_per_group_topk_has_partial_window_group_limit(spark, sf_dir, name):
+    plan = plan_str(q.QUERIES[name](spark, sf_dir), mode="simple")
+    # WindowGroupLimit both below (partial, pre-shuffle) and above the
+    # Exchange: the shuffle carries <= k rows per group per map partition
+    assert plan.count("WindowGroupLimit") == 2
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_dir):
+    """Suite-wide ban: every declared query must stay JVM-side or use
+    Arrow-batched evaluation (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas). BatchEvalPython = pickled row-at-a-time UDF,
+    the 10-100x slow path."""
+    offenders = []
+    for name, fn in q.QUERIES.items():
+        plan = plan_str(fn(spark, sf_dir), mode="simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-UDF in: {offenders}"
+
+
+def test_bronze_transform_is_single_projection(spark, sf_dir):
+    """P1-P6 must compose into O(1) plan nodes (one Project over the scan),
+    not one node per column like the reference's withColumn loops."""
+    from realtime_data_pipeline_spark import etl
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bronze = etl.bronze_transform(
+        df, "l_shipdate", ["l_orderkey", "l_quantity", "l_shipdate"]
+    )
+    plan = plan_str(bronze, mode="simple")
+    assert plan.count("Project") <= 2
