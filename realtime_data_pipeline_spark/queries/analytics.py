@@ -188,11 +188,45 @@ def dq_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 completion: cube — all 2^k grouping-set combinations (status-only
+    and priority-only marginals included, unlike rollup's hierarchy) in ONE
+    Expand + aggregate pass. Grouping NULLs coalesced to 'ALL' as in the
+    rollup twin."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORDERS_STATUS_PRIORITY_CUBE_SQL = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE)
+    AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "lineitem_rollup_matrix": lineitem_rollup_matrix,
+    "orders_status_priority_cube": orders_status_priority_cube,
     "quantity_quantiles_by_flag": quantity_quantiles_by_flag,
     "dq_threshold_calibration": dq_threshold_calibration,
 }
@@ -201,5 +235,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_props_stats": EVENTS_PROPS_STATS_SQL,
     "events_user_cardinality": EVENTS_USER_CARDINALITY_SQL,
     "lineitem_rollup_matrix": LINEITEM_ROLLUP_MATRIX_SQL,
+    "orders_status_priority_cube": ORDERS_STATUS_PRIORITY_CUBE_SQL,
     "quantity_quantiles_by_flag": QUANTITY_QUANTILES_BY_FLAG_SQL,
 }
