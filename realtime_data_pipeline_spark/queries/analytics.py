@@ -221,12 +221,43 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def orders_marginals_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 completion #2: explicit GROUPING SETS — just the two marginals
+    plus the grand total (no full cross matrix), still one Expand pass.
+    Uses the DataFrame ``groupingSets`` API (Spark 4+)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+ORDERS_MARGINALS_GROUPING_SETS_SQL = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "lineitem_rollup_matrix": lineitem_rollup_matrix,
     "orders_status_priority_cube": orders_status_priority_cube,
+    "orders_marginals_grouping_sets": orders_marginals_grouping_sets,
     "quantity_quantiles_by_flag": quantity_quantiles_by_flag,
     "dq_threshold_calibration": dq_threshold_calibration,
 }
@@ -236,5 +267,6 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_cardinality": EVENTS_USER_CARDINALITY_SQL,
     "lineitem_rollup_matrix": LINEITEM_ROLLUP_MATRIX_SQL,
     "orders_status_priority_cube": ORDERS_STATUS_PRIORITY_CUBE_SQL,
+    "orders_marginals_grouping_sets": ORDERS_MARGINALS_GROUPING_SETS_SQL,
     "quantity_quantiles_by_flag": QUANTITY_QUANTILES_BY_FLAG_SQL,
 }
