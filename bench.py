@@ -63,6 +63,12 @@ def main() -> None:
         .count()
     )
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # spawn + warm the Arrow Python workers (numpy/pandas import cost) so
+    # UDF-bearing queries measure compute, not interpreter startup
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(0, 64, 1, 64).select(_warm("id")).count()
 
     names = [n for n in HEADLINE if n in q.QUERIES]
     timings: dict[str, float] = {}
