@@ -456,6 +456,98 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-style classics on the fixture star schema: Q3 (shipping priority —
+# selective join chain + grouped revenue + top-k) and Q6 (forecast revenue —
+# pure filter/agg, the pushdown showcase).
+# ---------------------------------------------------------------------------
+
+
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 analog: top-10 open orders of BUILDING customers by outstanding
+    revenue. Both date filters reach the scans (pushdown); customer is the
+    broadcast dim; lineitem⋈orders shuffles once on the key; the final
+    top-k is TakeOrderedAndProject."""
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_Q3_SQL = """
+SELECT
+  o_orderkey,
+  o_orderdate,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)
+    AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 analog: one filtered scan, one global agg, zero joins — every
+    predicate pushes into the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+FORECAST_REVENUE_Q6_SQL = """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 2)
+    AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_per_nation": revenue_per_nation,
     "customer_order_stats": customer_order_stats,
@@ -471,6 +563,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_supplier_union": nation_supplier_union,
     "daily_orders_vs_shipments": daily_orders_vs_shipments,
     "nation_order_counts_right": nation_order_counts_right,
+    "shipping_priority_q3": shipping_priority_q3,
+    "forecast_revenue_q6": forecast_revenue_q6,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -488,4 +582,6 @@ ORACLE_SQL: dict[str, str] = {
     "nation_supplier_union": NATION_SUPPLIER_UNION_SQL,
     "daily_orders_vs_shipments": DAILY_ORDERS_VS_SHIPMENTS_SQL,
     "nation_order_counts_right": NATION_ORDER_COUNTS_RIGHT_SQL,
+    "shipping_priority_q3": SHIPPING_PRIORITY_Q3_SQL,
+    "forecast_revenue_q6": FORECAST_REVENUE_Q6_SQL,
 }

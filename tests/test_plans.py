@@ -14,6 +14,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark import queries as q
 
@@ -75,6 +76,34 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-UDF in: {offenders}"
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The medallion hive layout must turn date predicates into
+    PartitionFilters (pruned directory listing), not data filters — the
+    mechanism that makes 100 TB backfill reads touch one day, not all."""
+    from realtime_data_pipeline_spark import etl, medallion
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bronze = etl.bronze_transform(
+        raw, "o_orderdate", ["o_orderkey", "o_totalprice"], date_col="order_date"
+    )
+    path = str(tmp_path / "bronze_orders")
+    medallion.write_parquet(bronze, path, partition_by="order_date")
+
+    some_date = bronze.select("order_date").first()[0]
+    read = spark.read.parquet(path).filter(F.col("order_date") == F.lit(some_date))
+    plan = plan_str(read)
+    assert "PartitionFilters" in plan
+    pf_line = next(s for s in plan.splitlines() if "PartitionFilters" in s)
+    assert "order_date" in pf_line and "isnotnull" in pf_line
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    plan = plan_str(q.QUERIES["forecast_revenue_q6"](spark, sf_dir))
+    pushed = next(s for s in plan.splitlines() if "PushedFilters" in s)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
 
 
 def test_bronze_transform_is_single_projection(spark, sf_dir):
