@@ -24,8 +24,10 @@ HEADLINE = [
     "pricing_summary_q1",
     "dq_pricing_summary",
     "lineitem_rollup_matrix",
+    "forecast_revenue_q6",
     # joins (broadcast-dim chain over the fact table)
     "revenue_per_nation",
+    "shipping_priority_q3",
     # windows / dedup
     "events_keep_latest_per_user",
     "events_tumbling_5min",

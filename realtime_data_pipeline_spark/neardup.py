@@ -51,6 +51,19 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)))
 
 
+def gram_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-grams as 32-bit-folded longs — the working
+    set the near-dup pipelines carry instead of gram STRINGS: set-Jaccard
+    over the hashes equals string-set Jaccard up to ~n_grams²/2³²
+    collisions per doc pair (negligible), and the long arrays are far
+    cheaper to shuffle through the candidate/verify joins.
+
+    (An arithmetic token-hash combine was measured SLOWER here: a shared
+    token-hash subexpression gets re-inlined into every element_at, going
+    O(grams × tokens). One hash per gram string wins.)"""
+    return F.array_distinct(shingle_hashes(word_shingles(text, n)))
+
+
 def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
     rs = np.random.RandomState(seed)
     return [
@@ -139,16 +152,17 @@ def neardup_pairs_minhash(
     probability for true Jaccard j is 1-(1-j^r)^b with r = k/n_bands.
     """
     r = k // n_bands
+    # __sh holds hashed grams (longs), not gram strings: the verify joins
+    # below shuffle this column twice, and exact Jaccard over the hashed
+    # sets equals string-set Jaccard up to negligible 32-bit collisions
     base = ops.spread(df, id_col).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), n)).alias("__sh"),
+        gram_hashes(F.col(text_col), n).alias("__sh"),
     )
     sigs = base.select(
         id_col,
         "__sh",
-        minhash_signature_udf(k, seed)(shingle_hashes(F.col("__sh"))).alias(
-            "__sig"
-        ),
+        minhash_signature_udf(k, seed)(F.col("__sh")).alias("__sig"),
     )
     # the signature table feeds banding AND both verify sides — persist and
     # materialize eagerly so shingling+hashing runs exactly once (a lazy
@@ -235,9 +249,7 @@ def neardup_pairs_simhash(
     """
     sh = ops.spread(df, id_col).select(
         F.col(id_col),
-        shingle_hashes(
-            F.array_distinct(word_shingles(F.col(text_col), n))
-        ).alias("__h"),
+        gram_hashes(F.col(text_col), n).alias("__h"),
     )
     fp = sh.select(id_col, simhash_udf()(F.col("__h")).alias("__fp"))
     bands = fp.select(
