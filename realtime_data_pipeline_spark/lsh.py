@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from realtime_data_pipeline_spark import ops
+
 
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
@@ -55,7 +57,7 @@ def band_table(
     are equi-joins on short keys."""
     n_planes = planes.shape[0]
     r = n_planes // n_bands
-    sig = df.select(
+    sig = ops.spread(df, id_col).select(
         F.col(id_col), signature_udf(planes)(F.col(vec_col)).alias("__sig")
     )
     bands = sig.select(
