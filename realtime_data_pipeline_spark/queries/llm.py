@@ -200,8 +200,72 @@ def docs_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(multimodal.attach_fake_media(docs, "doc_id"))
 
 
+def docs_curated_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass a training-data pipeline runs: quality
+    gate (band != low) → language gate (en vote) → exact content dedup
+    (md5 fingerprint, lowest doc_id survives) → per-doc token counts for
+    budget accounting. One scan, one shuffle (the dedup window on the
+    32-char digest) — text never shuffles except inside that digest group.
+    Composes text.quality_band/lang_id_en_vote/token_count_re with
+    dedup.fingerprint_dedup; each step individually oracle-checked by its
+    own query, this one checks the composition."""
+    from realtime_data_pipeline_spark import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    profiled = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        t.alias("text"),
+        text.quality_band(t).alias("quality_band"),
+        text.lang_id_en_vote(t).alias("lang_vote"),
+        text.token_count_re(t).cast("int").alias("token_count"),
+    ).filter((F.col("quality_band") != "low") & (F.col("lang_vote") == "en"))
+    deduped = dedup.fingerprint_dedup(profiled, "text", [F.col("doc_id").asc()])
+    return deduped.select(
+        "doc_id", "lang", "source", "quality_band", "token_count"
+    )
+
+
+DOCS_CURATED_TRAINSET_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang, source, text,
+         string_split_regex(trim(text), '\s+') AS toks,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER)
+           AS token_count
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang, source, text, token_count,
+    CASE
+      WHEN len(toks) >= 50
+           AND len(list_distinct(toks)) / len(toks) > 0.3 THEN 'high'
+      WHEN len(toks) >= 10
+           AND len(list_distinct(toks)) / len(toks) > 0.15 THEN 'medium'
+      ELSE 'low'
+    END AS quality_band,
+    CASE WHEN (CASE WHEN len(toks) > 0
+          THEN len(list_filter(toks,
+               w -> w IN ('the','a','an','and','of','to','in','is','it')))
+               / len(toks)
+          ELSE 0.0 END) > 0.05 THEN 'en' ELSE 'unk' END AS lang_vote
+  FROM f
+),
+g AS (
+  SELECT doc_id, lang, source, quality_band, token_count,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM p
+  WHERE quality_band <> 'low' AND lang_vote = 'en'
+)
+SELECT doc_id, lang, source, quality_band, token_count
+FROM g WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_decode": docs_multimodal_decode,
+    "docs_curated_trainset": docs_curated_trainset,
     "events_keep_latest_per_user": events_keep_latest_per_user,
     "events_distinct_user_type": events_distinct_user_type,
     "docs_dedup_by_content": docs_dedup_by_content,
@@ -210,6 +274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "docs_curated_trainset": DOCS_CURATED_TRAINSET_SQL,
     "events_keep_latest_per_user": EVENTS_KEEP_LATEST_PER_USER_SQL,
     "events_distinct_user_type": EVENTS_DISTINCT_USER_TYPE_SQL,
     "docs_dedup_by_content": DOCS_DEDUP_BY_CONTENT_SQL,
