@@ -263,9 +263,47 @@ FROM g WHERE rn = 1
 """
 
 
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split on the CONTENT hash (first md5 hex
+    nibble: 0-c → train ≈ 13/16, d-f → eval), the split that survives
+    re-sharding and dedup reruns — row-position or RNG splits don't.
+    Returns per-(split, lang) doc and token counts for budget accounting.
+    Cross-engine stable: md5 hex is identical in Spark and DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "lang",
+            F.when(F.substring(F.md5(t), 1, 1) <= "c", F.lit("train"))
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+            text.token_count_re(t).alias("tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+DOCS_HASH_SPLIT_SQL = """
+SELECT
+  CASE WHEN substr(md5(text), 1, 1) <= 'c' THEN 'train' ELSE 'eval' END
+    AS split,
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+    AS total_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_decode": docs_multimodal_decode,
     "docs_curated_trainset": docs_curated_trainset,
+    "docs_hash_split": docs_hash_split,
     "events_keep_latest_per_user": events_keep_latest_per_user,
     "events_distinct_user_type": events_distinct_user_type,
     "docs_dedup_by_content": docs_dedup_by_content,
@@ -275,6 +313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "docs_curated_trainset": DOCS_CURATED_TRAINSET_SQL,
+    "docs_hash_split": DOCS_HASH_SPLIT_SQL,
     "events_keep_latest_per_user": EVENTS_KEEP_LATEST_PER_USER_SQL,
     "events_distinct_user_type": EVENTS_DISTINCT_USER_TYPE_SQL,
     "docs_dedup_by_content": DOCS_DEDUP_BY_CONTENT_SQL,
