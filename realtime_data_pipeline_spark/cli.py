@@ -54,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--warn-only", action="store_true")
     ps.add_argument("--mode", choices=["overwrite", "append"], default="overwrite")
 
+    pp = sub.add_parser(
+        "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
+    )
+    pp.add_argument("--source-url", required=True)
+    pp.add_argument("--root", required=True, help="zones root directory")
+    pp.add_argument("--ts-col", required=True)
+    pp.add_argument("--keep-cols", required=True, help="comma-separated")
+    pp.add_argument("--date-col", default="event_date")
+    pp.add_argument("--warn-only", action="store_true")
+
     args = p.parse_args(argv)
     # getOrCreate: reuses an existing session (tests, notebooks); as a real
     # CLI the session dies with the process, so no explicit stop()
@@ -87,6 +97,25 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
+        return 0
+    if args.cmd == "pipeline":
+        from realtime_data_pipeline_spark import medallion as m
+        from realtime_data_pipeline_spark import orchestration
+
+        cfg = orchestration.DailyConfig(
+            source_url=args.source_url,
+            zones=m.Zones(args.root),
+            ts_col=args.ts_col,
+            keep_cols=tuple(c.strip() for c in args.keep_cols.split(",")),
+            date_col=args.date_col,
+            warn_only=args.warn_only,
+        )
+        try:
+            metrics = orchestration.run_daily(spark, cfg, _default_rules())
+        except dq.DQCheckFailed as e:
+            print(f"DQ gate FAILED: {e.failed_rules}", file=sys.stderr)
+            return 2
+        print(f"pipeline: {metrics['bronze']['rows']} rows -> {cfg.zones.silver}")
         return 0
     return 1
 

@@ -60,3 +60,27 @@ def test_cli_bronze_then_silver_gate(raw_events, tmp_path, capsys):
         "--warn-only",
     ])
     assert rc == 0
+
+
+def test_cli_pipeline_end_to_end(raw_events, tmp_path):
+    """The one-command daily run: fetch >> bronze >> DQ silver, exit 2 on
+    gate failure, 0 with --warn-only (run_full_pipeline.ps1 parity)."""
+    import pathlib
+
+    from realtime_data_pipeline_spark import cli
+
+    src = pathlib.Path(raw_events)
+    part = next(p for p in src.glob("*.parquet"))
+    base = [
+        "pipeline",
+        "--source-url", part.as_uri(),
+        "--root", str(tmp_path / "zones"),
+        "--ts-col", "ts",
+        "--keep-cols", "event_id,ts,value",
+    ]
+    # the fixture has a negative value -> gate trips
+    assert cli.main(base) == 2
+    assert cli.main([*base, "--warn-only"]) == 0
+    # all zones materialized
+    for zone in ("raw", "bronze", "silver", "quarantine", "artifacts"):
+        assert (tmp_path / "zones" / zone).exists(), zone
