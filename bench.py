@@ -77,9 +77,12 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = q.QUERIES[name](spark, sf_dir)
-        n = df.count()
+        # noop sink: forces FULL computation of every output column —
+        # count() would let Catalyst prune projected expressions and
+        # under-measure per-row transform queries
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
