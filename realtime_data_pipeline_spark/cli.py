@@ -22,16 +22,27 @@ from realtime_data_pipeline_spark import dq, medallion
 from realtime_data_pipeline_spark.session import get_spark
 
 
-def _default_rules() -> list[dq.Rule]:
+def _parse_rules(specs: list[str] | None) -> list[dq.Rule]:
+    """``--rule name:SQL-predicate`` (repeatable) — predicate is a SQL
+    boolean expression that is TRUE for VIOLATING rows. Falls back to the
+    built-in value-column rule when none given."""
     from pyspark.sql import functions as F
 
-    return [
-        dq.Rule(
-            "neg_or_null_value",
-            (F.col("value") < 0) | F.col("value").isNull(),
-            description="value must be non-null and >= 0",
-        ),
-    ]
+    if not specs:
+        return [
+            dq.Rule(
+                "neg_or_null_value",
+                (F.col("value") < 0) | F.col("value").isNull(),
+                description="value must be non-null and >= 0",
+            ),
+        ]
+    rules = []
+    for spec in specs:
+        name, _, pred = spec.partition(":")
+        if not pred:
+            raise SystemExit(f"--rule must be name:predicate, got {spec!r}")
+        rules.append(dq.Rule(name, F.expr(pred), description=pred))
+    return rules
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -53,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--artifacts", default=None)
     ps.add_argument("--warn-only", action="store_true")
     ps.add_argument("--mode", choices=["overwrite", "append"], default="overwrite")
+    ps.add_argument(
+        "--rule", action="append", default=None,
+        help="name:SQL-predicate true for violating rows (repeatable)",
+    )
 
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
@@ -63,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--keep-cols", required=True, help="comma-separated")
     pp.add_argument("--date-col", default="event_date")
     pp.add_argument("--warn-only", action="store_true")
+    pp.add_argument(
+        "--rule", action="append", default=None,
+        help="name:SQL-predicate true for violating rows (repeatable)",
+    )
 
     args = p.parse_args(argv)
     # getOrCreate: reuses an existing session (tests, notebooks); as a real
@@ -87,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.bronze,
                 args.silver,
                 args.quarantine,
-                rules=_default_rules(),
+                rules=_parse_rules(args.rule),
                 artifacts_dir=args.artifacts,
                 warn_only=args.warn_only,
                 mode=args.mode,
@@ -111,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
             warn_only=args.warn_only,
         )
         try:
-            metrics = orchestration.run_daily(spark, cfg, _default_rules())
+            metrics = orchestration.run_daily(spark, cfg, _parse_rules(args.rule))
         except dq.DQCheckFailed as e:
             print(f"DQ gate FAILED: {e.failed_rules}", file=sys.stderr)
             return 2

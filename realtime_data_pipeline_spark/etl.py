@@ -80,7 +80,9 @@ def bronze_transform(
     always kept (it is the partition key)."""
     out = normalize_columns(df)
     out = with_derived_date(out, ts_col, date_col)
-    return project_existing(out, [*keep_cols, date_col])
+    # dict.fromkeys dedups while preserving order: keep_cols may already
+    # name date_col, and a doubled column breaks the partitioned write
+    return project_existing(out, list(dict.fromkeys([*keep_cols, date_col])))
 
 
 def silver_transform(df: DataFrame, audit_col: str = "silver_loaded_at") -> DataFrame:

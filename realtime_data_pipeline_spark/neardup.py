@@ -78,7 +78,9 @@ def minhash_signature_udf(k: int = 64, seed: int = 42):
     broadcasted multiply-mod-min per row, ~10× faster than a k-deep
     higher-order-function expression tree that the JVM interprets
     element-at-a-time. Products stay < 2^63 (h < 2^32, a < 2^31).
-    Empty-shingle rows get sentinel _P so they never spuriously collide.
+    Empty-shingle rows get the sentinel signature [_P]*k as a guard; the
+    pipeline filters them out BEFORE banding (identical sentinels would
+    otherwise share every band key — an m² hot bucket).
     Closure is self-contained (library imports + captured ndarrays only) so
     any Python worker can unpickle it."""
     params = np.array(_hash_params(k, seed), dtype=np.int64)
@@ -159,6 +161,11 @@ def neardup_pairs_minhash(
         F.col(id_col),
         gram_hashes(F.col(text_col), n).alias("__sh"),
     )
+    # docs too short to shingle can never reach the Jaccard threshold
+    # (union > 0, intersect = 0) — drop them BEFORE banding, where their
+    # shared sentinel signature would otherwise put all of them into the
+    # same bucket in every band (an m² hot key for m empty docs)
+    base = base.filter(F.size("__sh") > 0)
     sigs = base.select(
         id_col,
         "__sh",
@@ -206,6 +213,12 @@ def neardup_pairs_minhash(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize the (candidate-bounded, small) verified pairs, then
+    # release the corpus-sized signature cache — callers hold only the
+    # result, not the working set
+    verified = verified.persist()
+    verified.count()
+    sigs.unpersist()
     return verified
 
 
@@ -222,7 +235,10 @@ def simhash_udf():
             if arr is None or len(arr) == 0:
                 out[i] = 0
                 continue
-            h = np.asarray(arr, dtype=np.uint64)
+            # int64 -> uint64 via astype: two's-complement wrap keeps all
+            # 64 bits of full-width xxhash64 values (asarray(uint64)
+            # rejects negatives)
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
                 np.int32
             )
@@ -239,19 +255,24 @@ def neardup_pairs_simhash(
     text_col: str,
     n: int = 3,
     max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, 4×16-bit band join
-    (pigeonhole: any pair with hamming ≤ 3 must agree on ≥1 of 4 bands),
-    exact hamming verify via bit_count(xor).
+    """SimHash near-dup pairs: 64-bit fingerprints, ``n_bands`` equal bit
+    slices joined as band keys, exact hamming verify via bit_count(xor).
 
-    Note the full shingle hash set is used for the fingerprint but never
-    shuffled — only the 8-byte simhash and band keys move.
+    Pigeonhole guarantee: any pair with hamming ≤ ``n_bands - 1`` must
+    agree on ≥1 band and is found; pairs between that and ``max_hamming``
+    are found probabilistically. The default 4×16 geometry is the standard
+    web-dedup setting (hamming ≤ 3 over 64 bits); widening ``n_bands``
+    trades candidate volume (coarser 64/n_bands-bit keys → bigger buckets)
+    for a wider guarantee.
+
+    Only the 8-byte fingerprint and short band keys ever shuffle — the
+    shingle hash set stays in its map task.
     """
-    sh = ops.spread(df, id_col).select(
-        F.col(id_col),
-        gram_hashes(F.col(text_col), n).alias("__h"),
-    )
-    fp = sh.select(id_col, simhash_udf()(F.col("__h")).alias("__fp"))
+    fp = simhash_fingerprints(df, id_col, text_col, n)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     bands = fp.select(
         id_col,
         "__fp",
@@ -260,11 +281,11 @@ def neardup_pairs_simhash(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("__fp"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("__fp"), width * b)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_key"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("__band"),
@@ -283,3 +304,27 @@ def neardup_pairs_simhash(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __fp) 64-bit SimHash fingerprints. FULL-WIDTH xxhash64 gram
+    hashes — the 32-bit fold that protects MinHash's universal hashing
+    from overflow would zero SimHash bits 32-63, making the high bands
+    constant (one global bucket = the all-pairs product). Short docs are
+    dropped for the same hot-bucket reason as in the MinHash path (their
+    shared fp 0 would collide in every band)."""
+    sh = (
+        ops.spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+                )
+            ).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+    )
+    return sh.select(id_col, simhash_udf()(F.col("__h")).alias("__fp"))

@@ -133,8 +133,12 @@ def salted_join(
     replication)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left' only")
+    # salt must be DETERMINISTIC per row: monotonically_increasing_id (or
+    # rand) changes on shuffle-stage retry, losing/duplicating rows
+    # (SPARK-23207 class). Hashing the whole row keeps re-executed tasks
+    # bit-identical; distinct rows under a hot key still spread uniformly.
     salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
     ).cast("int")
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.crossJoin(

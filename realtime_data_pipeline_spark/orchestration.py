@@ -25,13 +25,19 @@ class DailyConfig:
     keep_cols: tuple[str, ...]
     date_col: str = "event_date"
     warn_only: bool = False
+    # a DAILY pipeline must re-fetch by default — skip-if-exists is for
+    # immutable archives (the reference's month-named TLC files), not a
+    # fixed-name feed that updates in place
+    refresh: bool = True
 
 
 def run_daily(spark: SparkSession, cfg: DailyConfig, rules: list[dq.Rule]) -> dict:
     """fetch ≫ bronze ≫ silver(DQ-gated), returning per-stage metrics.
     Raises DQCheckFailed (exit-code-2 semantics) unless warn_only."""
     raw_file = sources.fetch_to_raw(
-        cfg.source_url, f"{cfg.zones.raw}/input.parquet"
+        cfg.source_url,
+        f"{cfg.zones.raw}/input.parquet",
+        skip_if_exists=not cfg.refresh,
     )
     bronze_metrics = medallion.run_bronze(
         spark,

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.queries.core import load
 from realtime_data_pipeline_spark.queries.llm import load_events
-from realtime_data_pipeline_spark.queries.util import dsum
 
 
 # ---------------------------------------------------------------------------

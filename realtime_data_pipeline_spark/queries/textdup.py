@@ -86,10 +86,13 @@ def docs_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming ≤ 10 sweep (rows-only, same rationale)."""
+    """SimHash hamming ≤ 7 sweep with 8×8-bit bands: every reported pair
+    is pigeonhole-GUARANTEED to be found (hamming ≤ n_bands-1 = 7), no
+    probabilistic recall gap. At web scale you'd run the module default
+    (4×16 bands, hamming ≤ 3 — finer keys, smaller buckets); rows-only."""
     docs = load(spark, sf_dir, "documents")
     return neardup.neardup_pairs_simhash(
-        docs, "doc_id", "text", n=3, max_hamming=10
+        docs, "doc_id", "text", n=3, max_hamming=7, n_bands=8
     )
 
 

@@ -191,15 +191,24 @@ FROM p WHERE sim6 >= {SIM_THRESHOLD}
 
 
 def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup at corpus scale: banded hyperplane LSH
-    self-pairing + exact cosine verify (rows-only; recall gated in
-    tests/test_similarity.py against the exact subset)."""
+    """Embedding-cosine near-dup: banded hyperplane LSH self-pairing +
+    exact cosine verify (rows-only; recall gated in tests/test_similarity.py
+    against the exact subset).
+
+    Band geometry must match the similarity regime: collision prob per
+    band is p^r with p = 1-θ/π. This fixture's threshold (0.35 — the
+    synthetic corpus has no high-sim pairs) gives p≈0.61, so r=4/b=8
+    lands ~0.71 recall with 16-bucket band keys. A REAL near-dup corpus
+    (sim ≥ 0.9, p≈0.86) runs r=8+/b=8 — 256-bucket keys, ~256× candidate
+    pruning — which a 0.35 threshold cannot have: at low thresholds the
+    pair density is itself quadratic, and no banding geometry prunes what
+    the threshold keeps."""
     emb = load(spark, sf_dir, "embeddings")
     left = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     planes = lsh.random_hyperplanes(n_planes=32, dim=64, seed=42)
-    cands = lsh.lsh_candidate_pairs(left, emb, planes, n_bands=16).filter(
+    cands = lsh.lsh_candidate_pairs(left, emb, planes, n_bands=8).filter(
         F.col("query_id") < F.col("vec_id")
     )
     va = emb.select(

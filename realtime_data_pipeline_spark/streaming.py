@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from realtime_data_pipeline_spark import dq, medallion
+from realtime_data_pipeline_spark import dq
 
 
 def read_file_stream(
@@ -185,17 +185,24 @@ def dq_gated_stream(
 ) -> StreamingQuery:
     """W7+W8: per-micro-batch DQ gate → clean/quarantine parquet sinks,
     checkpointed. Reuses the batch single-pass DQ split, so rule cost is
-    one scan of each micro-batch. Restarts resume from the checkpoint and
-    re-deliver at batch granularity (idempotent for a given batch id)."""
+    one scan of each micro-batch.
+
+    foreachBatch is at-least-once: a crash between the sink write and the
+    checkpoint commit re-executes the batch on restart. The write is made
+    idempotent by landing every batch in its own ``batch_id=N`` hive
+    partition with DYNAMIC partition overwrite — a replayed batch replaces
+    its own partition instead of appending duplicates."""
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
         clean, bad = dq.split_clean_violations(batch_df, rules)
-        medallion.write_parquet(
-            clean, silver_path, mode="append", max_records_per_file=None
-        )
-        medallion.write_parquet(
-            bad, quarantine_path, mode="append", max_records_per_file=None
-        )
+        for out, path in ((clean, silver_path), (bad, quarantine_path)):
+            (
+                out.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
 
     writer = (
         df.writeStream.foreachBatch(route)

@@ -62,15 +62,30 @@ def test_cli_bronze_then_silver_gate(raw_events, tmp_path, capsys):
     assert rc == 0
 
 
-def test_cli_pipeline_end_to_end(raw_events, tmp_path):
+def test_cli_pipeline_end_to_end(spark, tmp_path):
     """The one-command daily run: fetch >> bronze >> DQ silver, exit 2 on
     gate failure, 0 with --warn-only (run_full_pipeline.ps1 parity)."""
     import pathlib
 
     from realtime_data_pipeline_spark import cli
 
-    src = pathlib.Path(raw_events)
-    part = next(p for p in src.glob("*.parquet"))
+    # single-file source so the fetched file is guaranteed to contain the
+    # violating row (raw_events may split rows across part files)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    single = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "Event ID": [1, 2],
+                "TS": ["2024-01-01 10:00:00", "2024-01-01 11:00:00"],
+                "Value": [5.0, -2.0],
+            }
+        ),
+        single,
+    )
+    part = pathlib.Path(single)
     base = [
         "pipeline",
         "--source-url", part.as_uri(),

@@ -68,16 +68,32 @@ def test_short_text_shingles_empty(spark):
 
 
 def test_simhash_finds_planted_pairs(spark, planted):
+    """Tests the CONTRACT: every pair within the pigeonhole guarantee
+    (hamming <= n_bands-1) must be found, and every found pair must pass
+    the exact hamming verify. Plus a non-vacuity check: the one-word
+    mutants must actually land within the sweep's hamming radius."""
     df, orig_ids = planted
+    n_bands, max_hamming = 8, 16
+    fps = {
+        r[0]: r[1]
+        for r in neardup.simhash_fingerprints(df, "doc_id", "text", n=3).collect()
+    }
+    expected = {(i, i + 10_000) for i in orig_ids}
+    ham = {
+        p: bin((fps[p[0]] ^ fps[p[1]]) & (2**64 - 1)).count("1")
+        for p in expected
+    }
+    guaranteed = {p for p, h in ham.items() if h <= n_bands - 1}
+    in_radius = {p for p, h in ham.items() if h <= max_hamming}
+    assert len(in_radius) >= len(expected) * 0.8, f"mutants too far: {ham}"
+
     found = neardup.neardup_pairs_simhash(
-        df, "doc_id", "text", n=3, max_hamming=16
+        df, "doc_id", "text", n=3, max_hamming=max_hamming, n_bands=n_bands
     ).collect()
     pairs = {(r.id_a, r.id_b) for r in found}
-    expected = {(i, i + 10_000) for i in orig_ids}
-    # one-word substitutions perturb few shingles -> small hamming distance;
-    # allow a small miss rate (simhash is lossier than minhash)
-    hit = len(expected & pairs) / len(expected)
-    assert hit >= 0.8, f"simhash recall {hit}: {expected - pairs}"
+    assert guaranteed <= pairs, f"guaranteed pair missed: {guaranteed - pairs}"
+    for r in found:
+        assert r.hamming <= max_hamming
 
 
 def test_drop_neardups_keeps_lowest_id(spark, planted):
