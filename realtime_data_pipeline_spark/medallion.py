@@ -72,6 +72,49 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    target_records_per_file: int = 1_000_000,
+) -> dict:
+    """Maintenance: rewrite a parquet root into right-sized files.
+
+    Streaming sinks and per-batch-id partitions accrete small files — at
+    100 TB the dominant read cost becomes file-open overhead and footer
+    reads, not bytes. Rewrites via a temp directory then an atomic-ish
+    swap (write temp → remove old → rename), because overwriting a
+    directory while reading it is undefined. Partition columns are
+    re-derived from the hive layout by the reader, so the written layout
+    is preserved. Returns before/after file counts."""
+    import os
+    import shutil
+
+    before = sum(1 for p in Path(path).rglob("*.parquet"))
+    df = spark.read.parquet(path)
+    # co-locate each hive partition into one write task (one output file
+    # per partition value, re-split only by maxRecordsPerFile); without
+    # hive columns, size the task count from the actual bytes on disk
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        df = df.repartition(*cols)
+    else:
+        total = sum(p.stat().st_size for p in Path(path).rglob("*.parquet"))
+        df = df.repartition(max(1, -(-total // (256 << 20))))
+    tmp = f"{path}__compact_tmp"
+    write_parquet(
+        df, tmp, mode="overwrite", partition_by=partition_by,
+        max_records_per_file=target_records_per_file,
+    )
+    # count from the temp BEFORE the swap: the original plan's file
+    # listing is already resolved and would dangle after rmtree
+    rows = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = sum(1 for p in Path(path).rglob("*.parquet"))
+    return {"files_before": before, "files_after": after, "rows": rows}
+
+
 def run_bronze(
     spark: SparkSession,
     raw_path: str,

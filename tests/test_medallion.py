@@ -146,3 +146,26 @@ def test_save_mode_append_vs_overwrite(spark, raw_path, tmp_path):
     assert spark.read.parquet(out).count() == 12
     medallion.write_parquet(df, out, mode="overwrite")
     assert spark.read.parquet(out).count() == 6
+
+
+def test_compact_shrinks_file_count(spark, sf_dir, tmp_path):
+    """Maintenance compaction: many small files -> few right-sized ones,
+    same rows, hive partition layout preserved."""
+    from realtime_data_pipeline_spark import medallion
+
+    path = str(tmp_path / "sprawl")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    # simulate streaming sprawl: 20 files per partition
+    orders.repartition(20).write.partitionBy("status").parquet(path)
+    n_before = sum(1 for p in __import__("pathlib").Path(path).rglob("*.parquet"))
+    assert n_before >= 30
+
+    metrics = medallion.compact(spark, path, partition_by="status")
+    assert metrics["files_before"] == n_before
+    assert metrics["files_after"] < n_before / 3
+    out = spark.read.parquet(path)
+    assert metrics["rows"] == orders.count()
+    assert out.count() == orders.count()
+    assert "status" in out.columns  # hive layout preserved
