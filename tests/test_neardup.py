@@ -137,3 +137,28 @@ def test_simhash_identical_docs_zero_hamming(spark):
     found = neardup.neardup_pairs_simhash(df, "doc_id", "text", max_hamming=0)
     rows = found.collect()
     assert len(rows) == 1 and rows[0].hamming == 0
+
+
+def test_hashed_gram_jaccard_matches_string_jaccard(spark):
+    """Jaccard over hashed gram sets must equal Jaccard over the gram
+    strings (collisions are ~2^-32 per pair — none on real text)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox leaps over the lazy dog",
+        "an entirely different sentence about spark engines at scale",
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a in texts for b in texts], "ta string, tb string"
+    )
+    both = df.select(
+        neardup.exact_jaccard(
+            F.array_distinct(neardup.word_shingles(F.col("ta"), 3)),
+            F.array_distinct(neardup.word_shingles(F.col("tb"), 3)),
+        ).alias("j_str"),
+        neardup.exact_jaccard(
+            neardup.gram_hashes(F.col("ta"), 3),
+            neardup.gram_hashes(F.col("tb"), 3),
+        ).alias("j_hash"),
+    ).collect()
+    for r in both:
+        assert abs(r.j_str - r.j_hash) < 1e-12

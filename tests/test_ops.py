@@ -74,3 +74,16 @@ def test_topk_per_group_deterministic_ties(spark):
         df, ["grp"], [F.col("score").desc(), F.col("id").asc()], k=2
     )
     assert [r.id for r in top.orderBy("rn").collect()] == [1, 2]
+
+
+def test_spread_repartitions_small_input_only(spark):
+    """spread() widens a 1-partition input to default parallelism but must
+    be a NO-OP when the input is already parallel (no extra shuffle at
+    scale)."""
+    from realtime_data_pipeline_spark.ops import spread
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 1000, 1, 1)
+    assert spread(small).rdd.getNumPartitions() == target
+    wide = spark.range(0, 1000, 1, target)
+    assert spread(wide) is wide
