@@ -75,17 +75,50 @@ def main() -> None:
     names = [n for n in HEADLINE if n in q.QUERIES]
     timings: dict[str, float] = {}
     for name in names:
-        df = q.QUERIES[name](spark, sf_dir)
+        fn = q.QUERIES[name]
         # noop sink: forces FULL computation of every output column —
         # count() would let Catalyst prune projected expressions and
-        # under-measure per-row transform queries. First run warms the
-        # per-query codegen compile; the timed second run is steady state
-        # (what repeats at scale).
-        df.write.format("noop").mode("overwrite").save()
+        # under-measure per-row transform queries. The warm pass compiles
+        # the query's codegen; the timed pass RE-CONSTRUCTS the query so
+        # eagerly-materializing operators (the MinHash signature
+        # checkpoint) are inside the measurement, then executes to the
+        # sink — steady state with no cached results carried over.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    # Structured Streaming leg: availableNow DQ-gated run of the events
+    # table through the file source -> foreachBatch gate -> partitioned
+    # parquet sinks. This is the named approach of the engine; wall time
+    # covers source listing, the per-batch rule scan, and both sink writes.
+    import shutil
+    import tempfile
+
+    from realtime_data_pipeline_spark import dq, streaming
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    with tempfile.TemporaryDirectory() as td:
+        inbox = os.path.join(td, "inbox")
+        os.makedirs(inbox)
+        shutil.copy(
+            f"{sf_dir}/events.parquet", os.path.join(inbox, "events.parquet")
+        )
+        rules = [dq.Rule("neg_value", F.col("value") < 0)]
+        t0 = time.perf_counter()
+        sq = streaming.dq_gated_stream(
+            streaming.read_file_stream(
+                spark, inbox, ev_schema, fmt="parquet", max_files_per_trigger=1
+            ),
+            rules,
+            os.path.join(td, "silver"),
+            os.path.join(td, "quarantine"),
+            checkpoint=os.path.join(td, "ckpt"),
+        )
+        sq.awaitTermination(300)
+        timings["streaming_dq_gate"] = round(time.perf_counter() - t0, 3)
+        print(f"# streaming_dq_gate: {timings['streaming_dq_gate']}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
