@@ -456,6 +456,58 @@ GROUP BY c_nationkey
 """
 
 
+def customer_balance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 completion: rank / dense_rank / ntile / lead (ranking+analytic
+    over a deterministic tie-broken order) and a RANGE frame (value-based:
+    sum of balances within 500.0 below the current balance). One shuffle
+    on the partition key serves every window."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wr = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").asc())
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).cast("int").alias("bal_rank"),
+        F.dense_rank().over(w).cast("int").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        F.round(F.lead("c_acctbal", 1).over(w), 2).alias("next_bal"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).over(wr), 2
+        )
+        .cast("double")
+        .alias("nearby_bal_sum"),
+    )
+
+
+CUSTOMER_BALANCE_WINDOW_SQL = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  ROUND(c_acctbal, 2) AS acctbal,
+  CAST(RANK() OVER w AS INTEGER) AS bal_rank,
+  CAST(DENSE_RANK() OVER w AS INTEGER) AS bal_dense_rank,
+  CAST(NTILE(4) OVER w AS INTEGER) AS bal_quartile,
+  ROUND(LEAD(c_acctbal, 1) OVER w, 2) AS next_bal,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))) OVER (
+    PARTITION BY c_mktsegment ORDER BY c_acctbal ASC
+    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    AS nearby_bal_sum
+FROM customer
+WHERE c_custkey < 500
+WINDOW w AS (
+  PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style classics on the fixture star schema: Q3 (shipping priority —
 # selective join chain + grouped revenue + top-k) and Q6 (forecast revenue —
@@ -565,6 +617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_order_counts_right": nation_order_counts_right,
     "shipping_priority_q3": shipping_priority_q3,
     "forecast_revenue_q6": forecast_revenue_q6,
+    "customer_balance_window": customer_balance_window,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -584,4 +637,5 @@ ORACLE_SQL: dict[str, str] = {
     "nation_order_counts_right": NATION_ORDER_COUNTS_RIGHT_SQL,
     "shipping_priority_q3": SHIPPING_PRIORITY_Q3_SQL,
     "forecast_revenue_q6": FORECAST_REVENUE_Q6_SQL,
+    "customer_balance_window": CUSTOMER_BALANCE_WINDOW_SQL,
 }
