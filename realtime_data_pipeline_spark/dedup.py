@@ -66,6 +66,57 @@ def fingerprint_dedup(
     ).drop("__fp")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Label-propagation connected components over a near-dup pair graph:
+    each node's label converges to the MINIMUM id reachable from it, so a
+    component is named by its smallest member. The principled grouping
+    behind dedup — ``drop_neardups`` is the one-shot greedy approximation;
+    this is the iterative exact version.
+
+    Each round is one join + one min-aggregate (both equi-shuffles on the
+    id); labels decrease monotonically, so convergence is detected by the
+    label SUM reaching a fixpoint — one cheap scalar per round instead of
+    a full diff. Rounds needed = graph diameter (near-dup components are
+    shallow; ``max_iter`` bounds adversarial chains). Each round's result
+    is persisted and the previous round released — the loop holds one
+    label table, not ``max_iter`` lineages (at 100 TB you would also
+    checkpoint every few rounds to cut lineage depth).
+
+    Returns (id, component).
+    """
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select("a")
+        .distinct()
+        .select(F.col("a").alias("id"), F.col("a").alias("label"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("b"), F.col("label")), "b"
+        ).select(F.col("a").alias("id"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def drop_neardups(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

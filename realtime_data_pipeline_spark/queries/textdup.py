@@ -126,14 +126,79 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_N_DOCS = 200
+CC_THRESHOLD = 0.6
+
+
+def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative operator class: connected components over the exact
+    near-dup pair graph (Jaccard ≥ 0.6 among the first CC_N_DOCS docs) via
+    label propagation to a fixpoint — each dup group labeled by its
+    smallest doc_id. The pair base is exact (cross-join under the small-N
+    guard) so DuckDB can reproduce it with a recursive CTE; at corpus
+    scale the same components run over the MinHash-LSH pair output."""
+    from realtime_data_pipeline_spark import dedup
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < CC_N_DOCS)
+    sh = docs.select(
+        "doc_id", neardup.gram_hashes(F.col("text"), 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            neardup.exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= CC_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(pairs)
+
+
+DOCS_DUP_COMPONENTS_SQL = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\s+')[i+2])) AS sh
+  FROM documents WHERE doc_id < {CC_N_DOCS}
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh))
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= {CC_THRESHOLD}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(id, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.id
+)
+SELECT id, MIN(lab) AS component
+FROM reach
+GROUP BY id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
     "docs_neardup_minhash": docs_neardup_minhash,
     "docs_neardup_simhash": docs_neardup_simhash,
     "docs_neardup_dedup": docs_neardup_dedup,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "docs_dup_components": docs_dup_components,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "docs_jaccard_top_pairs": DOCS_JACCARD_TOP_PAIRS_SQL,
+    "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
 }

@@ -162,3 +162,16 @@ def test_hashed_gram_jaccard_matches_string_jaccard(spark):
     ).collect()
     for r in both:
         assert abs(r.j_str - r.j_hash) < 1e-12
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Multi-hop label propagation: a 4-node chain (diameter 3) collapses
+    to its min id; disjoint islands keep separate labels."""
+    from realtime_data_pipeline_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
