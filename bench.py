@@ -116,7 +116,9 @@ def main() -> None:
             os.path.join(td, "quarantine"),
             checkpoint=os.path.join(td, "ckpt"),
         )
-        sq.awaitTermination(300)
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise RuntimeError("streaming DQ gate leg did not finish in 300s")
         timings["streaming_dq_gate"] = round(time.perf_counter() - t0, 3)
         print(f"# streaming_dq_gate: {timings['streaming_dq_gate']}s", file=sys.stderr)
 

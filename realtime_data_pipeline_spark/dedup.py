@@ -100,6 +100,7 @@ def connected_components(
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("id").alias("b"), F.col("label")), "b"
@@ -111,9 +112,18 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # returning part-propagated labels would silently split true
+        # components — fail loudly instead and let the caller raise the
+        # bound (diameter > max_iter means a pathological chain graph)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds it)"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

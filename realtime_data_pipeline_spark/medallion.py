@@ -90,6 +90,9 @@ def compact(
     import os
     import shutil
 
+    # normpath guards the swap: with a trailing slash the tmp dir would
+    # nest INSIDE the source root and the rmtree below would destroy both
+    path = os.path.normpath(path)
     before = sum(1 for p in Path(path).rglob("*.parquet"))
     df = spark.read.parquet(path)
     # co-locate each hive partition into one write task (one output file

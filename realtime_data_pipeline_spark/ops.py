@@ -23,7 +23,7 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     Pass key columns to hash-partition by them; otherwise round-robin.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    if target <= 1 or df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 

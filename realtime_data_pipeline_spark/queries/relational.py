@@ -467,6 +467,13 @@ def customer_balance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
+    # rank/dense_rank order by the HUNDREDS bucket so ties actually occur
+    # and the gap/no-gap semantics are exercised (over a unique order both
+    # would degenerate to row_number and the oracle check would be
+    # vacuous); value-only ordering keeps them deterministic under ties
+    wt = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("c_acctbal"), -2).asc()
+    )
     wr = (
         Window.partitionBy("c_mktsegment")
         .orderBy(F.col("c_acctbal").asc())
@@ -476,8 +483,8 @@ def customer_balance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.rank().over(w).cast("int").alias("bal_rank"),
-        F.dense_rank().over(w).cast("int").alias("bal_dense_rank"),
+        F.rank().over(wt).cast("int").alias("bal_rank"),
+        F.dense_rank().over(wt).cast("int").alias("bal_dense_rank"),
         F.ntile(4).over(w).cast("int").alias("bal_quartile"),
         F.round(F.lead("c_acctbal", 1).over(w), 2).alias("next_bal"),
         F.round(
@@ -493,8 +500,8 @@ SELECT
   c_custkey,
   c_mktsegment,
   ROUND(c_acctbal, 2) AS acctbal,
-  CAST(RANK() OVER w AS INTEGER) AS bal_rank,
-  CAST(DENSE_RANK() OVER w AS INTEGER) AS bal_dense_rank,
+  CAST(RANK() OVER wt AS INTEGER) AS bal_rank,
+  CAST(DENSE_RANK() OVER wt AS INTEGER) AS bal_dense_rank,
   CAST(NTILE(4) OVER w AS INTEGER) AS bal_quartile,
   ROUND(LEAD(c_acctbal, 1) OVER w, 2) AS next_bal,
   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))) OVER (
@@ -504,7 +511,9 @@ SELECT
 FROM customer
 WHERE c_custkey < 500
 WINDOW w AS (
-  PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+  PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
+wt AS (
+  PARTITION BY c_mktsegment ORDER BY ROUND(c_acctbal, -2) ASC)
 """
 
 
