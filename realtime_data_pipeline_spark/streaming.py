@@ -50,6 +50,21 @@ def read_file_stream(
     return reader.format(fmt).load(inbox)
 
 
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 1000, num_partitions: int | None = None
+) -> DataFrame:
+    """W1 companion: the built-in rate source — (timestamp, value) rows at
+    a fixed rate. The standard synthetic load generator for soak/throughput
+    tests of the streaming operators; schema matches what the windowed and
+    stateful ops expect after a rename."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", num_partitions)
+    return reader.load()
+
+
 def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
     """W2: bound state + late-data admission by event time."""
     return df.withWatermark(ts_col, delay)

@@ -251,3 +251,34 @@ def test_session_window_stream_runs(spark, tmp_path):
     for r in rows:
         per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
     assert per_user == {1: 2, 2: 1}
+
+
+def test_rate_source_feeds_windowed_counts(spark, tmp_path):
+    """The built-in rate source drives the tumbling-window operator; a
+    short bounded run must produce windowed counts with the right schema."""
+    stream = streaming.read_rate_stream(spark, rows_per_second=500)
+    counted = streaming.tumbling_counts(
+        stream, "timestamp", window="1 seconds", watermark="0 seconds"
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            if spark.sql("SELECT * FROM rate_counts").count() > 0:
+                break
+            _t.sleep(1)
+        rows = spark.sql("SELECT * FROM rate_counts").collect()
+        assert rows, "rate source produced no windows in 60s"
+        assert {"w", "n_events"} <= set(rows[0].asDict().keys())
+        assert all(r.n_events > 0 for r in rows)
+    finally:
+        q.stop()
