@@ -270,12 +270,13 @@ def test_rate_source_feeds_windowed_counts(spark, tmp_path):
     try:
         import time as _t
 
+        # poll — processAllAvailable() can block forever on an unbounded
+        # source that keeps producing
         deadline = _t.time() + 60
         while _t.time() < deadline:
-            q.processAllAvailable()
+            q.awaitTermination(2)
             if spark.sql("SELECT * FROM rate_counts").count() > 0:
                 break
-            _t.sleep(1)
         rows = spark.sql("SELECT * FROM rate_counts").collect()
         assert rows, "rate source produced no windows in 60s"
         assert {"w", "n_events"} <= set(rows[0].asDict().keys())
