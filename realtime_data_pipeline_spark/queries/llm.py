@@ -300,10 +300,23 @@ GROUP BY 1, 2
 """
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (``sampleBy``): down-weight the dominant
+    language, keep the rest — the class-rebalancing step before training.
+    Rows-only: sampling is seed-deterministic within Spark but not
+    SQL-reproducible. Returns per-language sampled counts (bounded
+    output; the sampled set itself is the real product)."""
+    docs = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_decode": docs_multimodal_decode,
     "docs_curated_trainset": docs_curated_trainset,
     "docs_hash_split": docs_hash_split,
+    "docs_stratified_sample": docs_stratified_sample,
     "events_keep_latest_per_user": events_keep_latest_per_user,
     "events_distinct_user_type": events_distinct_user_type,
     "docs_dedup_by_content": docs_dedup_by_content,
