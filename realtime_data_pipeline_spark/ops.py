@@ -72,9 +72,22 @@ def asof_join(
     in ``right_ts`` order deterministically only if the caller de-dups;
     callers wanting strict determinism should pre-aggregate right to one row
     per (key, ts).
+
+    ``direction``:
+
+    * ``"backward"`` — most recent right row with ``right_ts <= left_ts``;
+    * ``"forward"`` — earliest right row with ``right_ts >= left_ts``
+      (the same carry window run over descending ts; at equal ts the right
+      row still sorts before the left, so the match is inclusive);
+    * ``"nearest"`` — whichever of the two is closer in absolute time,
+      ties going backward (matches ``pandas.merge_asof``). Both carries are
+      windows over the SAME key partitioning, so Catalyst reuses one
+      exchange and only adds a second sort — still a single shuffle.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
     lcols = left.columns
     l_tagged = left.select(
         F.col(on).alias("__key"),
@@ -94,22 +107,70 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
+    w_back = (
         Window.partitionBy("__key")
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_fwd = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        carried = unioned.select(
+            "__side",
+            "__left",
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True)
+                .over(w)
+                .alias(f"__r_{c}")
+                for c in right_value_cols
+            ],
+        ).filter(F.col("__side") == 1)
+        return carried.select(
+            *[F.col(f"__left.{c}").alias(c) for c in lcols],
+            *[F.col(f"__r_{c}").alias(f"{c}_asof") for c in right_value_cols],
+        )
+    # nearest: carry (value, match_ts) both ways, pick the closer per row
     carried = unioned.select(
         "__side",
         "__left",
+        F.col("__ts"),
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w_back).alias("__b_ts"),
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w_fwd).alias("__f_ts"),
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
+            F.last(F.col(f"__r_{c}"), ignorenulls=True)
+            .over(w_back)
+            .alias(f"__b_{c}")
+            for c in right_value_cols
+        ],
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True)
+            .over(w_fwd)
+            .alias(f"__f_{c}")
             for c in right_value_cols
         ],
     ).filter(F.col("__side") == 1)
+    ts_d = F.col("__ts").cast("double")
+    take_back = F.col("__f_ts").isNull() | (
+        F.col("__b_ts").isNotNull()
+        & ((ts_d - F.col("__b_ts").cast("double"))
+           <= (F.col("__f_ts").cast("double") - ts_d))
+    )
     return carried.select(
         *[F.col(f"__left.{c}").alias(c) for c in lcols],
-        *[F.col(f"__r_{c}").alias(f"{c}_asof") for c in right_value_cols],
+        *[
+            F.when(take_back, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"{c}_asof")
+            for c in right_value_cols
+        ],
     )
 
 

@@ -270,11 +270,18 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
-    "events_user_cardinality_approx": events_user_cardinality_approx,
     "lineitem_rollup_matrix": lineitem_rollup_matrix,
     "orders_status_priority_cube": orders_status_priority_cube,
     "orders_marginals_grouping_sets": orders_marginals_grouping_sets,
     "quantity_quantiles_by_flag": quantity_quantiles_by_flag,
+}
+
+# Implemented + pytest-gated, but not declared to the external driver: the
+# driver checks at most 50 queries, and these approx variants (HLL sketch,
+# percentile_approx) have no SQL-exact oracle — their exact twins above hold
+# the driver slots; these stay smoke-tested via tests/test_queries_oracle.py.
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
 }
 

@@ -192,10 +192,17 @@ GROUP BY id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
     "docs_neardup_minhash": docs_neardup_minhash,
-    "docs_neardup_simhash": docs_neardup_simhash,
     "docs_neardup_dedup": docs_neardup_dedup,
-    "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_dup_components": docs_dup_components,
+}
+
+# Implemented + recall-gated in tests/test_neardup.py, but not declared to
+# the 50-slot external driver: SimHash duplicates MinHash's rows-only signal
+# (same band-join architecture, different sketch) and winnowing is a
+# per-doc fingerprint whose value is as an input to other ops.
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_neardup_simhash": docs_neardup_simhash,
+    "docs_winnow_fingerprints": docs_winnow_fingerprints,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -240,6 +240,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embeddings_neardup_lsh": embeddings_neardup_lsh,
     "embedding_dims_norms": embedding_dims_norms,
     "embedding_knn_bruteforce": embedding_knn_bruteforce,
+}
+
+# Implemented + recall@10-gated in tests/test_similarity.py, but not declared
+# to the 50-slot external driver: embeddings_neardup_lsh already exercises
+# the hyperplane-LSH path driver-side; the kNN-flavored LSH/IVF variants keep
+# their pytest gates and stay out of the scarce driver rows.
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_lsh": embedding_knn_lsh,
     "embedding_knn_ivf": embedding_knn_ivf,
 }

@@ -41,8 +41,24 @@ def load_entry():
 
 
 def canon(df_pandas):
+    """Mirror the external driver's canonicalizer STRICTLY: it sorts the
+    pandas frame with ``sort_values`` (which factorizes object columns and
+    raises on unhashable values like lists/ndarrays), then hashes rows. A
+    lenient stringify here once passed a query the real driver failed
+    (round 2, array<float> column) — so reject unhashable cell types up
+    front and sort the same way the driver does."""
     cols = sorted(df_pandas.columns)
     out = df_pandas[cols]
+    for c in cols:
+        bad = out[c].map(lambda v: isinstance(v, (list, tuple, dict, set))
+                         or type(v).__name__ == "ndarray").any()
+        if bad:
+            raise TypeError(
+                f"column {c!r} holds list/array values — the driver's "
+                "canonicalizer cannot hash these; project to scalars"
+            )
+    if len(out):
+        out = out.sort_values(by=cols)  # same call the driver makes
     rows = [tuple(str(x) for x in r) for r in out.itertuples(index=False, name=None)]
     return cols, sorted(rows)
 
@@ -83,6 +99,15 @@ def main() -> int:
             print(f"FAIL {name}: query raised {exc}", file=sys.stderr)
             continue
         if name not in oracle:
+            # the real driver canonicalizes rows-only queries too (to count/
+            # hash rows) — run the same strict canon so unhashable output
+            # columns fail HERE, not in the external run
+            try:
+                canon(spark_pd)
+            except Exception as exc:  # noqa: BLE001
+                bad.append(name)
+                print(f"FAIL {name}: rows-only canon raised {exc}", file=sys.stderr)
+                continue
             print(f"ok   {name}: rows-only ({len(spark_pd)} rows)", file=sys.stderr)
             continue
         try:

@@ -38,6 +38,31 @@ def test_registry_contract():
         assert isinstance(sql, str) and sql.strip(), name
 
 
+def test_registry_fits_driver_row_budget():
+    """The external driver records at most DRIVER_ROW_BUDGET CORRECTNESS
+    rows, in registry insertion order (round 2 silently dropped the 6-query
+    tail, including the only P8/J5 coverage). Declaring more would un-verify
+    whatever lands past the cut; oracle-backed queries must all sit before
+    any rows-only entry so none can be displaced."""
+    sys.path.insert(0, REPO_ROOT)
+    mod = importlib.import_module("__spark_entry__")
+    from realtime_data_pipeline_spark.queries import DRIVER_ROW_BUDGET
+
+    queries = mod.queries()
+    oracle = mod.oracle_sql()
+    assert len(queries) <= DRIVER_ROW_BUDGET, (
+        f"{len(queries)} declared queries > driver budget {DRIVER_ROW_BUDGET}"
+    )
+    names = list(queries)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in oracle), len(names)
+    )
+    assert all(n in oracle for n in names[:first_rows_only]), names
+    assert all(n not in oracle for n in names[first_rows_only:]), (
+        "oracle-backed query declared after a rows-only one"
+    )
+
+
 def test_entry_runs_flagship(spark):
     sys.path.insert(0, REPO_ROOT)
     mod = importlib.import_module("__spark_entry__")

@@ -48,6 +48,7 @@ def test_dq_split_always_partitions_input(spark, rows):
     assert counts["total_rows"] == len(rows)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @given(
     left=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
@@ -57,9 +58,10 @@ def test_dq_split_always_partitions_input(spark, rows):
     ),
 )
 @settings(**SETTINGS)
-def test_asof_join_matches_pandas_merge_asof(spark, left, right):
-    """ops.asof_join (union + carry-forward) ≡ pandas merge_asof backward
-    for deduped right sides — the independent reference implementation."""
+def test_asof_join_matches_pandas_merge_asof(spark, direction, left, right):
+    """ops.asof_join (union + carry window) ≡ pandas merge_asof in all three
+    directions for deduped right sides — the independent reference
+    implementation (nearest ties go backward in both)."""
     right = list({(k, t): None for k, t in right}.keys())  # dedup (key, ts)
     ldf = spark.createDataFrame(
         [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
@@ -68,7 +70,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         [(k, t, float(k * 1000 + t)) for k, t in right], "k long, ts long, v double"
     )
     got = (
-        ops.asof_join(ldf, rdf, "k", "ts", "ts", ["v"])
+        ops.asof_join(ldf, rdf, "k", "ts", "ts", ["v"], direction=direction)
         .toPandas()
         .sort_values("lid")
         .reset_index(drop=True)
@@ -80,7 +82,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         [(k, t, float(k * 1000 + t)) for k, t in right], columns=["k", "ts", "v"]
     ).sort_values("ts", kind="stable")
     want = (
-        pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+        pd.merge_asof(lpd, rpd, on="ts", by="k", direction=direction)
         .sort_values("lid")
         .reset_index(drop=True)
     )

@@ -23,8 +23,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert_matches_oracle(df, q.ORACLE_SQL[name], sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(set(q.QUERIES) - set(q.ORACLE_SQL)))
+@pytest.mark.parametrize(
+    "name",
+    sorted((set(q.QUERIES) - set(q.ORACLE_SQL)) | set(q.SHELVED_QUERIES)),
+)
 def test_rows_only_query_runs(spark, sf_dir, name):
-    df = q.QUERIES[name](spark, sf_dir)
+    fn = q.QUERIES.get(name) or q.SHELVED_QUERIES[name]
+    df = fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
