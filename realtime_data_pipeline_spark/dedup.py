@@ -79,12 +79,16 @@ def connected_components(
     this is the iterative exact version.
 
     Each round is one join + one min-aggregate (both equi-shuffles on the
-    id); labels decrease monotonically, so convergence is detected by the
-    label SUM reaching a fixpoint — one cheap scalar per round instead of
-    a full diff. Rounds needed = graph diameter (near-dup components are
-    shallow; ``max_iter`` bounds adversarial chains). Each round's result
-    is persisted and the previous round released — the loop holds one
-    label table, not ``max_iter`` lineages (at 100 TB you would also
+    id); labels decrease monotonically, so convergence = "no label changed
+    this round", detected with an old-vs-new equi-join on ``id`` — both
+    sides come out of a groupBy/persist hash-partitioned on ``id``, so the
+    diff adds no exchange, and ``isEmpty()`` stops at the first changed row.
+    (A label-SUM fixpoint would be one scalar cheaper but silently declares
+    convergence after one round for non-numeric ids, where SUM is NULL —
+    round-3 advisory.) Rounds needed = graph diameter (near-dup components
+    are shallow; ``max_iter`` bounds adversarial chains). Each round's
+    result is persisted and the previous round released — the loop holds
+    one label table, not ``max_iter`` lineages (at 100 TB you would also
     checkpoint every few rounds to cut lineage depth).
 
     Returns (id, component).
@@ -99,7 +103,6 @@ def connected_components(
         .select(F.col("a").alias("id"), F.col("a").alias("label"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         nbr = edges.join(
@@ -108,13 +111,18 @@ def connected_components(
         new_labels = (
             labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
         ).persist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        changed = not (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("__old")), "id"
+            )
+            .filter(F.col("label") != F.col("__old"))
+            .isEmpty()
+        )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if not changed:
             converged = True
             break
-        prev_sum = new_sum
     edges.unpersist()
     if not converged:
         # returning part-propagated labels would silently split true

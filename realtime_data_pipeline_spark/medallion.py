@@ -110,10 +110,17 @@ def compact(
         max_records_per_file=target_records_per_file,
     )
     # count from the temp BEFORE the swap: the original plan's file
-    # listing is already resolved and would dangle after rmtree
+    # listing is already resolved and would dangle after the swap
     rows = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    # swap old aside FIRST (rmtree-then-rename leaves NO dataset at `path`
+    # if we crash between the calls): after the aside-rename, the worst
+    # crash window is a single rename, recoverable by renaming __old back
+    old = f"{path}__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     after = sum(1 for p in Path(path).rglob("*.parquet"))
     return {"files_before": before, "files_after": after, "rows": rows}
 

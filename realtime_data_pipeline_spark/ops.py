@@ -194,6 +194,10 @@ def salted_join(
     replication)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left' only")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        # a pre-existing __salt would make the join key ambiguous on the
+        # left and be silently destroyed on the right by the final drop
+        raise ValueError("inputs must not already carry a '__salt' column")
     # salt must be DETERMINISTIC per row: monotonically_increasing_id (or
     # rand) changes on shuffle-stage retry, losing/duplicating rows
     # (SPARK-23207 class). Hashing the whole row keeps re-executed tasks

@@ -175,3 +175,18 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_string_ids(spark):
+    """Round-3 advisory regression: non-numeric ids made the old label-SUM
+    convergence check compare NULL == NULL and stop after one round,
+    silently returning part-propagated components. The changed-row check
+    must propagate a 4-node string chain fully (diameter 3 > 1 round)."""
+    from realtime_data_pipeline_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    out = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}

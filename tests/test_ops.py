@@ -49,6 +49,42 @@ def test_salted_join_rejects_right_outer(spark, skewed):
         ops.salted_join(left, right, "k", "right")
 
 
+def test_salted_join_rejects_preexisting_salt_column(spark, skewed):
+    """Round-3 advisory: a caller-owned __salt column would make the join
+    key ambiguous (left) or be silently dropped (right) — refuse loudly."""
+    left, right = skewed
+    with pytest.raises(ValueError, match="__salt"):
+        ops.salted_join(left.withColumn("__salt", F.lit(0)), right, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        ops.salted_join(left, right.withColumn("__salt", F.lit(0)), "k")
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """Directions: forward picks the earliest right at-or-after, nearest
+    picks the closer side with ties going backward."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 95, "b"), (1, 300, "c")], "k long, ts long, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 5.0), (1, 100, 7.0)], "k long, ts long, v double"
+    )
+    fwd = {
+        r.ev: r.v_asof
+        for r in ops.asof_join(
+            left, right, "k", "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": 5.0, "b": 7.0, "c": None}
+    near = {
+        r.ev: r.v_asof
+        for r in ops.asof_join(
+            left, right, "k", "ts", "ts", ["v"], direction="nearest"
+        ).collect()
+    }
+    # ts=95: backward gap 45, forward gap 5 → forward wins; ts=300 → backward
+    assert near == {"a": 5.0, "b": 7.0, "c": 7.0}
+
+
 def test_asof_join_no_match_yields_null(spark):
     left = spark.createDataFrame(
         [(1, 100, "a"), (2, 50, "b")], "k long, ts long, ev string"
