@@ -89,6 +89,47 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # Skewed-join leg: 80% of lineitem lands on ONE join key (the straggler
+    # shape AQE skew-split fixes at real partition sizes; at sf0.1 the skewed
+    # partition is far below AQE's split threshold, so this leg measures the
+    # MANUAL mitigation — ops.salted_join spreading the hot key over 32
+    # sub-keys). Broadcast is disabled to force the sort-merge path a 100 TB
+    # dim-join would take; tests/test_plans.py asserts the salted exchange
+    # partitions on (k, __salt) so no single task owns the hot key.
+    from realtime_data_pipeline_spark import ops
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    skewed_left = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(10)) < 8, F.lit(0))
+        .otherwise(F.pmod("l_orderkey", F.lit(1000)))
+        .cast("long")
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 0.01).alias("weight")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def skew_leg():
+            return (
+                ops.salted_join(skewed_left, dim, "k", salt_buckets=32)
+                .groupBy("k")
+                .agg(F.sum(F.col("l_extendedprice") * F.col("weight")).alias("wrev"))
+            )
+
+        skew_leg().write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        skew_leg().write.format("noop").mode("overwrite").save()
+        timings["skewed_join_salted"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# skewed_join_salted: {timings['skewed_join_salted']}s",
+            file=sys.stderr,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
     # Structured Streaming leg: availableNow DQ-gated run of the events
     # table through the file source -> foreachBatch gate -> partitioned
     # parquet sinks. This is the named approach of the engine; wall time

@@ -106,6 +106,38 @@ def test_q6_pushes_every_predicate(spark, sf_dir):
         assert col in pushed, f"{col} not pushed: {pushed}"
 
 
+def test_salted_join_partitions_on_salt(spark, sf_dir):
+    """Skew mitigation must be visible in the plan: the shuffle feeding the
+    join has to hash-partition on (key, __salt) — that is what spreads a
+    hot key's rows over salt_buckets tasks instead of one straggler. Guards
+    the bench's skewed_join_salted leg."""
+    from realtime_data_pipeline_spark import ops
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    left = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(10)) < 8, F.lit(0))
+        .otherwise(F.pmod("l_orderkey", F.lit(1000)))
+        .cast("long")
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 0.01).alias("weight")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ops.salted_join(left, dim, "k", salt_buckets=32)
+        plan = plan_str(joined, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    exchange_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert any(
+        "__salt" in ln and "k#" in ln for ln in exchange_lines
+    ), f"join shuffle not salted:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
 def test_bronze_transform_is_single_projection(spark, sf_dir):
     """P1-P6 must compose into O(1) plan nodes (one Project over the scan),
     not one node per column like the reference's withColumn loops."""
