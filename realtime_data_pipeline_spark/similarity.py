@@ -66,11 +66,62 @@ def ivf_cells_udf(centroids, nprobe: int = 1):
 
 
 def random_centroids(n_centroids: int, dim: int, seed: int = 42):
-    """Seeded random unit centroids. A production index would train these
-    with k-means (one sample + fit on the driver, broadcast out) — the
-    Spark plumbing is identical, only the literal array changes."""
+    """Seeded random unit centroids — the untrained fallback quantizer
+    (see :func:`train_centroids_kmeans` for the trained one)."""
     c = np.random.RandomState(seed).standard_normal((n_centroids, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int,
+    seed: int = 42,
+    sample_size: int = 4096,
+    max_iter: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the IVF coarse quantizer: spherical k-means (Lloyd's with
+    re-normalized means, matching the max-dot-product assignment rule) on a
+    bounded, DETERMINISTIC corpus sample fitted on the driver.
+
+    This is the standard IVF build recipe (FAISS-style): the quantizer
+    needs only a few thousand representative vectors, so sampling
+    ``sample_size`` rows (lowest ids — deterministic across runs and
+    re-shards) and fitting locally costs seconds and stays constant as the
+    corpus grows; cluster assignment of the FULL corpus stays distributed
+    in :func:`ivf_knn`. At 100 TB nothing changes here but ``sample_size``.
+
+    Returns a (n_centroids, dim) unit-row ndarray for ``ivf_knn(centroids=...)``.
+    """
+    rows = (
+        corpus.select(as_double_array(F.col(vec_col)).alias("__v"))
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.vstack([r["__v"] for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=n_centroids, replace=len(x) < n_centroids)]
+    for _ in range(max_iter):
+        assign = np.argmax(x @ cents.T, axis=1)
+        new = np.zeros_like(cents)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members) == 0:
+                # empty cluster: restart at the point farthest from its
+                # centroid — the classic split heuristic, deterministic
+                worst = np.argmin((x @ cents.T).max(axis=1))
+                new[j] = x[worst]
+            else:
+                new[j] = members.mean(axis=0)
+        new = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents
 
 
 def ivf_knn(
@@ -85,14 +136,23 @@ def ivf_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids=None,
 ) -> DataFrame:
     """X3 scale path #2 (IVF): corpus vectors are bucketed into coarse
     cells once (an index build — at scale, persisted/partitioned BY cell);
     each query probes its ``nprobe`` nearest cells, so the exact re-rank
     touches ~nprobe/n_centroids of the corpus instead of all of it, and
     candidate pairing is an equi-join on the cell id. Recall is bounded by
-    the probe coverage — the test gate plants known neighbors."""
-    cents = random_centroids(n_centroids, dim, seed)
+    the probe coverage — the test gate plants known neighbors.
+
+    Pass ``centroids`` from :func:`train_centroids_kmeans` for a trained
+    quantizer (cells follow the data's density → markedly better recall at
+    the same nprobe); default falls back to seeded random centroids."""
+    cents = (
+        centroids
+        if centroids is not None
+        else random_centroids(n_centroids, dim, seed)
+    )
     corpus = ops.spread(corpus, id_col)
     corpus_cells = corpus.select(
         F.col(id_col),

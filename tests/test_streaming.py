@@ -283,3 +283,42 @@ def test_rate_source_feeds_windowed_counts(spark, tmp_path):
         assert all(r.n_events > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_rate_source_feeds_sliding_windows(spark, tmp_path):
+    """W3 slide path under a live unbounded source: 2s windows sliding every
+    1s mean each event lands in TWO windows — once enough batches land, some
+    window starts must be 1s apart (not only multiples of the 2s width)."""
+    stream = streaming.read_rate_stream(spark, rows_per_second=500)
+    counted = streaming.tumbling_counts(
+        stream,
+        "timestamp",
+        window="2 seconds",
+        watermark="0 seconds",
+        slide="1 seconds",
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("rate_sliding")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            q.awaitTermination(2)
+            if spark.sql("SELECT * FROM rate_sliding").count() >= 3:
+                break
+        rows = spark.sql("SELECT * FROM rate_sliding").collect()
+        assert len(rows) >= 3, "sliding windows did not accumulate in 60s"
+        starts = sorted({r.w.start for r in rows})
+        gaps = {
+            int((b - a).total_seconds()) for a, b in zip(starts, starts[1:])
+        }
+        assert 1 in gaps, f"no 1s-offset window starts (gaps={gaps})"
+        assert all(r.n_events > 0 for r in rows)
+    finally:
+        q.stop()
