@@ -154,18 +154,25 @@ def neardup_pairs_minhash(
     probability for true Jaccard j is 1-(1-j^r)^b with r = k/n_bands.
     """
     r = k // n_bands
+    # Docs too short to shingle can never reach the Jaccard threshold
+    # (union > 0, intersect = 0) — drop them BEFORE banding, where their
+    # shared sentinel signature would otherwise put all of them into the
+    # same bucket in every band (an m² hot key for m empty docs).
+    # The predicate is the cheap token-count PRECONDITION (≥ n tokens ⟺ at
+    # least one gram), NOT size(gram_hashes(..)) > 0: Catalyst pushes
+    # filters below the spread() exchange into the scan stage, and a
+    # filter spelled over the gram expression would re-evaluate the whole
+    # shingle+hash tree there — single-threaded when the input is one
+    # parquet split, and a second time above the exchange for the
+    # projection (measured 5× the hashing cost at sf0.1).
+    has_grams = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
     # __sh holds hashed grams (longs), not gram strings: the verify joins
     # below shuffle this column twice, and exact Jaccard over the hashed
     # sets equals string-set Jaccard up to negligible 32-bit collisions
-    base = ops.spread(df, id_col).select(
+    base = ops.spread(df.filter(has_grams), id_col).select(
         F.col(id_col),
         gram_hashes(F.col(text_col), n).alias("__sh"),
     )
-    # docs too short to shingle can never reach the Jaccard threshold
-    # (union > 0, intersect = 0) — drop them BEFORE banding, where their
-    # shared sentinel signature would otherwise put all of them into the
-    # same bucket in every band (an m² hot key for m empty docs)
-    base = base.filter(F.size("__sh") > 0)
     sigs = base.select(
         id_col,
         "__sh",
@@ -315,16 +322,16 @@ def simhash_fingerprints(
     constant (one global bucket = the all-pairs product). Short docs are
     dropped for the same hot-bucket reason as in the MinHash path (their
     shared fp 0 would collide in every band)."""
-    sh = (
-        ops.spread(df, id_col)
-        .select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(
-                    word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-                )
-            ).alias("__h"),
-        )
-        .filter(F.size("__h") > 0)
+    # token-count precondition instead of size(__h) > 0 — same pushdown
+    # rationale as in neardup_pairs_minhash (a filter over the shingle
+    # expression would be pushed into the scan stage and re-evaluated)
+    has_grams = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    sh = ops.spread(df.filter(has_grams), id_col).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__h"),
     )
     return sh.select(id_col, simhash_udf()(F.col("__h")).alias("__fp"))

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_data_pipeline_spark import dedup, text
+from realtime_data_pipeline_spark import dedup, ops, text
 from realtime_data_pipeline_spark.queries.core import load
 from realtime_data_pipeline_spark.queries.util import davg
 
@@ -94,7 +94,10 @@ WHERE rn = 1
 
 
 def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread: the text-feature expressions are the cost here, and a small
+    # single-row-group parquet file scans as ONE task — redistribute before
+    # computing (no-op at scale, where the scan is already parallel)
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -150,7 +153,7 @@ FROM f
 def doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 aggregate: corpus profile per language tag — the groupBy moves four
     small numeric columns, never the text."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     per_doc = docs.select(
         "lang",
@@ -238,7 +241,7 @@ def docs_curated_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
     own query, this one checks the composition."""
     from realtime_data_pipeline_spark import dedup
 
-    docs = load(spark, sf_dir, "documents")
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     profiled = docs.select(
         "doc_id",
@@ -296,7 +299,7 @@ def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-sharding and dedup reruns — row-position or RNG splits don't.
     Returns per-(split, lang) doc and token counts for budget accounting.
     Cross-engine stable: md5 hex is identical in Spark and DuckDB."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return (
         docs.select(
