@@ -91,7 +91,19 @@ def main() -> int:
     queries = mod.queries()
     oracle = mod.oracle_sql()
     bad: list[str] = []
-    for name, fn in sorted(queries.items()):
+    # The external driver records CORRECTNESS rows in REGISTRY INSERTION
+    # ORDER and stops at 50 (round 2 silently dropped the tail) — iterate
+    # the same way and flag overflow instead of hiding it.
+    names = list(queries)
+    if len(names) > 50:
+        bad.append("__registry_overflow__")
+        print(
+            f"FAIL registry: {len(names)} declared queries; the driver "
+            f"checks only the first 50 — these get NO row: {names[50:]}",
+            file=sys.stderr,
+        )
+    for name in names:
+        fn = queries[name]
         try:
             spark_pd = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
