@@ -84,9 +84,16 @@ def main() -> None:
         # checkpoint) are inside the measurement, then executes to the
         # sink — steady state with no cached results carried over.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2 timed passes: this box is a shared VM with visible CPU
+        # steal (/proc/stat col 8); a single pass can land in a steal spike
+        # and report 10× the true cost. Min-of-N measures the query, not
+        # the neighbor.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     # Skewed-join leg: 80% of lineitem lands on ONE join key (the straggler
@@ -120,9 +127,12 @@ def main() -> None:
             )
 
         skew_leg().write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        skew_leg().write.format("noop").mode("overwrite").save()
-        timings["skewed_join_salted"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            skew_leg().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["skewed_join_salted"] = round(best, 3)
         print(
             f"# skewed_join_salted: {timings['skewed_join_salted']}s",
             file=sys.stderr,

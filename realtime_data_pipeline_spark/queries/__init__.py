@@ -26,6 +26,7 @@ from realtime_data_pipeline_spark.queries import (
     analytics,
     asof,
     core,
+    curation,
     llm,
     relational,
     scalars,
@@ -39,11 +40,16 @@ ORACLE_SQL: dict[str, str] = {}
 # Implemented queries deliberately NOT declared to the external driver (it
 # records at most 50 rows); still smoke-run by tests/test_queries_oracle.py.
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+# Oracle twins for shelved queries — excluded from the driver-facing
+# ORACLE_SQL (its keys must be a subset of queries()), but still
+# hash-checked locally by tests/test_queries_oracle.py.
+SHELVED_ORACLE_SQL: dict[str, str] = {}
 
 for _mod in (
     core,
     relational,
     llm,
+    curation,
     analytics,
     windows,
     asof,
@@ -54,6 +60,7 @@ for _mod in (
     _MERGED.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
     SHELVED_QUERIES.update(getattr(_mod, "SHELVED_QUERIES", {}))
+    SHELVED_ORACLE_SQL.update(getattr(_mod, "SHELVED_ORACLE_SQL", {}))
 
 # The external driver checks queries in registry insertion order and caps at
 # 50 rows (round-2 lesson: the tail got no CORRECTNESS verdict). Order
@@ -68,4 +75,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: v for k, v in _MERGED.items() if k not in ORACLE_SQL},
 }
 
-__all__ = ["DRIVER_ROW_BUDGET", "ORACLE_SQL", "QUERIES", "SHELVED_QUERIES"]
+__all__ = [
+    "DRIVER_ROW_BUDGET",
+    "ORACLE_SQL",
+    "QUERIES",
+    "SHELVED_ORACLE_SQL",
+    "SHELVED_QUERIES",
+]

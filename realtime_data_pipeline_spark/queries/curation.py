@@ -1,0 +1,283 @@
+"""Training-data curation operators: PII scrubbing, repetition profiling,
+train/eval contamination detection (SURVEY.md §2.9 X4 extensions).
+
+These are the safety/quality passes a large-scale LLM data pipeline runs
+over every document, expressed the way they must run at 100 TB:
+
+* PII redaction and repetition metrics are NARROW transforms — pure column
+  expressions (chained ``regexp_replace``; sorted-array run-length via
+  ``aggregate`` higher-order functions), zero shuffles, whole-stage
+  codegen. The per-document word-frequency stats deliberately do NOT
+  explode words into a (doc_id, word) shuffle: the classic wordcount shape
+  would move the entire tokenized corpus through an exchange, while the
+  HOF form keeps it a projection over the scan.
+* Contamination detection is the one genuinely wide op (its semantics are
+  a join between the eval grams and the train gram set). Grams travel as
+  xxhash64 longs, never strings; both sides are de-duplicated BEFORE the
+  join so the shuffle carries one row per distinct (doc, gram) — the same
+  bucket-join discipline as the MinHash path in ``neardup.py``.
+
+Every query has a DuckDB oracle twin (hash-checked by the driver). The
+oracle mirrors semantics, not plans — DuckDB's per-row list lambdas stand
+in for Spark's HOFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import ops, text
+from realtime_data_pipeline_spark.neardup import word_shingles
+from realtime_data_pipeline_spark.queries.core import load
+
+
+def _seeded_pii_text() -> F.Column:
+    """documents.text plus deterministic synthetic PII (email, IPv4, phone
+    derived from doc_id) — the fixture corpus contains none, so the
+    redaction op needs seeded spans to prove it fires. Built identically in
+    the SQL twin; the OPERATOR under test is the redaction, the seeding is
+    fixture construction."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com from 10.0."),
+        F.pmod(did, F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(did, F.lit(100)).cast("string"),
+        F.lit(" call 555-867-"),
+        F.lpad(F.pmod(did, F.lit(10000)).cast("string"), 4, "0"),
+    )
+
+
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub: counts of each PII class found plus the
+    redacted text itself (hash-compared against the oracle, so the exact
+    replacement spans are verified, not just the counts)."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    s = _seeded_pii_text()
+    return docs.select(
+        "doc_id",
+        F.regexp_count(s, F.lit(text.PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(s, F.lit(text.PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(s, F.lit(text.PII_PHONE_RE)).alias("n_phones"),
+        text.redact_pii(s).alias("redacted"),
+    )
+
+
+DOCS_PII_REDACTION_SQL = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' call 555-867-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(
+    s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+    AS n_emails,
+  CAST(len(regexp_extract_all(
+    s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+  CAST(len(regexp_extract_all(
+    s, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+    '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted
+FROM seeded
+"""
+
+
+def docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: type-token ratio and
+    the corpus-share of the most frequent word and bigram. High top-N-gram
+    fractions flag degenerate/boilerplate text for filtering.
+
+    Plan: ONE narrow projection — token arrays are sorted per row and the
+    top frequency read off as the longest equal-run (``text.top_run_length``),
+    so no word ever crosses an exchange."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    t = F.col("text")
+    toks = text.words(t)
+    bigrams = word_shingles(t, 2)
+    n_words = F.size(toks)
+    n_bigrams = F.size(bigrams)
+    top_word_n = text.top_run_length(F.array_sort(toks))
+    top_bigram_n = text.top_run_length(F.array_sort(bigrams))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        F.round(
+            F.when(
+                n_words > 0,
+                F.size(F.array_distinct(toks)) / n_words.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("ttr"),
+        F.round(
+            F.when(
+                n_words > 0, top_word_n / n_words.cast("double")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_word_frac"),
+        F.round(
+            F.when(
+                n_bigrams > 0, top_bigram_n / n_bigrams.cast("double")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+DOCS_REPETITION_PROFILE_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM f
+)
+SELECT
+  doc_id,
+  CAST(len(toks) AS INTEGER) AS n_words,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_words,
+  ROUND(CASE WHEN len(toks) > 0
+        THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+        ELSE 0.0 END, 4) AS ttr,
+  ROUND(CASE WHEN len(toks) > 0
+        THEN list_max(list_transform(list_distinct(toks),
+               w -> len(list_filter(toks, x -> x = w))))
+             / CAST(len(toks) AS DOUBLE)
+        ELSE 0.0 END, 4) AS top_word_frac,
+  ROUND(CASE WHEN len(bigrams) > 0
+        THEN list_max(list_transform(list_distinct(bigrams),
+               w -> len(list_filter(bigrams, x -> x = w))))
+             / CAST(len(bigrams) AS DOUBLE)
+        ELSE 0.0 END, 4) AS top_bigram_frac
+FROM g
+"""
+
+
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: split the corpus into train/eval on the
+    content hash (same split rule as ``docs_hash_split``), then for every
+    eval document count how many of its distinct word 5-grams also occur
+    anywhere in the train split. Non-zero overlap = the eval doc leaks into
+    training data (here: the fixture's planted near-duplicates).
+
+    Scale shape: grams become xxhash64 longs immediately; both sides are
+    distinct-reduced before the equi-join (train side to one row per gram,
+    eval side to one row per (doc, gram)), so the join is bucket-sized, the
+    shuffle carries 8-byte keys, and nothing resembling the corpus text
+    moves. The left join keeps clean eval docs with overlap 0 — the output
+    is the audit table, not just the violations."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    split = F.when(
+        F.substring(F.md5(F.col("text")), 1, 1) <= "c", F.lit("train")
+    ).otherwise(F.lit("eval"))
+    base = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("text"), 5), lambda g: F.xxhash64(g)
+            )
+        ).alias("grams"),
+    )
+    eval_grams = (
+        base.filter(F.col("split") == "eval")
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
+    train_grams = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    hits = (
+        eval_grams.join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    eval_docs = base.filter(F.col("split") == "eval").select(
+        "doc_id", F.size("grams").alias("n_grams")
+    )
+    joined = eval_docs.join(hits, "doc_id", "left")
+    n_cont = F.coalesce(
+        F.col("n_contaminated_grams"), F.lit(0).cast("bigint")
+    )
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        n_cont.alias("n_contaminated_grams"),
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                n_cont / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("contamination"),
+    )
+
+
+DOCS_CONTAMINATION_CHECK_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 1) <= 'c'
+              THEN 'train' ELSE 'eval' END AS split,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS grams
+  FROM f
+), eval_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE split = 'eval'
+), train_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split = 'train'
+), hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_contaminated_grams
+  FROM eval_grams e JOIN train_grams t USING (gram)
+  GROUP BY e.doc_id
+)
+SELECT
+  g.doc_id,
+  CAST(len(g.grams) AS INTEGER) AS n_grams,
+  CAST(COALESCE(h.n_contaminated_grams, 0) AS BIGINT)
+    AS n_contaminated_grams,
+  ROUND(CASE WHEN len(g.grams) > 0
+        THEN COALESCE(h.n_contaminated_grams, 0)
+             / CAST(len(g.grams) AS DOUBLE)
+        ELSE 0.0 END, 4) AS contamination
+FROM g LEFT JOIN hits h USING (doc_id)
+WHERE g.split = 'eval'
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_pii_redaction": docs_pii_redaction,
+    "docs_repetition_profile": docs_repetition_profile,
+    "docs_contamination_check": docs_contamination_check,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "docs_pii_redaction": DOCS_PII_REDACTION_SQL,
+    "docs_repetition_profile": DOCS_REPETITION_PROFILE_SQL,
+    "docs_contamination_check": DOCS_CONTAMINATION_CHECK_SQL,
+}

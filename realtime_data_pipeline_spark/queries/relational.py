@@ -620,13 +620,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_segment": top_orders_per_segment,
     "customer_order_window": customer_order_window,
     "high_value_open_custkeys": high_value_open_custkeys,
-    "buyer_and_building_custkeys": buyer_and_building_custkeys,
     "nation_supplier_union": nation_supplier_union,
     "daily_orders_vs_shipments": daily_orders_vs_shipments,
-    "nation_order_counts_right": nation_order_counts_right,
     "shipping_priority_q3": shipping_priority_q3,
     "forecast_revenue_q6": forecast_revenue_q6,
     "customer_balance_window": customer_balance_window,
+}
+
+# Oracle-verified in tests/test_queries_oracle.py but outside the external
+# driver's 50-row budget: right-outer is the mirrored code path of the
+# declared left-outer (customer_order_stats) and INTERSECT shares the
+# §2.7 machinery with the declared UNION/EXCEPT rows — their slots went to
+# the curation operators (queries/curation.py).
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "buyer_and_building_custkeys": buyer_and_building_custkeys,
+    "nation_order_counts_right": nation_order_counts_right,
+}
+
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "buyer_and_building_custkeys": BUYER_AND_BUILDING_CUSTKEYS_SQL,
+    "nation_order_counts_right": NATION_ORDER_COUNTS_RIGHT_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -640,10 +653,8 @@ ORACLE_SQL: dict[str, str] = {
     "top_orders_per_segment": TOP_ORDERS_PER_SEGMENT_SQL,
     "customer_order_window": CUSTOMER_ORDER_WINDOW_SQL,
     "high_value_open_custkeys": HIGH_VALUE_OPEN_CUSTKEYS_SQL,
-    "buyer_and_building_custkeys": BUYER_AND_BUILDING_CUSTKEYS_SQL,
     "nation_supplier_union": NATION_SUPPLIER_UNION_SQL,
     "daily_orders_vs_shipments": DAILY_ORDERS_VS_SHIPMENTS_SQL,
-    "nation_order_counts_right": NATION_ORDER_COUNTS_RIGHT_SQL,
     "shipping_priority_q3": SHIPPING_PRIORITY_Q3_SQL,
     "forecast_revenue_q6": FORECAST_REVENUE_Q6_SQL,
     "customer_balance_window": CUSTOMER_BALANCE_WINDOW_SQL,

@@ -192,17 +192,19 @@ GROUP BY id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
     "docs_neardup_minhash": docs_neardup_minhash,
-    "docs_neardup_dedup": docs_neardup_dedup,
     "docs_dup_components": docs_dup_components,
 }
 
 # Implemented + recall-gated in tests/test_neardup.py, but not declared to
 # the 50-slot external driver: SimHash duplicates MinHash's rows-only signal
-# (same band-join architecture, different sketch) and winnowing is a
-# per-doc fingerprint whose value is as an input to other ops.
+# (same band-join architecture, different sketch), winnowing is a per-doc
+# fingerprint whose value is as an input to other ops, and the end-to-end
+# dedup composition is the declared minhash pairs + dup components chained —
+# both links hold driver rows of their own.
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_simhash": docs_neardup_simhash,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "docs_neardup_dedup": docs_neardup_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {

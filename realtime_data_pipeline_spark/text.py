@@ -84,6 +84,59 @@ def lang_id_en_vote(col: Column) -> Column:
     return F.when(stopword_ratio(col) > 0.05, F.lit("en")).otherwise(F.lit("unk"))
 
 
+# PII patterns — deliberately restricted to regex constructs Java regex and
+# RE2 (DuckDB) evaluate identically: character classes, bounded repetition,
+# \b word boundaries; no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+# Redaction order matters: emails first (their local/domain parts contain
+# digit runs an IP/phone pattern could partially claim), then IPs, then
+# phone-shaped digit groups.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "[EMAIL]"),
+    ("ip", PII_IPV4_RE, "[IP]"),
+    ("phone", PII_PHONE_RE, "[PHONE]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / IPv4 / phone-shaped spans with typed placeholders —
+    the scrubbing pass a training-data pipeline runs before anything else
+    sees the text. Chained ``regexp_replace``: one projection, no shuffle,
+    whole-stage codegen."""
+    out = col
+    for _, pattern, repl in PII_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def top_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    count of the most frequent element. One ``aggregate`` pass per row
+    (struct accumulator: prev element, current run, best run), pure JVM
+    expressions. This is how per-document mode/top-frequency stats stay a
+    narrow projection instead of an explode + groupBy word shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 hex digest (cross-engine stable). For
     rolling/shift-resistant fingerprints see :func:`winnow_fingerprints`."""

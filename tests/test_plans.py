@@ -149,3 +149,25 @@ def test_bronze_transform_is_single_projection(spark, sf_dir):
     )
     plan = plan_str(bronze, mode="simple")
     assert plan.count("Project") <= 2
+
+
+def test_repetition_profile_is_shuffle_free(spark, sf_dir):
+    """docs_repetition_profile claims per-doc top-frequency stats WITHOUT
+    the explode + groupBy word shuffle — the plan must hold zero exchanges
+    (ops.spread's small-input repartition is the allowed exception)."""
+    df = q.QUERIES["docs_repetition_profile"](spark, sf_dir)
+    simple = plan_str(df, mode="simple")
+    # the only Exchange permitted is spread()'s RoundRobin/hash repartition
+    exchanges = [
+        ln for ln in simple.splitlines() if "Exchange" in ln
+    ]
+    assert all("REPARTITION" in ln for ln in exchanges), simple
+
+
+def test_pii_redaction_is_narrow_projection(spark, sf_dir):
+    """Redaction + counts must stay one projection over the scan: no
+    aggregates, no joins, no Python UDFs."""
+    df = q.QUERIES["docs_pii_redaction"](spark, sf_dir)
+    simple = plan_str(df, mode="simple")
+    for op in ("Join", "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in simple, simple
