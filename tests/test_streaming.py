@@ -322,3 +322,63 @@ def test_rate_source_feeds_sliding_windows(spark, tmp_path):
         assert all(r.n_events > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_continuous_rollup_matches_batch_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    """Incremental materialized aggregate: streaming the inbox through
+    continuous_rollup must produce the same per-window count/sum/min/max
+    as a one-shot batch aggregation of the same files, and replaying a
+    micro-batch (foreachBatch's at-least-once failure mode) must leave the
+    merged view unchanged."""
+    batches = [
+        [(i, f"2024-01-01 10:{m:02d}:00", i % 3, float(m)) for i, m in enumerate(range(0, 10))],
+        [(100 + i, f"2024-01-01 10:{m:02d}:00", i % 3, float(m)) for i, m in enumerate(range(5, 15))],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    out = str(tmp_path / "rollup")
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    q = streaming.continuous_rollup(
+        stream, "ts", "5 minutes", "value", out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+
+    def canon(df):
+        return {
+            (
+                r.window_start.isoformat(),
+                r.n_events,
+                round(r.sum_value, 6),
+                r.min_value,
+                r.max_value,
+            )
+            for r in df.collect()
+        }
+
+    got = canon(streaming.rollup_view(spark, out))
+    batch_df = spark.read.schema(SCHEMA).option("header", "true").csv(inbox)
+    want = canon(
+        batch_df.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events",
+            "sum_value", "min_value", "max_value",
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # replay batch 0 through the same writer — the batch_id=0 partition is
+    # overwritten in place, so the merged view must not change
+    writer = streaming.rollup_batch_writer(out, "ts", "5 minutes", "value")
+    replay = spark.createDataFrame(
+        [r for r in batches[0]], "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    writer(replay, 0)
+    assert canon(streaming.rollup_view(spark, out)) == got
