@@ -72,6 +72,123 @@ def write_parquet(
     writer.parquet(path)
 
 
+_ZONE_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_zone(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    max_records_per_file: int | None = 1_000_000,
+    **options: str,
+) -> None:
+    """Format-generic zone sink: parquet (default), ORC, CSV, JSON — the
+    same save-mode / hive-partition / file-size posture as
+    :func:`write_parquet` for every format Spark ships a native writer
+    for. CSV writes a header by default (the reference's simulator emits
+    headered CSV, ``scripts/simulate_stream.py:32``)."""
+    if fmt not in _ZONE_FORMATS:
+        raise ValueError(f"fmt must be one of {_ZONE_FORMATS}, got {fmt!r}")
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.save(path)
+
+
+def read_zone(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Format-generic zone source. Parquet/ORC carry their own schema;
+    CSV/JSON take an explicit ``schema`` (preferred — inference is an
+    extra full scan) or fall back to inference with ``inferSchema``."""
+    if fmt not in _ZONE_FORMATS:
+        raise ValueError(f"fmt must be one of {_ZONE_FORMATS}, got {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_by: str | list[str],
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed table: pre-shuffles ONCE at write time so every
+    later equi-join / aggregation on the bucket key is exchange-free.
+
+    At 100 TB this is the co-located-join strategy: fact tables bucketed
+    on the join key by the ingest job make every downstream join a
+    zipped per-bucket merge with NO shuffle of either side (CI-asserted
+    in tests/test_bucketing.py). ``sort_by`` additionally pre-sorts each
+    bucket file so sort-merge join skips its sort. Bucket metadata lives
+    in the catalog, not the files — hence ``saveAsTable``, not ``save``
+    (path-based writes silently drop bucketing). ``path`` makes it an
+    external table rooted there (the data outlives DROP TABLE)."""
+    bcols = [bucket_by] if isinstance(bucket_by, str) else bucket_by
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bcols)
+    )
+    if path:
+        writer = writer.option("path", path)
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else sort_by
+        writer = writer.sortBy(*scols)
+    writer.saveAsTable(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partition parquet write: each output
+    file covers a disjoint range of ``sort_col``, so parquet row-group
+    min/max statistics prune most files for any selective range filter —
+    the poor man's clustering index / Z-order (single-column case).
+
+    At 100 TB: a time-ordered fact table written this way answers
+    ``WHERE ts BETWEEN ...`` by opening only the files whose min/max
+    straddle the bound — the footer-stats skip happens before any row is
+    decoded. Disjointness is tested from the actual footers in
+    tests/test_bucketing.py."""
+    (
+        df.repartitionByRange(num_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -123,7 +123,15 @@ def running_count_per_key(
 ):
     """W6: custom stateful per-key logic via ``applyInPandasWithState`` —
     running event count + last-seen timestamp per key, emitted every
-    micro-batch. The state dict is O(1) per key."""
+    micro-batch. The state dict is O(1) per key.
+
+    Spark 4's successor API (``transformWithStateInPandas`` +
+    ``StatefulProcessor``) is the forward path for multi-state-variable /
+    timer-driven operators, but its Python state server speaks protobuf
+    and ``google.protobuf`` is not importable in this environment
+    (verified: the query terminates with ImportError inside the state
+    server), so this engine standardizes on ``applyInPandasWithState``,
+    which covers every declared W6 use."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

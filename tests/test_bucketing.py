@@ -49,3 +49,65 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_write_bucketed_helper_joins_without_exchange(spark, sf_dir, tmp_path):
+    """medallion.write_bucketed on both join sides -> zero-shuffle join."""
+    from realtime_data_pipeline_spark import medallion
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    medallion.write_bucketed(
+        lineitem, "wb_lineitem", 8, "l_orderkey",
+        sort_by="l_orderkey", path=str(tmp_path / "wb_lineitem"),
+    )
+    medallion.write_bucketed(
+        orders, "wb_orders", 8, "o_orderkey",
+        sort_by="o_orderkey", path=str(tmp_path / "wb_orders"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("wb_lineitem")
+        o = spark.table("wb_orders")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        assert joined.count() == lineitem.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS wb_lineitem")
+        spark.sql("DROP TABLE IF EXISTS wb_orders")
+
+
+def test_write_range_sorted_files_are_disjoint(spark, sf_dir, tmp_path):
+    """Each output file must cover a non-overlapping range of the sort
+    column (verified from the real parquet footers) — the property that
+    lets min/max stats prune files for range predicates."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from realtime_data_pipeline_spark import medallion
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "sorted_orders")
+    medallion.write_range_sorted(orders, out, "o_orderdate", num_files=6)
+
+    spans = []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        lo = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    assert len(spans) > 1
+    spans.sort()
+    for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi <= next_lo, f"overlapping file ranges: {spans}"
+    # and the data still round-trips
+    assert spark.read.parquet(out).count() == orders.count()
