@@ -150,28 +150,44 @@ def main() -> None:
     from realtime_data_pipeline_spark import dq, streaming
 
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    with tempfile.TemporaryDirectory() as td:
-        inbox = os.path.join(td, "inbox")
-        os.makedirs(inbox)
-        shutil.copy(
-            f"{sf_dir}/events.parquet", os.path.join(inbox, "events.parquet")
-        )
-        rules = [dq.Rule("neg_value", F.col("value") < 0)]
-        t0 = time.perf_counter()
-        sq = streaming.dq_gated_stream(
-            streaming.read_file_stream(
-                spark, inbox, ev_schema, fmt="parquet", max_files_per_trigger=1
-            ),
-            rules,
-            os.path.join(td, "silver"),
-            os.path.join(td, "quarantine"),
-            checkpoint=os.path.join(td, "ckpt"),
-        )
-        if not sq.awaitTermination(300):
-            sq.stop()
-            raise RuntimeError("streaming DQ gate leg did not finish in 300s")
-        timings["streaming_dq_gate"] = round(time.perf_counter() - t0, 3)
-        print(f"# streaming_dq_gate: {timings['streaming_dq_gate']}s", file=sys.stderr)
+    rules = [dq.Rule("neg_value", F.col("value") < 0)]
+
+    def stream_leg_once() -> float:
+        # fresh inbox/checkpoint/sinks per pass: a streaming run is only
+        # re-runnable from scratch, and reusing a checkpoint would no-op
+        with tempfile.TemporaryDirectory() as td:
+            inbox = os.path.join(td, "inbox")
+            os.makedirs(inbox)
+            shutil.copy(
+                f"{sf_dir}/events.parquet",
+                os.path.join(inbox, "events.parquet"),
+            )
+            t0 = time.perf_counter()
+            sq = streaming.dq_gated_stream(
+                streaming.read_file_stream(
+                    spark, inbox, ev_schema, fmt="parquet",
+                    max_files_per_trigger=1,
+                ),
+                rules,
+                os.path.join(td, "silver"),
+                os.path.join(td, "quarantine"),
+                checkpoint=os.path.join(td, "ckpt"),
+            )
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError(
+                    "streaming DQ gate leg did not finish in 300s"
+                )
+            return time.perf_counter() - t0
+
+    # best-of-2 like every other leg (round-3 verdict: this was the one
+    # single-pass-timed leg on a steal-prone shared VM, so its deltas were
+    # unattributable noise); the first pass also warms the streaming
+    # machinery (source listing, foreachBatch codegen)
+    timings["streaming_dq_gate"] = round(
+        min(stream_leg_once() for _ in range(2)), 3
+    )
+    print(f"# streaming_dq_gate: {timings['streaming_dq_gate']}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -151,6 +151,90 @@ def test_dq_gated_stream_routes_clean_and_quarantine(spark, tmp_path):
     assert {r.event_id for r in bad.collect()} == {2, 4}
 
 
+def test_dq_route_batch_scans_source_once(spark, tmp_path):
+    """Round-3 verdict finding: the clean+quarantine writes used to
+    re-evaluate the micro-batch plan once EACH, re-reading the source per
+    sink. A per-row accumulator upstream of the gate counts actual source
+    materializations: with the persist in dq_route_batch, both sink writes
+    must consume ONE pass over the 1000 input rows, not two."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7 - 1).cast("double").alias("value"),
+    )
+    counted = src.mapInPandas(count_rows, schema="event_id long, value double")
+    rules = [dq.Rule("neg_value", F.col("value") < 0)]
+    silver = str(tmp_path / "silver")
+    quarantine = str(tmp_path / "quarantine")
+    streaming.dq_route_batch(counted, 0, rules, silver, quarantine)
+    n_clean = spark.read.parquet(silver).count()
+    n_bad = spark.read.parquet(quarantine).count()
+    assert n_clean + n_bad == 1000 and n_bad > 0
+    assert acc.value == 1000, (
+        f"source rows evaluated {acc.value} times for 1000 input rows — "
+        "the micro-batch was scanned more than once across the two sinks"
+    )
+
+
+def test_curated_stream_redacts_pii_in_silver(spark, tmp_path):
+    """Curation as a PIPELINE stage: planted PII in clean rows must land
+    REDACTED in silver, while quarantined rows keep their raw text for
+    triage and the DQ routing itself is unchanged."""
+    text_ok = "call me at 555-867-5309 or mail bob@example.com today"
+    text_bad = "ping 10.0.0.1 and phone 555-123-4567 please"
+    schema = (
+        "event_id long, ts timestamp, user_id long, value double, text string"
+    )
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 10.0, text_ok),
+         (2, "2024-01-01 10:01:00", 1, -5.0, text_bad)],
+        [(3, "2024-01-01 10:02:00", 2, 7.0, text_bad)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(
+        spark, inbox, schema, max_files_per_trigger=1
+    )
+    rules = [dq.Rule("neg_value", F.col("value") < 0)]
+    silver = str(tmp_path / "silver")
+    quarantine = str(tmp_path / "quarantine")
+    q = streaming.dq_gated_stream(
+        stream,
+        rules,
+        silver,
+        quarantine,
+        checkpoint=str(tmp_path / "ckpt"),
+        curate=streaming.curation_stage(text_col="text"),
+    )
+    assert q.awaitTermination(120)
+    got_silver = {r.event_id: r.text for r in spark.read.parquet(silver).collect()}
+    got_bad = {r.event_id: r.text for r in spark.read.parquet(quarantine).collect()}
+    assert got_silver == {
+        1: "call me at [PHONE] or mail [EMAIL] today",
+        3: "ping [IP] and phone [PHONE] please",
+    }
+    # quarantine keeps the raw text (curation runs on the clean side only)
+    assert got_bad == {2: text_bad}
+
+
+def test_curation_stage_quality_gate_filters_low_band(spark):
+    """The quality/language gates of curation_stage drop degenerate rows
+    before redaction; band thresholds match text.quality_band."""
+    rich = " ".join(f"the quick w{i} fox and lemur {i}" for i in range(12))
+    rows = [(1, rich), (2, "tiny low text"), (3, rich + " extra tokens here")]
+    df = spark.createDataFrame(rows, "event_id long, text string")
+    stage = streaming.curation_stage(
+        text_col="text", min_bands=("medium", "high"), require_en=True
+    )
+    kept = sorted(r.event_id for r in stage(df).collect())
+    assert kept == [1, 3]
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream inner join with event-time bounds produces exactly the
     pairs its batch twin produces on the same files."""
@@ -382,3 +466,66 @@ def test_continuous_rollup_matches_batch_and_replay_is_idempotent(
     ).withColumn("ts", F.to_timestamp("ts"))
     writer(replay, 0)
     assert canon(streaming.rollup_view(spark, out)) == got
+
+
+def test_compact_rollup_preserves_view_and_bounds_partitions(spark, tmp_path):
+    """compact_rollup folds all batch_id partials into batch_id=-1: the
+    merged view is identical before/after, partition count drops to 1,
+    compacting twice ≡ once, and post-compaction batches keep merging."""
+    batches = [
+        [(i, f"2024-01-01 10:{m:02d}:00", i % 3, float(m))
+         for i, m in enumerate(range(0, 8))],
+        [(100 + i, f"2024-01-01 10:{m:02d}:00", i % 3, float(m))
+         for i, m in enumerate(range(4, 12))],
+        [(200 + i, f"2024-01-01 10:{m:02d}:00", i % 3, float(m))
+         for i, m in enumerate(range(9, 14))],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    out = str(tmp_path / "rollup")
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    q = streaming.continuous_rollup(
+        stream, "ts", "5 minutes", "value", out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+
+    def canon(df):
+        return {
+            (
+                r.window_start.isoformat(),
+                r.n_events,
+                round(r.sum_value, 6),
+                r.min_value,
+                r.max_value,
+            )
+            for r in df.collect()
+        }
+
+    want = canon(streaming.rollup_view(spark, out))
+    assert streaming.rollup_partition_count(out) == 3
+
+    m1 = streaming.compact_rollup(spark, out)
+    assert m1["partitions_before"] == 3 and m1["partitions_after"] == 1
+    assert streaming.rollup_partition_count(out) == 1
+    assert canon(streaming.rollup_view(spark, out)) == want
+
+    # idempotent: compacting an already-compacted rollup changes nothing
+    m2 = streaming.compact_rollup(spark, out)
+    assert m2["partitions_after"] == 1
+    assert canon(streaming.rollup_view(spark, out)) == want
+
+    # a post-compaction micro-batch merges with batch_id=-1 like any partial
+    writer = streaming.rollup_batch_writer(out, "ts", "5 minutes", "value")
+    extra = spark.createDataFrame(
+        [(900, "2024-01-01 10:00:30", 1, 100.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    writer(extra, 99)
+    assert streaming.rollup_partition_count(out) == 2
+    after = canon(streaming.rollup_view(spark, out))
+    first = next(
+        t for t in after if t[0] == "2024-01-01T10:00:00"
+    )
+    base = next(t for t in want if t[0] == "2024-01-01T10:00:00")
+    assert first[1] == base[1] + 1  # one more event in the first window
+    assert first[4] == 100.0  # new max propagated through the merge
