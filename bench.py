@@ -189,6 +189,50 @@ def main() -> None:
     )
     print(f"# streaming_dq_gate: {timings['streaming_dq_gate']}s", file=sys.stderr)
 
+    # Curated-gate variant: the same gate with the curation stage (PII
+    # redaction + quality band gate, pure column exprs) on the clean side,
+    # over the documents corpus — measures the marginal cost of in-stream
+    # curation relative to plain routing.
+    doc_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    doc_rules = [dq.Rule("empty_doc", F.col("n_chars") <= 0)]
+
+    def curated_leg_once() -> float:
+        with tempfile.TemporaryDirectory() as td:
+            inbox = os.path.join(td, "inbox")
+            os.makedirs(inbox)
+            shutil.copy(
+                f"{sf_dir}/documents.parquet",
+                os.path.join(inbox, "documents.parquet"),
+            )
+            t0 = time.perf_counter()
+            sq = streaming.dq_gated_stream(
+                streaming.read_file_stream(
+                    spark, inbox, doc_schema, fmt="parquet",
+                    max_files_per_trigger=1,
+                ),
+                doc_rules,
+                os.path.join(td, "silver"),
+                os.path.join(td, "quarantine"),
+                checkpoint=os.path.join(td, "ckpt"),
+                curate=streaming.curation_stage(
+                    text_col="text", min_bands=("medium", "high")
+                ),
+            )
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError(
+                    "curated streaming gate leg did not finish in 300s"
+                )
+            return time.perf_counter() - t0
+
+    timings["streaming_curated_gate"] = round(
+        min(curated_leg_once() for _ in range(2)), 3
+    )
+    print(
+        f"# streaming_curated_gate: {timings['streaming_curated_gate']}s",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

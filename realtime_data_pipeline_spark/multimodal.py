@@ -64,6 +64,22 @@ def attach_fake_media(df: DataFrame, id_col: str, fmt: str = "img") -> DataFrame
     )
 
 
+def media_meta(df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+    """Metadata-only view of a media column: extracts ``media.meta`` WITHOUT
+    ever materializing the binary payload.
+
+    The extraction is deliberately a two-step projection (``media.meta``
+    first, fields later): Catalyst's CollapseProject refuses to inline an
+    expensive producer expression referenced more than once, so selecting
+    four ``media.meta.x`` fields directly against the attach projection
+    keeps the payload expression alive in the plan. A single ``media.meta``
+    reference collapses, SimplifyExtractValueOps then rewrites the struct
+    field access and the payload expression is eliminated entirely —
+    CI-asserted in tests/test_plans.py. On a STORED table the same shape
+    becomes parquet nested-column pruning (ReadSchema lists meta only)."""
+    return df.select(*(extra_cols or []), F.col("media.meta").alias("meta"))
+
+
 def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode + featurize each media item via mapInPandas. Output schema is
     fixed (``DECODED_SCHEMA``); the input partitioning is preserved — no

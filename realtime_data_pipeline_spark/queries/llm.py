@@ -195,8 +195,11 @@ GROUP BY lang
 def docs_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: attach deterministic synthetic media structs to documents and run
     the Arrow-batched decode/featurize pipeline (stubbed codec — see
-    ``multimodal._decode_payload``). Rows-only: binary plumbing has no SQL
-    oracle; schema/determinism gates live in tests/test_multimodal.py.
+    ``multimodal._decode_payload``). No SQL oracle by nature (binary
+    plumbing); shelved from the 50-row driver budget in favor of the
+    hash-checkable ``docs_multimodal_meta_profile`` — schema/determinism
+    gates live in tests/test_multimodal.py and the smoke run in
+    tests/test_queries_oracle.py.
 
     DECLARED OUTPUT IS SCALAR-ONLY: the external driver canonicalizes every
     query through a pandas sort/hash, and ``array<float>`` columns are
@@ -228,6 +231,66 @@ def docs_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("feature_norm"),
     )
+
+
+def docs_multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 with a HARD oracle: ``attach_fake_media``'s metadata is pure
+    deterministic arithmetic on ``doc_id`` (``multimodal.attach_fake_media``
+    — width = doc_id%64+16, height = doc_id%48+16, n_frames = doc_id%8+1),
+    so a metadata-only profile has an exact DuckDB twin and the driver can
+    hash-verify the multimodal column contract end-to-end.
+
+    This is also the scale claim made executable: a query touching only
+    ``media.meta.*`` must NEVER materialize the binary payload — via
+    ``multimodal.media_meta`` the payload expression is eliminated from the
+    optimized plan entirely (CI-asserted in tests/test_plans.py). At 100 TB
+    that is the difference between scanning terabytes of media bytes and
+    scanning a few metadata columns."""
+    from realtime_data_pipeline_spark import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    m = multimodal.media_meta(multimodal.attach_fake_media(docs, "doc_id"))
+    meta = m.select(
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.min("height").alias("min_height"),
+        F.max("height").alias("max_height"),
+        F.sum((F.col("width") * F.col("height")).cast("bigint"))
+        .cast("bigint")
+        .alias("total_pixels"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+    )
+
+
+DOCS_MULTIMODAL_META_PROFILE_SQL = """
+WITH meta AS (
+  SELECT 'img' AS format,
+         doc_id % 64 + 16 AS width,
+         doc_id % 48 + 16 AS height,
+         doc_id % 8 + 1 AS n_frames
+  FROM documents
+)
+SELECT
+  format,
+  COUNT(*) AS n_items,
+  CAST(MIN(width) AS INTEGER) AS min_width,
+  CAST(MAX(width) AS INTEGER) AS max_width,
+  ROUND(AVG(width), 4) AS avg_width,
+  CAST(MIN(height) AS INTEGER) AS min_height,
+  CAST(MAX(height) AS INTEGER) AS max_height,
+  CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+  CAST(SUM(n_frames) AS BIGINT) AS total_frames
+FROM meta
+GROUP BY format
+"""
 
 
 def docs_curated_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +406,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "docs_multimodal_decode": docs_multimodal_decode,
+    "docs_multimodal_meta_profile": docs_multimodal_meta_profile,
     "docs_curated_trainset": docs_curated_trainset,
     "docs_hash_split": docs_hash_split,
     "events_keep_latest_per_user": events_keep_latest_per_user,
@@ -353,14 +416,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_profile": doc_lang_profile,
 }
 
-# Implemented + seed-deterministic, but not declared to the 50-slot external
-# driver: sampleBy output is not SQL-reproducible, so it would spend a driver
-# row on a rows-only signal; kept smoke-tested via tests/test_queries_oracle.py.
+# Implemented + deterministic, but not declared to the 50-slot external
+# driver: sampleBy output is not SQL-reproducible, and the stubbed-codec
+# decode has no SQL twin by nature (its hard-oracle face is
+# docs_multimodal_meta_profile above; the decode itself stays gated by
+# tests/test_multimodal.py schema/determinism checks and the smoke run in
+# tests/test_queries_oracle.py).
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_multimodal_decode": docs_multimodal_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "docs_multimodal_meta_profile": DOCS_MULTIMODAL_META_PROFILE_SQL,
     "docs_curated_trainset": DOCS_CURATED_TRAINSET_SQL,
     "docs_hash_split": DOCS_HASH_SPLIT_SQL,
     "events_keep_latest_per_user": EVENTS_KEEP_LATEST_PER_USER_SQL,

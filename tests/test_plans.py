@@ -164,6 +164,37 @@ def test_repetition_profile_is_shuffle_free(spark, sf_dir):
     assert all("REPARTITION" in ln for ln in exchanges), simple
 
 
+def test_multimodal_meta_profile_never_materializes_payload(spark, sf_dir):
+    """X5 scale contract: a metadata-only query over a media column must
+    not compute (or, on a stored table, read) the binary payload. The
+    payload expression here is the sha2-derived fake bytes — its survival
+    in the optimized plan would mean every meta query pays for the media
+    bytes. multimodal.media_meta's two-step projection is what lets
+    CollapseProject + SimplifyExtractValueOps eliminate it."""
+    df = q.QUERIES["docs_multimodal_meta_profile"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "sha2" not in optimized.lower(), optimized
+    physical = plan_str(df, mode="simple")
+    assert "sha2" not in physical.lower(), physical
+
+
+def test_multimodal_meta_only_scan_prunes_nested_payload(spark, sf_dir, tmp_path):
+    """Same contract on a STORED media table: reading only media.meta from
+    parquet must schema-prune the nested binary — ReadSchema lists meta
+    fields, never media.data."""
+    from realtime_data_pipeline_spark import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    path = str(tmp_path / "media_tbl")
+    multimodal.attach_fake_media(docs, "doc_id").select(
+        "doc_id", "media"
+    ).write.parquet(path)
+    meta_only = multimodal.media_meta(spark.read.parquet(path))
+    plan = plan_str(meta_only)
+    scan = next(s for s in plan.splitlines() if "ReadSchema" in s)
+    assert "meta" in scan and "data" not in scan, scan
+
+
 def test_pii_redaction_is_narrow_projection(spark, sf_dir):
     """Redaction + counts must stay one projection over the scan: no
     aggregates, no joins, no Python UDFs."""
