@@ -60,10 +60,13 @@ def write_parquet(
 ) -> None:
     """S2/S3: parquet sink with selectable save-mode and optional hive
     partitioning (parity: ``spark_jobs/batch_etl.py:76-81``,
-    ``write_silver.py:42``)."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = df.write.mode(mode)
+    ``write_silver.py:42``).
+
+    Dynamic partition-overwrite is scoped to THIS write via a writer
+    option, not a session conf — a session-global would silently turn
+    every later partitioned mode('overwrite') in the same session into a
+    partial overwrite (round-3 advisory)."""
+    writer = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
@@ -91,9 +94,12 @@ def write_zone(
     headered CSV, ``scripts/simulate_stream.py:32``)."""
     if fmt not in _ZONE_FORMATS:
         raise ValueError(f"fmt must be one of {_ZONE_FORMATS}, got {fmt!r}")
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = df.write.mode(mode).format(fmt)
+    # per-write option, not session conf — see write_parquet
+    writer = (
+        df.write.mode(mode)
+        .format(fmt)
+        .option("partitionOverwriteMode", "dynamic")
+    )
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", "true"))
     if max_records_per_file:

@@ -12,6 +12,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(col: Column) -> Column:
+    """Fractional epoch seconds from EITHER timestamp flavor. Spark 4
+    forbids casting TIMESTAMP_NTZ straight to double; routing through
+    timestamp_ltz interprets naive wall-clock in the session time zone
+    (pinned UTC in session.py) and is a no-op for LTZ inputs. Time
+    DIFFERENCES of these values are TZ-invariant, which is all the as-of
+    and sessionize operators consume."""
+    return col.cast("timestamp_ltz").cast("double")
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     arrives in fewer partitions (one small file, driver-lifted rows).
@@ -157,11 +167,11 @@ def asof_join(
             for c in right_value_cols
         ],
     ).filter(F.col("__side") == 1)
-    ts_d = F.col("__ts").cast("double")
+    ts_d = epoch_seconds(F.col("__ts"))
     take_back = F.col("__f_ts").isNull() | (
         F.col("__b_ts").isNotNull()
-        & ((ts_d - F.col("__b_ts").cast("double"))
-           <= (F.col("__f_ts").cast("double") - ts_d))
+        & ((ts_d - epoch_seconds(F.col("__b_ts")))
+           <= (epoch_seconds(F.col("__f_ts")) - ts_d))
     )
     return carried.select(
         *[F.col(f"__left.{c}").alias(c) for c in lcols],
@@ -230,8 +240,9 @@ def sessionize(
     order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     # double epoch seconds keeps sub-second precision (a long cast would
-    # truncate and misjudge gaps that straddle a second boundary)
-    sec = F.col(ts).cast("double")
+    # truncate and misjudge gaps that straddle a second boundary); NTZ-safe
+    # via epoch_seconds (the fixture parquet stores naive timestamps)
+    sec = epoch_seconds(F.col(ts))
     gap = sec - F.lag(sec).over(w)
     new_session = F.when(
         gap.isNull() | (gap >= gap_minutes * 60.0), F.lit(1)

@@ -88,13 +88,13 @@ SELECT
   CAST(len(regexp_extract_all(
     s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
   CAST(len(regexp_extract_all(
-    s, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phones,
+    s, '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phones,
   regexp_replace(
     regexp_replace(
       regexp_replace(
         s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-    '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted
+    '\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted
 FROM seeded
 """
 
@@ -185,7 +185,13 @@ def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval side to one row per (doc, gram)), so the join is bucket-sized, the
     shuffle carries 8-byte keys, and nothing resembling the corpus text
     moves. The left join keeps clean eval docs with overlap 0 — the output
-    is the audit table, not just the violations."""
+    is the audit table, not just the violations.
+
+    Collision bound (accepted semantic gap vs the string-joining oracle):
+    the join key is xxhash64(gram), so two distinct grams colliding would
+    inflate an overlap count. P(any collision) ~ n^2/2^65 — for even 10^9
+    distinct grams that is ~2.7e-2 corpus-wide and 0 at fixture scale; a
+    false "contaminated" flag is the benign direction for this audit."""
     docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
     split = F.when(
         F.substring(F.md5(F.col("text")), 1, 1) <= "c", F.lit("train")

@@ -89,7 +89,11 @@ def lang_id_en_vote(col: Column) -> Column:
 # \b word boundaries; no lookaround, no backreferences.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+# Leading \b (after the optional +) anchors the start so the pattern can't
+# claim the TAIL of a longer digit run ('6555-867-1234' must not become
+# '6[PHONE]'); trailing \b symmetrically blocks '555-867-12345'. RE2 and
+# Java agree on \b (ASCII word boundary), keeping the DuckDB twin exact.
+PII_PHONE_RE = r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 # Redaction order matters: emails first (their local/domain parts contain
 # digit runs an IP/phone pattern could partially claim), then IPs, then

@@ -1,0 +1,48 @@
+"""Unit tests for text.py PII regexes — cases the oracle comparison can
+NOT catch, because both engines run the same pattern: these pin the
+*intended* behavior and assert Spark (Java regex) and DuckDB (RE2) agree
+on it (round-3 advisory: the phone pattern lacked a leading boundary and
+partially redacted the tail of longer digit runs)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import text
+
+PHONE_CASES = [
+    # (input, expected after redact_pii)
+    ("call 555-867-1234 now", "call [PHONE] now"),
+    # digit run longer on the LEFT: must not partially redact the tail
+    ("id 6555-867-1234", "id 6555-867-1234"),
+    # digit run longer on the RIGHT: trailing \b blocks it
+    ("id 555-867-12345", "id 555-867-12345"),
+    # leading + is part of the number
+    ("+555-867-1234", "[PHONE]"),
+    ("dot 555.867.1234 sep", "dot [PHONE] sep"),
+    # letters glued to the digits = identifier, not a phone
+    ("sku x555-867-1234", "sku x555-867-1234"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", PHONE_CASES)
+def test_phone_redaction_boundaries(spark, raw, expected):
+    got = (
+        spark.createDataFrame([(raw,)], "s string")
+        .select(text.redact_pii(F.col("s")).alias("r"))
+        .first()["r"]
+    )
+    assert got == expected
+
+
+@pytest.mark.parametrize("raw,expected", PHONE_CASES)
+def test_phone_redaction_duckdb_parity(raw, expected):
+    """RE2 must make the same call as Java regex on every boundary case,
+    or the docs_pii_redaction oracle is comparing two different operators."""
+    got = duckdb.sql(
+        "SELECT regexp_replace(?, ?, '[PHONE]', 'g')",
+        params=[raw, text.PII_PHONE_RE],
+    ).fetchone()[0]
+    assert got == expected
