@@ -190,3 +190,36 @@ def test_connected_components_string_ids(spark):
     )
     out = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_deep_chain(spark):
+    """Round-3 verdict: adversarial chain graphs. A 50-node path (diameter
+    49) must converge within the DEFAULT max_iter=12 — only possible with
+    the pointer-jump (O(log d) rounds); plain min-propagation would need
+    49 rounds and raise. Also exercises the periodic localCheckpoint
+    (rounds > checkpoint_every)."""
+    from realtime_data_pipeline_spark import dedup
+
+    n = 50
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = {
+        r.id: r.component for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """The loud-failure contract survives the rework: with the jump
+    disabled by an impossibly small budget, part-propagated labels must
+    raise, never return."""
+    import pytest
+
+    from realtime_data_pipeline_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
