@@ -132,9 +132,16 @@ def main(argv: list[str] | None = None) -> int:
         try:
             metrics = orchestration.run_daily(spark, cfg, _parse_rules(args.rule))
         except dq.DQCheckFailed as e:
+            # per-stage logs + manifest were written before the raise —
+            # point the operator at them (parity with the reference
+            # runner's log-file-on-failure behavior)
             print(f"DQ gate FAILED: {e.failed_rules}", file=sys.stderr)
+            print(
+                f"stage logs: {cfg.zones.artifacts}/logs", file=sys.stderr
+            )
             return 2
         print(f"pipeline: {metrics['bronze']['rows']} rows -> {cfg.zones.silver}")
+        print(f"stage logs: {metrics['manifest']}")
         return 0
     return 1
 
