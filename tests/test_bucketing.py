@@ -115,3 +115,55 @@ def test_write_range_sorted_files_are_disjoint(spark, sf_dir, tmp_path):
         assert prev_hi <= next_lo, f"overlapping file ranges: {spans}"
     # and the data still round-trips
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_write_zordered_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order contract: every file covers a small hyper-cube, so footer
+    min/max ranges are narrow on BOTH clustered columns (a single-column
+    range sort nails one column and leaves the other at ~full range)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from realtime_data_pipeline_spark import medallion
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "z_orders")
+    medallion.write_zordered(
+        orders, out, ["o_custkey", "o_totalprice"], num_files=8
+    )
+
+    files = [p for p in Path(out).glob("*.parquet")]
+    assert len(files) > 3
+
+    def coverages(col_name):
+        los, his = [], []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0 or md.num_row_groups == 0:
+                continue
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col_name
+            )
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            los.append(lo)
+            his.append(hi)
+        full = max(his) - min(los)
+        return [(h - l) / full for l, h in zip(los, his)]
+
+    for col in ("o_custkey", "o_totalprice"):
+        cov = coverages(col)
+        mean_cov = sum(cov) / len(cov)
+        # a contiguous Morton range over 2 dims spans ~sqrt(fraction) of
+        # each axis; 8 files -> ~0.35 ideal, loose-bounded for quantile
+        # noise. The point: BOTH columns are well under full range.
+        assert mean_cov < 0.75, f"{col}: mean coverage {mean_cov:.2f}"
+
+    assert spark.read.parquet(out).count() == orders.count()
