@@ -50,6 +50,81 @@ def read_file_stream(
     return reader.format(fmt).load(inbox)
 
 
+def read_json_lines_stream(
+    spark: SparkSession,
+    inbox: str,
+    schema: StructType | str,
+    max_files_per_trigger: int = 1,
+    raw_col: str = "raw_json",
+) -> DataFrame:
+    """W1 hardening: schema-drift-tolerant JSON-lines ingest. Reads the
+    inbox as TEXT and parses with ``from_json``, so a malformed line
+    surfaces as a NULL ``__parsed`` struct with the raw line preserved —
+    it can be routed to a dead-letter sink and replayed after a schema
+    fix, instead of poisoning the stream.
+
+    Why not the JSON file source + ``_corrupt_record``: Spark disallows
+    filtering on the internal corrupt-record column without caching
+    (SPARK-21610), which a streaming micro-batch can't do from user code.
+    text + ``from_json`` has identical PERMISSIVE semantics with no such
+    restriction, stays one scan, and the parse is a pure projection. The
+    corrupt-record field is declared INSIDE the parsed struct, because a
+    *partially* valid line (truncated object, wrong quote) yields an
+    all-NULL struct, not a NULL struct — only the corrupt field flags
+    every malformed shape reliably. Drifted-but-valid lines degrade
+    gracefully: unknown fields are ignored, missing fields come out NULL.
+
+    Compose with :func:`json_malformed_rule` + :func:`flatten_parsed`
+    through :func:`dq_gated_stream` for a full dead-letter pipeline.
+    """
+    if isinstance(schema, str):
+        full_schema = f"{schema}, {_CORRUPT_FIELD} string"
+    else:
+        from pyspark.sql.types import StringType
+
+        full_schema = schema.add(_CORRUPT_FIELD, StringType())
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(inbox)
+    )
+    return raw.select(
+        F.col("value").alias(raw_col),
+        F.from_json(
+            F.col("value"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_FIELD},
+        ).alias("__parsed"),
+    )
+
+
+_CORRUPT_FIELD = "__corrupt"
+
+
+def json_malformed_rule() -> dq.Rule:
+    """DQ rule marking unparseable JSON lines (NULL struct for garbage,
+    populated corrupt field for partially-valid JSON) as violations —
+    :func:`dq_gated_stream` then quarantines the raw line."""
+    return dq.Rule(
+        "malformed_json",
+        F.col("__parsed").isNull()
+        | F.col(f"__parsed.{_CORRUPT_FIELD}").isNotNull(),
+        description="line failed from_json parse against the contract schema",
+    )
+
+
+def flatten_parsed() -> Callable[[DataFrame], DataFrame]:
+    """Curate hook flattening ``__parsed`` into top-level columns for the
+    silver sink (clean rows only — the quarantine side keeps the raw
+    line + struct for triage/replay). Drops the corrupt-record field:
+    clean rows have it NULL by construction."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.select("__parsed.*").drop(_CORRUPT_FIELD)
+
+    return stage
+
+
 def read_rate_stream(
     spark: SparkSession, rows_per_second: int = 1000, num_partitions: int | None = None
 ) -> DataFrame:

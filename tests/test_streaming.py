@@ -529,3 +529,46 @@ def test_compact_rollup_preserves_view_and_bounds_partitions(spark, tmp_path):
     base = next(t for t in want if t[0] == "2024-01-01T10:00:00")
     assert first[1] == base[1] + 1  # one more event in the first window
     assert first[4] == 100.0  # new max propagated through the merge
+
+
+def test_json_deadletter_stream_routes_malformed_lines(spark, tmp_path):
+    """Schema-drift hardening: valid JSON lines flatten into silver (a
+    drifted line with an unknown field still parses; a missing field
+    lands NULL), while unparseable lines are quarantined with the raw
+    text preserved for replay — and the stream never crashes."""
+    import os
+
+    inbox = str(tmp_path / "jinbox")
+    os.makedirs(inbox)
+    lines = [
+        '{"event_id": 1, "user_id": 10, "value": 1.5}',
+        '{"event_id": 2, "user_id": 20, "value": 2.5, "new_field": "drift"}',
+        '{"event_id": 3, "user_id": 30}',
+        'this is not json at all',
+        '{"event_id": 5, "user_id":',
+    ]
+    with open(os.path.join(inbox, "batch_0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = "event_id long, user_id long, value double"
+    stream = streaming.read_json_lines_stream(
+        spark, inbox, schema, max_files_per_trigger=1
+    )
+    silver = str(tmp_path / "jsilver")
+    dead = str(tmp_path / "jdead")
+    q = streaming.dq_gated_stream(
+        stream,
+        [streaming.json_malformed_rule()],
+        silver,
+        dead,
+        checkpoint=str(tmp_path / "jckpt"),
+        curate=streaming.flatten_parsed(),
+    )
+    q.awaitTermination(120)
+
+    good = {r.event_id: (r.user_id, r.value) for r in spark.read.parquet(silver).collect()}
+    assert good == {1: (10, 1.5), 2: (20, 2.5), 3: (30, None)}
+    bad = spark.read.parquet(dead)
+    assert bad.count() == 2
+    raws = {r.raw_json for r in bad.collect()}
+    assert raws == {"this is not json at all", '{"event_id": 5, "user_id":'}
