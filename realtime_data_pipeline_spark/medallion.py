@@ -401,6 +401,43 @@ def merge_upsert(
     }
 
 
+def replay_quarantine(
+    spark: SparkSession,
+    quarantine_path: str,
+    silver_path: str,
+    rules: list[dq.Rule],
+    partition_by: str | list[str] | None = None,
+) -> dict:
+    """Re-adjudicate quarantined rows under the CURRENT rule set and
+    promote the now-passing ones to silver — the second half of the DQ
+    gate's contract. Quarantine exists so data survives a too-strict or
+    buggy rule; once the rule is fixed, this replays the jail instead of
+    re-ingesting the source (at 100 TB the quarantine is orders of
+    magnitude smaller than the table — that asymmetry is the whole win).
+
+    Promoted rows APPEND to silver (exactly-once per replay: a second
+    replay finds them gone from quarantine); still-bad rows are rewritten
+    in place via ``localCheckpoint`` (Spark cannot overwrite a path it is
+    reading — the materialized set is the shrunken quarantine, bounded by
+    construction). Returns promoted/remaining counts."""
+    q = spark.read.parquet(quarantine_path)
+    clean, still_bad = dq.split_clean_violations(q, rules)
+    clean = clean.localCheckpoint(eager=True)
+    still_bad = still_bad.localCheckpoint(eager=True)
+    promoted, remaining = clean.count(), still_bad.count()
+    if promoted:
+        write_parquet(
+            clean, silver_path, mode="append", partition_by=partition_by
+        )
+        write_parquet(
+            still_bad,
+            quarantine_path,
+            mode="overwrite",
+            partition_by=partition_by,
+        )
+    return {"promoted": promoted, "remaining": remaining}
+
+
 def run_bronze(
     spark: SparkSession,
     raw_path: str,

@@ -274,3 +274,58 @@ def test_merge_upsert_prunes_target_scan(spark, tmp_path):
     pruned = spark.read.parquet(tgt).filter(F.col("d").isin(["2024-01-02"]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-02" in plan
+
+
+def test_replay_quarantine_promotes_after_rule_relaxed(spark, tmp_path):
+    """DQ loop closure: rows jailed by a too-strict rule are promoted to
+    silver when replayed under the fixed rule; still-bad rows stay; a
+    second replay is a no-op (no double-append)."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import dq, medallion
+
+    silver = str(tmp_path / "silver")
+    quarantine = str(tmp_path / "quarantine")
+    spark.createDataFrame(
+        [(1, 10.0)], "event_id long, value double"
+    ).write.parquet(silver)
+    # jailed under the buggy rule `value < 5` (meant to be `value < 0`)
+    spark.createDataFrame(
+        [(2, 3.0), (3, 1.0), (4, -7.0)], "event_id long, value double"
+    ).write.parquet(quarantine)
+
+    fixed_rules = [dq.Rule("neg_value", F.col("value") < 0)]
+    out = medallion.replay_quarantine(spark, quarantine, silver, fixed_rules)
+    assert out == {"promoted": 2, "remaining": 1}
+    assert {r.event_id for r in spark.read.parquet(silver).collect()} == {1, 2, 3}
+    assert {r.event_id for r in spark.read.parquet(quarantine).collect()} == {4}
+
+    out2 = medallion.replay_quarantine(spark, quarantine, silver, fixed_rules)
+    assert out2 == {"promoted": 0, "remaining": 1}
+    assert spark.read.parquet(silver).count() == 3
+
+
+def test_replay_quarantine_can_empty_the_jail(spark, tmp_path):
+    """Promoting every row must leave a quarantine that is still readable
+    (schema-bearing empty dataset), so later replays/monitoring don't
+    crash on an empty directory."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import dq, medallion
+
+    silver = str(tmp_path / "silver2")
+    quarantine = str(tmp_path / "quarantine2")
+    spark.createDataFrame(
+        [(1, 10.0)], "event_id long, value double"
+    ).write.parquet(silver)
+    spark.createDataFrame(
+        [(2, 3.0)], "event_id long, value double"
+    ).write.parquet(quarantine)
+    rules = [dq.Rule("neg_value", F.col("value") < 0)]
+    out = medallion.replay_quarantine(spark, quarantine, silver, rules)
+    assert out == {"promoted": 1, "remaining": 0}
+    assert spark.read.parquet(quarantine).count() == 0
+    assert medallion.replay_quarantine(spark, quarantine, silver, rules) == {
+        "promoted": 0,
+        "remaining": 0,
+    }
