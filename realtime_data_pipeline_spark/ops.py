@@ -227,6 +227,73 @@ def salted_join(
     return out.drop("__salt")
 
 
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    fraction: float = 0.01,
+    seed: int = 42,
+    min_share: float = 0.1,
+) -> list[tuple]:
+    """Detect hot join/group keys from a SAMPLE: returns ``(key_value,
+    estimated_share)`` for keys holding at least ``min_share`` of the
+    sampled rows. One narrow sample scan + a tiny aggregate — cost is
+    O(fraction · rows) regardless of table size, so probing a 100 TB fact
+    table costs a 1 TB-scan-equivalent once, not per query.
+
+    A key with 10%+ of the table makes its shuffle partition a straggler
+    that AQE can only split for JOINS (not stateful ops) — this is the
+    detection half; :func:`auto_salted_join` is the decision half.
+
+    At most ``1/min_share`` keys can clear the threshold, so the collect
+    is bounded (≤10 rows at the default) no matter the key cardinality;
+    the share denominator comes from a driver-side count over the
+    persisted sample, NOT a global window (which would funnel every
+    sampled distinct key through one task)."""
+    sampled = df.sample(fraction=fraction, seed=seed).select(key).persist()
+    try:
+        total = sampled.count()
+        if total == 0:
+            return []
+        counts = (
+            sampled.groupBy(key)
+            .count()
+            .filter(F.col("count") >= min_share * total)
+            .orderBy(F.col("count").desc())
+        )
+        return [(r[key], r["count"] / total) for r in counts.collect()]
+    finally:
+        sampled.unpersist()
+
+
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+    sample_fraction: float = 0.01,
+    skew_share: float = 0.2,
+) -> DataFrame:
+    """Equi-join that measures the left key distribution first and salts
+    ONLY when a hot key holds ≥ ``skew_share`` of a sample — uniform
+    inputs take the plain join (no right-side replication cost, Catalyst
+    free to broadcast), skewed inputs take :func:`salted_join`.
+
+    Salting has a real price (right side duplicated ``salt_buckets``×
+    through the shuffle), so applying it unconditionally pessimizes the
+    common case; applying it never leaves stragglers AQE can't split
+    (stateful consumers, storage-partitioned reads). Measure, then
+    decide — the engine's posture in one operator."""
+    hot = heavy_hitters(
+        left, key, fraction=sample_fraction, min_share=skew_share
+    )
+    if hot:
+        return salted_join(
+            left, right, key, how=how, salt_buckets=salt_buckets
+        )
+    return left.join(right, key, how)
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -123,3 +123,64 @@ def test_spread_repartitions_small_input_only(spark):
     assert spread(small).rdd.getNumPartitions() == target
     wide = spark.range(0, 1000, 1, target)
     assert spread(wide) is wide
+
+
+def test_heavy_hitters_detects_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import ops
+
+    # 80% of rows on key 7, the rest uniform over 1000 keys
+    df = spark.range(0, 20_000, 1, 8).select(
+        F.when(F.pmod("id", F.lit(10)) < 8, F.lit(7))
+        .otherwise(F.pmod("id", F.lit(1000)))
+        .alias("k")
+    )
+    hot = ops.heavy_hitters(df, "k", fraction=0.1, min_share=0.1)
+    assert [k for k, _ in hot] == [7]
+    assert hot[0][1] > 0.5
+
+
+def test_heavy_hitters_uniform_input_empty(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import ops
+
+    df = spark.range(0, 20_000, 1, 8).select(F.pmod("id", F.lit(500)).alias("k"))
+    assert ops.heavy_hitters(df, "k", fraction=0.1, min_share=0.1) == []
+
+
+def test_auto_salted_join_salts_only_when_skewed(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import ops
+
+    skewed = spark.range(0, 20_000, 1, 8).select(
+        F.when(F.pmod("id", F.lit(10)) < 8, F.lit(3))
+        .otherwise(F.pmod("id", F.lit(100)))
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    uniform = spark.range(0, 20_000, 1, 8).select(
+        F.pmod("id", F.lit(100)).cast("long").alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").cast("long").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j_skew = ops.auto_salted_join(skewed, dim, "k")
+        plan_skew = j_skew._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan_skew, "skewed input must take the salted path"
+        assert j_skew.count() == skewed.count()
+
+        j_uni = ops.auto_salted_join(uniform, dim, "k")
+        plan_uni = j_uni._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" not in plan_uni, "uniform input must join plainly"
+        assert j_uni.count() == uniform.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
