@@ -351,6 +351,17 @@ def merge_upsert(
     table. (A table format — Delta/Iceberg — does this transactionally;
     this is the format-free equivalent with the same pruning shape.)
 
+    SEMANTIC CONTRACT: the merge identity is ``keys`` WITHIN a partition
+    — i.e. effectively ``keys + [partition_col]``. An update that MOVES a
+    key to a different partition inserts there and leaves the old row in
+    the source partition: partition-pruned reading cannot see partitions
+    the updates don't name, and resolving moves only when both partitions
+    happen to be co-affected would make semantics depend on batch
+    composition (property-tested). Express a cross-partition move as
+    delete+insert, or run a full-table merge. For the normal fact-table
+    case (partition value is a function of the key, e.g. event date) the
+    contract is vacuous.
+
     If the target does not exist yet, the updates are simply written as
     the initial load. Returns metrics incl. the affected partition list.
     """
@@ -378,8 +389,9 @@ def merge_upsert(
     )
     cols = spark.read.parquet(target_path).columns
     # updates outrank target on ties: __src desc puts updates (1) first,
-    # then order_by desc picks the newest within each source
-    w = Window.partitionBy(*keys).orderBy(
+    # then order_by desc picks the newest within each source. The window
+    # keys INCLUDE the partition column — see the semantic contract above
+    w = Window.partitionBy(*keys, partition_col).orderBy(
         *[F.col(c).desc() for c in order_by], F.col("__src").desc()
     )
     merged = (

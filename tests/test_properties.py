@@ -126,3 +126,53 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, base, edits, seed):
     ).collect()[0]
     assert 0.0 <= row.exact <= 1.0
     assert abs(row.est - row.exact) <= 0.3
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 2), st.integers(1, 3)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 2), st.integers(1, 3)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_pandas_model(spark, tmp_path_factory, base, upd):
+    """merge_upsert == groupwise 'highest version wins, update beats
+    target on ties' over ANY base/update overlap pattern, any partition
+    spread — checked against an independent pandas model implementing the
+    documented contract: merge identity is (keys, partition), so a key
+    appearing in two partitions is two identities (cross-partition moves
+    are delete+insert territory — partition-scoped pruning can't see the
+    source partition, a hole hypothesis found in the first cut)."""
+    from realtime_data_pipeline_spark import medallion
+
+    tgt = str(tmp_path_factory.mktemp("merge") / "t")
+    base_df = spark.createDataFrame(base, "id long, d long, ver long")
+    medallion.merge_upsert(
+        spark, tgt, base_df, keys=["id"], order_by=["ver"], partition_col="d"
+    )
+    upd_df = spark.createDataFrame(upd, "id long, d long, ver long")
+    medallion.merge_upsert(
+        spark, tgt, upd_df, keys=["id"], order_by=["ver"], partition_col="d"
+    )
+
+    # pandas model: concat with source flag, sort so the winner is first;
+    # identity = (id, d) per the partition-scoped contract
+    pb = pd.DataFrame(base, columns=["id", "d", "ver"]).assign(src=0)
+    pu = pd.DataFrame(upd, columns=["id", "d", "ver"]).assign(src=1)
+    both = pd.concat([pb, pu]).sort_values(
+        ["id", "d", "ver", "src"], ascending=[True, True, False, False]
+    )
+    expected = both.groupby(["id", "d"]).head(1)[["id", "d", "ver"]]
+
+    got = {
+        (r.id, r.d, r.ver) for r in spark.read.parquet(tgt).collect()
+    }
+    assert got == set(map(tuple, expected.itertuples(index=False)))
