@@ -1,5 +1,6 @@
 """Multimodal column support (X5): opaque binary media + typed metadata,
-with decode / feature-extract / frame-sample as Arrow-batched operators.
+with decode / feature-extract / resize / frame-sample as Arrow-batched
+operators.
 
 The Spark-side contract is the real deliverable here:
 
@@ -133,6 +134,72 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return df.select("media").mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction as its own operator: (source_id, feature) per
+    media item. A projection over :func:`decode_media` — Catalyst prunes
+    the unused decode outputs from the Arrow batch schema; the pooled
+    feature math itself lives in the decode closure."""
+    return decode_media(df).select("source_id", "feature")
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize each media item to (width, height), returning the SAME
+    ``media`` struct shape (payload + updated meta) so resize composes
+    with every other media operator (decode, frame-sample, meta-only
+    queries) — the standard normalize-before-featurize step.
+
+    The resize math is REAL (block-mean pooling over a pixel grid, the
+    area-interpolation kernel); only the codec boundary is stubbed: input
+    pixels come from the deterministic fake decoder and the output
+    payload is the raw little-endian uint8 bitmap (``tobytes``), which a
+    real pipeline would swap for PIL's decode/encode calls. Partitioning
+    preserved, one Arrow round-trip, no shuffle."""
+    out_schema = f"media {MEDIA_SCHEMA}"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_payload(data: bytes, w: int, h: int) -> np.ndarray:
+            seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
+            rng = np.random.RandomState(seed)
+            return rng.randint(0, 256, size=(h, w)).astype(np.float64)
+
+        def block_mean(px: np.ndarray, w: int, h: int) -> np.ndarray:
+            src_h, src_w = px.shape
+            # area interpolation: average the source cells mapping to
+            # each target cell (exact for integer ratios, boundary-
+            # weighted otherwise via index binning)
+            ys = (np.arange(src_h) * h) // src_h
+            xs = (np.arange(src_w) * w) // src_w
+            out = np.zeros((h, w))
+            cnt = np.zeros((h, w))
+            np.add.at(out, (ys[:, None], xs[None, :]), px)
+            np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+            return out / np.maximum(cnt, 1.0)
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media"]:
+                data, meta = m["data"], m["meta"]
+                px = decode_payload(bytes(data), meta["width"], meta["height"])
+                resized = block_mean(px, width, height)
+                rows.append(
+                    {
+                        "data": np.clip(resized, 0, 255)
+                        .astype(np.uint8)
+                        .tobytes(),
+                        "meta": {
+                            "format": meta["format"],
+                            "width": width,
+                            "height": height,
+                            "n_frames": meta["n_frames"],
+                            "source_id": meta["source_id"],
+                        },
+                    }
+                )
+            yield pd.DataFrame({"media": rows})
+
+    return df.select("media").mapInPandas(resize, schema=out_schema)
 
 
 def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:

@@ -58,3 +58,81 @@ def test_frame_sampling_expands_rows(spark, sf_dir):
     assert len(frames) == expected
     assert (frames["frame_index"] % 2 == 0).all()
     assert all(len(f) == 16 for f in frames["frame_feature"])
+
+
+def test_resize_media_shape_and_mean_preservation(spark):
+    """resize_media keeps the media struct contract (composable with
+    meta/decode ops), hits the target dims, and — real resize math —
+    block-mean pooling preserves mean intensity within rounding."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import multimodal
+
+    src = multimodal.attach_fake_media(
+        spark.range(0, 20).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    resized = multimodal.resize_media(src, width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.media.meta.width == 8 and r.media.meta.height == 8
+        assert len(bytes(r.media.data)) == 64  # 8x8 uint8 bitmap
+
+    # meta-only projection still works on the resized output
+    meta = multimodal.media_meta(resized).collect()
+    assert {m.meta.source_id for m in meta} == set(range(20))
+
+    # mean preservation vs the original decoded pixels
+    import hashlib
+
+    orig = {r.media.meta.source_id: r.media for r in src.collect()}
+    for r in rows:
+        m = orig[r.media.meta.source_id]
+        seed = int.from_bytes(
+            hashlib.sha256(bytes(m.data)).digest()[:4], "big"
+        )
+        px = (
+            np.random.RandomState(seed)
+            .randint(0, 256, size=(m.meta.height, m.meta.width))
+            .astype(np.float64)
+        )
+        got_mean = np.frombuffer(bytes(r.media.data), dtype=np.uint8).mean()
+        assert abs(got_mean - px.mean()) < 8.0  # uint8 rounding + binning
+
+
+def test_resize_media_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import multimodal
+
+    src = multimodal.attach_fake_media(
+        spark.range(0, 10).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    a = {
+        r.media.meta.source_id: bytes(r.media.data)
+        for r in multimodal.resize_media(src, 6, 6).collect()
+    }
+    b = {
+        r.media.meta.source_id: bytes(r.media.data)
+        for r in multimodal.resize_media(src, 6, 6).collect()
+    }
+    assert a == b
+
+
+def test_extract_features_projection(spark):
+    """extract_features yields (source_id, fixed-dim feature) and matches
+    the decode path's feature exactly."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import multimodal
+
+    src = multimodal.attach_fake_media(
+        spark.range(0, 10).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    feats = {r.source_id: r.feature for r in multimodal.extract_features(src).collect()}
+    via_decode = {
+        r.source_id: r.feature for r in multimodal.decode_media(src).collect()
+    }
+    assert feats == via_decode
+    assert all(len(v) == 16 for v in feats.values())
