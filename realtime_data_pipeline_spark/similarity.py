@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -177,6 +177,115 @@ def ivf_knn(
             F.round(
                 dot(F.col("__qvec"), F.col("__vec"))
                 / (F.col("__qn") * F.col("__n")),
+                6,
+            ).alias("sim6"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    top = topk_per_group(
+        pairs, [query_id_col], [F.col("sim6").desc(), F.col(id_col).asc()], k=k
+    )
+    return top.select(
+        query_id_col,
+        id_col,
+        F.round(F.col("sim6"), 4).alias("sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index the ``ivf_knn`` docstring promises at scale:
+    corpus vectors cell-assigned ONCE and written hive-partitioned BY
+    cell, plus the trained centroids beside them. After this, probing a
+    cell is PARTITION PRUNING on disk — a search with ``nprobe=4`` of 64
+    cells lists and reads 1/16 of the index files, before any row is
+    decoded. The one-time build cost (assignment pass + one shuffle into
+    cell layout) is exactly the cost every query would otherwise pay in
+    ``ivf_knn``'s per-call assignment.
+
+    Layout: ``{path}/cells/cell=N/*.parquet`` (id, vec, norm) and
+    ``{path}/centroids/*.parquet`` (cell, weights) — both plain parquet,
+    readable by any engine."""
+    cells = corpus.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("vec"),
+        F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col))).alias("cell"),
+    ).select(
+        id_col,
+        "vec",
+        l2_norm(F.col("vec")).alias("norm"),
+        "cell",
+    )
+    (
+        cells.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in row]) for i, row in enumerate(centroids)
+    ]
+    (
+        spark.createDataFrame(cent_rows, "cell int, weights array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def load_ivf_centroids(spark: SparkSession, path: str):
+    """Read the quantizer back as the (n_centroids, dim) ndarray the
+    search path expects."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.vstack([np.asarray(r["weights"]) for r in rows])
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`build_ivf_index`). The probed
+    cell set is collected first (bounded: ≤ min(n_queries·nprobe,
+    n_centroids) ints) and pushed as an ``isin`` partition filter, so the
+    index scan statically prunes to the probed ``cell=N`` directories —
+    verifiable in the plan's PartitionFilters. Candidate pairing and the
+    exact cosine re-rank then match :func:`ivf_knn` exactly."""
+    cents = load_ivf_centroids(spark, path)
+    query_cells = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(query_vec_col)).alias("__qvec"),
+        F.explode(ivf_cells_udf(cents, nprobe)(F.col(query_vec_col))).alias(
+            "cell"
+        ),
+    ).select(
+        query_id_col, "__qvec", "cell", l2_norm(F.col("__qvec")).alias("__qn")
+    )
+    probed = [r["cell"] for r in query_cells.select("cell").distinct().collect()]
+    index = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probed)
+    )
+    pairs = (
+        index.join(F.broadcast(query_cells), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot(F.col("__qvec"), F.col("vec"))
+                / (F.col("__qn") * F.col("norm")),
                 6,
             ).alias("sim6"),
         )

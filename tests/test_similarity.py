@@ -137,3 +137,46 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
         for q in exact_sets.index
     ]
     assert sum(recalls) / len(recalls) >= 0.5, f"mean recall {recalls}"
+
+
+def test_ivf_index_persist_search_matches_inline(spark, sf_dir, tmp_path):
+    """A persisted IVF index (cells hive-partitioned on disk) must return
+    exactly what the inline ivf_knn returns for the same quantizer, and
+    the index scan must carry a cell partition filter — probing IS
+    partition pruning."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=8)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, cents)
+    via_index = similarity.ivf_index_search(spark, idx, queries, k=5, nprobe=3)
+    inline = similarity.ivf_knn(
+        emb, queries, k=5, nprobe=3, centroids=cents,
+        n_centroids=8,
+    )
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # the probed-cell filter must reach the partitioned scan
+    cents2 = similarity.load_ivf_centroids(spark, idx)
+    import numpy as np
+
+    assert np.allclose(cents2, cents)
+    pruned = spark.read.parquet(f"{idx}/cells").filter(
+        F.col("cell").isin([0, 1])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
