@@ -385,6 +385,49 @@ def dq_gated_stream(
     return writer.start()
 
 
+def upsert_stream(
+    df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str],
+    partition_col: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC-style streaming upsert sink: every micro-batch is MERGED into
+    the keyed target via :func:`medallion.merge_upsert` instead of
+    appended — the table converges to latest-version-per-key as updates
+    stream in (the merge-sink pattern Delta users reach for, format-free).
+
+    Idempotence comes from merge semantics, not partition bookkeeping: a
+    replayed batch re-applies the same (key, version) rows, updates win
+    order_by ties, and the table is unchanged — so foreachBatch's
+    at-least-once redelivery is safe without ``batch_id`` partitions.
+    Each trigger touches only the partitions the batch names (the
+    merge's pruning contract), so a steady trickle of late corrections
+    never rewrites the table."""
+    from realtime_data_pipeline_spark import medallion
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        medallion.merge_upsert(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys=keys,
+            order_by=order_by,
+            partition_col=partition_col,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rollup_batch_writer(
     out_path: str,
     ts_col: str,

@@ -572,3 +572,57 @@ def test_json_deadletter_stream_routes_malformed_lines(spark, tmp_path):
     assert bad.count() == 2
     raws = {r.raw_json for r in bad.collect()}
     assert raws == {"this is not json at all", '{"event_id": 5, "user_id":'}
+
+
+def test_upsert_stream_converges_to_latest_per_key(spark, tmp_path):
+    """CDC merge sink: streamed correction batches converge the target to
+    latest-version-per-key; replaying the same inbox from a fresh
+    checkpoint leaves the table unchanged (merge idempotence stands in
+    for batch_id bookkeeping)."""
+    import os
+
+    inbox = str(tmp_path / "cdc_inbox")
+    os.makedirs(inbox)
+    batch_rows = [
+        [(1, "2024-01-01", 10.0, 1), (2, "2024-01-02", 20.0, 1)],
+        [(1, "2024-01-01", 11.0, 2), (3, "2024-01-02", 30.0, 1)],
+    ]
+    for i, rows in enumerate(batch_rows):
+        p = os.path.join(inbox, f"b{i}.csv")
+        with open(p, "w") as f:
+            f.write("id,d,v,ver\n")
+            for r in rows:
+                f.write(",".join(str(x) for x in r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = "id long, d string, v double, ver long"
+    tgt = str(tmp_path / "cdc_target")
+
+    def run(ckpt):
+        stream = streaming.read_file_stream(
+            spark, inbox, schema, max_files_per_trigger=1
+        )
+        q = streaming.upsert_stream(
+            stream, tgt, keys=["id"], order_by=["ver"],
+            partition_col="d", checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    def table():
+        # hive layout re-infers the partition col (as date) and appends
+        # it; normalize order + type for comparison
+        return {
+            (r.id, str(r.d), r.v, r.ver)
+            for r in spark.read.parquet(tgt)
+            .select("id", "d", "v", "ver")
+            .collect()
+        }
+
+    run(str(tmp_path / "ck1"))
+    expected = {(1, "2024-01-01", 11.0, 2), (2, "2024-01-02", 20.0, 1),
+                (3, "2024-01-02", 30.0, 1)}
+    assert table() == expected
+
+    # full replay from a fresh checkpoint: merge is a no-op
+    run(str(tmp_path / "ck2"))
+    assert table() == expected
