@@ -517,6 +517,54 @@ wt AS (
 """
 
 
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 tail: the distribution-analytic window functions —
+    percent_rank / cume_dist (relative position within the partition),
+    nth_value (2nd-lowest balance, frame-wide), and first/last over an
+    explicit ROWS frame. Same single shuffle as customer_balance_window;
+    shelved (pytest-hash-checked) — the driver slots stay with the
+    curation/LLM operators."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias(
+            "second_lowest_bal"
+        ),
+        F.round(F.first("c_acctbal").over(wf), 2).alias("lowest_bal"),
+        F.round(F.last("c_acctbal").over(wf), 2).alias("highest_bal"),
+    )
+
+
+CUSTOMER_BALANCE_DISTRIBUTION_SQL = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  ROUND(c_acctbal, 2) AS acctbal,
+  ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist,
+  ROUND(NTH_VALUE(c_acctbal, 2) OVER wf, 2) AS second_lowest_bal,
+  ROUND(FIRST_VALUE(c_acctbal) OVER wf, 2) AS lowest_bal,
+  ROUND(LAST_VALUE(c_acctbal) OVER wf, 2) AS highest_bal
+FROM customer
+WHERE c_custkey < 500
+WINDOW w AS (
+  PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
+wf AS (
+  PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style classics on the fixture star schema: Q3 (shipping priority —
 # selective join chain + grouped revenue + top-k) and Q6 (forecast revenue —
@@ -635,11 +683,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "buyer_and_building_custkeys": buyer_and_building_custkeys,
     "nation_order_counts_right": nation_order_counts_right,
+    "customer_balance_distribution": customer_balance_distribution,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "buyer_and_building_custkeys": BUYER_AND_BUILDING_CUSTKEYS_SQL,
     "nation_order_counts_right": NATION_ORDER_COUNTS_RIGHT_SQL,
+    "customer_balance_distribution": CUSTOMER_BALANCE_DISTRIBUTION_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
