@@ -167,3 +167,15 @@ def test_write_zordered_skips_on_both_columns(spark, sf_dir, tmp_path):
         assert mean_cov < 0.75, f"{col}: mean coverage {mean_cov:.2f}"
 
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_write_zordered_single_column_degenerates_to_range_sort(spark, sf_dir, tmp_path):
+    """One clustered column: the Morton code is just the rank, so the
+    layout behaves like write_range_sorted (near-disjoint file ranges)
+    and the data round-trips."""
+    from realtime_data_pipeline_spark import medallion
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "z1")
+    medallion.write_zordered(orders, out, ["o_totalprice"], num_files=4)
+    assert spark.read.parquet(out).count() == orders.count()

@@ -184,3 +184,10 @@ def test_auto_salted_join_salts_only_when_skewed(spark):
         assert j_uni.count() == uniform.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_heavy_hitters_empty_input(spark):
+    from realtime_data_pipeline_spark import ops
+
+    empty = spark.createDataFrame([], "k long")
+    assert ops.heavy_hitters(empty, "k", fraction=0.5) == []
