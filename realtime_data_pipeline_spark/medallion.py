@@ -317,6 +317,37 @@ def compact(
     return {"files_before": before, "files_after": after, "rows": rows}
 
 
+def drop_partitions_before(
+    path: str, partition_col: str, cutoff: str
+) -> dict:
+    """Retention/TTL maintenance: delete hive partition directories of
+    ``path`` whose ``partition_col`` value sorts strictly below ``cutoff``
+    (ISO dates compare correctly as strings — the reason the medallion
+    layer partitions on ``yyyy-MM-dd`` strings).
+
+    Pure filesystem operation — no Spark job, no data scan: dropping 300
+    expired days from a 100 TB table is 300 directory removals, the same
+    O(partitions) cost as Hive's ``DROP PARTITION``. Readers racing the
+    delete see either the old or the new listing (parquet directory reads
+    list files up front); run it between query windows like any
+    compaction. Returns the dropped/kept partition values."""
+    import shutil
+
+    root = Path(path)
+    prefix = f"{partition_col}="
+    dropped, kept = [], []
+    for d in sorted(p for p in root.iterdir() if p.is_dir()):
+        if not d.name.startswith(prefix):
+            continue
+        value = d.name[len(prefix):]
+        if value < cutoff:
+            shutil.rmtree(d)
+            dropped.append(value)
+        else:
+            kept.append(value)
+    return {"dropped": dropped, "kept": kept}
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,

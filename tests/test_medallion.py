@@ -329,3 +329,27 @@ def test_replay_quarantine_can_empty_the_jail(spark, tmp_path):
         "promoted": 0,
         "remaining": 0,
     }
+
+
+def test_drop_partitions_before_retention(spark, tmp_path):
+    """TTL: partitions below the cutoff are removed at the filesystem
+    level (no scan); the table stays readable with the survivors."""
+    from realtime_data_pipeline_spark import medallion
+
+    tgt = str(tmp_path / "retained")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(d)],
+        "id long, d string",
+    )
+    medallion.write_parquet(df, tgt, partition_by="d")
+    out = medallion.drop_partitions_before(tgt, "d", "2024-01-03")
+    assert out["dropped"] == ["2024-01-01", "2024-01-02"]
+    assert out["kept"] == ["2024-01-03", "2024-01-04"]
+    remaining = spark.read.parquet(tgt)
+    assert remaining.count() == 3 + 4
+    assert {str(r.d) for r in remaining.select("d").distinct().collect()} == {
+        "2024-01-03",
+        "2024-01-04",
+    }
+    # idempotent
+    assert medallion.drop_partitions_before(tgt, "d", "2024-01-03")["dropped"] == []
