@@ -69,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
         help="name:SQL-predicate true for violating rows (repeatable)",
     )
 
+    pr = sub.add_parser(
+        "replay", help="re-adjudicate quarantine under current rules; promote passes to silver"
+    )
+    pr.add_argument("--quarantine", required=True)
+    pr.add_argument("--silver", required=True)
+    pr.add_argument(
+        "--rule", action="append", default=None,
+        help="name:SQL-predicate true for violating rows (repeatable)",
+    )
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -116,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
+        return 0
+    if args.cmd == "replay":
+        out = medallion.replay_quarantine(
+            spark, args.quarantine, args.silver, _parse_rules(args.rule)
+        )
+        print(
+            f"replay: promoted {out['promoted']} -> {args.silver}, "
+            f"{out['remaining']} remain quarantined"
+        )
         return 0
     if args.cmd == "pipeline":
         from realtime_data_pipeline_spark import medallion as m

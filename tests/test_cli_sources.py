@@ -99,3 +99,28 @@ def test_cli_pipeline_end_to_end(spark, tmp_path):
     # all zones materialized
     for zone in ("raw", "bronze", "silver", "quarantine", "artifacts"):
         assert (tmp_path / "zones" / zone).exists(), zone
+
+
+def test_cli_replay_promotes(spark, tmp_path, capsys):
+    from realtime_data_pipeline_spark import cli
+
+    silver = str(tmp_path / "rs")
+    quarantine = str(tmp_path / "rq")
+    spark.createDataFrame(
+        [(1, 10.0)], "event_id long, value double"
+    ).write.parquet(silver)
+    spark.createDataFrame(
+        [(2, 3.0), (3, -1.0)], "event_id long, value double"
+    ).write.parquet(quarantine)
+    rc = cli.main(
+        [
+            "replay",
+            "--quarantine", quarantine,
+            "--silver", silver,
+            "--rule", "neg:value < 0",
+        ]
+    )
+    assert rc == 0
+    assert "promoted 1" in capsys.readouterr().out
+    assert spark.read.parquet(silver).count() == 2
+    assert spark.read.parquet(quarantine).count() == 1
