@@ -385,6 +385,67 @@ def dq_gated_stream(
     return writer.start()
 
 
+class MetricsLogger:
+    """Streaming observability: a ``StreamingQueryListener`` appending one
+    JSON line per micro-batch progress event to ``out_path`` — batch id,
+    input rows, processed rows/sec, batch duration, per-operator state
+    rows. The artifact complements the DQ report (what was routed) with
+    HOW the stream is keeping up; a flat-file twin of what Spark's UI
+    shows, greppable and shippable to any metrics pipeline.
+
+    Listener callbacks run on the driver's listener bus OFF the query
+    thread — file appends here never back-pressure the stream. Register
+    via :func:`attach_metrics_logger`; detach with
+    ``spark.streams.removeListener(logger)``."""
+
+    def __init__(self, out_path: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        out = out_path
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                import json as _json
+
+                p = event.progress
+                rec = {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "timestamp": p.timestamp,
+                    "num_input_rows": p.numInputRows,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "duration_ms": dict(p.durationMs or {}),
+                    "state_rows": [
+                        so.numRowsTotal for so in (p.stateOperators or [])
+                    ],
+                }
+                with open(out, "a") as f:
+                    f.write(_json.dumps(rec) + "\n")
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+        self._listener = _L()
+
+    @property
+    def listener(self):
+        return self._listener
+
+
+def attach_metrics_logger(spark: SparkSession, out_path: str):
+    """Register a :class:`MetricsLogger` on the session's stream bus;
+    returns the listener handle for ``spark.streams.removeListener``."""
+    ml = MetricsLogger(out_path)
+    spark.streams.addListener(ml.listener)
+    return ml.listener
+
+
 def upsert_stream(
     df: DataFrame,
     target_path: str,

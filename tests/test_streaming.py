@@ -626,3 +626,43 @@ def test_upsert_stream_converges_to_latest_per_key(spark, tmp_path):
     # full replay from a fresh checkpoint: merge is a no-op
     run(str(tmp_path / "ck2"))
     assert table() == expected
+
+
+def test_metrics_logger_records_batch_progress(spark, tmp_path):
+    """Observability: every micro-batch of a gated run appends a JSON
+    progress line (batch id, input rows, durations) to the artifact."""
+    import json
+    import time
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 10.0)],
+        [(2, "2024-01-01 10:01:00", 1, -5.0), (3, "2024-01-01 10:02:00", 2, 1.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    metrics_path = str(tmp_path / "stream_metrics.jsonl")
+    listener = streaming.attach_metrics_logger(spark, metrics_path)
+    try:
+        q = streaming.dq_gated_stream(
+            streaming.read_file_stream(spark, inbox, SCHEMA, max_files_per_trigger=1),
+            [dq.Rule("neg_value", F.col("value") < 0)],
+            str(tmp_path / "ms"),
+            str(tmp_path / "mq"),
+            checkpoint=str(tmp_path / "mc"),
+        )
+        q.awaitTermination(120)
+        # listener bus is async — give it a beat to drain
+        deadline = time.time() + 20
+        recs = []
+        while time.time() < deadline:
+            try:
+                with open(metrics_path) as f:
+                    recs = [json.loads(line) for line in f if line.strip()]
+            except FileNotFoundError:
+                recs = []
+            if sum(r["num_input_rows"] for r in recs) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(r["num_input_rows"] for r in recs) == 3
+    assert all("duration_ms" in r and r["query_id"] for r in recs)
