@@ -79,6 +79,17 @@ def main(argv: list[str] | None = None) -> int:
         help="name:SQL-predicate true for violating rows (repeatable)",
     )
 
+    pm = sub.add_parser(
+        "maintain", help="table maintenance: small-file compaction and/or TTL retention"
+    )
+    pm.add_argument("--path", required=True)
+    pm.add_argument("--compact", action="store_true")
+    pm.add_argument("--partition-by", default=None)
+    pm.add_argument(
+        "--retain-from", default=None, metavar="CUTOFF",
+        help="drop partitions of --partition-by sorting below CUTOFF (ISO date)",
+    )
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -126,6 +137,30 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
+        return 0
+    if args.cmd == "maintain":
+        if not args.compact and not args.retain_from:
+            raise SystemExit("maintain: pass --compact and/or --retain-from")
+        # retention BEFORE compaction: no point rewriting files that are
+        # about to be expired
+        if args.retain_from:
+            if not args.partition_by:
+                raise SystemExit("--retain-from requires --partition-by")
+            out = medallion.drop_partitions_before(
+                args.path, args.partition_by, args.retain_from
+            )
+            print(
+                f"retention: dropped {len(out['dropped'])} partitions, "
+                f"kept {len(out['kept'])}"
+            )
+        if args.compact:
+            out = medallion.compact(
+                spark, args.path, partition_by=args.partition_by
+            )
+            print(
+                f"compact: {out['files_before']} -> {out['files_after']} files "
+                f"({out['rows']} rows)"
+            )
         return 0
     if args.cmd == "replay":
         out = medallion.replay_quarantine(

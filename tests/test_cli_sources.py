@@ -124,3 +124,31 @@ def test_cli_replay_promotes(spark, tmp_path, capsys):
     assert "promoted 1" in capsys.readouterr().out
     assert spark.read.parquet(silver).count() == 2
     assert spark.read.parquet(quarantine).count() == 1
+
+
+def test_cli_maintain_retention_then_compact(spark, tmp_path, capsys):
+    from realtime_data_pipeline_spark import cli, medallion
+
+    tgt = str(tmp_path / "mt")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3) for i in range(4)],
+        "id long, d string",
+    )
+    # many small files per partition -> compaction has work to do
+    medallion.write_parquet(
+        df.repartition(4), tgt, partition_by="d", max_records_per_file=1
+    )
+    rc = cli.main(
+        [
+            "maintain", "--path", tgt, "--compact",
+            "--partition-by", "d", "--retain-from", "2024-01-02",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dropped 1 partitions" in out and "compact:" in out
+    remaining = spark.read.parquet(tgt)
+    assert remaining.count() == 8
+    assert {str(r.d) for r in remaining.select("d").distinct().collect()} == {
+        "2024-01-02", "2024-01-03",
+    }
