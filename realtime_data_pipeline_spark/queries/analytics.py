@@ -267,6 +267,39 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def events_hot_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter profile: each user's share of total events above
+    a threshold — the oracle-checkable EXACT twin of ``ops.heavy_hitters``
+    (which answers the same question from a bounded sample; at 100 TB the
+    sampled path is the one you run, this one anchors its semantics).
+    Total arrives via a broadcast 1-row cross join — no global window."""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = ev.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+        )
+        .filter(F.col("share") >= 0.005)
+        .orderBy(F.col("share").desc(), F.col("user_id").asc())
+    )
+
+
+EVENTS_HOT_USER_SHARE_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+     t AS (SELECT COUNT(*) AS tt FROM events)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n,
+       ROUND(n / tt, 6) AS share
+FROM c, t
+WHERE ROUND(n / tt, 6) >= 0.005
+ORDER BY share DESC, user_id ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -283,6 +316,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
+    "events_hot_user_share": events_hot_user_share,
+}
+
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "events_hot_user_share": EVENTS_HOT_USER_SHARE_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
