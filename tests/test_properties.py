@@ -176,3 +176,69 @@ def test_merge_upsert_matches_pandas_model(spark, tmp_path_factory, base, upd):
         (r.id, r.d, r.ver) for r in spark.read.parquet(tgt).collect()
     }
     assert got == set(map(tuple, expected.itertuples(index=False)))
+
+
+printable = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@given(rows=st.lists(printable, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_tokenization_parity_spark_vs_duckdb(spark, rows):
+    """The curation oracles assume Spark split(trim, \\s+) and DuckDB
+    string_split_regex(trim, '\\s+') tokenize IDENTICALLY for any
+    printable-ASCII text — fixture regeneration with richer text must not
+    silently break that equivalence (hash mismatches would then be
+    tokenizer drift, not operator bugs)."""
+    import duckdb
+
+    from realtime_data_pipeline_spark import text
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rows)], "id long, t string"
+    )
+    got = {
+        r.id: list(r.w)
+        for r in sdf.select("id", text.words(F.col("t")).alias("w")).collect()
+    }
+    for i, s in enumerate(rows):
+        want = duckdb.sql(
+            r"SELECT string_split_regex(trim(?), '\s+')", params=[s]
+        ).fetchone()[0]
+        assert got[i] == want, f"tokenizer drift on {s!r}"
+
+
+pii_ish = st.text(
+    alphabet=list("abcXYZ0123456789@.-+ _%"), max_size=60
+)
+
+
+@given(rows=st.lists(pii_ish, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_pii_redaction_parity_spark_vs_duckdb(spark, rows):
+    """Java regex and RE2 must agree on every PII pattern for arbitrary
+    ASCII soup (emails-ish, digit runs, separators) — the redaction
+    oracle compares redacted TEXT, so any engine disagreement is a
+    correctness failure waiting for a richer fixture."""
+    import duckdb
+
+    from realtime_data_pipeline_spark import text
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rows)], "id long, t string"
+    )
+    got = {
+        r.id: r.red
+        for r in sdf.select(
+            "id", text.redact_pii(F.col("t")).alias("red")
+        ).collect()
+    }
+    for i, s in enumerate(rows):
+        want = s
+        for _, pattern, repl in text.PII_RULES:
+            want = duckdb.sql(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                params=[want, pattern, repl],
+            ).fetchone()[0]
+        assert got[i] == want, f"regex engine drift on {s!r}"
