@@ -202,3 +202,21 @@ def test_pii_redaction_is_narrow_projection(spark, sf_dir):
     simple = plan_str(df, mode="simple")
     for op in ("Join", "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
         assert op not in simple, simple
+
+
+def test_surprisal_broadcasts_frequency_table(spark, sf_dir):
+    """The unigram LM scoring join must broadcast the Zipf-small
+    frequency table — a shuffled scoring join would move every corpus
+    token twice."""
+    plan = plan_str(q.SHELVED_QUERIES["docs_unigram_surprisal"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_hot_user_share_broadcasts_total(spark, sf_dir):
+    """The exact heavy-hitter profile attaches the 1-row total via a
+    broadcast nested-loop cross join — never a global window (single-task
+    funnel) nor a shuffled join."""
+    plan = plan_str(q.SHELVED_QUERIES["events_hot_user_share"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
