@@ -164,18 +164,26 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             rng = np.random.RandomState(seed)
             return rng.randint(0, 256, size=(h, w)).astype(np.float64)
 
+        def resize_axis(px: np.ndarray, dst: int, axis: int) -> np.ndarray:
+            # separable resize: area-mean when shrinking (bin source rows
+            # into target groups), nearest-neighbor when growing (binning
+            # would leave zero-count target cells = black stripes)
+            src = px.shape[axis]
+            if dst == src:
+                return px
+            a = np.moveaxis(px, axis, 0)
+            if dst < src:
+                bins = (np.arange(src) * dst) // src
+                out = np.zeros((dst,) + a.shape[1:])
+                cnt = np.bincount(bins, minlength=dst).astype(np.float64)
+                np.add.at(out, bins, a)
+                out = out / cnt[(slice(None),) + (None,) * (out.ndim - 1)]
+            else:
+                out = a[(np.arange(dst) * src) // dst]
+            return np.moveaxis(out, 0, axis)
+
         def block_mean(px: np.ndarray, w: int, h: int) -> np.ndarray:
-            src_h, src_w = px.shape
-            # area interpolation: average the source cells mapping to
-            # each target cell (exact for integer ratios, boundary-
-            # weighted otherwise via index binning)
-            ys = (np.arange(src_h) * h) // src_h
-            xs = (np.arange(src_w) * w) // src_w
-            out = np.zeros((h, w))
-            cnt = np.zeros((h, w))
-            np.add.at(out, (ys[:, None], xs[None, :]), px)
-            np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
-            return out / np.maximum(cnt, 1.0)
+            return resize_axis(resize_axis(px, h, 0), w, 1)
 
         for pdf in batches:
             rows = []

@@ -136,3 +136,26 @@ def test_extract_features_projection(spark):
     }
     assert feats == via_decode
     assert all(len(v) == 16 for v in feats.values())
+
+
+def test_resize_media_upscale_no_black_stripes(spark):
+    """Upscaling must duplicate source cells (nearest), never leave
+    zero-count bins — the binning-only first cut produced black stripes
+    for any target larger than the source."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import multimodal
+
+    src = multimodal.attach_fake_media(
+        spark.range(0, 8).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    # fixture media are 16..79 px; 96x96 upscales every item on both axes
+    up = multimodal.resize_media(src, width=96, height=96).collect()
+    for r in up:
+        arr = np.frombuffer(bytes(r.media.data), dtype=np.uint8)
+        assert arr.size == 96 * 96
+        # a black stripe would zero out entire rows; random source pixels
+        # make a fully-zero row astronomically unlikely otherwise
+        rows_all_zero = (arr.reshape(96, 96) == 0).all(axis=1).sum()
+        assert rows_all_zero == 0
