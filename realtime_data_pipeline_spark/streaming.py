@@ -82,7 +82,11 @@ def read_json_lines_stream(
     else:
         from pyspark.sql.types import StringType
 
-        full_schema = schema.add(_CORRUPT_FIELD, StringType())
+        # StructType.add mutates in place — copy so the CALLER's schema
+        # object doesn't silently grow a corrupt-record field
+        full_schema = StructType(list(schema.fields)).add(
+            _CORRUPT_FIELD, StringType()
+        )
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -666,3 +666,21 @@ def test_metrics_logger_records_batch_progress(spark, tmp_path):
         spark.streams.removeListener(listener)
     assert sum(r["num_input_rows"] for r in recs) == 3
     assert all("duration_ms" in r and r["query_id"] for r in recs)
+
+
+def test_json_stream_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place — the dead-letter reader must copy
+    before appending its corrupt-record field, or the caller's schema
+    object silently grows a column per call."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    inbox = str(tmp_path / "sinbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "a.jsonl"), "w") as f:
+        f.write('{"event_id": 1}\n')
+    schema = StructType([StructField("event_id", LongType())])
+    streaming.read_json_lines_stream(spark, inbox, schema)
+    streaming.read_json_lines_stream(spark, inbox, schema)
+    assert [f.name for f in schema.fields] == ["event_id"]
