@@ -66,6 +66,59 @@ def fingerprint_dedup(
     ).drop("__fp")
 
 
+def incremental_fingerprint_dedup(
+    new_docs: DataFrame,
+    index_path: str,
+    content_col: str,
+    tiebreak: list[Column],
+) -> tuple[DataFrame, dict]:
+    """Cross-batch dedup at corpus scale: dedup the NEW batch against a
+    persisted fingerprint index instead of re-scanning the corpus. The
+    daily shape of X1 — a 100 TB corpus is deduped once, then every
+    incoming batch pays (batch size + index anti-join), never a corpus
+    rescan.
+
+    Steps: (1) in-batch dedup on the md5 content fingerprint (survivor
+    chosen by ``tiebreak``); (2) anti-join the batch's fingerprints
+    against the index — the shuffle moves 32-char digests, no document
+    bodies; (3) append the surviving fingerprints to the index. The
+    fresh set is materialized (``localCheckpoint``) BEFORE the index
+    append, so the returned DataFrame cannot observe its own write.
+    Replaying the same batch yields zero fresh docs and appends nothing
+    — idempotent without any bookkeeping column.
+
+    Returns ``(fresh_docs, metrics)``; the index is a plain parquet of
+    one ``fp`` column (at sustained scale, write it bucketed on ``fp``
+    so the anti-join co-locates without an exchange).
+    """
+    import os
+
+    spark = new_docs.sparkSession
+    staged = new_docs.withColumn(
+        "__fp", content_fingerprint(F.col(content_col))
+    )
+    batch_unique = keep_latest(staged, ["__fp"], tiebreak)
+    if os.path.exists(index_path):
+        index = spark.read.parquet(index_path)
+        fresh = batch_unique.join(
+            index.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+        )
+    else:
+        fresh = batch_unique
+    fresh = fresh.localCheckpoint(eager=True)
+    n_fresh = fresh.count()
+    if n_fresh:
+        (
+            fresh.select(F.col("__fp").alias("fp"))
+            .write.mode("append")
+            .parquet(index_path)
+        )
+    return fresh.drop("__fp"), {
+        "batch_rows": new_docs.count(),
+        "fresh_rows": n_fresh,
+    }
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -223,3 +223,40 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=2)
+
+
+def test_incremental_fingerprint_dedup_across_batches(spark, tmp_path):
+    """Cross-batch dedup via the persisted fingerprint index: in-batch
+    dups collapse, cross-batch dups are anti-joined away, replays add
+    nothing — no corpus rescan anywhere."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import dedup
+
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    fresh1, m1 = dedup.incremental_fingerprint_dedup(
+        b1, idx, "text", [F.col("doc_id").asc()]
+    )
+    assert m1 == {"batch_rows": 3, "fresh_rows": 2}
+    assert {r.doc_id for r in fresh1.collect()} == {1, 2}  # lowest id wins
+
+    b2 = spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text"), (6, "gamma text")],
+        "doc_id long, text string",
+    )
+    fresh2, m2 = dedup.incremental_fingerprint_dedup(
+        b2, idx, "text", [F.col("doc_id").asc()]
+    )
+    assert m2 == {"batch_rows": 3, "fresh_rows": 1}
+    assert {r.doc_id for r in fresh2.collect()} == {5}
+
+    # replay of batch 2: nothing fresh, index unchanged
+    fresh3, m3 = dedup.incremental_fingerprint_dedup(
+        b2, idx, "text", [F.col("doc_id").asc()]
+    )
+    assert m3["fresh_rows"] == 0 and fresh3.count() == 0
+    assert spark.read.parquet(idx).count() == 3
