@@ -229,6 +229,150 @@ def neardup_pairs_minhash(
     return verified
 
 
+def incremental_neardup_minhash(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """X2 daily shape: near-dedup a NEW batch against a persisted
+    signature index instead of re-running LSH over the corpus. A 100 TB
+    corpus is deduped once; every incoming batch then costs (batch LSH +
+    two corpus STREAMING passes) — never a corpus self-join.
+
+    Index layout: ``{index}/sigs`` (id, sh, sig) and ``{index}/bands``
+    (id, band_id, band_key). The batch side is BROADCAST into both
+    corpus-side joins (band match, then signature verify), so the corpus
+    tables stream map-side with zero exchange — the asymmetry (batch ≪
+    corpus) is the entire point; for corpus-sized "batches" run the full
+    :func:`neardup_pairs_minhash` instead.
+
+    Steps: (1) in-batch near-dedup (full LSH pipeline on the small
+    batch, lowest id kept); (2) survivors' band keys probe the index
+    bands, candidates verified by exact hashed-gram Jaccard against the
+    index signatures — batch docs matching the corpus are dropped;
+    (3) the remaining docs' signatures and bands are appended to the
+    index (materialized first, so the result can't observe its own
+    write). Replaying a batch finds every doc already in the index
+    (Jaccard 1.0 with itself) and appends nothing. Docs too short to
+    shingle can never match anything: passed through as fresh, not
+    indexed.
+
+    Returns ``(fresh_docs, metrics)``.
+    """
+    import os
+
+    from realtime_data_pipeline_spark import dedup as _dedup
+
+    spark = new_docs.sparkSession
+    r = k // n_bands
+    has_grams = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    eligible = new_docs.filter(has_grams)
+    short_docs = new_docs.filter(~has_grams)
+
+    in_batch_pairs = neardup_pairs_minhash(
+        eligible, id_col, text_col, n=n, k=k, n_bands=n_bands,
+        threshold=threshold, seed=seed,
+    )
+    batch_kept = _dedup.drop_neardups(eligible, in_batch_pairs, id_col)
+    n_eligible = eligible.count()
+    n_batch_kept = batch_kept.count()
+
+    sigs = (
+        ops.spread(batch_kept, id_col)
+        .select(
+            F.col(id_col), gram_hashes(F.col(text_col), n).alias("__sh")
+        )
+        .select(
+            id_col,
+            "__sh",
+            minhash_signature_udf(k, seed)(F.col("__sh")).alias("__sig"),
+        )
+        .persist()
+    )
+    sigs.count()
+    bands_new = _banded(sigs, id_col, n_bands, r)
+
+    sig_dir, band_dir = f"{index_path}/sigs", f"{index_path}/bands"
+    if os.path.exists(sig_dir):
+        idx_sigs = spark.read.parquet(sig_dir)
+        idx_bands = spark.read.parquet(band_dir)
+        cand = (
+            idx_bands.join(
+                F.broadcast(
+                    bands_new.select(
+                        F.col(id_col).alias("new_id"), "band_id", "band_key"
+                    )
+                ),
+                ["band_id", "band_key"],
+            )
+            .select(F.col(id_col).alias("old_id"), "new_id")
+            .distinct()
+        )
+        corpus_dups = (
+            idx_sigs.select(
+                F.col(id_col).alias("old_id"), F.col("sh").alias("__sh_old")
+            )
+            .join(F.broadcast(cand), "old_id")
+            .join(
+                F.broadcast(
+                    sigs.select(
+                        F.col(id_col).alias("new_id"),
+                        F.col("__sh").alias("__sh_new"),
+                    )
+                ),
+                "new_id",
+            )
+            .filter(
+                exact_jaccard(F.col("__sh_old"), F.col("__sh_new"))
+                >= threshold
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        fresh_core = batch_kept.join(corpus_dups, id_col, "left_anti")
+    else:
+        fresh_core = batch_kept
+    fresh_core = fresh_core.localCheckpoint(eager=True)
+    n_fresh_core = fresh_core.count()
+
+    if n_fresh_core:
+        fresh_sigs = (
+            sigs.join(F.broadcast(fresh_core.select(id_col)), id_col)
+            .select(
+                F.col(id_col),
+                F.col("__sh").alias("sh"),
+                F.col("__sig").alias("sig"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        fresh_sigs.write.mode("append").parquet(sig_dir)
+        _banded(
+            fresh_sigs.select(
+                id_col,
+                F.col("sh").alias("__sh"),
+                F.col("sig").alias("__sig"),
+            ),
+            id_col,
+            n_bands,
+            r,
+        ).write.mode("append").parquet(band_dir)
+    sigs.unpersist()
+
+    fresh = fresh_core.unionByName(short_docs)
+    return fresh, {
+        "batch_rows": new_docs.count(),
+        "in_batch_dropped": n_eligible - n_batch_kept,
+        "corpus_dups": n_batch_kept - n_fresh_core,
+        "fresh_rows": fresh.count(),
+    }
+
+
 def simhash_udf():
     """array<long> shingle hashes -> 64-bit SimHash (bigint). One numpy
     pass per Arrow batch: per-bit ±1 votes summed over shingles, sign

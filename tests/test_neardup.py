@@ -260,3 +260,52 @@ def test_incremental_fingerprint_dedup_across_batches(spark, tmp_path):
     )
     assert m3["fresh_rows"] == 0 and fresh3.count() == 0
     assert spark.read.parquet(idx).count() == 3
+
+
+def test_incremental_neardup_minhash_across_batches(spark, tmp_path):
+    """X2 daily shape: in-batch near-dups collapse, near-dups of the
+    CORPUS (via the persisted signature index) are dropped, replays add
+    nothing, and shingle-less docs pass through unindexed."""
+    from realtime_data_pipeline_spark import neardup
+
+    idx = str(tmp_path / "nd_index")
+    base_a = ("the quick brown fox jumps over the lazy dog while the eager "
+              "spark engine shuffles partitions across the busy cluster")
+    base_b = ("training data pipelines deduplicate documents with minhash "
+              "signatures banded into buckets joined by equality at scale")
+    mut = lambda s, w: s.replace(w, "zzzmutant")
+
+    b1 = spark.createDataFrame(
+        [(1, base_a), (2, base_b), (3, mut(base_a, "lazy"))],
+        "doc_id long, text string",
+    )
+    fresh1, m1 = neardup.incremental_neardup_minhash(
+        b1, idx, "doc_id", "text"
+    )
+    assert m1["in_batch_dropped"] == 1 and m1["fresh_rows"] == 2
+    assert {r.doc_id for r in fresh1.collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            (4, mut(base_b, "buckets")),            # near-dup of corpus doc 2
+            (5, "completely different content about astronomy telescopes "
+                "observing distant quasars through adaptive optics tonight"),
+            (6, "hi"),                               # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    fresh2, m2 = neardup.incremental_neardup_minhash(
+        b2, idx, "doc_id", "text"
+    )
+    assert m2["corpus_dups"] == 1
+    assert {r.doc_id for r in fresh2.collect()} == {5, 6}
+
+    # replay: doc 5 is now in the corpus -> dropped; short doc passes
+    fresh3, m3 = neardup.incremental_neardup_minhash(
+        b2, idx, "doc_id", "text"
+    )
+    assert m3["corpus_dups"] >= 1
+    assert {r.doc_id for r in fresh3.collect()} == {6}
+    # index holds exactly the three indexed docs (1, 2, 5); the short
+    # doc is never indexed and the replay appended nothing
+    assert spark.read.parquet(f"{idx}/sigs").count() == 3
