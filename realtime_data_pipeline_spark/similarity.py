@@ -240,6 +240,41 @@ def build_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index growth: assign NEW vectors with the index's
+    STORED quantizer and append them into the cell layout — the daily
+    shape (embeddings arrive with each corpus batch; rebuilding the
+    index per batch would rescan the corpus). Cell assignment is the
+    same one-matmul-per-batch projection as the build; the append
+    touches only the `cell=N` directories the new vectors land in.
+
+    The quantizer is intentionally NOT retrained here: centroids must
+    stay fixed or previously-indexed vectors would sit in stale cells.
+    Retrain + full rebuild when drift accumulates (recall gates tell
+    you when)."""
+    spark = new_vectors.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    (
+        new_vectors.select(
+            F.col(id_col),
+            as_double_array(F.col(vec_col)).alias("vec"),
+            F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+        )
+        .select(
+            id_col, "vec", l2_norm(F.col("vec")).alias("norm"), "cell"
+        )
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
 def load_ivf_centroids(spark: SparkSession, path: str):
     """Read the quantizer back as the (n_centroids, dim) ndarray the
     search path expects."""

@@ -180,3 +180,38 @@ def test_ivf_index_persist_search_matches_inline(spark, sf_dir, tmp_path):
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivf_index_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
+    """Appending the second half of the corpus with the stored quantizer
+    must yield an index that searches identically to one built from the
+    full corpus at once (same centroids => same cells => same results)."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=8)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+    inc = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(first, inc, cents)
+    similarity.append_to_ivf_index(second, inc)
+
+    full = str(tmp_path / "ivf_full")
+    similarity.build_ivf_index(emb, full, cents)
+
+    got = similarity.ivf_index_search(spark, inc, queries, k=5, nprobe=3)
+    want = similarity.ivf_index_search(spark, full, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
