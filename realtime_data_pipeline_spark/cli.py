@@ -79,6 +79,30 @@ def main(argv: list[str] | None = None) -> int:
         help="name:SQL-predicate true for violating rows (repeatable)",
     )
 
+    pst = sub.add_parser(
+        "stream",
+        help="run the DQ-gated streaming pipeline over an inbox (availableNow catch-up)",
+    )
+    pst.add_argument("--inbox", required=True)
+    pst.add_argument("--silver", required=True)
+    pst.add_argument("--quarantine", required=True)
+    pst.add_argument("--checkpoint", required=True)
+    pst.add_argument(
+        "--schema", default=None,
+        help="DDL schema of the inbox files (required unless --schema-from)",
+    )
+    pst.add_argument(
+        "--schema-from", default=None,
+        help="parquet path whose schema the inbox files follow",
+    )
+    pst.add_argument("--format", default="csv", choices=["csv", "parquet", "json"])
+    pst.add_argument("--max-files-per-trigger", type=int, default=1)
+    pst.add_argument("--timeout-sec", type=int, default=600)
+    pst.add_argument(
+        "--rule", action="append", default=None,
+        help="name:SQL-predicate true for violating rows (repeatable)",
+    )
+
     pm = sub.add_parser(
         "maintain", help="table maintenance: small-file compaction and/or TTL retention"
     )
@@ -137,6 +161,37 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
+        return 0
+    if args.cmd == "stream":
+        from realtime_data_pipeline_spark import streaming
+
+        if bool(args.schema) == bool(args.schema_from):
+            raise SystemExit("stream: pass exactly one of --schema / --schema-from")
+        schema = (
+            args.schema
+            if args.schema
+            else spark.read.parquet(args.schema_from).schema
+        )
+        src = streaming.read_file_stream(
+            spark,
+            args.inbox,
+            schema,
+            fmt=args.format,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        sq = streaming.dq_gated_stream(
+            src,
+            _parse_rules(args.rule),
+            args.silver,
+            args.quarantine,
+            checkpoint=args.checkpoint,
+        )
+        if not sq.awaitTermination(args.timeout_sec):
+            sq.stop()
+            print("stream: timed out before catch-up finished", file=sys.stderr)
+            return 1
+        n_clean = spark.read.parquet(args.silver).count()
+        print(f"stream: {n_clean} clean rows -> {args.silver}")
         return 0
     if args.cmd == "maintain":
         if not args.compact and not args.retain_from:

@@ -152,3 +152,29 @@ def test_cli_maintain_retention_then_compact(spark, tmp_path, capsys):
     assert {str(r.d) for r in remaining.select("d").distinct().collect()} == {
         "2024-01-02", "2024-01-03",
     }
+
+
+def test_cli_stream_gated_catchup(spark, tmp_path, capsys):
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    inbox = str(tmp_path / "cli_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("event_id,value\n1,10.0\n2,-5.0\n3,1.0\n")
+    rc = cli.main(
+        [
+            "stream",
+            "--inbox", inbox,
+            "--silver", str(tmp_path / "cs"),
+            "--quarantine", str(tmp_path / "cq"),
+            "--checkpoint", str(tmp_path / "cc"),
+            "--schema", "event_id long, value double",
+            "--rule", "neg:value < 0",
+            "--timeout-sec", "120",
+        ]
+    )
+    assert rc == 0
+    assert "2 clean rows" in capsys.readouterr().out
+    assert spark.read.parquet(str(tmp_path / "cq")).count() == 1
