@@ -102,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
         "--rule", action="append", default=None,
         help="name:SQL-predicate true for violating rows (repeatable)",
     )
+    pst.add_argument(
+        "--redact-text-col", default=None, metavar="COL",
+        help="run in-stream PII redaction on COL for clean rows",
+    )
 
     pm = sub.add_parser(
         "maintain", help="table maintenance: small-file compaction and/or TTL retention"
@@ -185,6 +189,11 @@ def main(argv: list[str] | None = None) -> int:
             args.silver,
             args.quarantine,
             checkpoint=args.checkpoint,
+            curate=(
+                streaming.curation_stage(text_col=args.redact_text_col)
+                if args.redact_text_col
+                else None
+            ),
         )
         if not sq.awaitTermination(args.timeout_sec):
             sq.stop()

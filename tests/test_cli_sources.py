@@ -178,3 +178,32 @@ def test_cli_stream_gated_catchup(spark, tmp_path, capsys):
     assert rc == 0
     assert "2 clean rows" in capsys.readouterr().out
     assert spark.read.parquet(str(tmp_path / "cq")).count() == 1
+
+
+def test_cli_stream_with_redaction(spark, tmp_path):
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    inbox = str(tmp_path / "red_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("event_id,value,note\n")
+        f.write('1,10.0,reach me at bob@example.com ok\n')
+        f.write("2,-5.0,quarantined raw\n")
+    rc = cli.main(
+        [
+            "stream",
+            "--inbox", inbox,
+            "--silver", str(tmp_path / "rs2"),
+            "--quarantine", str(tmp_path / "rq2"),
+            "--checkpoint", str(tmp_path / "rc2"),
+            "--schema", "event_id long, value double, note string",
+            "--rule", "neg:value < 0",
+            "--redact-text-col", "note",
+            "--timeout-sec", "120",
+        ]
+    )
+    assert rc == 0
+    silver = {r.event_id: r.note for r in spark.read.parquet(str(tmp_path / "rs2")).collect()}
+    assert silver == {1: "reach me at [EMAIL] ok"}
