@@ -196,6 +196,24 @@ def write_range_sorted(
     )
 
 
+def register_views(
+    spark: SparkSession, zones: "Zones", fmt: str = "parquet"
+) -> list[str]:
+    """Expose each existing zone as a temp view (``bronze``, ``silver``,
+    ``quarantine``) so the pure-SQL surface works against the medallion
+    layout: ``spark.sql("SELECT ... FROM silver WHERE ...")``. Views are
+    lazy plans over the zone paths — partition pruning and pushdown apply
+    exactly as through the DataFrame API. Returns the registered names;
+    zones with no data yet are skipped."""
+    registered = []
+    for name in ("bronze", "silver", "quarantine"):
+        path = getattr(zones, name)
+        if os.path.exists(path):
+            read_zone(spark, path, fmt=fmt).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -353,3 +353,21 @@ def test_drop_partitions_before_retention(spark, tmp_path):
     }
     # idempotent
     assert medallion.drop_partitions_before(tgt, "d", "2024-01-03")["dropped"] == []
+
+
+def test_register_views_sql_over_zones(spark, tmp_path):
+    """SQL-first surface: zones register as temp views and plain
+    spark.sql works over them; absent zones are skipped."""
+    from realtime_data_pipeline_spark import medallion
+
+    zones = medallion.Zones(str(tmp_path / "zv"))
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0)], "event_id long, value double"
+    ).write.parquet(zones.silver)
+    registered = medallion.register_views(spark, zones)
+    assert registered == ["silver"]
+    assert spark.sql("SELECT COUNT(*) AS n FROM silver").first().n == 2
+    assert (
+        spark.sql("SELECT event_id FROM silver WHERE value < 0").first().event_id
+        == 2
+    )
