@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         "--rule", action="append", default=None,
         help="name:SQL-predicate true for violating rows (repeatable)",
     )
+    pr.add_argument(
+        "--partition-by", default=None,
+        help="hive partition layout of the silver/quarantine zones "
+        "(e.g. batch_id for stream-produced zones); default auto-detects "
+        "from the quarantine directory layout",
+    )
 
     pst = sub.add_parser(
         "stream",
@@ -227,8 +233,20 @@ def main(argv: list[str] | None = None) -> int:
             )
         return 0
     if args.cmd == "replay":
+        # match the zones' existing layout: a stream-produced quarantine is
+        # batch_id=N partitioned, and appending flat files to a partitioned
+        # silver root breaks partition discovery on the next read
+        layout = (
+            [args.partition_by]
+            if args.partition_by
+            else medallion.detect_partition_layout(args.quarantine)
+        )
         out = medallion.replay_quarantine(
-            spark, args.quarantine, args.silver, _parse_rules(args.rule)
+            spark,
+            args.quarantine,
+            args.silver,
+            _parse_rules(args.rule),
+            partition_by=layout or None,
         )
         print(
             f"replay: promoted {out['promoted']} -> {args.silver}, "

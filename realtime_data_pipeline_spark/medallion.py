@@ -58,6 +58,7 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
     max_records_per_file: int | None = 1_000_000,
+    partition_overwrite: str = "dynamic",
 ) -> None:
     """S2/S3: parquet sink with selectable save-mode and optional hive
     partitioning (parity: ``spark_jobs/batch_etl.py:76-81``,
@@ -66,8 +67,18 @@ def write_parquet(
     Dynamic partition-overwrite is scoped to THIS write via a writer
     option, not a session conf — a session-global would silently turn
     every later partitioned mode('overwrite') in the same session into a
-    partial overwrite (round-3 advisory)."""
-    writer = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+    partial overwrite (round-3 advisory). ``partition_overwrite='static'``
+    opts back into the truncate-the-whole-path semantic for writers that
+    must CLEAR partitions absent from ``df`` (e.g. the quarantine rewrite
+    in :func:`replay_quarantine`, where a partition whose rows all
+    promoted must not survive the rewrite)."""
+    if partition_overwrite not in ("dynamic", "static"):
+        raise ValueError(
+            f"partition_overwrite must be dynamic|static, got {partition_overwrite!r}"
+        )
+    writer = df.write.mode(mode).option(
+        "partitionOverwriteMode", partition_overwrite
+    )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
@@ -366,6 +377,30 @@ def drop_partitions_before(
     return {"dropped": dropped, "kept": kept}
 
 
+def detect_partition_layout(path: str) -> list[str]:
+    """Infer the hive partition columns of a written zone from its
+    directory layout (``k=v`` subdirectories, walked depth-first). Lets
+    callers that didn't produce the zone themselves (the CLI ``replay``
+    over a stream-produced ``batch_id=N`` quarantine) rewrite it with the
+    SAME layout instead of flattening it — a mixed flat-file/partitioned
+    root breaks Spark partition discovery on the next read
+    ('conflicting directory structures'). Returns [] for unpartitioned
+    or missing paths."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        sub = [
+            d
+            for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not sub:
+            break
+        cols.append(sub[0].split("=", 1)[0])
+        cur = os.path.join(cur, sub[0])
+    return cols
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -378,7 +413,9 @@ def merge_upsert(
     the late-arriving-correction write the reference's overwrite-only
     pipeline cannot express. New keys insert, existing keys are replaced
     by the update row winning ``order_by`` (descending, e.g. a version or
-    load timestamp; target rows win ties so replays are no-ops).
+    load timestamp; UPDATE rows win ``order_by`` ties — a same-version
+    row with different content takes effect, matching ``upsert_stream``'s
+    documented semantic. Replays of identical rows are no-ops either way).
 
     Scale shape — the whole point is what it does NOT touch:
     1. affected partitions = distinct ``partition_col`` values in
@@ -480,7 +517,23 @@ def replay_quarantine(
     replay finds them gone from quarantine); still-bad rows are rewritten
     in place via ``localCheckpoint`` (Spark cannot overwrite a path it is
     reading — the materialized set is the shrunken quarantine, bounded by
-    construction). Returns promoted/remaining counts."""
+    construction). The rewrite is a STATIC full-path overwrite: under
+    dynamic partition-overwrite a partition whose rows ALL promoted would
+    be absent from ``still_bad``, its directory would survive untouched,
+    and the next replay would re-promote it — appending duplicates to
+    silver. Static overwrite truncates the quarantine root, so emptied
+    partitions actually disappear (regression-tested with a fully
+    promoting partition). Returns promoted/remaining counts."""
+    # a fully-promoted quarantine leaves a data-file-free directory behind
+    # (static overwrite of an empty frame) — a second replay is a no-op,
+    # not a schema-inference crash
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(quarantine_path)
+        for f in files
+    )
+    if not has_data:
+        return {"promoted": 0, "remaining": 0}
     q = spark.read.parquet(quarantine_path)
     clean, still_bad = dq.split_clean_violations(q, rules)
     clean = clean.localCheckpoint(eager=True)
@@ -495,6 +548,7 @@ def replay_quarantine(
             quarantine_path,
             mode="overwrite",
             partition_by=partition_by,
+            partition_overwrite="static",
         )
     return {"promoted": promoted, "remaining": remaining}
 

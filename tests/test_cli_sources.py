@@ -126,6 +126,62 @@ def test_cli_replay_promotes(spark, tmp_path, capsys):
     assert spark.read.parquet(quarantine).count() == 1
 
 
+def test_cli_stream_then_replay_keeps_partition_layout(spark, tmp_path, capsys):
+    """Regression (round-4 advisory, medium): chaining `stream` (which
+    lands zones hive-partitioned by batch_id) with `replay` must keep the
+    batch_id layout — auto-detected from the quarantine directory — not
+    append flat files to the silver root (mixed layouts break Spark
+    partition discovery on the next read)."""
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    inbox = str(tmp_path / "sr_inbox")
+    os.makedirs(inbox)
+    # value<0 rule jails 2 and 4; rule was too strict, 2 should have passed
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("event_id,value\n1,10.0\n2,-5.0\n")
+    with open(os.path.join(inbox, "b1.csv"), "w") as f:
+        f.write("event_id,value\n3,1.0\n4,-70.0\n")
+    silver = str(tmp_path / "srs")
+    quarantine = str(tmp_path / "srq")
+    rc = cli.main(
+        [
+            "stream",
+            "--inbox", inbox,
+            "--silver", silver,
+            "--quarantine", quarantine,
+            "--checkpoint", str(tmp_path / "src"),
+            "--schema", "event_id long, value double",
+            "--rule", "neg:value < 0",
+            "--max-files-per-trigger", "1",
+            "--timeout-sec", "120",
+        ]
+    )
+    assert rc == 0
+    assert any(d.startswith("batch_id=") for d in os.listdir(quarantine))
+
+    # relaxed rule: only value < -10 is truly bad -> event 2 promotes
+    rc = cli.main(
+        [
+            "replay",
+            "--quarantine", quarantine,
+            "--silver", silver,
+            "--rule", "very_neg:value < -10",
+        ]
+    )
+    assert rc == 0
+    assert "promoted 1" in capsys.readouterr().out
+    # silver root must stay purely batch_id-partitioned (no flat files)
+    assert all(
+        d.startswith(("batch_id=", "_", "."))  # _SUCCESS + .crc metadata
+        for d in os.listdir(silver)
+    )
+    silver_df = spark.read.parquet(silver)  # would raise on mixed layout
+    assert {r.event_id for r in silver_df.collect()} == {1, 2, 3}
+    assert {r.event_id for r in spark.read.parquet(quarantine).collect()} == {4}
+
+
 def test_cli_maintain_retention_then_compact(spark, tmp_path, capsys):
     from realtime_data_pipeline_spark import cli, medallion
 

@@ -331,6 +331,68 @@ def test_replay_quarantine_can_empty_the_jail(spark, tmp_path):
     }
 
 
+def test_replay_quarantine_partitioned_fully_promoted_partition(spark, tmp_path):
+    """Regression (round-4 advisory, high): with a hive-partitioned
+    quarantine, a partition whose rows ALL pass the fixed rules must be
+    REMOVED by the rewrite. Under dynamic partition-overwrite the emptied
+    partition is absent from still_bad, its directory survives, and the
+    next replay re-promotes it — silently appending duplicates to silver.
+    The static full-path rewrite clears it; a second replay is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import dq, medallion
+
+    silver = str(tmp_path / "silver3")
+    quarantine = str(tmp_path / "quarantine3")
+    # batch 1: all rows pass the fixed rule (fully-promoting partition)
+    # batch 2: one passes, one stays jailed
+    spark.createDataFrame(
+        [(1, 3.0, 1), (2, 4.0, 1), (3, 2.0, 2), (4, -7.0, 2)],
+        "event_id long, value double, batch_id int",
+    ).write.partitionBy("batch_id").parquet(quarantine)
+    spark.createDataFrame(
+        [(0, 10.0, 0)], "event_id long, value double, batch_id int"
+    ).write.partitionBy("batch_id").parquet(silver)
+
+    rules = [dq.Rule("neg_value", F.col("value") < 0)]
+    out = medallion.replay_quarantine(
+        spark, quarantine, silver, rules, partition_by="batch_id"
+    )
+    assert out == {"promoted": 3, "remaining": 1}
+    # the fully-promoted batch_id=1 directory must be gone from quarantine
+    assert not os.path.exists(os.path.join(quarantine, "batch_id=1"))
+    assert {r.event_id for r in spark.read.parquet(quarantine).collect()} == {4}
+    # silver keeps its partition layout: promoted rows land under batch_id=N
+    assert os.path.isdir(os.path.join(silver, "batch_id=1"))
+    assert spark.read.parquet(silver).count() == 4
+
+    # second replay must be a no-op — no duplicate re-promotion
+    out2 = medallion.replay_quarantine(
+        spark, quarantine, silver, rules, partition_by="batch_id"
+    )
+    assert out2 == {"promoted": 0, "remaining": 1}
+    assert spark.read.parquet(silver).count() == 4
+
+
+def test_detect_partition_layout(spark, tmp_path):
+    """Layout sniffer: nested k=v dirs map to the partition column list;
+    flat and missing paths map to []."""
+    from realtime_data_pipeline_spark import medallion
+
+    nested = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, "a", 1, 2.0)], "id long, k string, batch_id int, v double"
+    ).write.partitionBy("k", "batch_id").parquet(nested)
+    assert medallion.detect_partition_layout(nested) == ["k", "batch_id"]
+
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame([(1,)], "id long").write.parquet(flat)
+    assert medallion.detect_partition_layout(flat) == []
+    assert medallion.detect_partition_layout(str(tmp_path / "missing")) == []
+
+
 def test_drop_partitions_before_retention(spark, tmp_path):
     """TTL: partitions below the cutoff are removed at the filesystem
     level (no scan); the table stays readable with the survivors."""
