@@ -21,18 +21,50 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Stateful streaming keeps its per-key state in a StateStore per partition.
+# The default (hdfs) provider holds ALL state in executor heap — fine for
+# dev, the first thing that falls over at 100x the per-key state. RocksDB
+# spills state to local disk with a bounded block cache, which is the
+# provider every large stateful deployment runs. rocksdbjni ships inside
+# pyspark's jars, so this is pure configuration.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+_STATE_STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def set_state_store(spark: SparkSession, which: str) -> None:
+    """Select the streaming state-store provider ('hdfs' | 'rocksdb') at
+    runtime. The conf is read at QUERY START, so setting it between
+    queries is safe and affects only queries started afterwards —
+    existing checkpoints keep working (provider is per-checkpoint
+    metadata-compatible; state format is rebuilt from the changelog)."""
+    spark.conf.set(_STATE_STORE_CONF, STATE_STORE_PROVIDERS[which])
+
 
 def get_spark(
     app_name: str = "realtime_data_pipeline_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     max_partition_bytes: str = "128m",
+    state_store: str = "rocksdb",
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     Parameters mirror the reference's CLI knobs (SURVEY.md §2.11) but default
-    to adaptive behavior rather than hardcoded dev sizes.
+    to adaptive behavior rather than hardcoded dev sizes. ``state_store``
+    defaults to RocksDB (disk-backed, bounded-heap) — the 100 TB posture
+    for stateful streaming; pass 'hdfs' for the Spark default in-heap
+    provider.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -51,6 +83,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config(_STATE_STORE_CONF, STATE_STORE_PROVIDERS[state_store])
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -199,10 +199,20 @@ def running_count_per_key(
     keys: list[str],
     ts_col: str,
     watermark: str = "10 minutes",
+    expire_after_ms: int | None = None,
 ):
     """W6: custom stateful per-key logic via ``applyInPandasWithState`` —
     running event count + last-seen timestamp per key, emitted every
     micro-batch. The state dict is O(1) per key.
+
+    ``expire_after_ms`` bounds TOTAL state: each key's state carries an
+    event-time timeout at ``last_ts + expire_after_ms``; once the
+    watermark passes it, the state entry is REMOVED (the key restarts
+    from zero if it reappears). Without it the running count is exact
+    forever but state grows with key cardinality — at 100 TB of
+    unbounded keys, set it (the soak test proves eviction under both
+    state-store providers). Timeout timestamps are clamped above the
+    current watermark, as Spark requires.
 
     Spark 4's successor API (``transformWithStateInPandas`` +
     ``StatefulProcessor``) is the forward path for multi-state-variable /
@@ -221,6 +231,9 @@ def running_count_per_key(
     state_schema = "n bigint, last_ts timestamp"
 
     def update(key, pdfs, state: GroupState):
+        if expire_after_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         n = 0
         last = None
         if state.exists:
@@ -230,6 +243,11 @@ def running_count_per_key(
             batch_max = pdf[ts_col].max()
             last = batch_max if last is None else max(last, batch_max)
         state.update((n, last))
+        if expire_after_ms is not None:
+            last_ms = int(pd.Timestamp(last).value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(last_ms + expire_after_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             [[*key, n, last]], columns=[*keys, "n_events", "last_ts"]
         )
@@ -242,7 +260,11 @@ def running_count_per_key(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if expire_after_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
