@@ -233,6 +233,155 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Multi-trigger streaming leg (round-4 verdict #4): the single-file
+    # legs above hide per-trigger overhead entirely. Split events into 8
+    # files with maxFilesPerTrigger=1 -> 8 micro-batches + the final
+    # empty trigger; per-trigger cost ~= (this leg - streaming_dq_gate)/7
+    # becomes a tracked number instead of an invisible constant.
+    with tempfile.TemporaryDirectory() as td:
+        split_dir = os.path.join(td, "events_split")
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            8
+        ).write.parquet(split_dir)
+        split_files = [
+            os.path.join(split_dir, f)
+            for f in os.listdir(split_dir)
+            if f.endswith(".parquet")
+        ]
+
+        def multibatch_leg_once() -> float:
+            with tempfile.TemporaryDirectory() as td2:
+                inbox = os.path.join(td2, "inbox")
+                os.makedirs(inbox)
+                for i, f in enumerate(split_files):
+                    shutil.copy(f, os.path.join(inbox, f"b{i}.parquet"))
+                t0 = time.perf_counter()
+                sq = streaming.dq_gated_stream(
+                    streaming.read_file_stream(
+                        spark, inbox, ev_schema, fmt="parquet",
+                        max_files_per_trigger=1,
+                    ),
+                    rules,
+                    os.path.join(td2, "silver"),
+                    os.path.join(td2, "quarantine"),
+                    checkpoint=os.path.join(td2, "ckpt"),
+                )
+                if not sq.awaitTermination(300):
+                    sq.stop()
+                    raise RuntimeError(
+                        "multibatch streaming leg did not finish in 300s"
+                    )
+                return time.perf_counter() - t0
+
+        timings["streaming_dq_gate_multibatch"] = round(
+            min(multibatch_leg_once() for _ in range(2)), 3
+        )
+        print(
+            f"# streaming_dq_gate_multibatch: "
+            f"{timings['streaming_dq_gate_multibatch']}s",
+            file=sys.stderr,
+        )
+
+    # Incremental-maintenance legs (round-4 verdict #3): the daily-ingest
+    # path at 100 TB is "merge a batch against a persisted index", never
+    # "recompute the corpus". Each pair times the incremental merge of a
+    # 5% batch against a prebuilt corpus index NEXT TO the equivalent full
+    # recompute on the same data — the gap is the whole point of the
+    # persisted indexes, and now it is a measured number, not an argument.
+    from realtime_data_pipeline_spark import dedup, neardup, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_docs = docs.filter(F.pmod("doc_id", F.lit(20)) == 0)
+    corpus_docs = docs.filter(F.pmod("doc_id", F.lit(20)) != 0)
+    tiebreak = [F.col("doc_id").asc()]
+
+    def dedup_full():
+        return dedup.fingerprint_dedup(docs, "text", tiebreak)
+
+    dedup_full().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dedup_full().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["dedup_full_recompute"] = round(best, 3)
+    print(f"# dedup_full_recompute: {timings['dedup_full_recompute']}s", file=sys.stderr)
+
+    with tempfile.TemporaryDirectory() as td:
+        fp_idx = os.path.join(td, "fp_index")
+        dedup.incremental_fingerprint_dedup(corpus_docs, fp_idx, "text", tiebreak)
+        best = float("inf")
+        for i in range(3):  # pass 0 warms the path; fresh index copy per pass
+            idx_copy = os.path.join(td, f"fp_idx_{i}")
+            shutil.copytree(fp_idx, idx_copy)
+            t0 = time.perf_counter()
+            dedup.incremental_fingerprint_dedup(
+                batch_docs, idx_copy, "text", tiebreak
+            )
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        timings["dedup_incremental_merge"] = round(best, 3)
+    print(
+        f"# dedup_incremental_merge: {timings['dedup_incremental_merge']}s",
+        file=sys.stderr,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        nd_idx = os.path.join(td, "nd_index")
+        neardup.incremental_neardup_minhash(
+            corpus_docs, nd_idx, "doc_id", "text"
+        )
+        best = float("inf")
+        for i in range(3):
+            idx_copy = os.path.join(td, f"nd_idx_{i}")
+            shutil.copytree(nd_idx, idx_copy)
+            t0 = time.perf_counter()
+            neardup.incremental_neardup_minhash(
+                batch_docs, idx_copy, "doc_id", "text"
+            )
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        timings["neardup_incremental_merge"] = round(best, 3)
+    print(
+        f"# neardup_incremental_merge: {timings['neardup_incremental_merge']}s",
+        file=sys.stderr,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch_emb = emb.filter(F.pmod("vec_id", F.lit(20)) == 0)
+    corpus_emb = emb.filter(F.pmod("vec_id", F.lit(20)) != 0)
+    with tempfile.TemporaryDirectory() as td:
+        best = float("inf")
+        for i in range(3):  # rebuild = train quantizer + full cell layout
+            t0 = time.perf_counter()
+            cents = similarity.train_centroids_kmeans(emb, 64)
+            similarity.build_ivf_index(emb, os.path.join(td, f"full_{i}"), cents)
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        timings["ivf_index_rebuild"] = round(best, 3)
+        print(
+            f"# ivf_index_rebuild: {timings['ivf_index_rebuild']}s",
+            file=sys.stderr,
+        )
+        ivf_idx = os.path.join(td, "ivf_index")
+        similarity.build_ivf_index(
+            corpus_emb, ivf_idx, similarity.train_centroids_kmeans(corpus_emb, 64)
+        )
+        best = float("inf")
+        for i in range(3):
+            idx_copy = os.path.join(td, f"ivf_idx_{i}")
+            shutil.copytree(ivf_idx, idx_copy)
+            t0 = time.perf_counter()
+            similarity.append_to_ivf_index(batch_emb, idx_copy)
+            dt = time.perf_counter() - t0
+            if i > 0:
+                best = min(best, dt)
+        timings["ivf_index_append"] = round(best, 3)
+    print(f"# ivf_index_append: {timings['ivf_index_append']}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -248,5 +397,205 @@ def main() -> None:
     spark.stop()
 
 
+# --- scale ramp mode (round-4 verdict #2) -------------------------------
+#
+# BASELINE.md's fixed-floor claim (per-query cost = 0.2-0.5s Spark floor +
+# a data-linear term) is load-bearing for every "within 2x of baseline"
+# verdict. This mode MEASURES the slope: build a factor-x dataset from the
+# base SF (key-offset copies so join fan-outs and per-key row counts stay
+# realistic — duplicating keys verbatim would square join outputs), run
+# the headline legs at both sizes, and report wall-time slope vs the data
+# ratio. slope/factor <= ~1 means linear-or-better scaling with no hidden
+# driver-side bottleneck.
+
+RAMP_OFFSET = 10_000_000  # > any base-table key at sf<=1
+RAMP_FACT_KEYS = {
+    # fact tables: these key columns shift per copy so copy i joins /
+    # groups only within itself (orderkey consistency across lineitem and
+    # orders keeps the fact-fact join 1:N, not NxN); dims stay 1x, the
+    # realistic shape (dims grow far slower than facts)
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+RAMP_DIMS = ["customer", "supplier", "part", "nation", "region"]
+RAMP_LEGS = [
+    "pricing_summary_q1",        # filtered scan + grouped agg (lineitem)
+    "forecast_revenue_q6",       # selective filter + global agg (lineitem)
+    "revenue_per_nation",        # fact-fact shuffle join + broadcast dims
+    "events_keep_latest_per_user",  # window dedup, 10x keys
+    "doc_quality_profile",       # pure column exprs over documents
+    "embedding_knn_bruteforce",  # fixed 50 queries x 10x corpus
+]
+
+
+def _build_ramp(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    for t, keys in RAMP_FACT_KEYS.items():
+        df = spark.read.parquet(f"{base_dir}/{t}.parquet")
+        copies = [df] + [
+            df.select(
+                *[
+                    (F.col(c) + i * RAMP_OFFSET).alias(c) if c in keys else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(1, factor)
+        ]
+        u = copies[0]
+        for c in copies[1:]:
+            u = u.unionByName(c)
+        u.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t in RAMP_DIMS:
+        spark.read.parquet(f"{base_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+
+def scale_ramp(factor: int = 10) -> None:
+    import tempfile
+
+    from realtime_data_pipeline_spark import queries as q
+    from realtime_data_pipeline_spark.session import get_spark
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(base_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="rdp-bench-ramp")
+
+    def time_leg(name: str, sf_dir: str) -> float:
+        fn = q.QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    with tempfile.TemporaryDirectory() as ramp_dir:
+        t0 = time.perf_counter()
+        _build_ramp(spark, base_dir, ramp_dir, factor)
+        build_sec = round(time.perf_counter() - t0, 3)
+        print(f"# ramp build ({factor}x): {build_sec}s", file=sys.stderr)
+        legs: dict[str, dict] = {}
+        for name in RAMP_LEGS:
+            base_t = time_leg(name, base_dir)
+            ramp_t = time_leg(name, ramp_dir)
+            slope = ramp_t / base_t if base_t > 0 else float("inf")
+            legs[name] = {
+                "base_sec": round(base_t, 3),
+                "ramp_sec": round(ramp_t, 3),
+                "slope": round(slope, 2),
+                "slope_vs_factor": round(slope / factor, 2),
+            }
+            print(
+                f"# {name}: {legs[name]['base_sec']}s -> "
+                f"{legs[name]['ramp_sec']}s (slope {legs[name]['slope']}x "
+                f"of {factor}x data)",
+                file=sys.stderr,
+            )
+        worst = max(v["slope_vs_factor"] for v in legs.values())
+
+        # incremental-vs-full slope (the point of the persisted indexes):
+        # at BASE scale the incremental merge loses to a full recompute —
+        # its fixed stage count dominates a tiny corpus. What matters at
+        # 100 TB is the SLOPE: full recompute grows with the corpus
+        # (~factor), the batch merge must stay ~flat (batch is fixed; the
+        # index anti-join streams map-side). Measured here, not argued.
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        from realtime_data_pipeline_spark import dedup
+
+        tiebreak = [F.col("doc_id").asc()]
+        incr = {}
+        for label, d in (("base", base_dir), ("ramp", ramp_dir)):
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            batch = spark.read.parquet(f"{base_dir}/documents.parquet").filter(
+                F.pmod("doc_id", F.lit(20)) == 0
+            )  # fixed-size daily batch regardless of corpus size
+            corpus = docs.filter(F.pmod("doc_id", F.lit(20)) != 0)
+
+            def full():
+                return dedup.fingerprint_dedup(docs, "text", tiebreak)
+
+            full().write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                full().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            full_t = best
+
+            idx = os.path.join(ramp_dir, f"__fp_idx_{label}")
+            dedup.incremental_fingerprint_dedup(corpus, idx, "text", tiebreak)
+            best = float("inf")
+            for i in range(3):
+                idx_copy = os.path.join(ramp_dir, f"__fp_idx_{label}_{i}")
+                _shutil.copytree(idx, idx_copy)
+                t0 = time.perf_counter()
+                dedup.incremental_fingerprint_dedup(
+                    batch, idx_copy, "text", tiebreak
+                )
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    best = min(best, dt)
+            incr[label] = {
+                "full_sec": round(full_t, 3),
+                "incremental_sec": round(best, 3),
+            }
+        full_slope = incr["ramp"]["full_sec"] / incr["base"]["full_sec"]
+        incr_slope = (
+            incr["ramp"]["incremental_sec"] / incr["base"]["incremental_sec"]
+        )
+        legs["dedup_full_recompute"] = {
+            "base_sec": incr["base"]["full_sec"],
+            "ramp_sec": incr["ramp"]["full_sec"],
+            "slope": round(full_slope, 2),
+            "slope_vs_factor": round(full_slope / factor, 2),
+        }
+        legs["dedup_incremental_merge"] = {
+            "base_sec": incr["base"]["incremental_sec"],
+            "ramp_sec": incr["ramp"]["incremental_sec"],
+            "slope": round(incr_slope, 2),
+            "slope_vs_factor": round(incr_slope / factor, 2),
+        }
+        print(
+            f"# dedup full recompute slope {full_slope:.2f}x vs incremental "
+            f"merge slope {incr_slope:.2f}x at {factor}x corpus",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_ramp_worst_slope_vs_factor",
+                    "value": worst,
+                    "unit": "x",
+                    "factor": factor,
+                    "ramp_build_sec": build_sec,
+                    "legs": legs,
+                    "sf": sf,
+                }
+            )
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale-ramp" in sys.argv:
+        idx = sys.argv.index("--scale-ramp")
+        factor = (
+            int(sys.argv[idx + 1])
+            if len(sys.argv) > idx + 1 and sys.argv[idx + 1].isdigit()
+            else 10
+        )
+        scale_ramp(factor)
+    else:
+        main()
