@@ -365,11 +365,15 @@ def incremental_neardup_minhash(
     sigs.unpersist()
 
     fresh = fresh_core.unionByName(short_docs)
+    # metrics from counts already taken plus ONE short-side count — not
+    # new_docs.count() + fresh.count(), which would re-scan the batch
+    # twice more (a daily batch at corpus scale is not free to scan)
+    n_short = short_docs.count()
     return fresh, {
-        "batch_rows": new_docs.count(),
+        "batch_rows": n_eligible + n_short,
         "in_batch_dropped": n_eligible - n_batch_kept,
         "corpus_dups": n_batch_kept - n_fresh_core,
-        "fresh_rows": fresh.count(),
+        "fresh_rows": n_fresh_core + n_short,
     }
 
 

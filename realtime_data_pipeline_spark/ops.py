@@ -31,9 +31,22 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     exists for the small-input case, where a single split would otherwise
     serialize every downstream stage (Arrow UDFs included) onto one core.
     Pass key columns to hash-partition by them; otherwise round-robin.
+
+    For file-backed inputs the guard probes ``inputFiles()`` — an
+    analyzed-plan traversal, cheap and side-effect-free — instead of
+    ``df.rdd.getNumPartitions()``, which forces FULL physical planning +
+    RDD DAG conversion on the driver per call (round-4 advisory). File
+    count under-counts splits only in the one-giant-file case, where the
+    extra exchange is noise next to the single-split scan it fixes.
+    Non-file inputs (driver-lifted rows, range) keep the RDD probe:
+    their plans are local and tiny, so the conversion is too.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if target <= 1 or df.rdd.getNumPartitions() >= max(2, target // 2):
+    if target <= 1:
+        return df
+    files = df.inputFiles()
+    n_src = len(files) if files else df.rdd.getNumPartitions()
+    if n_src >= max(2, target // 2):
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
