@@ -568,7 +568,17 @@ def run_bronze(
     AND writes it — two jobs; ``batch_etl.py:66,76``)."""
     raw = spark.read.parquet(raw_path)
     bronze = etl.bronze_transform(raw, ts_col, keep_cols, date_col)
-    write_parquet(bronze, bronze_path, mode=mode, partition_by=date_col)
+    # full-rebuild semantics: overwrite means THE TABLE, so partitions
+    # absent from this run's raw must not survive from the last run
+    # (dynamic overwrite would keep them — same staleness class as the
+    # quarantine-replay bug); append keeps dynamic for backfills
+    write_parquet(
+        bronze,
+        bronze_path,
+        mode=mode,
+        partition_by=date_col,
+        partition_overwrite="static" if mode == "overwrite" else "dynamic",
+    )
     written = spark.read.parquet(bronze_path)
     return {
         "rows": written.count(),
@@ -598,10 +608,25 @@ def run_silver(
     bronze = spark.read.parquet(bronze_path)
     report = dq.evaluate(bronze, rules, warn_only=warn_only, raise_on_fail=False)
     clean, bad = dq.split_clean_violations(bronze, rules)
+    # overwrite = full rebuild of BOTH zones: a partition whose rows all
+    # turned violating this run must vanish from silver (and vice versa
+    # for the quarantine) — dynamic overwrite would leave the previous
+    # run's copy in the zone it no longer belongs to
+    pmode = "static" if mode == "overwrite" else "dynamic"
     write_parquet(
-        etl.silver_transform(clean), silver_path, mode=mode, partition_by=partition_by
+        etl.silver_transform(clean),
+        silver_path,
+        mode=mode,
+        partition_by=partition_by,
+        partition_overwrite=pmode,
     )
-    write_parquet(bad, quarantine_path, mode=mode, partition_by=partition_by)
+    write_parquet(
+        bad,
+        quarantine_path,
+        mode=mode,
+        partition_by=partition_by,
+        partition_overwrite=pmode,
+    )
     if artifacts_dir:
         report.write_json(Path(artifacts_dir))
     if not report.passed and not warn_only:

@@ -376,6 +376,48 @@ def test_replay_quarantine_partitioned_fully_promoted_partition(spark, tmp_path)
     assert spark.read.parquet(silver).count() == 4
 
 
+def test_overwrite_rebuild_drops_stale_partitions(spark, tmp_path):
+    """Full-rebuild semantics: run_silver with mode='overwrite' must not
+    leave a previous run's partition in a zone it no longer belongs to.
+    A date whose rows ALL turn violating between runs would survive in
+    silver under dynamic partition-overwrite (absent from the new clean
+    set, its directory is never touched) — same staleness class as the
+    quarantine-replay advisory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import dq, medallion
+
+    bronze = str(tmp_path / "ob")
+    silver = str(tmp_path / "os")
+    quarantine = str(tmp_path / "oq")
+    rules = [dq.Rule("neg_value", F.col("value") < 0)]
+    # run 1: both dates clean
+    spark.createDataFrame(
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-02")],
+        "event_id long, value double, event_date string",
+    ).write.mode("overwrite").partitionBy("event_date").parquet(bronze)
+    medallion.run_silver(
+        spark, bronze, silver, quarantine, rules,
+        warn_only=True, partition_by="event_date",
+    )
+    assert os.path.isdir(os.path.join(silver, "event_date=2024-01-02"))
+
+    # run 2: the 01-02 rows are now all violations -> must LEAVE silver
+    spark.createDataFrame(
+        [(1, 1.0, "2024-01-01"), (2, -2.0, "2024-01-02")],
+        "event_id long, value double, event_date string",
+    ).write.mode("overwrite").partitionBy("event_date").parquet(bronze)
+    medallion.run_silver(
+        spark, bronze, silver, quarantine, rules,
+        warn_only=True, partition_by="event_date",
+    )
+    assert not os.path.exists(os.path.join(silver, "event_date=2024-01-02"))
+    assert {r.event_id for r in spark.read.parquet(silver).collect()} == {1}
+    assert {r.event_id for r in spark.read.parquet(quarantine).collect()} == {2}
+
+
 def test_detect_partition_layout(spark, tmp_path):
     """Layout sniffer: nested k=v dirs map to the partition column list;
     flat and missing paths map to []."""

@@ -116,6 +116,65 @@ def test_stream_dedup_bounded_state_both_providers(
     assert results["hdfs"] == results["rocksdb"]
 
 
+def test_interval_join_bounded_state_both_providers(
+    spark, tmp_path, _restore_provider
+):
+    """J5 soak: stream-stream interval join state (both sides buffered
+    until provably unmatchable) grows while batches arrive and shrinks
+    once the watermark + interval bound passes — identical joined output
+    under both providers."""
+    clicks_dir = os.path.join(str(tmp_path), "clicks")
+    buys_dir = os.path.join(str(tmp_path), "buys")
+    os.makedirs(clicks_dir)
+    os.makedirs(buys_dir)
+    # 5 file-pairs; user u{f}_{i} clicks 1 min after their purchase, so
+    # every click joins exactly one purchase inside the 10-min interval
+    for fidx in range(5):
+        t_buy = BASE + datetime.timedelta(minutes=30 * fidx)
+        t_click = t_buy + datetime.timedelta(minutes=1)
+        with open(os.path.join(clicks_dir, f"f{fidx}.csv"), "w") as f:
+            f.write("ck,click_ts\n")
+            for i in range(50):
+                f.write(
+                    f"u{fidx}_{i},{t_click.strftime('%Y-%m-%d %H:%M:%S')}\n"
+                )
+        with open(os.path.join(buys_dir, f"f{fidx}.csv"), "w") as f:
+            f.write("bk,buy_ts\n")
+            for i in range(50):
+                f.write(
+                    f"u{fidx}_{i},{t_buy.strftime('%Y-%m-%d %H:%M:%S')}\n"
+                )
+    results = {}
+    for provider in PROVIDERS:
+        set_state_store(spark, provider)
+        clicks = (
+            spark.readStream.format("csv")
+            .option("header", "true")
+            .schema("ck string, click_ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .load(clicks_dir)
+        )
+        buys = (
+            spark.readStream.format("csv")
+            .option("header", "true")
+            .schema("bk string, buy_ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .load(buys_dir)
+        )
+        joined = streaming.interval_join_stream(
+            clicks, buys, "ck", "bk", "click_ts", "buy_ts",
+            max_delay="10 minutes", watermark="10 minutes",
+        )
+        rows, state = _run_stream(
+            spark, joined, str(tmp_path / f"jcp_{provider}"), f"jsoak_{provider}"
+        )
+        assert len(rows) == 250  # every click matched its one purchase
+        assert max(state) > 100, state  # >1 file-pair buffered at peak
+        assert state[-1] < max(state), state  # eviction after watermark
+        results[provider] = sorted((r.ck, r.click_ts, r.buy_ts) for r in rows)
+    assert results["hdfs"] == results["rocksdb"]
+
+
 def test_running_count_expiry_bounded_state(spark, tmp_path, _restore_provider):
     """W6 soak on RocksDB: with expire_after_ms set, per-key state carries
     an event-time timeout; keys idle past the horizon are REMOVED (state
