@@ -1,0 +1,130 @@
+"""Sequence packing for LLM training-data assembly.
+
+The standard pretraining data layout concatenates the (ordered) token
+streams of all documents and slices the result into fixed-length context
+blocks ("concat-then-chunk", the GPT-2/3 recipe): no padding waste, docs
+may straddle block boundaries. Assigning every document its block span
+requires each doc's GLOBAL token offset — an exclusive prefix sum over
+the corpus in a deterministic order.
+
+The naive Spark spelling — ``F.sum(w).over(Window.orderBy(id))`` with no
+partition key — collapses the whole corpus into ONE task (Catalyst plans
+an ``Exchange SinglePartition`` under the window): the classic driver-
+shaped bottleneck that works at sf0.1 and dies at 100 TB. This module
+implements the two-level distributed prefix sum instead:
+
+1. rows bucket by ``floor(order/bucket_size)`` — deterministic, data-
+   independent (unlike ``spark_partition_id``), so results are stable
+   across partition layouts and engines;
+2. ONE shuffle on the bucket key computes the within-bucket running sum
+   (window) and per-bucket totals (agg) from the same exchange;
+3. bucket totals (corpus_rows / bucket_size rows — tiny) prefix-sum on
+   a single small partition, then broadcast-join back as each bucket's
+   base offset.
+
+Global offset = bucket base + within-bucket running sum. The only
+corpus-sized movement is the one bucket-key shuffle; the single-
+partition step touches bucket TOTALS, never rows. Deterministic given
+distinct integer ``order_col`` values (bucket membership and within-
+bucket order are both value-derived).
+
+No counterpart exists in the reference (single-table ETL —
+``spark_jobs/batch_etl.py``); this extends the LLM-data surface
+(SURVEY.md §2.9) the same way dedup/similarity do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "offset",
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``weight_col`` over all rows STRICTLY
+    before this one in ``order_col`` order (exclusive prefix sum), via
+    the two-level shape described in the module docstring.
+
+    ``order_col`` must be distinct integers (a doc id); ``bucket_size``
+    caps rows per bucket (ids need not be contiguous — gaps only make
+    buckets smaller). Equivalent to the SQL window
+    ``SUM(w) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` — which Spark would execute on one task; this version
+    shuffles once on the bucket key instead (plan-gated: no
+    row-carrying ``Exchange SinglePartition``).
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(bucket_size)).alias("__bucket")
+    rows = df.withColumn("__bucket", bucket)
+    in_bucket = Window.partitionBy("__bucket").orderBy(order_col)
+    # running sum INCLUDING current row, minus own weight = exclusive sum;
+    # rowsBetween(unboundedPreceding, -1) would be one frame-spec cheaper
+    # to read but NULLs the first row, costing a coalesce anyway
+    local = F.sum(weight_col).over(in_bucket) - F.col(weight_col)
+    # per-bucket totals: tiny (n_rows / bucket_size); exclusive-prefix-sum
+    # THEM on a single partition — totals, never rows
+    totals = rows.groupBy("__bucket").agg(
+        F.sum(weight_col).alias("__bucket_total")
+    )
+    base = (
+        totals.withColumn(
+            "__base",
+            F.coalesce(
+                F.sum("__bucket_total").over(
+                    Window.orderBy("__bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bucket", "__base")
+    )
+    return (
+        rows.withColumn("__local", local)
+        .join(F.broadcast(base), "__bucket")
+        .withColumn(out_col, (F.col("__base") + F.col("__local")).cast("long"))
+        .drop("__bucket", "__local", "__base")
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    ctx_len: int,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Concat-then-chunk packing layout: given per-doc token counts
+    (``weight_col``), assign each document its span in the stream of
+    fixed-size context blocks. Zero-token docs contribute nothing and
+    are dropped (they would claim a phantom block slot).
+
+    Output columns (per doc): ``offset`` (global token offset),
+    ``start_block`` / ``start_offset`` (block index and position where
+    the doc begins), ``end_block`` (block where its last token lands),
+    ``blocks_spanned``. A writer materializing block N selects
+    ``start_block <= N <= end_block`` — at scale, range-partition by
+    ``start_block`` so each writer task reads a contiguous doc slice.
+    """
+    w = F.col(weight_col)
+    out = exclusive_prefix_sum(
+        df.filter(w > 0), id_col, weight_col, out_col="offset",
+        bucket_size=bucket_size,
+    )
+    start = F.floor(F.col("offset") / ctx_len).cast("long")
+    end = F.floor((F.col("offset") + w - 1) / ctx_len).cast("long")
+    return (
+        out.withColumn("start_block", start)
+        .withColumn(
+            "start_offset", (F.col("offset") % ctx_len).cast("long")
+        )
+        .withColumn("end_block", end)
+        .withColumn(
+            "blocks_spanned", (end - start + F.lit(1)).cast("long")
+        )
+    )

@@ -393,6 +393,58 @@ GROUP BY 1, 2
 """
 
 
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT pretraining layout):
+    each doc's global token offset and context-block span for a
+    1024-token context, via the DISTRIBUTED exclusive prefix sum in
+    ``packing.py`` — one bucket-key shuffle; the single-partition step
+    sees per-bucket totals only, never rows (the naive global-window
+    spelling would funnel the corpus through one task). bucket_size=100
+    exercises the multi-bucket path even at sf0.001."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.token_count_re(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = packing.pack_concat_chunks(
+        docs, "doc_id", "n_tokens", ctx_len=1024, bucket_size=100
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("offset").alias("tok_offset"),
+        "start_block",
+        "start_offset",
+        "end_block",
+        "blocks_spanned",
+    )
+
+
+DOCS_PACK_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(FLOOR(tok_offset / 1024) AS BIGINT) AS start_block,
+       CAST(tok_offset % 1024 AS BIGINT) AS start_offset,
+       CAST(FLOOR((tok_offset + n_tokens - 1) / 1024) AS BIGINT) AS end_block,
+       CAST(FLOOR((tok_offset + n_tokens - 1) / 1024)
+            - FLOOR(tok_offset / 1024) + 1 AS BIGINT) AS blocks_spanned
+FROM s
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (``sampleBy``): down-weight the dominant
     language, keep the rest — the class-rebalancing step before training.
@@ -425,6 +477,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_multimodal_decode": docs_multimodal_decode,
+    "docs_pack_chunks": docs_pack_chunks,
+}
+
+# hash-checked locally (tests/test_queries_oracle.py) though shelved from
+# the driver's 50-row budget
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "docs_pack_chunks": DOCS_PACK_CHUNKS_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -1,0 +1,83 @@
+"""Sequence-packing operator (packing.py): distributed exclusive prefix
+sum + concat-then-chunk block assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import packing
+
+
+def _naive_exclusive(df, order_col, weight_col):
+    """The single-partition spelling the distributed version must equal."""
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "offset", F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long")
+    )
+
+
+def test_prefix_sum_matches_naive_window_across_bucket_sizes(spark):
+    """Exclusive prefix sum equals the global-window spelling for every
+    bucket size (1 row/bucket through one-bucket-holds-all) — bucket
+    geometry is an execution detail, never a result."""
+    rows = [(i * 3 + 1, (i * 7) % 5 + 1) for i in range(200)]  # gappy ids
+    df = spark.createDataFrame(rows, "id long, w long")
+    expected = {
+        (r.id, r.offset)
+        for r in _naive_exclusive(df, "id", "w").collect()
+    }
+    for bucket_size in (1, 7, 64, 10_000):
+        got = {
+            (r.id, r.offset)
+            for r in packing.exclusive_prefix_sum(
+                df, "id", "w", bucket_size=bucket_size
+            ).collect()
+        }
+        assert got == expected, f"bucket_size={bucket_size}"
+
+
+def test_pack_concat_chunks_block_math(spark):
+    """Block spans: docs fill blocks contiguously, straddlers span
+    multiple blocks, zero-token docs are dropped."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 100), (4, 30)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r.doc_id: r
+        for r in packing.pack_concat_chunks(
+            df, "doc_id", "n_tokens", ctx_len=64
+        ).collect()
+    }
+    assert set(out) == {1, 3, 4}  # zero-token doc 2 dropped
+    assert (out[1].offset, out[1].start_block, out[1].end_block) == (0, 0, 0)
+    # doc 3: tokens 10..109 -> blocks 0 and 1
+    assert (out[3].offset, out[3].start_block, out[3].end_block) == (10, 0, 1)
+    assert out[3].blocks_spanned == 2
+    assert out[3].start_offset == 10
+    # doc 4: tokens 110..139 -> block 1 and 2 (128 boundary)
+    assert (out[4].offset, out[4].start_block, out[4].end_block) == (110, 1, 2)
+
+
+def test_prefix_sum_no_row_carrying_single_partition(spark, sf_dir):
+    """Scale gate: the ROW-side path must shuffle on the bucket key, not
+    funnel through Exchange SinglePartition like the naive global window.
+    The one SinglePartition exchange in the plan feeds the per-bucket
+    TOTALS window (rows = n/bucket_size), below the broadcast join back
+    to the row side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    plan = (
+        packing.exclusive_prefix_sum(docs, "doc_id", "w", bucket_size=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # row side: hash exchange on the bucket key + broadcast join of bases
+    assert "hashpartitioning(__bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    # the naive spelling has ZERO hashpartitioning and routes all rows
+    # through its single partition; here SinglePartition appears exactly
+    # once (bucket totals)
+    assert plan.count("SinglePartition") == 1
