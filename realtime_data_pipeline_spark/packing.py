@@ -92,6 +92,50 @@ def exclusive_prefix_sum(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: str,
+    budget_per_source: float,
+) -> DataFrame:
+    """Domain-mixing subsample: cap every source at ``budget_per_source``
+    total weight (tokens) by keeping each row with probability
+    ``min(1, budget / source_total)`` — decided by a DETERMINISTIC hash
+    gate, not an RNG, so the sample is identical across runs, engines,
+    partition layouts, and re-shards (the property RNG `sample()` loses
+    the moment parallelism changes).
+
+    Gate: first 4 hex chars of ``md5(id)`` as an integer in [0, 65536),
+    kept iff `` < floor(rate * 65536)`` — rate granularity 1/65536,
+    cross-engine exact (md5 and IEEE-754 double math match everywhere).
+    Rates come from one small per-source aggregate broadcast-joined back
+    (two passes over the input by construction: you cannot know a
+    source's total while gating on it). Expected sampled weight per
+    source ≈ budget (hash-binomial, not exact-cap; for a hard cap,
+    window-rank within source by the same hash and cut at the budget —
+    one extra shuffle).
+    """
+    rates = (
+        df.groupBy(source_col)
+        .agg(F.sum(weight_col).alias("__total"))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), F.lit(float(budget_per_source)) / F.col("__total")
+            ).alias("__rate"),
+        )
+    )
+    gate = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(gate < F.floor(F.col("__rate") * 65536))
+        .drop("__rate")
+    )
+
+
 def pack_concat_chunks(
     df: DataFrame,
     id_col: str,

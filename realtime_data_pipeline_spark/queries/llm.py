@@ -445,6 +445,48 @@ FROM s
 """
 
 
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing subsample: every source capped at ~800 tokens via
+    the deterministic md5 hash gate (``packing.mixture_sample``) — the
+    reproducible-across-engines replacement for RNG sampling. Output is
+    the per-source audit (docs kept, tokens sampled, to-the-budget
+    ratio); the sampled set itself is the product at scale."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text.token_count_re(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    sampled = packing.mixture_sample(
+        docs, "doc_id", "source", "n_tokens", budget_per_source=800.0
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sampled_tokens"),
+    )
+
+
+DOCS_MIXTURE_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), rates AS (
+  SELECT source, LEAST(1.0, 800.0 / SUM(n_tokens)) AS rate
+  FROM t GROUP BY source
+)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS sampled_tokens
+FROM t JOIN rates r ON t.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      < FLOOR(r.rate * 65536)
+GROUP BY t.source
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (``sampleBy``): down-weight the dominant
     language, keep the rest — the class-rebalancing step before training.
@@ -478,12 +520,14 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_multimodal_decode": docs_multimodal_decode,
     "docs_pack_chunks": docs_pack_chunks,
+    "docs_mixture_sample": docs_mixture_sample,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
 # the driver's 50-row budget
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_pack_chunks": DOCS_PACK_CHUNKS_SQL,
+    "docs_mixture_sample": DOCS_MIXTURE_SAMPLE_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

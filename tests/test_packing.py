@@ -59,6 +59,30 @@ def test_pack_concat_chunks_block_math(spark):
     assert (out[4].offset, out[4].start_block, out[4].end_block) == (110, 1, 2)
 
 
+def test_mixture_sample_caps_sources_deterministically(spark):
+    """Hash-gated mixture sampling: sources over budget are downsampled
+    to ~budget expected weight, under-budget sources pass through whole,
+    and the kept set is identical across runs and partition layouts
+    (same rows, not just same counts)."""
+    rows = [(i, "big", 10) for i in range(500)] + [
+        (1000 + i, "small", 10) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, w long")
+    out1 = packing.mixture_sample(df, "id", "src", "w", budget_per_source=1000)
+    kept1 = {r.id for r in out1.collect()}
+    # small source (200 weight < 1000 budget): rate 1.0, all kept
+    assert {i for i in kept1 if i >= 1000} == {1000 + i for i in range(20)}
+    # big source (5000 weight): expected ~1000/5000 = 20% kept -> ~100 docs;
+    # hash-binomial, so allow a wide band
+    n_big = sum(1 for i in kept1 if i < 1000)
+    assert 60 <= n_big <= 140, n_big
+    # determinism across partition layout
+    out2 = packing.mixture_sample(
+        df.repartition(13), "id", "src", "w", budget_per_source=1000
+    )
+    assert {r.id for r in out2.collect()} == kept1
+
+
 def test_prefix_sum_no_row_carrying_single_partition(spark, sf_dir):
     """Scale gate: the ROW-side path must shuffle on the bucket key, not
     funnel through Exchange SinglePartition like the naive global window.
