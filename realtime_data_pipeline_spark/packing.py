@@ -136,6 +136,72 @@ def mixture_sample(
     )
 
 
+def mixture_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: str,
+    budget_per_source: float,
+) -> DataFrame:
+    """Hard-cap variant of :func:`mixture_sample`: rows are ranked within
+    each source by the same md5 hash (deterministic, unbiased by any data
+    column) and kept while the running weight stays ≤ budget — plus the
+    first row that crosses it, so every source with data gets at least
+    one row and the cap is "first cumulative prefix reaching budget".
+    One shuffle (window by source); expected skew bounded by the largest
+    single source, same as any per-source window. Use when the binomial
+    scatter of the hash gate around the budget is unacceptable
+    (per-source budgets small enough that ±√n matters)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__before", before)
+        .filter(F.col("__before") < budget_per_source)
+        .drop("__before")
+    )
+
+
+def block_manifest(
+    packed: DataFrame,
+    id_col: str,
+    weight_col: str,
+    ctx_len: int,
+) -> DataFrame:
+    """Writer input for :func:`pack_concat_chunks`: explode each doc's
+    block span into one row per (block, doc) slice —
+    ``(block_id, doc, doc_from, slice_len, block_offset)`` says "block
+    B's tokens [block_offset, block_offset+slice_len) come from doc D's
+    tokens [doc_from, doc_from+slice_len)". A writer materializing block
+    B selects its manifest rows, fetches the doc token slices, and
+    concatenates by ``block_offset`` — embarrassingly parallel over
+    blocks. The explode emits ``blocks_spanned`` rows per doc (total ≈
+    corpus_tokens / ctx_len + n_docs), narrow — no shuffle beyond what a
+    downstream ``repartition(block_id)`` writer adds."""
+    block = F.explode(
+        F.sequence(F.col("start_block"), F.col("end_block"))
+    ).alias("block_id")
+    out = packed.select(
+        F.col(id_col), F.col(weight_col), "offset", block
+    )
+    block_start = F.col("block_id") * ctx_len
+    block_end = block_start + ctx_len  # exclusive
+    doc_end = F.col("offset") + F.col(weight_col)
+    slice_from = F.greatest(F.col("offset"), block_start)
+    slice_to = F.least(doc_end, block_end)
+    return out.select(
+        "block_id",
+        id_col,
+        (slice_from - F.col("offset")).cast("long").alias("doc_from"),
+        (slice_to - slice_from).cast("long").alias("slice_len"),
+        (slice_from - block_start).cast("long").alias("block_offset"),
+    )
+
+
 def pack_concat_chunks(
     df: DataFrame,
     id_col: str,

@@ -487,6 +487,95 @@ GROUP BY t.source
 """
 
 
+def docs_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-facing face of the packing pipeline: per-(block, doc)
+    slice manifest (block B's tokens [block_offset, +slice_len) come
+    from doc D's tokens [doc_from, +slice_len)) — embarrassingly
+    parallel block materialization."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.token_count_re(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = packing.pack_concat_chunks(
+        docs, "doc_id", "n_tokens", ctx_len=1024, bucket_size=100
+    )
+    return packing.block_manifest(packed, "doc_id", "n_tokens", ctx_len=1024)
+
+
+DOCS_PACK_MANIFEST_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM t WHERE n_tokens > 0
+), e AS (
+  SELECT doc_id, n_tokens, tok_offset,
+         UNNEST(generate_series(
+           CAST(FLOOR(tok_offset / 1024) AS BIGINT),
+           CAST(FLOOR((tok_offset + n_tokens - 1) / 1024) AS BIGINT)
+         )) AS block_id
+  FROM s
+)
+SELECT block_id, doc_id,
+       CAST(GREATEST(tok_offset, block_id * 1024) - tok_offset AS BIGINT)
+         AS doc_from,
+       CAST(LEAST(tok_offset + n_tokens, (block_id + 1) * 1024)
+            - GREATEST(tok_offset, block_id * 1024) AS BIGINT) AS slice_len,
+       CAST(GREATEST(tok_offset, block_id * 1024) - block_id * 1024 AS BIGINT)
+         AS block_offset
+FROM e
+"""
+
+
+def docs_mixture_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-cap mixture variant: per-source hash-ranked prefix until the
+    800-token budget is crossed (deterministic, no binomial scatter)."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text.token_count_re(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    sampled = packing.mixture_sample_exact(
+        docs, "doc_id", "source", "n_tokens", budget_per_source=800.0
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sampled_tokens"),
+    )
+
+
+DOCS_MIXTURE_SAMPLE_EXACT_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before_w
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sampled_tokens
+FROM r WHERE before_w < 800 GROUP BY source
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (``sampleBy``): down-weight the dominant
     language, keep the rest — the class-rebalancing step before training.
@@ -521,6 +610,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_decode": docs_multimodal_decode,
     "docs_pack_chunks": docs_pack_chunks,
     "docs_mixture_sample": docs_mixture_sample,
+    "docs_pack_manifest": docs_pack_manifest,
+    "docs_mixture_sample_exact": docs_mixture_sample_exact,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
@@ -528,6 +619,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_pack_chunks": DOCS_PACK_CHUNKS_SQL,
     "docs_mixture_sample": DOCS_MIXTURE_SAMPLE_SQL,
+    "docs_pack_manifest": DOCS_PACK_MANIFEST_SQL,
+    "docs_mixture_sample_exact": DOCS_MIXTURE_SAMPLE_EXACT_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

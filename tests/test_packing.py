@@ -59,6 +59,46 @@ def test_pack_concat_chunks_block_math(spark):
     assert (out[4].offset, out[4].start_block, out[4].end_block) == (110, 1, 2)
 
 
+def test_block_manifest_tiles_blocks_and_docs_exactly(spark):
+    """Manifest invariants: every block except the last is covered by
+    slices summing to exactly ctx_len with no overlap (offsets + lengths
+    tile [0, ctx_len)), and each doc's slices reconstruct the whole doc
+    in order."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 100), (3, 30), (4, 64), (5, 7)],
+        "doc_id long, n_tokens long",
+    )
+    ctx = 64
+    packed = packing.pack_concat_chunks(df, "doc_id", "n_tokens", ctx_len=ctx)
+    man = packing.block_manifest(packed, "doc_id", "n_tokens", ctx).collect()
+    total = 10 + 100 + 30 + 64 + 7
+    by_block: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in man:
+        assert r.slice_len > 0
+        by_block.setdefault(r.block_id, []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+    last_block = max(by_block)
+    for b, rows in by_block.items():
+        rows.sort(key=lambda r: r.block_offset)
+        expect = ctx if b != last_block else total - last_block * ctx
+        assert sum(r.slice_len for r in rows) == expect, b
+        # contiguous, non-overlapping tiling from offset 0
+        pos = 0
+        for r in rows:
+            assert r.block_offset == pos, (b, r)
+            pos += r.slice_len
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_from)
+        n = {1: 10, 2: 100, 3: 30, 4: 64, 5: 7}[d]
+        assert rows[0].doc_from == 0
+        pos = 0
+        for r in rows:
+            assert r.doc_from == pos
+            pos += r.slice_len
+        assert pos == n
+
+
 def test_mixture_sample_caps_sources_deterministically(spark):
     """Hash-gated mixture sampling: sources over budget are downsampled
     to ~budget expected weight, under-budget sources pass through whole,
