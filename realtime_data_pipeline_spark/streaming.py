@@ -520,27 +520,47 @@ def rollup_batch_writer(
     ts_col: str,
     window_duration: str,
     value_col: str,
+    distinct_col: str | None = None,
+    lg_k: int = 12,
 ) -> Callable[[DataFrame, int], None]:
     """The per-micro-batch step of :func:`continuous_rollup`, exposed so
     tests can drive it directly (including replaying a batch_id to prove
-    idempotence)."""
+    idempotence).
+
+    ``distinct_col`` adds an incrementally-maintained APPROX COUNT
+    DISTINCT to the rollup: each batch's partial carries an HLL sketch
+    (``hll_sketch_agg``, Apache DataSketches binary — a few KB at
+    ``lg_k=12``, ~2-3% rsd) and the view merges with ``hll_union_agg``.
+    Sketches are the only distinct-count partial that is MERGEABLE —
+    exact per-batch distinct counts cannot be combined across batches
+    (the same user in two batches would double-count), so without
+    sketches a distinct metric would force re-scanning raw events. HLL
+    union is exact over sketches: union-of-partials == sketch-of-union,
+    bit-for-bit estimate equality (tested), so replay/compaction algebra
+    is unchanged."""
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+            F.min(F.col(value_col).cast("double")).alias("min_value"),
+            F.max(F.col(value_col).cast("double")).alias("max_value"),
+        ]
+        cols = ["n_events", "sum_value", "min_value", "max_value"]
+        if distinct_col:
+            aggs.append(
+                F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias(
+                    "distinct_sketch"
+                )
+            )
+            cols.append("distinct_sketch")
         partials = (
             batch_df.groupBy(F.window(ts_col, window_duration).alias("w"))
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col(value_col).cast("double")).alias("sum_value"),
-                F.min(F.col(value_col).cast("double")).alias("min_value"),
-                F.max(F.col(value_col).cast("double")).alias("max_value"),
-            )
+            .agg(*aggs)
             .select(
                 F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"),
-                "n_events",
-                "sum_value",
-                "min_value",
-                "max_value",
+                *cols,
             )
         )
         (
@@ -562,6 +582,7 @@ def continuous_rollup(
     out_path: str,
     checkpoint: str,
     available_now: bool = True,
+    distinct_col: str | None = None,
 ) -> StreamingQuery:
     """Incremental materialized aggregate (continuous rollup): maintain a
     per-time-window summary table that stays current as micro-batches
@@ -584,7 +605,10 @@ def continuous_rollup(
     """
     writer = (
         df.writeStream.foreachBatch(
-            rollup_batch_writer(out_path, ts_col, window_duration, value_col)
+            rollup_batch_writer(
+                out_path, ts_col, window_duration, value_col,
+                distinct_col=distinct_col,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
@@ -594,17 +618,36 @@ def continuous_rollup(
     return writer.start()
 
 
-def rollup_view(spark: SparkSession, out_path: str) -> DataFrame:
-    """Merge-on-read over :func:`continuous_rollup` partials: one small
-    groupBy on window bounds (partials are already window-grained, so this
-    aggregates a table ~windows × batches rows, not events)."""
-    partials = spark.read.parquet(out_path)
-    return partials.groupBy("window_start", "window_end").agg(
+def _merge_rollup_partials(partials: DataFrame, keep_sketch: bool) -> DataFrame:
+    """The ONE set of merge expressions shared by :func:`rollup_view` and
+    :func:`compact_rollup` (they must agree or compaction would change
+    the view). ``keep_sketch=True`` keeps the merged HLL as a SKETCH so
+    the result stays mergeable (compaction path); ``False`` finalizes it
+    to an ``approx_distinct`` estimate (reader path)."""
+    aggs = [
         F.sum("n_events").alias("n_events"),
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
-    )
+    ]
+    if "distinct_sketch" in partials.columns:
+        merged = F.hll_union_agg("distinct_sketch")
+        aggs.append(
+            merged.alias("distinct_sketch")
+            if keep_sketch
+            else F.hll_sketch_estimate(merged).alias("approx_distinct")
+        )
+    return partials.groupBy("window_start", "window_end").agg(*aggs)
+
+
+def rollup_view(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge-on-read over :func:`continuous_rollup` partials: one small
+    groupBy on window bounds (partials are already window-grained, so this
+    aggregates a table ~windows × batches rows, not events). If the
+    rollup carries distinct sketches, the view exposes the finalized
+    ``approx_distinct`` estimate per window."""
+    partials = spark.read.parquet(out_path)
+    return _merge_rollup_partials(partials, keep_sketch=False)
 
 
 def rollup_partition_count(out_path: str) -> int:
@@ -649,9 +692,12 @@ def compact_rollup(spark: SparkSession, out_path: str) -> dict:
 
     out_path = os.path.normpath(out_path)
     before = rollup_partition_count(out_path)
-    compacted = rollup_view(spark, out_path).withColumn(
-        "batch_id", F.lit(-1)
-    )
+    # keep_sketch: the folded partition must stay MERGEABLE with future
+    # batch partials — finalizing the HLL to an estimate here would make
+    # the next compaction/view unable to union it
+    compacted = _merge_rollup_partials(
+        spark.read.parquet(out_path), keep_sketch=True
+    ).withColumn("batch_id", F.lit(-1))
     tmp = f"{out_path}__compact_tmp"
     compacted.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     rows = spark.read.parquet(tmp).count()

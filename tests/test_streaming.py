@@ -468,6 +468,90 @@ def test_continuous_rollup_matches_batch_and_replay_is_idempotent(
     assert canon(streaming.rollup_view(spark, out)) == got
 
 
+def test_rollup_distinct_sketch_merges_exactly(spark, tmp_path):
+    """Incremental approx count-distinct: per-batch HLL sketch partials
+    union to EXACTLY the estimate a one-shot sketch over all events
+    gives (union-of-partials == sketch-of-union — the property that
+    makes distinct countable across micro-batches at all), replaying a
+    batch changes nothing, and compaction keeps the sketch mergeable
+    (view identical before/after, post-compaction merges still work)."""
+    # users overlap across batches: exact per-batch distinct counts could
+    # NOT be summed (u0..u9 appear in both) — the sketch must dedup them
+    batches = [
+        [(i, f"2024-01-01 10:{m:02d}:00", i % 10, float(m))
+         for i, m in enumerate(range(0, 10))],
+        [(100 + i, f"2024-01-01 10:{m:02d}:00", i % 15, float(m))
+         for i, m in enumerate(range(0, 10))],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    out = str(tmp_path / "rollup_hll")
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    q = streaming.continuous_rollup(
+        stream, "ts", "5 minutes", "value", out,
+        checkpoint=str(tmp_path / "ckpt_hll"), distinct_col="user_id",
+    )
+    assert q.awaitTermination(120)
+
+    def canon(df):
+        return {
+            (r.window_start.isoformat(), r.n_events, r.approx_distinct)
+            for r in df.collect()
+        }
+
+    got = canon(streaming.rollup_view(spark, out))
+    batch_df = spark.read.schema(SCHEMA).option("header", "true").csv(inbox)
+    want = canon(
+        batch_df.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_distinct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "approx_distinct",
+        )
+    )
+    assert got == want and len(got) > 0
+    # at this cardinality the estimate is exact — the merged metric is
+    # the true overlapping-user distinct count, not a per-batch sum
+    truth = {
+        (r.window_start.isoformat(), r.n)
+        for r in batch_df.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    assert {(w, d) for (w, _, d) in got} == truth
+
+    # replay batch 0: partial overwritten in place, view unchanged
+    writer = streaming.rollup_batch_writer(
+        out, "ts", "5 minutes", "value", distinct_col="user_id"
+    )
+    replay = spark.createDataFrame(
+        batches[0], "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    writer(replay, 0)
+    assert canon(streaming.rollup_view(spark, out)) == got
+
+    # compaction keeps the SKETCH (not the estimate): view identical,
+    # and a post-compaction batch still merges
+    streaming.compact_rollup(spark, out)
+    assert canon(streaming.rollup_view(spark, out)) == got
+    extra = spark.createDataFrame(
+        [(300, "2024-01-01 10:01:00", 99, 1.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    writer(extra, 7)
+    after = canon(streaming.rollup_view(spark, out))
+    w0 = "2024-01-01T10:00:00"
+    d_before = next(d for (w, _, d) in got if w.startswith(w0))
+    d_after = next(d for (w, _, d) in after if w.startswith(w0))
+    assert d_after == d_before + 1  # new user visible post-compaction
+
+
 def test_compact_rollup_preserves_view_and_bounds_partitions(spark, tmp_path):
     """compact_rollup folds all batch_id partials into batch_id=-1: the
     merged view is identical before/after, partition count drops to 1,
