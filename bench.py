@@ -35,7 +35,15 @@ HEADLINE = [
     "doc_quality_profile",
     "embedding_knn_bruteforce",
     "docs_neardup_minhash",
+    "docs_pack_chunks",  # distributed prefix-sum packing (shelved registry)
 ]
+
+
+def _query_fn(q, name):
+    """Look up a bench leg in the declared registry first, then the
+    shelved one (shelved = outside the driver's 50-row budget, still a
+    first-class operator worth tracking)."""
+    return q.QUERIES.get(name) or q.SHELVED_QUERIES[name]
 
 
 def main() -> None:
@@ -72,10 +80,10 @@ def main() -> None:
     _warm = pandas_udf(lambda s: s, "long")
     spark.range(0, 64, 1, 64).select(_warm("id")).count()
 
-    names = [n for n in HEADLINE if n in q.QUERIES]
+    names = [n for n in HEADLINE if n in q.QUERIES or n in q.SHELVED_QUERIES]
     timings: dict[str, float] = {}
     for name in names:
-        fn = q.QUERIES[name]
+        fn = _query_fn(q, name)
         # noop sink: forces FULL computation of every output column —
         # count() would let Catalyst prune projected expressions and
         # under-measure per-row transform queries. The warm pass compiles
@@ -428,6 +436,7 @@ RAMP_LEGS = [
     "events_keep_latest_per_user",  # window dedup, 10x keys
     "doc_quality_profile",       # pure column exprs over documents
     "embedding_knn_bruteforce",  # fixed 50 queries x 10x corpus
+    "docs_pack_chunks",          # distributed prefix sum, 10x docs
 ]
 
 
@@ -469,7 +478,7 @@ def scale_ramp(factor: int = 10) -> None:
     spark = get_spark(app_name="rdp-bench-ramp")
 
     def time_leg(name: str, sf_dir: str) -> float:
-        fn = q.QUERIES[name]
+        fn = _query_fn(q, name)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):

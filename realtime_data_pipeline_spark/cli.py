@@ -113,6 +113,29 @@ def main(argv: list[str] | None = None) -> int:
         help="run in-stream PII redaction on COL for clean rows",
     )
 
+    pru = sub.add_parser(
+        "rollup",
+        help="continuous rollup: inbox stream -> per-window partials -> merged view",
+    )
+    pru.add_argument("--inbox", required=True)
+    pru.add_argument("--out", required=True, help="rollup partials root")
+    pru.add_argument("--checkpoint", required=True)
+    pru.add_argument("--ts-col", required=True)
+    pru.add_argument("--value-col", required=True)
+    pru.add_argument("--window", default="5 minutes")
+    pru.add_argument(
+        "--distinct-col", default=None,
+        help="maintain approx distinct count of COL via mergeable HLL sketches",
+    )
+    pru.add_argument("--schema", default=None)
+    pru.add_argument("--schema-from", default=None)
+    pru.add_argument("--format", default="csv", choices=["csv", "parquet", "json"])
+    pru.add_argument("--timeout-sec", type=int, default=600)
+    pru.add_argument(
+        "--compact", action="store_true",
+        help="fold batch partials into one partition after catch-up",
+    )
+
     pm = sub.add_parser(
         "maintain", help="table maintenance: small-file compaction and/or TTL retention"
     )
@@ -207,6 +230,49 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         n_clean = spark.read.parquet(args.silver).count()
         print(f"stream: {n_clean} clean rows -> {args.silver}")
+        return 0
+    if args.cmd == "rollup":
+        from realtime_data_pipeline_spark import streaming
+
+        if bool(args.schema) == bool(args.schema_from):
+            raise SystemExit("rollup: pass exactly one of --schema / --schema-from")
+        schema = (
+            args.schema
+            if args.schema
+            else spark.read.parquet(args.schema_from).schema
+        )
+        sq = streaming.continuous_rollup(
+            streaming.read_file_stream(
+                spark, args.inbox, schema, fmt=args.format
+            ),
+            args.ts_col,
+            args.window,
+            args.value_col,
+            args.out,
+            checkpoint=args.checkpoint,
+            distinct_col=args.distinct_col,
+        )
+        if not sq.awaitTermination(args.timeout_sec):
+            sq.stop()
+            print("rollup: timed out before catch-up finished", file=sys.stderr)
+            return 1
+        if args.compact:
+            m = streaming.compact_rollup(spark, args.out)
+            print(
+                f"compacted {m['partitions_before']} -> "
+                f"{m['partitions_after']} partial partitions"
+            )
+        from pyspark.sql import functions as F
+
+        view = streaming.rollup_view(spark, args.out)
+        stats = view.agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("n_events").alias("n_events"),
+        ).collect()[0]
+        print(
+            f"rollup: {stats.n_windows} windows, "
+            f"{stats.n_events} events -> {args.out}"
+        )
         return 0
     if args.cmd == "maintain":
         if not args.compact and not args.retain_from:

@@ -182,6 +182,54 @@ def test_cli_stream_then_replay_keeps_partition_layout(spark, tmp_path, capsys):
     assert {r.event_id for r in spark.read.parquet(quarantine).collect()} == {4}
 
 
+def test_cli_rollup_catchup_with_distinct(spark, tmp_path, capsys):
+    """`rollup` subcommand: inbox catch-up -> per-window partials ->
+    merged view with HLL approx-distinct; --compact folds partials."""
+    import os
+
+    from realtime_data_pipeline_spark import cli, streaming
+
+    inbox = str(tmp_path / "ru_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("event_id,ts,user_id,value\n")
+        for i in range(6):
+            f.write(f"{i},2024-01-01 10:0{i}:00,{i % 2},1.0\n")
+    with open(os.path.join(inbox, "b1.csv"), "w") as f:
+        f.write("event_id,ts,user_id,value\n")
+        for i in range(4):
+            f.write(f"{10 + i},2024-01-01 10:0{i}:00,{i % 4},2.0\n")
+    out = str(tmp_path / "ru_out")
+    rc = cli.main(
+        [
+            "rollup",
+            "--inbox", inbox,
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ru_ck"),
+            "--schema", "event_id long, ts timestamp, user_id long, value double",
+            "--ts-col", "ts",
+            "--value-col", "value",
+            "--window", "5 minutes",
+            "--distinct-col", "user_id",
+            "--compact",
+            "--timeout-sec", "120",
+        ]
+    )
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    assert "2 windows, 10 events" in out_text
+    assert "compacted" in out_text
+    assert streaming.rollup_partition_count(out) == 1
+    view = {
+        r.window_start.minute: (r.n_events, r.approx_distinct)
+        for r in streaming.rollup_view(spark, out).collect()
+    }
+    # window 10:00-10:05 holds minutes 0-4 from both files: 9 events,
+    # users {0,1} ∪ {0,1,2,3} = 4 distinct; 10:05+ holds 1 event, 1 user
+    assert view[0] == (9, 4)
+    assert view[5] == (1, 1)
+
+
 def test_cli_maintain_retention_then_compact(spark, tmp_path, capsys):
     from realtime_data_pipeline_spark import cli, medallion
 
