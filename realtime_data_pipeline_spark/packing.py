@@ -92,6 +92,59 @@ def exclusive_prefix_sum(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int,
+    overlap_words: int = 0,
+) -> DataFrame:
+    """Overlapping sliding-window chunking (retrieval/RAG prep): split
+    each document's whitespace tokens into windows of ``chunk_words``
+    advancing by ``chunk_words - overlap_words``, rejoined to text.
+    Every token lands in ≥1 chunk; consecutive chunks share
+    ``overlap_words`` tokens so no retrieval boundary splits context.
+
+    Pure JVM higher-order functions (split / sequence / slice /
+    array_join) exploded per chunk — narrow, zero shuffle, whole-stage
+    codegen; chunk count ≈ corpus_tokens / stride rows out. Documents
+    with no tokens are dropped. The last chunk is the final ≤chunk_words
+    tokens (short tail kept, never padded).
+
+    Returns (id, chunk_idx, n_chunk_words, chunk_text).
+    """
+    if not 0 <= overlap_words < chunk_words:
+        raise ValueError("need 0 <= overlap_words < chunk_words")
+    stride = chunk_words - overlap_words
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # chunks = 1 + ceil(max(0, n - chunk) / stride) without a ceil():
+    # floor((max0 + stride - 1) / stride)
+    extra = F.greatest(n - F.lit(chunk_words), F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+        "chunk_idx"
+    )
+    # guard on the trimmed TEXT, not size(toks): split('') yields ['']
+    # (size 1), so a whitespace-only doc would emit one empty chunk
+    staged = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__toks"), idx
+    )
+    piece = F.slice(
+        F.col("__toks"),
+        F.col("chunk_idx") * F.lit(stride) + F.lit(1),
+        F.lit(chunk_words),
+    )
+    return staged.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_words"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -576,6 +576,48 @@ FROM r WHERE before_w < 800 GROUP BY source
 """
 
 
+def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking for retrieval indexing
+    (64-word chunks, 16-word overlap): every token covered, boundaries
+    share context. Chunk content is compared as md5 so the oracle
+    checks the exact text of every chunk without hauling it."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = packing.chunk_text(
+        docs, "doc_id", "text", chunk_words=64, overlap_words=16
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_chunk_words").cast("int").alias("n_chunk_words"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+DOCS_RAG_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), e AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(
+           0,
+           CAST(FLOOR((GREATEST(len(toks) - 64, 0) + 47) / 48) AS BIGINT)
+         )) AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+            AS INT) AS n_chunk_words,
+       md5(array_to_string(
+         list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+         AS chunk_md5
+FROM e
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (``sampleBy``): down-weight the dominant
     language, keep the rest — the class-rebalancing step before training.
@@ -612,6 +654,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_mixture_sample": docs_mixture_sample,
     "docs_pack_manifest": docs_pack_manifest,
     "docs_mixture_sample_exact": docs_mixture_sample_exact,
+    "docs_rag_chunks": docs_rag_chunks,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
@@ -621,6 +664,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_mixture_sample": DOCS_MIXTURE_SAMPLE_SQL,
     "docs_pack_manifest": DOCS_PACK_MANIFEST_SQL,
     "docs_mixture_sample_exact": DOCS_MIXTURE_SAMPLE_EXACT_SQL,
+    "docs_rag_chunks": DOCS_RAG_CHUNKS_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

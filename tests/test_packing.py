@@ -99,6 +99,32 @@ def test_block_manifest_tiles_blocks_and_docs_exactly(spark):
         assert pos == n
 
 
+def test_chunk_text_coverage_and_overlap(spark):
+    """Chunking invariants: chunks advance by stride, consecutive chunks
+    share exactly overlap words, every token appears in >=1 chunk, the
+    tail chunk is short-but-kept, empty docs drop, and a doc shorter
+    than one chunk yields itself."""
+    words80 = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, words80), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+    )
+    out = packing.chunk_text(df, "doc_id", "text", chunk_words=32, overlap_words=8)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert {d for (d, _) in rows} == {1, 2}
+    # doc 1: stride 24 -> chunks at 0,24,48: [0:32],[24:56],[48:80]
+    assert [rows[(1, i)].n_chunk_words for i in range(3)] == [32, 32, 32]
+    c0 = rows[(1, 0)].chunk_text.split()
+    c1 = rows[(1, 1)].chunk_text.split()
+    c2 = rows[(1, 2)].chunk_text.split()
+    assert c0 == [f"w{i}" for i in range(32)]
+    assert c1[:8] == c0[-8:]  # overlap
+    assert c2[-1] == "w79"  # full coverage through the tail
+    assert set(c0) | set(c1) | set(c2) == {f"w{i}" for i in range(80)}
+    # short doc: one chunk, itself
+    assert rows[(2, 0)].chunk_text == "a b c"
+    assert rows[(2, 0)].n_chunk_words == 3
+
+
 def test_mixture_sample_caps_sources_deterministically(spark):
     """Hash-gated mixture sampling: sources over budget are downsampled
     to ~budget expected weight, under-budget sources pass through whole,
