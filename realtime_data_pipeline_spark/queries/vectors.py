@@ -243,6 +243,41 @@ def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4-8×
+    storage/shuffle shrink for vector indexes. The oracle verifies the
+    EXACT quantized bytes (md5 over the int sequence) plus the per-vector
+    scale, so any engine-side drift in the floor-plus-half rule fails the
+    hash."""
+    emb = load(spark, sf_dir, "embeddings")
+    scale, qvec = similarity.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("qscale"),
+        F.md5(
+            F.array_join(F.transform(qvec, lambda x: x.cast("string")), ",")
+        ).alias("qvec_md5"),
+    )
+
+
+EMBEDDINGS_QUANTIZE_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> abs(x))), 1e-12) / 127.0
+           AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS qscale,
+       md5(array_to_string(
+         list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS INT)), ','))
+         AS qvec_md5
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_neardup_lsh": embeddings_neardup_lsh,
@@ -257,6 +292,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_lsh": embedding_knn_lsh,
     "embedding_knn_ivf": embedding_knn_ivf,
+    "embeddings_quantize_int8": embeddings_quantize_int8,
+}
+
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

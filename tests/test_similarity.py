@@ -215,3 +215,65 @@ def test_ivf_index_incremental_append_equals_full_build(spark, sf_dir, tmp_path)
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_int8_quantized_cosine_preserves_knn_recall(spark, sf_dir):
+    """int8 quantization is the index STORAGE format; quantized cosine is
+    a candidate generator whose top-10 must track the exact top-10
+    closely (the exact-vector re-rank absorbs the rest). Also checks the
+    quantization error bound: dequantized values within scale/2 of the
+    original, i.e. cosine error is second-order."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scale, qvec = similarity.quantize_int8(F.col("embedding"))
+    q = emb.select(
+        "vec_id",
+        similarity.as_double_array(F.col("embedding")).alias("vec"),
+        scale.alias("s"),
+        qvec.alias("qv"),
+    ).persist()
+    # error bound: |x - s*qx| <= s/2 per dim
+    bad = q.select(
+        F.array_max(
+            F.zip_with(
+                "vec",
+                F.transform("qv", lambda x: x.cast("double") * F.col("s")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("err"),
+        F.col("s"),
+    ).filter(F.col("err") > F.col("s") * 0.5 + 1e-12)
+    assert bad.count() == 0
+
+    queries = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("s").alias("qs"),
+        F.col("qv").alias("qqv"),
+    )
+    pairs = q.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    k = 10
+
+    def topk(sim_col):
+        from realtime_data_pipeline_spark.ops import topk_per_group
+
+        t = topk_per_group(
+            pairs.select(
+                "query_id", "vec_id", sim_col.alias("sim")
+            ),
+            ["query_id"],
+            [F.col("sim").desc(), F.col("vec_id").asc()],
+            k=k,
+        )
+        return {
+            (r.query_id, r.vec_id) for r in t.collect()
+        }
+
+    exact = topk(similarity.cosine(F.col("vec"), F.col("qvec")))
+    quant = topk(
+        similarity.quantized_cosine(
+            F.col("s"), F.col("qv"), F.col("qs"), F.col("qqv")
+        )
+    )
+    q.unpersist()
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized knn recall {recall}"
