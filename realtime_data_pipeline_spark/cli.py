@@ -147,6 +147,29 @@ def main(argv: list[str] | None = None) -> int:
         help="drop partitions of --partition-by sorting below CUTOFF (ISO date)",
     )
 
+    pi = sub.add_parser(
+        "index",
+        help="build/merge the persisted dedup and ANN indexes (daily-ingest path)",
+    )
+    pi.add_argument(
+        "--kind", required=True, choices=["fp", "neardup", "ivf"],
+        help="fp = content-fingerprint dedup index; neardup = MinHash "
+        "signature+band index; ivf = cell-partitioned vector index",
+    )
+    pi.add_argument("--index", required=True, help="index root path")
+    pi.add_argument(
+        "--batch", required=True,
+        help="parquet path of the new batch (on first run, the corpus)",
+    )
+    pi.add_argument("--id-col", default="doc_id")
+    pi.add_argument("--content-col", default="text", help="fp/neardup text column")
+    pi.add_argument("--vec-col", default="embedding", help="ivf vector column")
+    pi.add_argument("--centroids", type=int, default=64, help="ivf cell count")
+    pi.add_argument(
+        "--fresh-out", default=None,
+        help="fp/neardup: write the batch rows that survived dedup here",
+    )
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -318,6 +341,62 @@ def main(argv: list[str] | None = None) -> int:
             f"replay: promoted {out['promoted']} -> {args.silver}, "
             f"{out['remaining']} remain quarantined"
         )
+        return 0
+    if args.cmd == "index":
+        import os
+
+        from pyspark.sql import functions as F
+
+        batch = spark.read.parquet(args.batch)
+        if args.kind == "fp":
+            from realtime_data_pipeline_spark import dedup
+
+            fresh, m = dedup.incremental_fingerprint_dedup(
+                batch, args.index, args.content_col,
+                tiebreak=[F.col(args.id_col).asc()],
+            )
+            print(
+                f"fp index: {m['fresh_rows']} fresh of {m['batch_rows']} "
+                f"batch rows -> {args.index}"
+            )
+        elif args.kind == "neardup":
+            from realtime_data_pipeline_spark import neardup
+
+            fresh, m = neardup.incremental_neardup_minhash(
+                batch, args.index, args.id_col, args.content_col
+            )
+            print(
+                f"neardup index: {m['fresh_rows']} fresh of "
+                f"{m['batch_rows']} batch rows "
+                f"({m['in_batch_dropped']} in-batch dups, "
+                f"{m['corpus_dups']} corpus dups) -> {args.index}"
+            )
+        else:  # ivf
+            from realtime_data_pipeline_spark import similarity
+
+            fresh = None
+            if os.path.exists(f"{args.index}/centroids"):
+                similarity.append_to_ivf_index(
+                    batch, args.index, id_col=args.id_col, vec_col=args.vec_col
+                )
+                print(f"ivf index: appended batch -> {args.index}")
+            else:
+                cents = similarity.train_centroids_kmeans(
+                    batch, args.centroids,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+                similarity.build_ivf_index(
+                    batch, args.index, cents,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )
+                print(
+                    f"ivf index: built {args.centroids} cells -> {args.index}"
+                )
+        if args.fresh_out is not None:
+            if fresh is None:
+                raise SystemExit("--fresh-out applies to fp/neardup only")
+            medallion.write_parquet(fresh, args.fresh_out, mode="overwrite")
+            print(f"fresh rows -> {args.fresh_out}")
         return 0
     if args.cmd == "pipeline":
         from realtime_data_pipeline_spark import medallion as m

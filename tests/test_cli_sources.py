@@ -182,6 +182,72 @@ def test_cli_stream_then_replay_keeps_partition_layout(spark, tmp_path, capsys):
     assert {r.event_id for r in spark.read.parquet(quarantine).collect()} == {4}
 
 
+def test_cli_index_fp_build_then_merge(spark, tmp_path, capsys):
+    """`index --kind fp`: first run seeds the fingerprint index from the
+    corpus; the second run merges a batch whose duplicate is dropped and
+    whose fresh doc lands in --fresh-out."""
+    from realtime_data_pipeline_spark import cli
+
+    corpus = str(tmp_path / "ix_corpus")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).write.parquet(corpus)
+    batch = str(tmp_path / "ix_batch")
+    spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")], "doc_id long, text string"
+    ).write.parquet(batch)
+    idx = str(tmp_path / "ix_fp")
+    fresh_out = str(tmp_path / "ix_fresh")
+
+    rc = cli.main([
+        "index", "--kind", "fp", "--index", idx, "--batch", corpus,
+    ])
+    assert rc == 0
+    assert "2 fresh of 2" in capsys.readouterr().out
+
+    rc = cli.main([
+        "index", "--kind", "fp", "--index", idx, "--batch", batch,
+        "--fresh-out", fresh_out,
+    ])
+    assert rc == 0
+    assert "1 fresh of 2" in capsys.readouterr().out
+    assert {r.doc_id for r in spark.read.parquet(fresh_out).collect()} == {11}
+
+
+def test_cli_index_ivf_build_then_append(spark, tmp_path, capsys):
+    """`index --kind ivf`: builds the cell-partitioned index on first
+    run, appends with the STORED quantizer on the second."""
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = str(tmp_path / "iv_corpus")
+    batch = str(tmp_path / "iv_batch")
+    emb.filter("vec_id % 10 != 0").write.parquet(corpus)
+    emb.filter("vec_id % 10 = 0").write.parquet(batch)
+    idx = str(tmp_path / "iv_idx")
+
+    rc = cli.main([
+        "index", "--kind", "ivf", "--index", idx, "--batch", corpus,
+        "--id-col", "vec_id", "--centroids", "8",
+    ])
+    assert rc == 0
+    assert "built 8 cells" in capsys.readouterr().out
+    n_before = spark.read.parquet(f"{idx}/cells").count()
+
+    rc = cli.main([
+        "index", "--kind", "ivf", "--index", idx, "--batch", batch,
+        "--id-col", "vec_id",
+    ])
+    assert rc == 0
+    assert "appended" in capsys.readouterr().out
+    total = emb.count()
+    assert spark.read.parquet(f"{idx}/cells").count() == total
+    assert n_before < total
+    assert os.path.isdir(f"{idx}/centroids")
+
+
 def test_cli_rollup_catchup_with_distinct(spark, tmp_path, capsys):
     """`rollup` subcommand: inbox catch-up -> per-window partials ->
     merged view with HLL approx-distinct; --compact folds partials."""
