@@ -21,6 +21,7 @@ Scale/ops posture:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -369,6 +370,99 @@ def dq_route_batch(
             )
     finally:
         batch_df.unpersist()
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    silver_path: str,
+    content_col: str,
+    id_col: str,
+) -> None:
+    """Route ONE micro-batch through corpus dedup: in-batch fingerprint
+    dedup, then anti-join against the persisted index EXCLUDING this
+    batch's own index partition, then write fresh rows + fresh
+    fingerprints each under ``batch_id=N`` dynamic-overwrite partitions.
+
+    The own-partition exclusion is what makes at-least-once replay
+    EXACTLY-ONCE here — the subtlety an append-only index (the batch
+    `incremental_fingerprint_dedup`) cannot give a stream: if a crash
+    lands between the index append and the checkpoint commit, a replayed
+    batch would find its own fingerprints in the index, emit ZERO fresh
+    rows, and dynamic-overwrite its silver partition with nothing — data
+    loss. Excluding ``batch_id=N`` from the freshness check makes the
+    replay recompute the identical fresh set and overwrite BOTH
+    partitions deterministically (regression-tested with a forced
+    replay). Cost shape: the anti-join moves 32-char digests only."""
+    from realtime_data_pipeline_spark import dedup as _dedup
+
+    spark = batch_df.sparkSession
+    staged = batch_df.withColumn(
+        "__fp", _dedup.content_fingerprint(F.col(content_col))
+    )
+    batch_unique = _dedup.keep_latest(
+        staged, ["__fp"], [F.col(id_col).asc()]
+    )
+    if os.path.exists(index_path):
+        idx = spark.read.parquet(index_path).filter(
+            F.col("batch_id") != batch_id
+        )
+        fresh = batch_unique.join(
+            idx.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+        )
+    else:
+        fresh = batch_unique
+    # one materialization feeds both writes (and survives the silver
+    # overwrite that would otherwise race the index read)
+    fresh = fresh.localCheckpoint(eager=True)
+    (
+        fresh.drop("__fp")
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(silver_path)
+    )
+    (
+        fresh.select(F.col("__fp").alias("fp"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
+def dedup_ingest_stream(
+    df: DataFrame,
+    index_path: str,
+    silver_path: str,
+    checkpoint: str,
+    content_col: str,
+    id_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus-dedup ingest: every micro-batch is deduplicated
+    against EVERYTHING ingested before it (cross-batch, via the persisted
+    fingerprint index) and only fresh documents land in silver — the
+    training-data ingest front door, as a stream. Exactly-once under
+    foreachBatch replay by batch-scoped partitions on BOTH sinks (see
+    :func:`dedup_ingest_batch`)."""
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df, batch_id, index_path, silver_path, content_col, id_col
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def dq_gated_stream(

@@ -468,6 +468,73 @@ def test_continuous_rollup_matches_batch_and_replay_is_idempotent(
     assert canon(streaming.rollup_view(spark, out)) == got
 
 
+def test_dedup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
+    """Streaming corpus-dedup ingest: duplicates across micro-batches are
+    dropped against the persisted fingerprint index; replaying a batch —
+    including the poison case where its OWN fingerprints already sit in
+    the index (crash after index write, before checkpoint commit) —
+    reproduces the identical silver partition instead of emptying it."""
+    import os
+
+    inbox = str(tmp_path / "ddi_inbox")
+    os.makedirs(inbox)
+    # b0: two unique docs; b1: one dup of b0 + one fresh + in-batch dup;
+    # b2: dup of b1's fresh doc only
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("doc_id,text\n1,alpha alpha\n2,beta beta\n")
+    with open(os.path.join(inbox, "b1.csv"), "w") as f:
+        f.write("doc_id,text\n3,alpha alpha\n4,gamma gamma\n5,gamma gamma\n")
+    with open(os.path.join(inbox, "b2.csv"), "w") as f:
+        f.write("doc_id,text\n6,gamma gamma\n")
+    # the file source orders batches by MODIFICATION TIME; the three
+    # writes above can share an mtime tick — pin a strict order
+    for i, name in enumerate(["b0.csv", "b1.csv", "b2.csv"]):
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(inbox, name), (t, t))
+    src = (
+        spark.readStream.format("csv")
+        .option("header", "true")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .load(inbox)
+    )
+    index = str(tmp_path / "ddi_index")
+    silver = str(tmp_path / "ddi_silver")
+    sq = streaming.dedup_ingest_stream(
+        src, index, silver, str(tmp_path / "ddi_ck"),
+        content_col="text", id_col="doc_id",
+    )
+    assert sq.awaitTermination(120)
+
+    def silver_state():
+        return {
+            (r.doc_id, r.text, r.batch_id)
+            for r in spark.read.parquet(silver).collect()
+        }
+
+    got = silver_state()
+    # unique texts only, first-seen batch wins, lowest id within batch
+    assert {(d, t) for (d, t, _) in got} == {
+        (1, "alpha alpha"), (2, "beta beta"), (4, "gamma gamma"),
+    }
+    assert spark.read.parquet(index).count() == 3
+
+    # replay the batch that carried doc 4 — its fps are ALREADY in the
+    # index (exactly the crash-between-writes window). The own-partition
+    # exclusion must recompute the same fresh set, not an empty one.
+    batch_of_4 = next(b for (d, _, b) in got if d == 4)
+    replay = spark.createDataFrame(
+        [(3, "alpha alpha"), (4, "gamma gamma"), (5, "gamma gamma")],
+        "doc_id long, text string",
+    )
+    streaming.dedup_ingest_batch(
+        replay, batch_of_4, index, silver,
+        content_col="text", id_col="doc_id",
+    )
+    assert silver_state() == got
+    assert spark.read.parquet(index).count() == 3
+
+
 def test_rollup_distinct_sketch_merges_exactly(spark, tmp_path):
     """Incremental approx count-distinct: per-batch HLL sketch partials
     union to EXACTLY the estimate a one-shot sketch over all events
