@@ -113,6 +113,22 @@ def main(argv: list[str] | None = None) -> int:
         help="run in-stream PII redaction on COL for clean rows",
     )
 
+    pin = sub.add_parser(
+        "ingest",
+        help="streaming corpus-dedup ingest: only never-seen docs land in silver",
+    )
+    pin.add_argument("--inbox", required=True)
+    pin.add_argument("--silver", required=True)
+    pin.add_argument("--index", required=True, help="fingerprint index root")
+    pin.add_argument("--checkpoint", required=True)
+    pin.add_argument("--content-col", default="text")
+    pin.add_argument("--id-col", default="doc_id")
+    pin.add_argument("--schema", default=None)
+    pin.add_argument("--schema-from", default=None)
+    pin.add_argument("--format", default="csv", choices=["csv", "parquet", "json"])
+    pin.add_argument("--max-files-per-trigger", type=int, default=1)
+    pin.add_argument("--timeout-sec", type=int, default=600)
+
     pru = sub.add_parser(
         "rollup",
         help="continuous rollup: inbox stream -> per-window partials -> merged view",
@@ -253,6 +269,34 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         n_clean = spark.read.parquet(args.silver).count()
         print(f"stream: {n_clean} clean rows -> {args.silver}")
+        return 0
+    if args.cmd == "ingest":
+        from realtime_data_pipeline_spark import streaming
+
+        if bool(args.schema) == bool(args.schema_from):
+            raise SystemExit("ingest: pass exactly one of --schema / --schema-from")
+        schema = (
+            args.schema
+            if args.schema
+            else spark.read.parquet(args.schema_from).schema
+        )
+        sq = streaming.dedup_ingest_stream(
+            streaming.read_file_stream(
+                spark, args.inbox, schema, fmt=args.format,
+                max_files_per_trigger=args.max_files_per_trigger,
+            ),
+            args.index,
+            args.silver,
+            checkpoint=args.checkpoint,
+            content_col=args.content_col,
+            id_col=args.id_col,
+        )
+        if not sq.awaitTermination(args.timeout_sec):
+            sq.stop()
+            print("ingest: timed out before catch-up finished", file=sys.stderr)
+            return 1
+        n = spark.read.parquet(args.silver).count()
+        print(f"ingest: {n} unique docs -> {args.silver}")
         return 0
     if args.cmd == "rollup":
         from realtime_data_pipeline_spark import streaming

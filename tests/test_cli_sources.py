@@ -248,6 +248,37 @@ def test_cli_index_ivf_build_then_append(spark, tmp_path, capsys):
     assert os.path.isdir(f"{idx}/centroids")
 
 
+def test_cli_ingest_dedup_stream(spark, tmp_path, capsys):
+    """`ingest` subcommand: cross-batch dedup against the persisted
+    fingerprint index — only never-seen docs land in silver."""
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    inbox = str(tmp_path / "ig_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("doc_id,text\n1,alpha alpha\n2,beta beta\n")
+    with open(os.path.join(inbox, "b1.csv"), "w") as f:
+        f.write("doc_id,text\n3,alpha alpha\n4,gamma gamma\n")
+    for i, name in enumerate(["b0.csv", "b1.csv"]):
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(inbox, name), (t, t))
+    silver = str(tmp_path / "ig_silver")
+    rc = cli.main([
+        "ingest",
+        "--inbox", inbox,
+        "--silver", silver,
+        "--index", str(tmp_path / "ig_index"),
+        "--checkpoint", str(tmp_path / "ig_ck"),
+        "--schema", "doc_id long, text string",
+        "--timeout-sec", "120",
+    ])
+    assert rc == 0
+    assert "3 unique docs" in capsys.readouterr().out
+    assert {r.doc_id for r in spark.read.parquet(silver).collect()} == {1, 2, 4}
+
+
 def test_cli_rollup_catchup_with_distinct(spark, tmp_path, capsys):
     """`rollup` subcommand: inbox catch-up -> per-window partials ->
     merged view with HLL approx-distinct; --compact folds partials."""
