@@ -379,6 +379,7 @@ def dedup_ingest_batch(
     silver_path: str,
     content_col: str,
     id_col: str,
+    curate: Callable[[DataFrame], DataFrame] | None = None,
 ) -> None:
     """Route ONE micro-batch through corpus dedup: in-batch fingerprint
     dedup, then anti-join against the persisted index EXCLUDING this
@@ -416,9 +417,15 @@ def dedup_ingest_batch(
     # one materialization feeds both writes (and survives the silver
     # overwrite that would otherwise race the index read)
     fresh = fresh.localCheckpoint(eager=True)
+    out = fresh.drop("__fp")
+    if curate is not None:
+        # curation (PII redaction, quality gates) runs AFTER the
+        # fingerprint was taken: the index remembers the ORIGINAL
+        # content, so a redacted doc's raw twin arriving later is still
+        # a duplicate — and curation stays a projection on fresh rows
+        out = curate(out)
     (
-        fresh.drop("__fp")
-        .withColumn("batch_id", F.lit(batch_id))
+        out.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
@@ -442,17 +449,21 @@ def dedup_ingest_stream(
     content_col: str,
     id_col: str,
     available_now: bool = True,
+    curate: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """Streaming corpus-dedup ingest: every micro-batch is deduplicated
     against EVERYTHING ingested before it (cross-batch, via the persisted
     fingerprint index) and only fresh documents land in silver — the
-    training-data ingest front door, as a stream. Exactly-once under
-    foreachBatch replay by batch-scoped partitions on BOTH sinks (see
-    :func:`dedup_ingest_batch`)."""
+    training-data ingest front door, as a stream. ``curate`` optionally
+    runs on the fresh rows (e.g. :func:`curation_stage` for in-stream PII
+    redaction) after fingerprinting, so dedup still sees original
+    content. Exactly-once under foreachBatch replay by batch-scoped
+    partitions on BOTH sinks (see :func:`dedup_ingest_batch`)."""
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(
-            batch_df, batch_id, index_path, silver_path, content_col, id_col
+            batch_df, batch_id, index_path, silver_path, content_col, id_col,
+            curate=curate,
         )
 
     writer = (

@@ -220,3 +220,35 @@ def test_hot_user_share_broadcasts_total(spark, sf_dir):
     plan = plan_str(q.SHELVED_QUERIES["events_hot_user_share"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_chunk_text_is_shuffle_free(spark, sf_dir):
+    """RAG chunking must stay narrow — split/sequence/slice/explode fuse
+    over the scan with no Exchange (at 100 TB an accidental shuffle here
+    moves the whole tokenized corpus)."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_str(
+        packing.chunk_text(docs, "doc_id", "text", 64, 16), mode="simple"
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """The per-source rates table must come back as a BroadcastHashJoin —
+    the corpus side streams map-side; only the tiny per-source aggregate
+    shuffles."""
+    from realtime_data_pipeline_spark import packing
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").cast("long").alias("w")
+    )
+    plan = plan_str(
+        packing.mixture_sample(docs, "doc_id", "source", "w", 1000.0),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -242,3 +242,30 @@ def test_pii_redaction_parity_spark_vs_duckdb(spark, rows):
                 params=[want, pattern, repl],
             ).fetchone()[0]
         assert got[i] == want, f"regex engine drift on {s!r}"
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    bucket_size=st.sampled_from([1, 3, 10, 1000]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_sum_property_matches_python_model(spark, weights, bucket_size):
+    """Distributed exclusive prefix sum == the trivial Python running sum
+    for arbitrary weights (incl. zeros) and any bucket geometry, over
+    gappy non-contiguous ids."""
+    from realtime_data_pipeline_spark import packing
+
+    ids = [i * 7 + 3 for i in range(len(weights))]  # gappy, increasing
+    df = spark.createDataFrame(list(zip(ids, weights)), "id long, w long")
+    got = {
+        r.id: r.offset
+        for r in packing.exclusive_prefix_sum(
+            df, "id", "w", bucket_size=bucket_size
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, w in zip(ids, weights):
+        want[i] = acc
+        acc += w
+    assert got == want

@@ -535,6 +535,43 @@ def test_dedup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
     assert spark.read.parquet(index).count() == 3
 
 
+def test_dedup_ingest_with_curation_dedups_on_original_content(spark, tmp_path):
+    """Ingest + curation composition: PII is redacted in silver, but the
+    index fingerprints the ORIGINAL text — a raw twin of an
+    already-redacted doc arriving later is still recognized as a dup."""
+    import os
+
+    inbox = str(tmp_path / "dc_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write('doc_id,text\n1,mail bob@example.com now\n')
+    with open(os.path.join(inbox, "b1.csv"), "w") as f:
+        f.write('doc_id,text\n2,mail bob@example.com now\n')
+    for i, name in enumerate(["b0.csv", "b1.csv"]):
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(inbox, name), (t, t))
+    silver = str(tmp_path / "dc_silver")
+    sq = streaming.dedup_ingest_stream(
+        (
+            spark.readStream.format("csv")
+            .option("header", "true")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .load(inbox)
+        ),
+        str(tmp_path / "dc_index"),
+        silver,
+        str(tmp_path / "dc_ck"),
+        content_col="text",
+        id_col="doc_id",
+        curate=streaming.curation_stage(text_col="text"),
+    )
+    assert sq.awaitTermination(120)
+    rows = spark.read.parquet(silver).collect()
+    # doc 2 (raw twin of the now-redacted doc 1) deduped; doc 1 redacted
+    assert [(r.doc_id, r.text) for r in rows] == [(1, "mail [EMAIL] now")]
+
+
 def test_rollup_distinct_sketch_merges_exactly(spark, tmp_path):
     """Incremental approx count-distinct: per-batch HLL sketch partials
     union to EXACTLY the estimate a one-shot sketch over all events
