@@ -253,6 +253,7 @@ def build_ivf_index(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> None:
     """Persist the IVF index the ``ivf_knn`` docstring promises at scale:
     corpus vectors cell-assigned ONCE and written hive-partitioned BY
@@ -265,17 +266,42 @@ def build_ivf_index(
 
     Layout: ``{path}/cells/cell=N/*.parquet`` (id, vec, norm) and
     ``{path}/centroids/*.parquet`` (cell, weights) — both plain parquet,
-    readable by any engine."""
+    readable by any engine. With ``quantize=True`` the cells store
+    ``(id, qvec int8-range ints, qscale, norm)`` instead of the float
+    vector — ~4× smaller index scan at search time; the stored ``norm``
+    is the DEQUANTIZED norm so search cosines are consistent with the
+    stored precision (recall-gated; exact re-rank against full-precision
+    vectors stays available from the source table when needed)."""
     cells = corpus.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("vec"),
         F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col))).alias("cell"),
-    ).select(
-        id_col,
-        "vec",
-        l2_norm(F.col("vec")).alias("norm"),
-        "cell",
     )
+    if quantize:
+        scale, qvec = quantize_int8(F.col("vec"))
+        cells = cells.select(
+            id_col,
+            qvec.alias("qvec"),
+            scale.alias("qscale"),
+            "cell",
+        ).select(
+            id_col,
+            "qvec",
+            "qscale",
+            l2_norm(
+                F.transform(
+                    "qvec", lambda x: x.cast("double") * F.col("qscale")
+                )
+            ).alias("norm"),
+            "cell",
+        )
+    else:
+        cells = cells.select(
+            id_col,
+            "vec",
+            l2_norm(F.col("vec")).alias("norm"),
+            "cell",
+        )
     (
         cells.repartition("cell")
         .write.mode("overwrite")
@@ -310,19 +336,37 @@ def append_to_ivf_index(
     The quantizer is intentionally NOT retrained here: centroids must
     stay fixed or previously-indexed vectors would sit in stale cells.
     Retrain + full rebuild when drift accumulates (recall gates tell
-    you when)."""
+    you when). Appends match the index's stored precision (float or
+    int8) by sniffing the existing cell schema."""
     spark = new_vectors.sparkSession
     cents = load_ivf_centroids(spark, path)
-    (
-        new_vectors.select(
-            F.col(id_col),
-            as_double_array(F.col(vec_col)).alias("vec"),
-            F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+    quantized = "qvec" in spark.read.parquet(f"{path}/cells").columns
+    staged = new_vectors.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("vec"),
+        F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+    )
+    if quantized:
+        scale, qvec = quantize_int8(F.col("vec"))
+        staged = staged.select(
+            id_col, qvec.alias("qvec"), scale.alias("qscale"), "cell"
+        ).select(
+            id_col,
+            "qvec",
+            "qscale",
+            l2_norm(
+                F.transform(
+                    "qvec", lambda x: x.cast("double") * F.col("qscale")
+                )
+            ).alias("norm"),
+            "cell",
         )
-        .select(
+    else:
+        staged = staged.select(
             id_col, "vec", l2_norm(F.col("vec")).alias("norm"), "cell"
         )
-        .repartition("cell")
+    (
+        staged.repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/cells")
@@ -366,6 +410,13 @@ def ivf_index_search(
     index = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed)
     )
+    if "qvec" in index.columns:
+        # int8 index: dequantize candidates on the fly (pruned cells ×
+        # queries only — never the whole index)
+        index = index.withColumn(
+            "vec",
+            F.transform("qvec", lambda x: x.cast("double") * F.col("qscale")),
+        )
     pairs = (
         index.join(F.broadcast(query_cells), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
