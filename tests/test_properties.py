@@ -269,3 +269,36 @@ def test_prefix_sum_property_matches_python_model(spark, weights, bucket_size):
         want[i] = acc
         acc += w
     assert got == want
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=120),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap=st.integers(min_value=0, max_value=39),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_text_reconstructs_document(spark, n_words, chunk, overlap):
+    """Lossless-coverage property: concatenating chunk 0 with every later
+    chunk minus its first `overlap` words reproduces the document's token
+    stream exactly, for any (chunk, overlap) geometry — each chunk's
+    fresh suffix starts precisely where the previous chunk ended."""
+    from hypothesis import assume
+
+    from realtime_data_pipeline_spark import packing
+
+    assume(overlap < chunk)
+    text = " ".join(f"t{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        packing.chunk_text(
+            df, "doc_id", "text", chunk_words=chunk, overlap_words=overlap
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    rebuilt: list[str] = []
+    for r in rows:
+        toks = r.chunk_text.split()
+        assert len(toks) == r.n_chunk_words
+        rebuilt.extend(toks if r.chunk_idx == 0 else toks[overlap:])
+    assert rebuilt == [f"t{i}" for i in range(n_words)]
