@@ -97,20 +97,26 @@ def write_zone(
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
     max_records_per_file: int | None = 1_000_000,
+    partition_overwrite: str = "dynamic",
     **options: str,
 ) -> None:
     """Format-generic zone sink: parquet (default), ORC, CSV, JSON — the
-    same save-mode / hive-partition / file-size posture as
-    :func:`write_parquet` for every format Spark ships a native writer
-    for. CSV writes a header by default (the reference's simulator emits
-    headered CSV, ``scripts/simulate_stream.py:32``)."""
+    same save-mode / hive-partition / file-size /
+    ``partition_overwrite`` posture as :func:`write_parquet` for every
+    format Spark ships a native writer for. CSV writes a header by
+    default (the reference's simulator emits headered CSV,
+    ``scripts/simulate_stream.py:32``)."""
     if fmt not in _ZONE_FORMATS:
         raise ValueError(f"fmt must be one of {_ZONE_FORMATS}, got {fmt!r}")
+    if partition_overwrite not in ("dynamic", "static"):
+        raise ValueError(
+            f"partition_overwrite must be dynamic|static, got {partition_overwrite!r}"
+        )
     # per-write option, not session conf — see write_parquet
     writer = (
         df.write.mode(mode)
         .format(fmt)
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", partition_overwrite)
     )
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", "true"))
