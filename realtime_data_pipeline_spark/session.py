@@ -66,6 +66,11 @@ def get_spark(
     for stateful streaming; pass 'hdfs' for the Spark default in-heap
     provider.
     """
+    if state_store not in STATE_STORE_PROVIDERS:
+        raise ValueError(
+            f"state_store must be one of {sorted(STATE_STORE_PROVIDERS)}, "
+            f"got {state_store!r}"
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
