@@ -476,6 +476,168 @@ def dedup_ingest_stream(
     return writer.start()
 
 
+def neardup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    silver_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> None:
+    """Route ONE micro-batch through NEAR-dup dedup against the persisted
+    MinHash index: in-batch LSH dedup, band-probe + exact-Jaccard verify
+    against all PRIOR batches' signatures, then write fresh docs +
+    their signatures/bands under ``batch_id=N`` dynamic-overwrite
+    partitions on every sink. Same exactly-once discipline as
+    :func:`dedup_ingest_batch`: the index probe EXCLUDES the batch's own
+    partitions, so a replay after a crash between the index write and
+    the checkpoint commit recomputes the identical fresh set instead of
+    near-dup-matching itself into an empty one. Docs too short to
+    shingle pass through fresh and unindexed (they can never match)."""
+    from realtime_data_pipeline_spark import dedup as _dedup
+    from realtime_data_pipeline_spark import neardup as _nd
+
+    spark = batch_df.sparkSession
+    r = k // n_bands
+    has_grams = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    batch_df = batch_df.persist()
+    eligible = batch_df.filter(has_grams)
+    short_docs = batch_df.filter(~has_grams)
+
+    in_batch_pairs = _nd.neardup_pairs_minhash(
+        eligible, id_col, text_col, n=n, k=k, n_bands=n_bands,
+        threshold=threshold, seed=seed,
+    )
+    batch_kept = _dedup.drop_neardups(eligible, in_batch_pairs, id_col)
+    sigs = (
+        batch_kept.select(
+            F.col(id_col), _nd.gram_hashes(F.col(text_col), n).alias("__sh")
+        )
+        .select(
+            id_col,
+            "__sh",
+            _nd.minhash_signature_udf(k, seed)(F.col("__sh")).alias("__sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands_new = _nd._banded(sigs, id_col, n_bands, r)
+
+    sig_dir, band_dir = f"{index_path}/sigs", f"{index_path}/bands"
+    if os.path.exists(sig_dir):
+        # exclude own batch partition: replay safety (see docstring)
+        idx_sigs = spark.read.parquet(sig_dir).filter(
+            F.col("batch_id") != batch_id
+        )
+        idx_bands = spark.read.parquet(band_dir).filter(
+            F.col("batch_id") != batch_id
+        )
+        cand = (
+            idx_bands.join(
+                F.broadcast(
+                    bands_new.select(
+                        F.col(id_col).alias("new_id"), "band_id", "band_key"
+                    )
+                ),
+                ["band_id", "band_key"],
+            )
+            .select(F.col(id_col).alias("old_id"), "new_id")
+            .distinct()
+        )
+        corpus_dups = (
+            idx_sigs.select(
+                F.col(id_col).alias("old_id"), F.col("sh").alias("__sh_old")
+            )
+            .join(F.broadcast(cand), "old_id")
+            .join(
+                F.broadcast(
+                    sigs.select(
+                        F.col(id_col).alias("new_id"),
+                        F.col("__sh").alias("__sh_new"),
+                    )
+                ),
+                "new_id",
+            )
+            .filter(
+                _nd.exact_jaccard(F.col("__sh_old"), F.col("__sh_new"))
+                >= threshold
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        fresh_core = batch_kept.join(corpus_dups, id_col, "left_anti")
+    else:
+        fresh_core = batch_kept
+    fresh_core = fresh_core.localCheckpoint(eager=True)
+    fresh_ids = fresh_core.select(id_col)
+
+    def _bwrite(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    _bwrite(fresh_core.unionByName(short_docs), silver_path)
+    fresh_sigs = sigs.join(F.broadcast(fresh_ids), id_col).select(
+        id_col, F.col("__sh").alias("sh"), F.col("__sig").alias("sig")
+    )
+    _bwrite(fresh_sigs, sig_dir)
+    _bwrite(
+        _nd._banded(
+            fresh_sigs.select(
+                id_col,
+                F.col("sh").alias("__sh"),
+                F.col("sig").alias("__sig"),
+            ),
+            id_col,
+            n_bands,
+            r,
+        ),
+        band_dir,
+    )
+    batch_df.unpersist()
+
+
+def neardup_ingest_stream(
+    df: DataFrame,
+    index_path: str,
+    silver_path: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    available_now: bool = True,
+    **lsh_params,
+) -> StreamingQuery:
+    """Streaming NEAR-dup ingest: each micro-batch is near-deduplicated
+    (MinHash-LSH + exact-Jaccard verify) against every prior batch via
+    the persisted signature index — only novel documents land in silver.
+    The cross-batch cost is (batch LSH + band probe of the index), never
+    a corpus self-join; exactly-once via batch-scoped partitions on all
+    three sinks (:func:`neardup_ingest_batch`)."""
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_ingest_batch(
+            batch_df, batch_id, index_path, silver_path, id_col, text_col,
+            **lsh_params,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dq_gated_stream(
     df: DataFrame,
     rules: list[dq.Rule],

@@ -572,6 +572,75 @@ def test_dedup_ingest_with_curation_dedups_on_original_content(spark, tmp_path):
     assert [(r.doc_id, r.text) for r in rows] == [(1, "mail [EMAIL] now")]
 
 
+def test_neardup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
+    """Streaming near-dup ingest: later batches' NEAR-duplicates (high
+    Jaccard, not exact equality) are dropped against the persisted
+    signature index; short docs pass through; replaying a batch whose
+    signatures already sit in the index reproduces the same silver
+    partition (own-partition exclusion)."""
+    import os
+
+    base_a = " ".join(f"alpha{i}" for i in range(30))
+    near_a = base_a.replace("alpha7", "CHANGED")  # jaccard ~0.87
+    base_b = " ".join(f"beta{i}" for i in range(30))
+    base_c = " ".join(f"gamma{i}" for i in range(30))
+    near_c = base_c.replace("gamma3", "EDITED")
+
+    inbox = str(tmp_path / "ndi_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("doc_id,text\n")
+        f.write(f"1,{base_a}\n2,{base_b}\n")
+    with open(os.path.join(inbox, "b1.csv"), "w") as f:
+        f.write("doc_id,text\n")
+        f.write(f"3,{near_a}\n4,{base_c}\n6,hi\n")
+    with open(os.path.join(inbox, "b2.csv"), "w") as f:
+        f.write("doc_id,text\n")
+        f.write(f"5,{near_c}\n")
+    for i, name in enumerate(["b0.csv", "b1.csv", "b2.csv"]):
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(inbox, name), (t, t))
+
+    index = str(tmp_path / "ndi_index")
+    silver = str(tmp_path / "ndi_silver")
+    sq = streaming.neardup_ingest_stream(
+        (
+            spark.readStream.format("csv")
+            .option("header", "true")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .load(inbox)
+        ),
+        index,
+        silver,
+        str(tmp_path / "ndi_ck"),
+        id_col="doc_id",
+        text_col="text",
+    )
+    assert sq.awaitTermination(180)
+
+    def silver_ids():
+        return {
+            (r.doc_id, r.batch_id)
+            for r in spark.read.parquet(silver).collect()
+        }
+
+    got = silver_ids()
+    # near-dups 3 and 5 dropped; short doc 6 passes through
+    assert {d for (d, _) in got} == {1, 2, 4, 6}
+
+    # replay the batch carrying docs 3/4/6 — its sigs/bands are already
+    # indexed (crash-between-writes window); result must be identical
+    batch_of_4 = next(b for (d, b) in got if d == 4)
+    replay = spark.createDataFrame(
+        [(3, near_a), (4, base_c), (6, "hi")], "doc_id long, text string"
+    )
+    streaming.neardup_ingest_batch(
+        replay, batch_of_4, index, silver, id_col="doc_id", text_col="text"
+    )
+    assert silver_ids() == got
+
+
 def test_rollup_distinct_sketch_merges_exactly(spark, tmp_path):
     """Incremental approx count-distinct: per-batch HLL sketch partials
     union to EXACTLY the estimate a one-shot sketch over all events
