@@ -128,6 +128,15 @@ def main(argv: list[str] | None = None) -> int:
     pin.add_argument("--format", default="csv", choices=["csv", "parquet", "json"])
     pin.add_argument("--max-files-per-trigger", type=int, default=1)
     pin.add_argument("--timeout-sec", type=int, default=600)
+    pin.add_argument(
+        "--near", action="store_true",
+        help="near-duplicate dedup (MinHash-LSH vs the signature index) "
+        "instead of exact content fingerprints",
+    )
+    pin.add_argument(
+        "--jaccard", type=float, default=0.5,
+        help="near-dup verify threshold (with --near)",
+    )
 
     pru = sub.add_parser(
         "rollup",
@@ -280,17 +289,29 @@ def main(argv: list[str] | None = None) -> int:
             if args.schema
             else spark.read.parquet(args.schema_from).schema
         )
-        sq = streaming.dedup_ingest_stream(
-            streaming.read_file_stream(
-                spark, args.inbox, schema, fmt=args.format,
-                max_files_per_trigger=args.max_files_per_trigger,
-            ),
-            args.index,
-            args.silver,
-            checkpoint=args.checkpoint,
-            content_col=args.content_col,
-            id_col=args.id_col,
+        src = streaming.read_file_stream(
+            spark, args.inbox, schema, fmt=args.format,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
+        if args.near:
+            sq = streaming.neardup_ingest_stream(
+                src,
+                args.index,
+                args.silver,
+                checkpoint=args.checkpoint,
+                id_col=args.id_col,
+                text_col=args.content_col,
+                threshold=args.jaccard,
+            )
+        else:
+            sq = streaming.dedup_ingest_stream(
+                src,
+                args.index,
+                args.silver,
+                checkpoint=args.checkpoint,
+                content_col=args.content_col,
+                id_col=args.id_col,
+            )
         if not sq.awaitTermination(args.timeout_sec):
             sq.stop()
             print("ingest: timed out before catch-up finished", file=sys.stderr)

@@ -279,6 +279,39 @@ def test_cli_ingest_dedup_stream(spark, tmp_path, capsys):
     assert {r.doc_id for r in spark.read.parquet(silver).collect()} == {1, 2, 4}
 
 
+def test_cli_ingest_near_dedup(spark, tmp_path, capsys):
+    """`ingest --near`: cross-batch NEAR-duplicates (one word changed)
+    are dropped against the persisted signature index."""
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = base.replace("w9", "CHANGED")
+    inbox = str(tmp_path / "ign_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write(f"doc_id,text\n1,{base}\n")
+    with open(os.path.join(inbox, "b1.csv"), "w") as f:
+        f.write(f"doc_id,text\n2,{near}\n")
+    for i, name in enumerate(["b0.csv", "b1.csv"]):
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(inbox, name), (t, t))
+    silver = str(tmp_path / "ign_silver")
+    rc = cli.main([
+        "ingest", "--near",
+        "--inbox", inbox,
+        "--silver", silver,
+        "--index", str(tmp_path / "ign_index"),
+        "--checkpoint", str(tmp_path / "ign_ck"),
+        "--schema", "doc_id long, text string",
+        "--timeout-sec", "180",
+    ])
+    assert rc == 0
+    assert "1 unique docs" in capsys.readouterr().out
+    assert {r.doc_id for r in spark.read.parquet(silver).collect()} == {1}
+
+
 def test_cli_rollup_catchup_with_distinct(spark, tmp_path, capsys):
     """`rollup` subcommand: inbox catch-up -> per-window partials ->
     merged view with HLL approx-distinct; --compact folds partials."""
