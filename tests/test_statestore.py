@@ -40,11 +40,16 @@ def _write_inbox(root: str, n_files: int = 5, keys_per_file: int = 100) -> str:
         ts = (BASE + datetime.timedelta(minutes=30 * fidx)).strftime(
             "%Y-%m-%d %H:%M:%S"
         )
-        with open(os.path.join(inbox, f"f{fidx}.csv"), "w") as f:
+        p = os.path.join(inbox, f"f{fidx}.csv")
+        with open(p, "w") as f:
             f.write("k,ts\n")
             for i in range(keys_per_file):
                 f.write(f"k{fidx}_{i},{ts}\n")
                 f.write(f"k{fidx}_{i},{ts}\n")  # exact duplicate
+        # the file source orders batches by MODIFICATION TIME; quick
+        # successive writes can tie — pin a strict event-time-aligned
+        # order so the watermark advances monotonically per trigger
+        os.utime(p, (1_700_000_000 + fidx * 10, 1_700_000_000 + fidx * 10))
     return inbox
 
 
@@ -127,6 +132,7 @@ def test_interval_join_bounded_state_both_providers(
     buys_dir = os.path.join(str(tmp_path), "buys")
     os.makedirs(clicks_dir)
     os.makedirs(buys_dir)
+    file_mtimes: list[tuple[str, int]] = []
     # 5 file-pairs; user u{f}_{i} clicks 1 min after their purchase, so
     # every click joins exactly one purchase inside the 10-min interval
     for fidx in range(5):
@@ -144,6 +150,10 @@ def test_interval_join_bounded_state_both_providers(
                 f.write(
                     f"u{fidx}_{i},{t_buy.strftime('%Y-%m-%d %H:%M:%S')}\n"
                 )
+        for d in (clicks_dir, buys_dir):
+            file_mtimes.append((os.path.join(d, f"f{fidx}.csv"), fidx))
+    for p, fidx in file_mtimes:
+        os.utime(p, (1_700_000_000 + fidx * 10, 1_700_000_000 + fidx * 10))
     results = {}
     for provider in PROVIDERS:
         set_state_store(spark, provider)
