@@ -331,3 +331,87 @@ def sessionize(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` shape):
+    per user, how far through ``steps`` they progressed, matching each
+    step to the EARLIEST event after the previous step's match — with an
+    optional completion window anchored at the first step's match.
+
+    Spark-first plan: ONE shuffle (groupBy user), then a pure-JVM
+    higher-order ``aggregate`` walking the user's time-sorted event
+    array with a (step, anchor_ts, last_ts) accumulator — no per-step
+    self-joins (the naive funnel is ``len(steps)`` joins over the event
+    table; at 100 TB that is ``len(steps)`` shuffles of the fact table
+    instead of one). Per-user state is the event array: bounded by
+    events-per-user, the same bound sessionization already carries.
+
+    Greedy earliest-anchor semantics (anchor = user's FIRST step-0
+    event) — identical to the sequential ``min(ts)`` SQL a warehouse
+    would write, which is what the oracle twin checks.
+
+    Returns (user, furthest_step [0 = none matched], completed bool).
+    """
+    sec = epoch_seconds(F.col(ts_col))
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col),
+        F.struct(sec.alias("t"), F.col(type_col).alias("ty")).alias("e"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("e")).alias("seq")
+    )
+    # walk state: (step reached, anchor = step-0 match time, last match
+    # time). Later steps must be STRICTLY later than the previous match
+    # — same-timestamp ties do not advance, matching the sequential
+    # `min(ts) WHERE ts > prev` SQL a warehouse writes (the oracle twin)
+    init = F.struct(
+        F.lit(0).alias("step"),
+        F.lit(None).cast("double").alias("t0"),
+        F.lit(None).cast("double").alias("last"),
+    )
+    n = len(steps)
+    step_of = F.array(*[F.lit(s) for s in steps])
+
+    def advance(acc, e):
+        want = F.element_at(step_of, acc["step"] + 1)  # 1-based
+        after_prev = F.when(acc["step"] == 0, F.lit(True)).otherwise(
+            e["t"] > acc["last"]
+        )
+        in_window = (
+            F.lit(True)
+            if within_seconds is None
+            else F.when(acc["step"] == 0, F.lit(True)).otherwise(
+                e["t"] <= acc["t0"] + F.lit(float(within_seconds))
+            )
+        )
+        matches = (
+            (acc["step"] < n) & (e["ty"] == want) & after_prev & in_window
+        )
+        return F.when(
+            matches,
+            F.struct(
+                (acc["step"] + 1).alias("step"),
+                F.when(acc["step"] == 0, e["t"])
+                .otherwise(acc["t0"])
+                .alias("t0"),
+                e["t"].alias("last"),
+            ),
+        ).otherwise(acc)
+
+    walked = per_user.select(
+        user_col,
+        F.aggregate("seq", init, advance).alias("acc"),
+    )
+    return walked.select(
+        user_col,
+        F.col("acc.step").alias("furthest_step"),
+        (F.col("acc.step") == n).alias("completed"),
+    )

@@ -300,6 +300,52 @@ ORDER BY share DESC, user_id ASC
 """
 
 
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel within 1 hour of the first
+    view: users reaching each step. One shuffle + a sorted-array HOF
+    walk per user (`ops.funnel_steps`) vs the warehouse spelling of
+    len(steps) sequential self-joins — the oracle twin IS that spelling,
+    proving the single-pass walk computes the same greedy
+    earliest-anchor semantics."""
+    from realtime_data_pipeline_spark import ops as _ops
+
+    ev = load_events(spark, sf_dir)
+    walked = _ops.funnel_steps(
+        ev, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], within_seconds=3600.0,
+    )
+    return walked.agg(
+        F.sum((F.col("furthest_step") >= 1).cast("long")).alias("reached_view"),
+        F.sum((F.col("furthest_step") >= 2).cast("long")).alias("reached_click"),
+        F.sum((F.col("furthest_step") >= 3).cast("long")).alias(
+            "reached_purchase"
+        ),
+    )
+
+
+EVENTS_FUNNEL_COUNTS_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch(e.ts)) AS t2, MIN(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch(e.ts) > s1.t1 AND epoch(e.ts) <= s1.t1 + 3600
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch(e.ts) > s2.t2 AND epoch(e.ts) <= s2.t1 + 3600
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS reached_view,
+       (SELECT COUNT(*) FROM s2) AS reached_click,
+       (SELECT COUNT(*) FROM s3) AS reached_purchase
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -317,10 +363,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
     "events_hot_user_share": events_hot_user_share,
+    "events_funnel_counts": events_funnel_counts,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "events_hot_user_share": EVENTS_HOT_USER_SHARE_SQL,
+    "events_funnel_counts": EVENTS_FUNNEL_COUNTS_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

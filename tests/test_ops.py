@@ -191,3 +191,55 @@ def test_heavy_hitters_empty_input(spark):
 
     empty = spark.createDataFrame([], "k long")
     assert ops.heavy_hitters(empty, "k", fraction=0.5) == []
+
+
+def test_funnel_steps_strict_order_and_window(spark):
+    """Funnel walk semantics: steps must be strictly later than the
+    previous match (same-timestamp ties don't advance), the completion
+    window anchors at the FIRST step-0 event (greedy, not best-start),
+    and off-path events are ignored."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import ops
+
+    rows = [
+        # u1: clean A->B->C inside the hour
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:10:00", "click"),
+        (1, "2024-01-01 10:20:00", "purchase"),
+        # u2: click at the SAME ts as view -> must NOT advance past view;
+        # later click advances, purchase outside the hour -> step 2
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:00:00", "click"),
+        (2, "2024-01-01 10:30:00", "click"),
+        (2, "2024-01-01 11:30:00", "purchase"),
+        # u3: anchor is the FIRST view (09:00, window closes 10:00); the
+        # chain after the SECOND view falls outside it -> greedy stops at
+        # step 1 (a best-start search would find 3 — not this semantic,
+        # and not the sequential-min SQL the oracle twin runs)
+        (3, "2024-01-01 09:00:00", "view"),
+        (3, "2024-01-01 11:00:00", "view"),
+        (3, "2024-01-01 11:10:00", "click"),
+        (3, "2024-01-01 11:20:00", "purchase"),
+        # u4: steps out of order -> only the view counts
+        (4, "2024-01-01 10:05:00", "purchase"),
+        (4, "2024-01-01 10:06:00", "view"),
+        # u5: no funnel events at all -> absent from output
+        (5, "2024-01-01 10:00:00", "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.user_id: (r.furthest_step, r.completed)
+        for r in ops.funnel_steps(
+            df, "user_id", "ts", "event_type",
+            steps=["view", "click", "purchase"], within_seconds=3600.0,
+        ).collect()
+    }
+    assert out == {
+        1: (3, True),
+        2: (2, False),
+        3: (1, False),
+        4: (1, False),
+    }
