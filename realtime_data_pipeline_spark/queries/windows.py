@@ -138,11 +138,83 @@ FROM flagged
 """
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis over 30-minute sessions: the 20 most common ordered
+    event-type journeys (``view>click>purchase``-style strings). One
+    extra shuffle beyond sessionize — per-session ordered collect (the
+    journey string), then a count over journey strings. The per-session
+    state is that session's events, the same bound sessionization
+    carries."""
+    ev = load_events(spark, sf_dir)
+    sess = ops.sessionize(ev, "user_id", "ts", 30, order_tiebreak="event_id")
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    return ops.topk_per_group(
+        paths.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("n_sessions").desc(), F.col("path").asc()],
+        k=20,
+        rank_col="rank",
+    ).select("path", "n_sessions", F.col("rank").cast("int").alias("rank"))
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+), counted AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)
+         AS rank
+FROM counted
+ORDER BY rank
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_5min": events_tumbling_5min,
     "events_sliding_10m_5m": events_sliding_10m_5m,
     "events_sessions_30m": events_sessions_30m,
     "events_sessionized": events_sessionized,
+}
+
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_top_paths": events_top_paths,
+}
+
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "events_top_paths": EVENTS_TOP_PATHS_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
