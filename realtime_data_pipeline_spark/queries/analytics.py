@@ -346,6 +346,58 @@ SELECT (SELECT COUNT(*) FROM s1) AS reached_view,
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-activity day,
+    share active again k days later (k ≤ 7). Three aggregations + one
+    join — the fact table shuffles once per agg on (user) / (user, day),
+    cohort sizes broadcast back. Bounded output: cohorts × 8 offsets."""
+    ev = load_events(spark, sf_dir)
+    d = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(d).alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = ev.select("user_id", d.alias("day")).distinct()
+    tri = (
+        activity.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+    )
+    return tri.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+EVENTS_RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), tri AS (
+  SELECT f.cohort, day - f.cohort AS day_offset, COUNT(*) AS n_active
+  FROM activity a JOIN first f USING (user_id)
+  WHERE day - f.cohort <= 7
+  GROUP BY f.cohort, day - f.cohort
+)
+SELECT strftime(t.cohort, '%Y-%m-%d') AS cohort,
+       CAST(t.day_offset AS INT) AS day_offset,
+       CAST(t.n_active AS BIGINT) AS n_active,
+       ROUND(t.n_active / s.cohort_size, 6) AS retention
+FROM tri t JOIN sizes s USING (cohort)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -364,11 +416,13 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_threshold_calibration": dq_threshold_calibration,
     "events_hot_user_share": events_hot_user_share,
     "events_funnel_counts": events_funnel_counts,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "events_hot_user_share": EVENTS_HOT_USER_SHARE_SQL,
     "events_funnel_counts": EVENTS_FUNNEL_COUNTS_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_COHORTS_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
