@@ -30,6 +30,7 @@ from realtime_data_pipeline_spark.queries import (
     llm,
     relational,
     scalars,
+    subqueries,
     textdup,
     vectors,
     windows,
@@ -54,6 +55,7 @@ for _mod in (
     windows,
     asof,
     scalars,
+    subqueries,
     vectors,
     textdup,
 ):

@@ -252,3 +252,53 @@ def test_mixture_sample_broadcasts_rates(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_is_one_join_no_union(spark, sf_dir):
+    """The OR-of-ANDs must be a residual filter on ONE broadcast hash
+    join — a union-of-three-joins rewrite would scan lineitem 3x."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["disjunctive_revenue_q19"](spark, sf_dir),
+        mode="simple",
+    )
+    assert plan.count("Join") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan
+
+
+def test_q4_exists_is_semi_join_carrying_correlation(spark, sf_dir):
+    """EXISTS with a non-equi correlated term must run as ONE hash semi
+    join with the extra predicate on the join (never a per-row subquery
+    or a post-join dedup)."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["order_priority_check_q4"](spark, sf_dir),
+        mode="simple",
+    )
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert len(semi) == 1
+    assert "l_shipdate" in semi[0]  # correlation rides the join itself
+
+
+def test_q17_window_decorrelation_single_shuffle(spark, sf_dir):
+    """The correlated scalar AVG decorrelates to a window over the part
+    key: exactly one data shuffle (the window) before the 1-row agg, and
+    the brand filter reaches lineitem via broadcast."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["small_quantity_revenue_q17"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan
+    # shuffles: window partitionBy + the single-row final agg only
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+
+
+def test_q22_scalar_subquery_broadcasts_and_anti_joins(spark, sf_dir):
+    """The global average is a 1-row broadcast (nested-loop) join and the
+    NOT EXISTS is a hash anti join — no shuffle of the customer table for
+    the scalar comparison."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["idle_rich_customers_q22"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
