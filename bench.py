@@ -623,6 +623,63 @@ def scale_ramp(factor: int = 10) -> None:
             f"merge slope {incr_slope:.2f}x at {factor}x corpus",
             file=sys.stderr,
         )
+
+        # Near-dup merge slope: a FIXED batch against a factor× signature
+        # index. The ramp index is the base index replicated with id
+        # offsets (same signatures — models a corpus whose near-dup
+        # clusters are factor× bigger, the conservative worst case): the
+        # merge's two corpus streaming passes (bands probe, sigs verify)
+        # scan factor× the rows while the broadcast batch side stays
+        # fixed, so the slope should be ≪ factor.
+        from realtime_data_pipeline_spark import neardup as _neardup
+
+        nd_batch = spark.read.parquet(f"{base_dir}/documents.parquet").filter(
+            F.pmod("doc_id", F.lit(20)) == 0
+        )
+        nd_corpus = spark.read.parquet(
+            f"{base_dir}/documents.parquet"
+        ).filter(F.pmod("doc_id", F.lit(20)) != 0)
+        nd_base_idx = os.path.join(ramp_dir, "__nd_idx_base")
+        _neardup.incremental_neardup_minhash(
+            nd_corpus, nd_base_idx, "doc_id", "text"
+        )
+        nd_ramp_idx = os.path.join(ramp_dir, "__nd_idx_ramp")
+        for part in ("sigs", "bands"):
+            src = spark.read.parquet(f"{nd_base_idx}/{part}")
+            copies = [src] + [
+                src.withColumn("doc_id", F.col("doc_id") + i * RAMP_OFFSET)
+                for i in range(1, factor)
+            ]
+            u = copies[0]
+            for c in copies[1:]:
+                u = u.unionByName(c)
+            u.write.mode("overwrite").parquet(f"{nd_ramp_idx}/{part}")
+        nd_times = {}
+        for label, idx in (("base", nd_base_idx), ("ramp", nd_ramp_idx)):
+            best = float("inf")
+            for i in range(3):
+                idx_copy = os.path.join(ramp_dir, f"__nd_idx_{label}_{i}")
+                _shutil.copytree(idx, idx_copy)
+                t0 = time.perf_counter()
+                _neardup.incremental_neardup_minhash(
+                    nd_batch, idx_copy, "doc_id", "text"
+                )
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    best = min(best, dt)
+            nd_times[label] = round(best, 3)
+        nd_slope = nd_times["ramp"] / nd_times["base"]
+        legs["neardup_incremental_merge"] = {
+            "base_sec": nd_times["base"],
+            "ramp_sec": nd_times["ramp"],
+            "slope": round(nd_slope, 2),
+            "slope_vs_factor": round(nd_slope / factor, 2),
+        }
+        print(
+            f"# neardup incremental merge slope {nd_slope:.2f}x at "
+            f"{factor}x index",
+            file=sys.stderr,
+        )
         print(
             json.dumps(
                 {

@@ -71,7 +71,7 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_dir):
     FlatMapGroupsInPandas). BatchEvalPython = pickled row-at-a-time UDF,
     the 10-100x slow path."""
     offenders = []
-    for name, fn in q.QUERIES.items():
+    for name, fn in {**q.QUERIES, **q.SHELVED_QUERIES}.items():
         plan = plan_str(fn(spark, sf_dir), mode="simple")
         if "BatchEvalPython" in plan:
             offenders.append(name)
