@@ -135,14 +135,40 @@ def read_zone(
     path: str,
     fmt: str = "parquet",
     schema=None,
+    merge_schema: bool = False,
+    tolerate_corrupt: bool = False,
     **options: str,
 ) -> DataFrame:
     """Format-generic zone source. Parquet/ORC carry their own schema;
     CSV/JSON take an explicit ``schema`` (preferred — inference is an
-    extra full scan) or fall back to inference with ``inferSchema``."""
+    extra full scan) or fall back to inference with ``inferSchema``.
+
+    Two operational flags a long-lived 100 TB zone eventually needs:
+
+    * ``merge_schema`` — reconcile the union of all footer schemas
+      instead of trusting one random file. A zone written over months
+      accretes columns (schema evolution); the default single-footer
+      read silently DROPS columns absent from the sampled file. Costs a
+      footer read per file at planning time — turn it on for evolved
+      zones, not everywhere.
+    * ``tolerate_corrupt`` — skip unreadable files (logged by Spark)
+      instead of failing the job. Among millions of files a truncated
+      upload or torn write is a when, not an if; a nightly job over a
+      bad file should quarantine-and-continue, not lose the run. Off by
+      default: correctness jobs should NOTICE corruption; enable it for
+      best-effort analytics/backfill reads.
+    """
     if fmt not in _ZONE_FORMATS:
         raise ValueError(f"fmt must be one of {_ZONE_FORMATS}, got {fmt!r}")
     reader = spark.read.format(fmt)
+    if merge_schema:
+        if fmt not in ("parquet", "orc"):
+            raise ValueError("merge_schema applies to parquet/orc zones only")
+        reader = reader.option("mergeSchema", "true")
+    if tolerate_corrupt:
+        # per-read option (Spark 3.2+): scoped to this scan, unlike the
+        # session-wide spark.sql.files.ignoreCorruptFiles conf
+        reader = reader.option("ignoreCorruptFiles", "true")
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt in ("csv", "json"):
