@@ -89,6 +89,21 @@ class DQCheckFailed(SystemExit):
         super().__init__(2)
 
 
+def metrics_exprs(rules: list[Rule]) -> list[Column]:
+    """The single-pass conditional aggregates (``total_rows`` + one
+    violation count per rule) as reusable expressions — consumed by
+    :func:`violation_counts_df` (standalone agg scan) and by
+    ``DataFrame.observe`` in ``medallion.run_silver``, where the SAME
+    metrics are collected as a side effect of the silver write's scan
+    (zero dedicated actions)."""
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for rule in rules:
+        aggs.append(
+            F.sum(F.when(rule.predicate, F.lit(1)).otherwise(F.lit(0))).alias(rule.name)
+        )
+    return aggs
+
+
 def violation_counts_df(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Single-pass conditional aggregation of all rule violation counts
     plus the total row count (operator A2 in SURVEY.md §2.4).
@@ -97,12 +112,7 @@ def violation_counts_df(df: DataFrame, rules: list[Rule]) -> DataFrame:
     ``<rule.name>`` per rule. Replaces the reference's N ``count()`` scans
     (``spark_jobs/dq_checks.py:56-59``) with one aggregation.
     """
-    aggs = [F.count(F.lit(1)).alias("total_rows")]
-    for rule in rules:
-        aggs.append(
-            F.sum(F.when(rule.predicate, F.lit(1)).otherwise(F.lit(0))).alias(rule.name)
-        )
-    return df.agg(*aggs)
+    return df.agg(*metrics_exprs(rules))
 
 
 def evaluate(
@@ -113,14 +123,29 @@ def evaluate(
 ) -> DQReport:
     """Evaluate all rules in one scan and apply the pass/warn/fail policy."""
     row = violation_counts_df(df, rules).collect()[0]
+    return report_from_metrics(
+        dict(row.asDict()), rules, warn_only=warn_only, raise_on_fail=raise_on_fail
+    )
+
+
+def report_from_metrics(
+    metrics: dict,
+    rules: list[Rule],
+    warn_only: bool = False,
+    raise_on_fail: bool = False,
+) -> DQReport:
+    """Build a :class:`DQReport` from an already-computed metrics mapping
+    (``total_rows`` + one count per rule name) — the shared tail of
+    :func:`evaluate` and the observed-write path, where the mapping is
+    ``Observation.get`` collected during a sink's own scan."""
     report = DQReport(
-        total_rows=row["total_rows"],
+        total_rows=int(metrics["total_rows"]),
         warn_only=warn_only,
         run_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     )
     failed: list[str] = []
     for rule in rules:
-        violations = int(row[rule.name] or 0)
+        violations = int(metrics[rule.name] or 0)
         ok = violations <= rule.threshold
         if not ok:
             failed.append(rule.name)

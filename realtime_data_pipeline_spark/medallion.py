@@ -595,11 +595,19 @@ def run_bronze(
     mode: str = "overwrite",
 ) -> dict:
     """raw → bronze job (rebuild of ``spark_jobs/batch_etl.py`` main).
-    Returns run metrics; the single count() is taken from the written
-    result, not a pre-write double-scan (the reference counts the input
-    AND writes it — two jobs; ``batch_etl.py:66,76``)."""
+    Returns run metrics; the row count is an ``Observation`` collected
+    DURING the write's own scan — zero extra actions, where the
+    reference counts the input and then writes it (two full scans;
+    ``batch_etl.py:66,76``) and a read-back count would be a second scan
+    of the written zone."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     raw = spark.read.parquet(raw_path)
-    bronze = etl.bronze_transform(raw, ts_col, keep_cols, date_col)
+    obs = Observation()
+    bronze = etl.bronze_transform(raw, ts_col, keep_cols, date_col).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
     # full-rebuild semantics: overwrite means THE TABLE, so partitions
     # absent from this run's raw must not survive from the last run
     # (dynamic overwrite would keep them — same staleness class as the
@@ -611,10 +619,9 @@ def run_bronze(
         partition_by=date_col,
         partition_overwrite="static" if mode == "overwrite" else "dynamic",
     )
-    written = spark.read.parquet(bronze_path)
     return {
-        "rows": written.count(),
-        "columns": written.columns,
+        "rows": int(obs.get["rows"]),
+        "columns": bronze.columns,
         "partition_col": date_col,
     }
 
@@ -633,13 +640,25 @@ def run_silver(
     """bronze → DQ gate → silver + quarantine (rebuild of
     ``spark_jobs/dq_checks.py:102-120`` + ``write_silver.py``).
 
-    One rule-evaluation scan (single-pass conditional agg), then one write
-    per destination; rows violating ANY rule are quarantined, clean rows
-    get the silver transforms. Gate semantics: raises ``DQCheckFailed``
-    (exit code 2) AFTER writing + reporting, unless ``warn_only``."""
+    TWO source scans total: the rule metrics (single-pass conditional
+    agg) ride the silver write's own scan as a ``DataFrame.observe``
+    side effect — no dedicated evaluation action — and the quarantine
+    write is the second scan. (The reference spends N+1 scans: one
+    ``count()`` per rule plus the cleaned write,
+    ``spark_jobs/dq_checks.py:56-59,104-113``.) Rows violating ANY rule
+    are quarantined, clean rows get the silver transforms. Gate
+    semantics: raises ``DQCheckFailed`` (exit code 2) AFTER writing +
+    reporting, unless ``warn_only``."""
+    from pyspark.sql import Observation
+
     bronze = spark.read.parquet(bronze_path)
-    report = dq.evaluate(bronze, rules, warn_only=warn_only, raise_on_fail=False)
-    clean, bad = dq.split_clean_violations(bronze, rules)
+    obs = Observation()
+    bad_pred = dq.any_violation(rules)
+    # observe on the PRE-filter plan so the metrics see every bronze row;
+    # only the clean branch carries the observation node — attaching it
+    # to both writes would fire it twice
+    clean = bronze.observe(obs, *dq.metrics_exprs(rules)).filter(~bad_pred)
+    bad = bronze.filter(bad_pred)
     # overwrite = full rebuild of BOTH zones: a partition whose rows all
     # turned violating this run must vanish from silver (and vice versa
     # for the quarantine) — dynamic overwrite would leave the previous
@@ -652,6 +671,9 @@ def run_silver(
         partition_by=partition_by,
         partition_overwrite=pmode,
     )
+    # the silver write has completed, so Observation.get returns
+    # immediately with the metrics its scan computed
+    report = dq.report_from_metrics(obs.get, rules, warn_only=warn_only)
     write_parquet(
         bad,
         quarantine_path,

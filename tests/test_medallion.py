@@ -475,3 +475,30 @@ def test_register_views_sql_over_zones(spark, tmp_path):
         spark.sql("SELECT event_id FROM silver WHERE value < 0").first().event_id
         == 2
     )
+
+
+def test_silver_observed_metrics_match_standalone_evaluate(
+    spark, raw_path, tmp_path
+):
+    """run_silver's DQ report is an Observation collected during the
+    silver write's own scan; it must equal a standalone single-pass
+    evaluate over the same bronze (the refactor's regression guard)."""
+    bronze_path = str(tmp_path / "bronze_obs")
+    medallion.run_bronze(
+        spark, raw_path, bronze_path,
+        ts_col="pickup_datetime",
+        keep_cols=["pickup_datetime", "fare_amount", "vendor_id", "note"],
+        date_col="pickup_date",
+    )
+    report = medallion.run_silver(
+        spark, bronze_path,
+        str(tmp_path / "silver_obs"), str(tmp_path / "quarantine_obs"),
+        rules(), warn_only=True,
+    )
+    standalone = dq.evaluate(
+        spark.read.parquet(bronze_path), rules(), warn_only=True
+    )
+    assert report.total_rows == standalone.total_rows
+    assert {n: r["violations"] for n, r in report.results.items()} == {
+        n: r["violations"] for n, r in standalone.results.items()
+    }
