@@ -358,13 +358,18 @@ def compact(
         total = sum(p.stat().st_size for p in Path(path).rglob("*.parquet"))
         df = df.repartition(max(1, -(-total // (256 << 20))))
     tmp = f"{path}__compact_tmp"
+    # row count observed during the rewrite itself — no read-back scan
+    # of the temp dataset
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     write_parquet(
         df, tmp, mode="overwrite", partition_by=partition_by,
         max_records_per_file=target_records_per_file,
     )
-    # count from the temp BEFORE the swap: the original plan's file
-    # listing is already resolved and would dangle after the swap
-    rows = spark.read.parquet(tmp).count()
+    rows = int(obs.get["rows"])
     # swap old aside FIRST (rmtree-then-rename leaves NO dataset at `path`
     # if we crash between the calls): after the aside-rename, the worst
     # crash window is a single rename, recoverable by renaming __old back
@@ -487,16 +492,25 @@ def merge_upsert(
     from pyspark.sql import functions as F
 
     if not os.path.exists(target_path):
-        write_parquet(
-            updates, target_path, mode="overwrite", partition_by=partition_col
+        # one scan: row count + distinct partition set observed during
+        # the initial-load write itself (vs write + read-back count +
+        # a distinct collect = three passes over the updates)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = updates.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.collect_set(F.col(partition_col).cast("string")).alias("parts"),
         )
+        write_parquet(
+            observed, target_path, mode="overwrite", partition_by=partition_col
+        )
+        m = obs.get
         return {
             "initial_load": True,
-            "affected_partitions": sorted(
-                str(r[0])
-                for r in updates.select(partition_col).distinct().collect()
-            ),
-            "rows_written": spark.read.parquet(target_path).count(),
+            "affected_partitions": sorted(m["parts"]),
+            "rows_written": int(m["rows"]),
         }
 
     parts = [
