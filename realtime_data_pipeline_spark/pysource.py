@@ -1,0 +1,203 @@
+"""Custom Python data source (Spark 4 DataSource API): a deterministic,
+partition-parallel synthetic events generator, batch + streaming.
+
+The reference feeds its pipeline from a driver-side script that slices a
+table into CSV files (``scripts/simulate_stream.py:21-33``) — data has to
+exist on disk before anything can run. This source generates the same
+*shape* of data (the ``events`` fixture schema) directly inside Spark
+executors instead:
+
+* **batch**: ``spark.read.format("synthetic_events")`` — each of
+  ``n_partitions`` input partitions generates its own row range as Arrow
+  RecordBatches (vectorized numpy, zero driver data, zero storage). Row
+  values are pure functions of the global row index, so the dataset is
+  byte-identical regardless of partitioning — load-testing a pipeline at
+  any scale costs no storage at all.
+* **filter pushdown**: ``pushFilters`` narrows the generated ``event_id``
+  range for ``<``/``<=``/``>``/``>=``/``=`` predicates, so
+  ``.filter(col("event_id") < 1000)`` generates 1 000 rows, not
+  ``n_rows`` — the Python-source analog of parquet predicate pushdown.
+* **streaming**: ``spark.readStream.format("synthetic_events")`` — a
+  replayable micro-batch source built on ``SimpleDataSourceStreamReader``.
+  Offsets are row indexes; Spark hands ``read(start)`` the checkpointed
+  offset, so a restarted query resumes exactly where it stopped with NO
+  driver-side state to lose (the restart-safety problem a stateful
+  ``latestOffset`` implementation has). ``readBetweenOffsets`` replays any
+  range deterministically — exactly-once by construction.
+
+Rows match the ``events`` fixture schema (event_id, ts, user_id,
+event_type, value, props) with ``ts`` as TIMESTAMP_NTZ — the same type
+the driver-generated parquet carries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+EVENT_TYPES = ("view", "click", "purchase", "login", "logout")
+_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+
+
+def _gen_arrow(lo: int, hi: int, n_users: int, step_us: int):
+    """Rows [lo, hi) as one Arrow RecordBatch. Every column is a pure
+    function of the global row index — no RNG object, no partition
+    state — so any (re)partitioning of the index space yields the same
+    rows (property-tested) and streaming replay is exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    i = np.arange(lo, hi, dtype=np.int64)
+    # Knuth multiplicative hashing scrambles the index into user ids and
+    # event-type picks; masks keep everything in non-negative int range
+    user = ((i * 2654435761) & 0x7FFFFFFF) % n_users
+    etype = np.array(EVENT_TYPES)[((i * 40503) & 0x7FFFFFFF) % len(EVENT_TYPES)]
+    value = ((i * 1103515245 + 12345) & 0x7FFFFFFF) / 0x7FFFFFFF * 100.0
+    ts = _EPOCH_2024_US + i * step_us
+    props = np.char.add(
+        np.char.add('{"session":', (i // 16).astype("U20")), "}"
+    )
+    return pa.record_batch(
+        [
+            pa.array(i),
+            pa.array(ts, type=pa.timestamp("us")),
+            pa.array(user),
+            pa.array(etype),
+            pa.array(np.round(value, 4)),
+            pa.array(props),
+        ],
+        names=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.n_users = int(options.get("n_users", 100))
+        self.step_us = int(options.get("step_us", 1_000_000))
+        # index bounds narrowed by pushFilters
+        self.lo, self.hi = 0, self.n_rows
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Fold event_id comparisons into the generated index range;
+        every other filter is returned for Spark to re-apply. event_id
+        equals the row index, so range narrowing is exact. (Materialized
+        eagerly — a lazy generator would defer the range updates until
+        Spark drains it, racing ``partitions()``.)"""
+        unsupported: list[Filter] = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            value = getattr(f, "value", None)
+            if attr == ("event_id",) and isinstance(value, int):
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, value)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, value + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, value)
+                elif isinstance(f, EqualTo):
+                    self.lo = max(self.lo, value)
+                    self.hi = min(self.hi, value + 1)
+                else:
+                    unsupported.append(f)
+            else:
+                unsupported.append(f)
+        return iter(unsupported)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = hi - lo
+        n = max(1, min(self.n_partitions, span or 1))
+        step = -(-span // n) if span else 1
+        return [
+            _RangePartition(p_lo, min(p_lo + step, hi))
+            for p_lo in range(lo, hi, step)
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition):
+        if partition.hi > partition.lo:
+            yield _gen_arrow(
+                partition.lo, partition.hi, self.n_users, self.step_us
+            )
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offsets are row indexes: ``{"index": n}`` means rows [0, n) have
+    been emitted. Spark passes the checkpointed offset into ``read``, so
+    restart continuity needs no state here."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1_000_000))
+        self.n_users = int(options.get("n_users", 100))
+        self.step_us = int(options.get("step_us", 1_000_000))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _rows(self, lo: int, hi: int) -> Iterator[tuple]:
+        if hi <= lo:
+            return iter(())
+        batch = _gen_arrow(lo, hi, self.n_users, self.step_us)
+        cols = [c.to_pylist() for c in batch.columns]
+        return iter(list(zip(*cols)))
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["index"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return self._rows(lo, hi), {"index": max(lo, hi)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(start["index"], end["index"])
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``synthetic_events`` — register with
+    ``spark.dataSource.register(SyntheticEventsDataSource)``.
+
+    Options (batch): ``n_rows``, ``n_partitions``, ``n_users``,
+    ``step_us``. Options (streaming): ``rows_per_batch``, ``max_rows``,
+    ``n_users``, ``step_us``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> _BatchReader:
+        return _BatchReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> _StreamReader:
+        return _StreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent registration of every custom source in this module."""
+    spark.dataSource.register(SyntheticEventsDataSource)

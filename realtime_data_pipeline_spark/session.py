@@ -86,6 +86,10 @@ def get_spark(
         .config("spark.sql.caseSensitive", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # lets custom Python data sources (pysource.py) receive
+        # pushFilters() — without it Spark refuses to plan a reader that
+        # implements pushdown rather than silently skipping it
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config(_STATE_STORE_CONF, STATE_STORE_PROVIDERS[state_store])

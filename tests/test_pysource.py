@@ -1,0 +1,143 @@
+"""Custom Python data source (pysource.py): batch generation, partition
+determinism, event_id filter pushdown, and exactly-once streaming
+restart continuity via checkpointed offsets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan, StringContains
+
+from realtime_data_pipeline_spark import pysource
+
+
+def _events(spark, **opts):
+    pysource.register(spark)
+    reader = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_batch_generates_exact_row_range(spark):
+    df = _events(spark, n_rows=1000, n_partitions=7)
+    assert df.count() == 1000
+    stats = df.agg(
+        F.countDistinct("event_id").alias("d"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).collect()[0]
+    assert (stats["d"], stats["lo"], stats["hi"]) == (1000, 0, 999)
+    assert set(df.schema.fieldNames()) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }
+
+
+def test_batch_rows_identical_across_partitioning(spark):
+    """Every column is a pure function of the global row index, so the
+    dataset must be byte-identical no matter how the index space is
+    split across partitions."""
+    a = _events(spark, n_rows=500, n_partitions=3)
+    b = _events(spark, n_rows=500, n_partitions=11)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_event_id_filter_pushdown_narrows_generation(spark):
+    df = _events(spark, n_rows=100_000, n_partitions=8)
+    assert df.filter(F.col("event_id") < 100).count() == 100
+    assert (
+        df.filter(
+            (F.col("event_id") >= 200) & (F.col("event_id") < 300)
+        ).count()
+        == 100
+    )
+    # residual (non-pushable) predicates still apply on top
+    mixed = df.filter(
+        (F.col("event_id") < 1000) & (F.col("event_type") == "click")
+    )
+    assert 0 < mixed.count() < 1000
+
+
+def test_push_filters_unit_range_and_leftovers():
+    reader = pysource._BatchReader({"n_rows": "1000", "n_partitions": "4"})
+    leftovers = list(
+        reader.pushFilters(
+            [
+                LessThan(("event_id",), 300),
+                GreaterThanOrEqual(("event_id",), 100),
+                StringContains(("event_type",), "cl"),
+                EqualTo(("user_id",), 5),
+            ]
+        )
+    )
+    assert (reader.lo, reader.hi) == (100, 300)
+    # only the two event_id range filters were absorbed
+    assert len(leftovers) == 2
+    parts = reader.partitions()
+    assert sum(p.hi - p.lo for p in parts) == 200
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Offsets are row indexes handed back by the checkpoint: stopping at
+    max_rows=300 and restarting with max_rows=500 must append exactly
+    rows 300..499 — no duplicates, no gap, no driver state involved."""
+    pysource.register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(max_rows: int) -> None:
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 100)
+            .option("max_rows", max_rows)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(300)
+    first = spark.read.parquet(out)
+    assert first.count() == 300
+    assert first.select("event_id").distinct().count() == 300
+
+    run(500)
+    second = spark.read.parquet(out)
+    assert second.count() == 500
+    stats = second.agg(
+        F.countDistinct("event_id").alias("d"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).collect()[0]
+    assert (stats["d"], stats["lo"], stats["hi"]) == (500, 0, 499)
+
+
+def test_streaming_rows_match_batch_rows(spark, tmp_path):
+    """The stream replays the same pure function of the row index the
+    batch reader evaluates — identical options must yield identical
+    rows, making any offset range deterministically re-readable."""
+    pysource.register(spark)
+    out = str(tmp_path / "sink_eq")
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 64)
+        .option("max_rows", 200)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_eq"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.read.parquet(out)
+    batch = _events(spark, n_rows=200)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
