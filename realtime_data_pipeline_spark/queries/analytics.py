@@ -398,6 +398,47 @@ FROM tri t JOIN sizes s USING (cohort)
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 on the Spark-4-native semi-structured path: ``props`` parsed
+    ONCE into a VARIANT column (binary-encoded JSON — parse cost paid a
+    single time, every extraction after that is a typed binary probe,
+    not a re-parse) and probed with ``try_variant_get``. At 100 TB this
+    is the schema-on-read shape for ragged event payloads: no declared
+    struct schema to migrate when producers add fields, and unreadable
+    payloads surface as NULLs (counted here) instead of killing the job.
+    Oracle: DuckDB's native JSON extraction over the same strings."""
+    ev = load_events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_VARIANT_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS INTEGER) AS min_k,
+       CAST(MAX(k) AS INTEGER) AS max_k
+FROM e
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -417,12 +458,14 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hot_user_share": events_hot_user_share,
     "events_funnel_counts": events_funnel_counts,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_props_variant": events_props_variant,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "events_hot_user_share": EVENTS_HOT_USER_SHARE_SQL,
     "events_funnel_counts": EVENTS_FUNNEL_COUNTS_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_COHORTS_SQL,
+    "events_props_variant": EVENTS_PROPS_VARIANT_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

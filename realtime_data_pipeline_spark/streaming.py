@@ -1054,3 +1054,37 @@ def slice_to_inbox(
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
         paths.append(path)
     return paths
+
+
+def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Stateful-operator inventory of a streaming checkpoint (Spark 4
+    ``state-metadata`` source): one row per operator with its name, state
+    store, partition count, and the batch-id range whose state is still
+    on disk. The ops entry point for 'what is this checkpoint holding?' —
+    no JVM internals, no checkpoint spelunking."""
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
+def read_state(
+    spark: SparkSession,
+    checkpoint: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+    store_name: str | None = None,
+) -> DataFrame:
+    """The state rows themselves as a DataFrame (Spark 4 ``statestore``
+    source): ``key`` struct, ``value`` struct, ``partition_id``. Reads
+    the CHECKPOINT, not the running query — safe offline debugging of
+    live state: find the hot keys bloating a window aggregation, verify
+    watermark eviction actually dropped a session, diff state between
+    two batch ids. ``batch_id`` defaults to the latest committed batch;
+    ``store_name`` selects a store for operators with several (e.g.
+    stream-stream join sides)."""
+    reader = spark.read.format("statestore").option(
+        "operatorId", str(operator_id)
+    )
+    if batch_id is not None:
+        reader = reader.option("batchId", str(batch_id))
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    return reader.load(checkpoint)

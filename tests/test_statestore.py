@@ -209,3 +209,36 @@ def test_running_count_expiry_bounded_state(spark, tmp_path, _restore_provider):
     # eviction proof: state covered >1 file's keys at peak, then shrank
     assert max(state) > 50, state
     assert state[-1] < max(state), state
+
+
+def test_state_reader_exposes_checkpoint_state(spark, tmp_path):
+    """The statestore/state-metadata sources read a checkpoint's state as
+    DataFrames: the metadata names the operator, and the state rows must
+    equal the same aggregation computed in batch over the same input —
+    offline state debugging with zero JVM spelunking."""
+    from pyspark.sql import functions as F
+
+    inbox = _write_inbox(str(tmp_path), n_files=3, keys_per_file=20)
+    ckpt = str(tmp_path / "ckpt_reader")
+    counts = (
+        _read_inbox_stream(spark, inbox)
+        .groupBy("k")
+        .count()
+    )
+    _run_stream(spark, counts, ckpt, "state_reader_counts", output_mode="update")
+
+    meta = streaming.read_state_metadata(spark, ckpt)
+    ops = {r["operatorName"] for r in meta.collect()}
+    assert ops == {"stateStoreSave"}
+
+    state = streaming.read_state(spark, ckpt)
+    flat = state.select(
+        F.col("key.k").alias("k"), F.col("value.count").alias("count")
+    )
+    batch = (
+        spark.read.csv(inbox, header=True, schema="k string, ts timestamp")
+        .groupBy("k")
+        .count()
+    )
+    assert flat.exceptAll(batch).count() == 0
+    assert batch.exceptAll(flat).count() == 0
