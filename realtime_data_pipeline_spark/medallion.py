@@ -498,10 +498,16 @@ def merge_upsert(
         from pyspark.sql import Observation
 
         obs = Observation()
+        # NULL partition values still land on disk (Hive default
+        # partition), so coalesce them to the same 'None' label the old
+        # distinct().collect() path reported — collect_set alone would
+        # silently drop them from the metric
         observed = updates.observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
-            F.collect_set(F.col(partition_col).cast("string")).alias("parts"),
+            F.collect_set(
+                F.coalesce(F.col(partition_col).cast("string"), F.lit("None"))
+            ).alias("parts"),
         )
         write_parquet(
             observed, target_path, mode="overwrite", partition_by=partition_col

@@ -408,7 +408,7 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads surface as NULLs (counted here) instead of killing the job.
     Oracle: DuckDB's native JSON extraction over the same strings."""
     ev = load_events(spark, sf_dir)
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -425,7 +425,7 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_PROPS_VARIANT_SQL = """
 WITH e AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
   FROM events
 )
 SELECT event_type,

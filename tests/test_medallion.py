@@ -502,3 +502,21 @@ def test_silver_observed_metrics_match_standalone_evaluate(
     assert {n: r["violations"] for n, r in report.results.items()} == {
         n: r["violations"] for n, r in standalone.results.items()
     }
+
+
+def test_merge_upsert_initial_load_reports_null_partition(spark, tmp_path):
+    """NULL partition values land in the Hive default partition on disk;
+    the observed affected_partitions metric must still report them (as
+    'None', matching the old distinct().collect() spelling) instead of
+    silently dropping them from the list."""
+    target = str(tmp_path / "upsert_nullpart")
+    updates = spark.createDataFrame(
+        [(1, 1, "a", "2024-01-01"), (2, 1, "b", None)],
+        "k long, v long, payload string, d string",
+    )
+    m = medallion.merge_upsert(
+        spark, target, updates, keys=["k"], order_by=["v"], partition_col="d"
+    )
+    assert m["rows_written"] == 2
+    assert sorted(m["affected_partitions"]) == ["2024-01-01", "None"]
+    assert spark.read.parquet(target).count() == 2
