@@ -34,9 +34,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -45,6 +49,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "login", "logout")
@@ -198,6 +203,129 @@ class SyntheticEventsDataSource(DataSource):
         return _StreamReader(dict(self.options))
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _JsonlWriterBase:
+    """Two-phase commit shared by the batch and streaming JSONL writers.
+
+    Executors serialize their partition to a UNIQUELY-NAMED file under
+    ``<path>/.staged/`` (phase 1, idempotent: a retried task writes a new
+    file; losers are never referenced). The driver's ``commit`` moves the
+    winning files into the root and records a manifest (phase 2). Readers
+    only ever see files a manifest names — a crash between the phases
+    leaves staged garbage, never a torn dataset. On local[...] the shared
+    filesystem makes the rename trivial; on a real cluster ``path`` must
+    be shared storage (same contract as every Spark file sink)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _StagedFile:
+        import json
+        import os
+        import uuid
+
+        staged_dir = os.path.join(self.path, ".staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        out = os.path.join(staged_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(path=out, rows=n)
+
+    def _publish(self, messages, manifest_name: str) -> None:
+        import json
+        import os
+
+        commits = os.path.join(self.path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        manifest = os.path.join(commits, manifest_name)
+        if os.path.exists(manifest):
+            # replayed batch (streaming restart): the data is already
+            # published — discard the replay's staged files, add nothing
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+            return
+        published, rows = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, final)
+            published.append(os.path.basename(final))
+            rows += m.rows
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": published, "rows": rows}, f)
+        os.replace(tmp, manifest)
+
+    def abort(self, messages, *_args) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class _JsonlBatchWriter(_JsonlWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._publish(messages, "batch-0")
+
+
+class _JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        self._publish(messages, f"streaming-{batchId}")
+
+
+class JsonlAuditDataSource(DataSource):
+    """``jsonl_audit`` — a line-delimited JSON sink (batch + streaming)
+    with two-phase commit and manifest-gated visibility. The audit-trail
+    counterpart of the reference's JSON report artifact
+    (``spark_jobs/dq_checks.py:80-99``) as a real Spark sink: streaming
+    restarts replaying a committed batch publish NOTHING twice
+    (exactly-once by manifest check), and torn runs leave only staged
+    files no reader lists. Option: ``path``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlBatchWriter:
+        return _JsonlBatchWriter(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> _JsonlStreamWriter:
+        return _JsonlStreamWriter(dict(self.options))
+
+
+def read_jsonl_audit(spark, path: str):
+    """Manifest-gated read of a ``jsonl_audit`` dataset: only files a
+    committed manifest names are visible (staged leftovers are not)."""
+    import json
+    import os
+
+    commits = os.path.join(path, "_commits")
+    files: list[str] = []
+    if os.path.isdir(commits):
+        for m in sorted(os.listdir(commits)):
+            if m.endswith(".tmp"):
+                continue
+            with open(os.path.join(commits, m)) as f:
+                files.extend(
+                    os.path.join(path, name) for name in json.load(f)["files"]
+                )
+    if not files:
+        return spark.createDataFrame([], "event_id long")
+    return spark.read.json(files)
+
+
 def register(spark) -> None:
     """Idempotent registration of every custom source in this module."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlAuditDataSource)

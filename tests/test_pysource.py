@@ -141,3 +141,61 @@ def test_streaming_rows_match_batch_rows(spark, tmp_path):
     batch = _events(spark, n_rows=200)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_jsonl_audit_batch_write_two_phase(spark, tmp_path):
+    """Batch write publishes files atomically behind a manifest; the
+    manifest-gated read sees exactly the written rows and ignores any
+    staged leftovers."""
+    import os
+
+    pysource.register(spark)
+    out = str(tmp_path / "audit")
+    df = _events(spark, n_rows=150, n_partitions=4)
+    df.write.format("jsonl_audit").option("path", out).mode("append").save()
+
+    # plant a torn-run leftover: must be invisible to the gated read
+    os.makedirs(os.path.join(out, ".staged"), exist_ok=True)
+    with open(os.path.join(out, ".staged", "part-dead.jsonl"), "w") as f:
+        f.write('{"event_id": 99999}\n')
+
+    back = pysource.read_jsonl_audit(spark, out)
+    assert back.count() == 150
+    assert back.select("event_id").distinct().count() == 150
+    assert not back.filter(F.col("event_id") == 99999).count()
+
+
+def test_jsonl_audit_stream_replay_publishes_nothing_twice(spark, tmp_path):
+    """A restarted streaming query replays its last uncommitted-by-Spark
+    batch; the sink's manifest check must publish the replayed batch at
+    most once (exactly-once by two-phase commit)."""
+    pysource.register(spark)
+    out = str(tmp_path / "audit_stream")
+    ckpt = str(tmp_path / "ckpt_audit")
+
+    def run(max_rows: int) -> None:
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 50)
+            .option("max_rows", max_rows)
+            .load()
+            .writeStream.format("jsonl_audit")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(150)
+    run(250)  # restart: continues 150..249, replays nothing into the data
+    back = pysource.read_jsonl_audit(spark, out)
+    assert back.count() == 250
+    stats = back.agg(
+        F.countDistinct("event_id").alias("d"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).collect()[0]
+    assert (stats["d"], stats["lo"], stats["hi"]) == (250, 0, 249)
