@@ -195,6 +195,19 @@ def main(argv: list[str] | None = None) -> int:
         help="fp/neardup: write the batch rows that survived dedup here",
     )
 
+    psy = sub.add_parser(
+        "synth",
+        help="generate synthetic events via the custom Python data source",
+    )
+    psy.add_argument("--out", required=True, help="parquet output path")
+    psy.add_argument("--rows", type=int, default=100_000)
+    psy.add_argument("--partitions", type=int, default=32)
+    psy.add_argument("--users", type=int, default=1000)
+    psy.add_argument(
+        "--step-us", type=int, default=1_000_000,
+        help="event-time gap between consecutive rows (microseconds)",
+    )
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -242,6 +255,22 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
+        return 0
+    if args.cmd == "synth":
+        from realtime_data_pipeline_spark import medallion as _med
+        from realtime_data_pipeline_spark import pysource
+
+        pysource.register(spark)
+        df = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", args.rows)
+            .option("n_partitions", args.partitions)
+            .option("n_users", args.users)
+            .option("step_us", args.step_us)
+            .load()
+        )
+        _med.write_parquet(df, args.out, mode="overwrite")
+        print(f"synth: {args.rows} rows -> {args.out}")
         return 0
     if args.cmd == "stream":
         from realtime_data_pipeline_spark import streaming

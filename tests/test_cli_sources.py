@@ -441,3 +441,16 @@ def test_cli_stream_with_redaction(spark, tmp_path):
     assert rc == 0
     silver = {r.event_id: r.note for r in spark.read.parquet(str(tmp_path / "rs2")).collect()}
     assert silver == {1: "reach me at [EMAIL] ok"}
+
+
+def test_cli_synth_generates_parquet(spark, tmp_path):
+    from realtime_data_pipeline_spark import cli
+
+    out = str(tmp_path / "synth_events")
+    rc = cli.main(
+        ["synth", "--out", out, "--rows", "500", "--partitions", "4"]
+    )
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 500
+    assert df.select("event_id").distinct().count() == 500
