@@ -1,11 +1,14 @@
-"""Custom Python data source (Spark 4 DataSource API): a deterministic,
-partition-parallel synthetic events generator, batch + streaming.
+"""Custom Python data sources (Spark 4 DataSource API): a deterministic
+synthetic events generator (batch + streaming), a partition-parallel
+paged-JSONL ingest source, and a two-phase-commit JSONL audit sink.
 
-The reference feeds its pipeline from a driver-side script that slices a
-table into CSV files (``scripts/simulate_stream.py:21-33``) — data has to
-exist on disk before anything can run. This source generates the same
-*shape* of data (the ``events`` fixture schema) directly inside Spark
-executors instead:
+The reference feeds its pipeline from driver-side scripts — a serial
+HTTP download (``scripts/fetch_data.py:12-26``) and a collect-to-CSV
+slicer (``scripts/simulate_stream.py:21-33``) — so data has to exist on
+disk before anything can run, fetched one file at a time on one machine.
+These sources move all of that inside Spark executors:
+
+``synthetic_events`` generates the ``events`` fixture schema directly:
 
 * **batch**: ``spark.read.format("synthetic_events")`` — each of
   ``n_partitions`` input partitions generates its own row range as Arrow
@@ -28,6 +31,14 @@ executors instead:
 Rows match the ``events`` fixture schema (event_id, ts, user_id,
 event_type, value, props) with ``ts`` as TIMESTAMP_NTZ — the same type
 the driver-generated parquet carries.
+
+``paged_jsonl`` turns a paged dump (``url_template.format(page=i)``)
+into one input partition per page, fetched and parsed executor-side —
+cluster-parallel ingest where the reference looped on the driver.
+
+``jsonl_audit`` is the sink half: staged per-task files published behind
+an atomic per-batch manifest (two-phase commit), replay-safe under
+streaming restarts.
 """
 
 from __future__ import annotations
@@ -203,6 +214,64 @@ class SyntheticEventsDataSource(DataSource):
         return _StreamReader(dict(self.options))
 
 
+class _PagePartition(InputPartition):
+    def __init__(self, url: str):
+        self.url = url
+
+
+class _PagedJsonlReader(DataSourceReader):
+    def __init__(self, options: dict, schema):
+        self.url_template = options["url_template"]
+        self.pages = int(options.get("pages", 1))
+        self.schema = schema
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _PagePartition(self.url_template.format(page=p))
+            for p in range(self.pages)
+        ]
+
+    def read(self, partition: _PagePartition):
+        import json
+        from urllib.request import urlopen
+
+        fields = [f.name for f in self.schema.fields]
+        with urlopen(partition.url) as resp:
+            for line in resp.read().decode("utf-8").splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(f) for f in fields)
+
+
+class PagedJsonlDataSource(DataSource):
+    """``paged_jsonl`` — partition-parallel paged ingest: the
+    engine-shaped generalization of the reference's serial driver-side
+    HTTP download (``scripts/fetch_data.py:12-26``). Each page URL
+    (``url_template.format(page=i)``) becomes one input partition
+    fetched and parsed ON AN EXECUTOR, so a 10 000-page dump downloads
+    with cluster parallelism instead of a driver loop; a declared schema
+    is required (field order = column order, missing keys → NULL).
+    Options: ``url_template`` (with ``{page}``), ``pages``.
+
+    Use ``.schema(...)`` on the reader; supports http(s) and file URLs
+    (tests use ``file://``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_jsonl"
+
+    def schema(self) -> str:
+        raise NotImplementedError(
+            "paged_jsonl requires an explicit .schema(...) — remote pages "
+            "should not be fetched twice just to infer one"
+        )
+
+    def reader(self, schema) -> _PagedJsonlReader:
+        return _PagedJsonlReader(dict(self.options), schema)
+
+
 @dataclass
 class _StagedFile(WriterCommitMessage):
     path: str
@@ -329,3 +398,4 @@ def register(spark) -> None:
     """Idempotent registration of every custom source in this module."""
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(JsonlAuditDataSource)
+    spark.dataSource.register(PagedJsonlDataSource)

@@ -199,3 +199,44 @@ def test_jsonl_audit_stream_replay_publishes_nothing_twice(spark, tmp_path):
         F.max("event_id").alias("hi"),
     ).collect()[0]
     assert (stats["d"], stats["lo"], stats["hi"]) == (250, 0, 249)
+
+
+def test_paged_jsonl_fetches_pages_in_parallel_partitions(spark, tmp_path):
+    """One input partition per page URL, fetched executor-side — the
+    parallel generalization of the reference's serial driver download;
+    missing keys surface as NULLs under the declared schema."""
+    import json
+
+    for p in range(4):
+        with open(tmp_path / f"page_{p}.jsonl", "w") as f:
+            for i in range(25):
+                rec = {"id": p * 25 + i, "name": f"r{p}_{i}"}
+                if i % 5 == 0:
+                    del rec["name"]  # missing key -> NULL
+                f.write(json.dumps(rec) + "\n")
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("paged_jsonl")
+        .schema("id long, name string")
+        .option("url_template", f"file://{tmp_path}/page_{{page}}.jsonl")
+        .option("pages", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    assert df.filter(F.col("name").isNull()).count() == 20
+    assert df.agg(F.countDistinct("id")).collect()[0][0] == 100
+
+
+def test_paged_jsonl_requires_declared_schema(spark):
+    import pytest
+
+    pysource.register(spark)
+    with pytest.raises(Exception, match="explicit .schema"):
+        (
+            spark.read.format("paged_jsonl")
+            .option("url_template", "file:///nope_{page}.jsonl")
+            .option("pages", 1)
+            .load()
+        )
