@@ -257,7 +257,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"silver: DQ {status} -> {args.silver}")
         return 0
     if args.cmd == "synth":
-        from realtime_data_pipeline_spark import medallion as _med
         from realtime_data_pipeline_spark import pysource
 
         pysource.register(spark)
@@ -269,7 +268,7 @@ def main(argv: list[str] | None = None) -> int:
             .option("step_us", args.step_us)
             .load()
         )
-        _med.write_parquet(df, args.out, mode="overwrite")
+        medallion.write_parquet(df, args.out, mode="overwrite")
         print(f"synth: {args.rows} rows -> {args.out}")
         return 0
     if args.cmd == "stream":

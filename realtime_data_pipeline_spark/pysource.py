@@ -222,7 +222,14 @@ class _PagePartition(InputPartition):
 class _PagedJsonlReader(DataSourceReader):
     def __init__(self, options: dict, schema):
         self.url_template = options["url_template"]
+        if "{page}" not in self.url_template:
+            raise ValueError(
+                "paged_jsonl url_template must contain a {page} placeholder "
+                "— without one every partition would fetch the SAME url and "
+                "silently duplicate the dataset pages-fold"
+            )
         self.pages = int(options.get("pages", 1))
+        self.timeout_s = float(options.get("timeout_s", 60))
         self.schema = schema
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -236,7 +243,10 @@ class _PagedJsonlReader(DataSourceReader):
         from urllib.request import urlopen
 
         fields = [f.name for f in self.schema.fields]
-        with urlopen(partition.url) as resp:
+        # explicit timeout: urlopen's default is NO socket timeout, and a
+        # server that accepts the connection but never responds would wedge
+        # the task (and the job) forever
+        with urlopen(partition.url, timeout=self.timeout_s) as resp:
             for line in resp.read().decode("utf-8").splitlines():
                 line = line.strip()
                 if not line:
@@ -304,7 +314,12 @@ class _JsonlWriterBase:
         n = 0
         with open(out, "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                # recursive=True: nested struct/array-of-struct columns
+                # become plain dicts/lists; a bare asDict would leave Row
+                # objects for default=str to mangle into repr strings
+                f.write(
+                    json.dumps(row.asDict(recursive=True), default=str) + "\n"
+                )
                 n += 1
         return _StagedFile(path=out, rows=n)
 
@@ -344,11 +359,46 @@ class _JsonlWriterBase:
 
 
 class _JsonlBatchWriter(_JsonlWriterBase, DataSourceWriter):
+    """Every batch write publishes under a FRESH manifest (uuid-named —
+    a constant name would make the manifest-existence replay check treat
+    every write after the first as a replay and silently drop it).
+    ``mode('overwrite')`` clears previously committed files and
+    manifests before publishing."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options)
+        self.overwrite = overwrite
+
     def commit(self, messages) -> None:
-        self._publish(messages, "batch-0")
+        import os
+        import uuid
+
+        if self.overwrite:
+            commits = os.path.join(self.path, "_commits")
+            if os.path.isdir(commits):
+                import json
+
+                for m in sorted(os.listdir(commits)):
+                    mp = os.path.join(commits, m)
+                    if not m.endswith(".tmp"):
+                        with open(mp) as f:
+                            for name in json.load(f)["files"]:
+                                old = os.path.join(self.path, name)
+                                if os.path.exists(old):
+                                    os.remove(old)
+                    os.remove(mp)
+        self._publish(messages, f"batch-{uuid.uuid4().hex}")
 
 
 class _JsonlStreamWriter(_JsonlWriterBase, DataSourceStreamWriter):
+    """Manifests are keyed by the checkpoint's batchId — the stable name
+    a restarted query replays under, which is what makes the replay
+    check exactly-once. Consequence (same contract as Spark's built-in
+    file sink and its ``_spark_metadata``): one sink path belongs to ONE
+    streaming query lineage; pointing a fresh-checkpoint query at a path
+    with stale ``streaming-N`` manifests would misread them as replays —
+    use a new path or clear ``_commits`` when retiring a checkpoint."""
+
     def commit(self, messages, batchId: int) -> None:
         self._publish(messages, f"streaming-{batchId}")
 
@@ -367,15 +417,18 @@ class JsonlAuditDataSource(DataSource):
         return "jsonl_audit"
 
     def writer(self, schema, overwrite: bool) -> _JsonlBatchWriter:
-        return _JsonlBatchWriter(dict(self.options))
+        return _JsonlBatchWriter(dict(self.options), overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> _JsonlStreamWriter:
         return _JsonlStreamWriter(dict(self.options))
 
 
-def read_jsonl_audit(spark, path: str):
+def read_jsonl_audit(spark, path: str, schema: str | None = None):
     """Manifest-gated read of a ``jsonl_audit`` dataset: only files a
-    committed manifest names are visible (staged leftovers are not)."""
+    committed manifest names are visible (staged leftovers are not).
+    The sink is schema-agnostic, so an empty dataset has no schema to
+    infer — pass ``schema`` to get a typed empty frame in that case
+    (without it, an empty path raises instead of guessing columns)."""
     import json
     import os
 
@@ -390,8 +443,16 @@ def read_jsonl_audit(spark, path: str):
                     os.path.join(path, name) for name in json.load(f)["files"]
                 )
     if not files:
-        return spark.createDataFrame([], "event_id long")
-    return spark.read.json(files)
+        if schema is None:
+            raise ValueError(
+                f"no committed jsonl_audit files under {path!r}; pass "
+                "schema=... to read it as a typed empty dataset"
+            )
+        return spark.createDataFrame([], schema)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(files)
 
 
 def register(spark) -> None:

@@ -240,3 +240,67 @@ def test_paged_jsonl_requires_declared_schema(spark):
             .option("pages", 1)
             .load()
         )
+
+
+def test_jsonl_audit_batch_append_accumulates_and_overwrite_replaces(
+    spark, tmp_path
+):
+    """Each batch write publishes under a fresh manifest (a second append
+    must ADD rows, not be mistaken for a replay and dropped), and
+    mode('overwrite') clears previously committed data first."""
+    pysource.register(spark)
+    out = str(tmp_path / "audit_multi")
+    a = _events(spark, n_rows=100)
+    b = _events(spark, n_rows=300).filter(F.col("event_id") >= 100)
+
+    a.write.format("jsonl_audit").option("path", out).mode("append").save()
+    b.write.format("jsonl_audit").option("path", out).mode("append").save()
+    assert pysource.read_jsonl_audit(spark, out).count() == 300
+
+    a.write.format("jsonl_audit").option("path", out).mode("overwrite").save()
+    back = pysource.read_jsonl_audit(spark, out)
+    assert back.count() == 100
+    assert back.agg(F.max("event_id")).collect()[0][0] == 99
+
+
+def test_jsonl_audit_roundtrips_nested_structs(spark, tmp_path):
+    """Nested struct/array columns must serialize as real JSON objects
+    (recursive asDict), not Row repr strings."""
+    pysource.register(spark)
+    out = str(tmp_path / "audit_nested")
+    df = spark.sql(
+        "SELECT id, named_struct('a', id * 2, 'tags', array('x', 'y')) AS meta "
+        "FROM range(10)"
+    )
+    df.write.format("jsonl_audit").option("path", out).mode("append").save()
+    back = pysource.read_jsonl_audit(
+        spark, out, schema="id long, meta struct<a:long, tags:array<string>>"
+    )
+    assert back.count() == 10
+    row = back.filter(F.col("id") == 3).collect()[0]
+    assert row.meta.a == 6 and row.meta.tags == ["x", "y"]
+
+
+def test_jsonl_audit_empty_read_requires_schema(spark, tmp_path):
+    import pytest
+
+    empty = str(tmp_path / "never_written")
+    with pytest.raises(ValueError, match="pass\\s+schema"):
+        pysource.read_jsonl_audit(spark, empty)
+    df = pysource.read_jsonl_audit(spark, empty, schema="user_id long")
+    assert df.count() == 0 and df.columns == ["user_id"]
+
+
+def test_paged_jsonl_rejects_template_without_placeholder(spark):
+    import pytest
+
+    pysource.register(spark)
+    with pytest.raises(Exception, match="placeholder"):
+        (
+            spark.read.format("paged_jsonl")
+            .schema("id long")
+            .option("url_template", "file:///dump.jsonl")
+            .option("pages", 10)
+            .load()
+            .count()
+        )
