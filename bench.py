@@ -148,6 +148,37 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
+    # Custom Python data source leg: 2M synthetic events generated as
+    # Arrow RecordBatches across 32 partitions and aggregated — prices
+    # the Python-source path end to end (per-partition numpy generation,
+    # Arrow transfer, JVM-side agg). A throughput number for the
+    # DataSource-API surface, not just a smoke test.
+    from realtime_data_pipeline_spark import pysource
+
+    pysource.register(spark)
+
+    def pysource_leg():
+        return (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 2_000_000)
+            .option("n_partitions", 32)
+            .load()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
+    pysource_leg().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pysource_leg().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["python_source_scan_2m"] = round(best, 3)
+    print(
+        f"# python_source_scan_2m: {timings['python_source_scan_2m']}s",
+        file=sys.stderr,
+    )
+
     # Structured Streaming leg: availableNow DQ-gated run of the events
     # table through the file source -> foreachBatch gate -> partitioned
     # parquet sinks. This is the named approach of the engine; wall time
