@@ -1,0 +1,107 @@
+"""Versioned zones (versioned.py): snapshot isolation, time travel,
+append/overwrite lineage, non-destructive rollback, optimistic
+concurrency, and vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import versioned
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_and_overwrite_lineage(spark, tmp_path):
+    root = str(tmp_path / "zone")
+    m0 = versioned.commit_version(_df(spark, 0, 100), root, mode="append")
+    m1 = versioned.commit_version(_df(spark, 100, 150), root, mode="append")
+    m2 = versioned.commit_version(_df(spark, 0, 10), root, mode="overwrite")
+    assert (m0["version"], m1["version"], m2["version"]) == (0, 1, 2)
+    assert (m0["rows"], m1["rows"], m2["rows"]) == (100, 50, 10)
+
+    assert versioned.read_version(spark, root, 0).count() == 100
+    assert versioned.read_version(spark, root, 1).count() == 150  # time travel
+    assert versioned.read_version(spark, root).count() == 10  # latest
+
+
+def test_snapshot_isolation_under_concurrent_overwrite(spark, tmp_path):
+    """A DataFrame resolved against version N keeps reading version N's
+    exact files even after a later overwrite commit — the property a
+    plain parquet root overwrite violates."""
+    root = str(tmp_path / "zone_iso")
+    versioned.commit_version(_df(spark, 0, 100), root)
+    pinned = versioned.read_version(spark, root, 0)
+    versioned.commit_version(_df(spark, 0, 5), root, mode="overwrite")
+    assert pinned.count() == 100
+    assert versioned.read_version(spark, root).count() == 5
+
+
+def test_rollback_is_non_destructive(spark, tmp_path):
+    root = str(tmp_path / "zone_rb")
+    versioned.commit_version(_df(spark, 0, 100), root)
+    versioned.commit_version(_df(spark, 0, 3), root, mode="overwrite")  # bad load
+    out = versioned.rollback(root, to_version=0)
+    assert out == {"version": 2, "restored": 0}
+    assert versioned.read_version(spark, root).count() == 100
+    # the bad version stays inspectable until vacuum
+    assert versioned.read_version(spark, root, 1).count() == 3
+
+
+def test_optimistic_concurrency_retries_past_taken_version(spark, tmp_path):
+    """Simulate losing the O_EXCL race: pre-create the manifest the
+    commit would claim; the commit must retry onto the next version and
+    append on top of the interloper's file list."""
+    root = str(tmp_path / "zone_occ")
+    versioned.commit_version(_df(spark, 0, 10), root)
+    # interloper claims v1 with v0's files (a concurrent rollback/no-op)
+    import json
+
+    files = versioned._read_manifest(root, 0)["files"]
+    with open(versioned._manifest_path(root, 1), "w") as f:
+        json.dump({"version": 1, "mode": "append", "files": files, "rows_added": 0}, f)
+
+    m = versioned.commit_version(_df(spark, 10, 20), root, mode="append")
+    assert m["version"] == 2
+    assert versioned.read_version(spark, root).count() == 20
+
+
+def test_vacuum_drops_unreferenced_files_keeps_live_snapshots(spark, tmp_path):
+    root = str(tmp_path / "zone_vac")
+    versioned.commit_version(_df(spark, 0, 100), root)
+    versioned.commit_version(_df(spark, 0, 50), root, mode="overwrite")
+    versioned.commit_version(_df(spark, 0, 25), root, mode="overwrite")
+
+    out = versioned.vacuum(root, keep_last=2)
+    assert out["dropped_manifests"] == 1
+    assert out["dropped_files"] > 0
+    assert versioned.versions(root) == [1, 2]
+    # kept snapshots read byte-identically after vacuum
+    assert versioned.read_version(spark, root, 1).count() == 50
+    assert versioned.read_version(spark, root, 2).count() == 25
+    with pytest.raises(ValueError, match="not in"):
+        versioned.read_version(spark, root, 0)
+    # v0's commit dir is physically gone
+    data = os.path.join(root, "data")
+    remaining = {
+        os.path.join("data", d, f)
+        for d in os.listdir(data)
+        for f in os.listdir(os.path.join(data, d))
+        if f.endswith(".parquet")
+    }
+    referenced = set(versioned._read_manifest(root, 1)["files"]) | set(
+        versioned._read_manifest(root, 2)["files"]
+    )
+    assert remaining == referenced
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    root = str(tmp_path / "zone_missing")
+    with pytest.raises(ValueError, match="no committed versions"):
+        versioned.read_version(spark, root)
