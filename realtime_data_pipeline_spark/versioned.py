@@ -76,15 +76,26 @@ def commit_version(
     root: str,
     mode: str = "append",
     max_retries: int = 10,
+    batch_tag: str | None = None,
 ) -> dict:
     """Write ``df`` as a new snapshot of the zone.
 
     ``mode='append'`` publishes previous-latest files + this commit's;
     ``'overwrite'`` publishes only this commit's (old snapshots stay
-    readable until vacuumed). Returns {version, files_added, rows}.
+    readable until vacuumed). ``batch_tag`` makes the commit IDEMPOTENT
+    under replay: a marker in ``_commits_by_tag/`` is created atomically
+    with publication, and a second commit carrying the same tag is a
+    no-op (the streaming-restart contract — see
+    :func:`versioned_batch_writer`). Returns {version, files_added,
+    rows} (or {skipped_replay: True, ...} for a deduplicated replay).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if batch_tag is not None:
+        marker = os.path.join(root, "_commits_by_tag", batch_tag)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return {"skipped_replay": True, **json.load(f)}
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -119,10 +130,43 @@ def commit_version(
             continue
         with os.fdopen(fd, "w") as f:
             f.write(body)
-        return {"version": new_version, "files_added": len(added), "rows": rows}
+        out = {"version": new_version, "files_added": len(added), "rows": rows}
+        if batch_tag is not None:
+            tag_dir = os.path.join(root, "_commits_by_tag")
+            os.makedirs(tag_dir, exist_ok=True)
+            tmp = os.path.join(tag_dir, f".{batch_tag}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(out, f)
+            os.replace(tmp, os.path.join(tag_dir, batch_tag))
+        return out
     raise RuntimeError(
         f"commit lost the optimistic-concurrency race {max_retries} times"
     )
+
+
+def versioned_batch_writer(root: str, mode: str = "append"):
+    """``foreachBatch`` hook committing every micro-batch as one zone
+    version, exactly-once under streaming replay: the batch id is the
+    commit's ``batch_tag``, so a restarted query re-delivering the last
+    batch finds its marker and publishes nothing twice. Each trigger
+    becomes one inspectable snapshot — time travel per micro-batch, and
+    rollback of a poison batch is :func:`rollback` to its predecessor.
+
+    Crash window honesty: the marker lands AFTER the manifest, so a
+    crash exactly between the two replays the batch into a second
+    version holding the same rows. With ``mode='overwrite'`` the latest
+    snapshot is still correct (old one vacuumable); with ``'append'``
+    the replayed version double-counts and must be rolled back — prefer
+    overwrite-shaped (idempotent) batches for append-critical zones, or
+    dedup downstream, the same contract as every non-transactional
+    foreachBatch sink."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        commit_version(
+            batch_df, root, mode=mode, batch_tag=f"stream-{batch_id}"
+        )
+
+    return _write
 
 
 def read_version(

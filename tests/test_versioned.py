@@ -105,3 +105,47 @@ def test_read_missing_version_raises(spark, tmp_path):
     root = str(tmp_path / "zone_missing")
     with pytest.raises(ValueError, match="no committed versions"):
         versioned.read_version(spark, root)
+
+
+def test_streaming_batches_commit_as_versions_exactly_once(spark, tmp_path):
+    """Each micro-batch commits as one snapshot; a forced replay of the
+    same batch id (the streaming-restart delivery contract) publishes
+    nothing twice."""
+    import os
+
+    import glob
+    import shutil
+
+    root = str(tmp_path / "zone_stream")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(3):
+        staging = tmp_path / f"stage_{i}"
+        _df(spark, i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, inbox / f"f{i}.parquet")
+        os.utime(inbox / f"f{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = _df(spark, 0, 1).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(inbox))
+        .writeStream.foreachBatch(versioned.versioned_batch_writer(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert len(versioned.versions(root)) == 3
+    assert versioned.read_version(spark, root).count() == 30
+
+    # forced replay of an already-committed batch id: marker dedups it
+    replay = versioned.commit_version(
+        _df(spark, 0, 10), root, batch_tag="stream-0"
+    )
+    assert replay["skipped_replay"] is True
+    assert len(versioned.versions(root)) == 3
+    assert versioned.read_version(spark, root).count() == 30
