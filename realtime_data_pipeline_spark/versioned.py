@@ -101,6 +101,20 @@ def commit_version(
 
     commit_dir = f"c-{uuid.uuid4().hex}"
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    # append-time schema guard: a snapshot whose files disagree on
+    # columns reads through ONE sampled footer and silently drops the
+    # others' columns — refuse the mixed append instead. (Overwrite
+    # starts a fresh file list, so evolution happens naturally there.)
+    known_now = versions(root)
+    if mode == "append" and known_now:
+        prev = _read_manifest(root, known_now[-1]).get("schema")
+        cur = df.schema.simpleString()
+        if prev is not None and prev != cur:
+            raise ValueError(
+                "append schema mismatch vs latest snapshot:\n"
+                f"  snapshot: {prev}\n  commit:   {cur}\n"
+                "overwrite to evolve the schema, or align the columns"
+            )
     obs = Observation()
     df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "overwrite"
@@ -120,7 +134,13 @@ def commit_version(
             files = _read_manifest(root, known[-1])["files"] + files
         target = _manifest_path(root, new_version)
         body = json.dumps(
-            {"version": new_version, "mode": mode, "files": files, "rows_added": rows}
+            {
+                "version": new_version,
+                "mode": mode,
+                "files": files,
+                "rows_added": rows,
+                "schema": df.schema.simpleString(),
+            }
         )
         try:
             # O_EXCL: exactly one writer can create v<N> — the loser

@@ -149,3 +149,17 @@ def test_streaming_batches_commit_as_versions_exactly_once(spark, tmp_path):
     assert replay["skipped_replay"] is True
     assert len(versioned.versions(root)) == 3
     assert versioned.read_version(spark, root).count() == 30
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    """A mixed-schema snapshot would silently read through one sampled
+    footer and drop the other files' columns — the append must refuse
+    instead; overwrite evolves the schema cleanly."""
+    root = str(tmp_path / "zone_schema")
+    versioned.commit_version(_df(spark, 0, 10), root)
+    drifted = _df(spark, 10, 20).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        versioned.commit_version(drifted, root, mode="append")
+    m = versioned.commit_version(drifted, root, mode="overwrite")
+    assert m["version"] == 1
+    assert "extra" in versioned.read_version(spark, root).columns
