@@ -208,6 +208,17 @@ def main(argv: list[str] | None = None) -> int:
         help="event-time gap between consecutive rows (microseconds)",
     )
 
+    ptt = sub.add_parser(
+        "timetravel",
+        help="versioned-zone maintenance: log / show / rollback / vacuum",
+    )
+    ptt.add_argument("action", choices=["log", "show", "rollback", "vacuum"])
+    ptt.add_argument("--root", required=True, help="versioned zone root")
+    ptt.add_argument("--version", type=int, default=None, help="show: pin a version")
+    ptt.add_argument("--to", type=int, default=None, help="rollback target version")
+    ptt.add_argument("--keep-last", type=int, default=2, help="vacuum retention")
+    ptt.add_argument("--limit", type=int, default=10, help="show: rows printed")
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -255,6 +266,30 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
+        return 0
+    if args.cmd == "timetravel":
+        import json as _json
+
+        from realtime_data_pipeline_spark import versioned
+
+        if args.action == "log":
+            for v in versioned.versions(args.root):
+                m = versioned._read_manifest(args.root, v)
+                print(
+                    f"v{v}  mode={m['mode']}  files={len(m['files'])}  "
+                    f"rows_added={m['rows_added']}"
+                )
+            return 0
+        if args.action == "show":
+            df = versioned.read_version(spark, args.root, args.version)
+            df.show(args.limit, truncate=False)
+            return 0
+        if args.action == "rollback":
+            if args.to is None:
+                raise SystemExit("timetravel rollback: --to is required")
+            print(_json.dumps(versioned.rollback(args.root, args.to)))
+            return 0
+        print(_json.dumps(versioned.vacuum(args.root, keep_last=args.keep_last)))
         return 0
     if args.cmd == "synth":
         from realtime_data_pipeline_spark import pysource

@@ -454,3 +454,25 @@ def test_cli_synth_generates_parquet(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 500
     assert df.select("event_id").distinct().count() == 500
+
+
+def test_cli_timetravel_log_rollback_vacuum(spark, tmp_path, capsys):
+    from realtime_data_pipeline_spark import cli, versioned
+
+    root = str(tmp_path / "tt_zone")
+    versioned.commit_version(spark.range(100).toDF("id"), root)
+    versioned.commit_version(
+        spark.range(5).toDF("id"), root, mode="overwrite"
+    )
+
+    assert cli.main(["timetravel", "log", "--root", root]) == 0
+    out = capsys.readouterr().out
+    assert "v0" in out and "v1" in out
+
+    assert cli.main(["timetravel", "rollback", "--root", root, "--to", "0"]) == 0
+    assert versioned.read_version(spark, root).count() == 100
+
+    assert cli.main(
+        ["timetravel", "vacuum", "--root", root, "--keep-last", "1"]
+    ) == 0
+    assert versioned.versions(root) == [2]
