@@ -217,6 +217,11 @@ def main(argv: list[str] | None = None) -> int:
     ptt.add_argument("--version", type=int, default=None, help="show: pin a version")
     ptt.add_argument("--to", type=int, default=None, help="rollback target version")
     ptt.add_argument("--keep-last", type=int, default=2, help="vacuum retention")
+    ptt.add_argument(
+        "--min-age-sec", type=float, default=600.0,
+        help="vacuum: never delete unreferenced files younger than this "
+        "(in-flight commit guard)",
+    )
     ptt.add_argument("--limit", type=int, default=10, help="show: rows printed")
 
     pp = sub.add_parser(
@@ -234,6 +239,37 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = p.parse_args(argv)
+    # timetravel log/rollback/vacuum are pure-filesystem maintenance —
+    # skip the multi-second JVM/session startup for them (only `show`
+    # runs a query)
+    if args.cmd == "timetravel" and args.action != "show":
+        import json as _json
+
+        from realtime_data_pipeline_spark import versioned
+
+        if args.action == "log":
+            for v in versioned.versions(args.root):
+                m = versioned._read_manifest(args.root, v)
+                print(
+                    f"v{v}  mode={m['mode']}  files={len(m['files'])}  "
+                    f"rows_added={m['rows_added']}"
+                )
+            return 0
+        if args.action == "rollback":
+            if args.to is None:
+                raise SystemExit("timetravel rollback: --to is required")
+            print(_json.dumps(versioned.rollback(args.root, args.to)))
+            return 0
+        print(
+            _json.dumps(
+                versioned.vacuum(
+                    args.root,
+                    keep_last=args.keep_last,
+                    min_age_s=args.min_age_sec,
+                )
+            )
+        )
+        return 0
     # getOrCreate: reuses an existing session (tests, notebooks); as a real
     # CLI the session dies with the process, so no explicit stop()
     spark = get_spark(app_name=f"rdp-{args.cmd}")
@@ -267,29 +303,12 @@ def main(argv: list[str] | None = None) -> int:
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
         return 0
-    if args.cmd == "timetravel":
-        import json as _json
-
+    if args.cmd == "timetravel":  # only `show` reaches here (see above)
         from realtime_data_pipeline_spark import versioned
 
-        if args.action == "log":
-            for v in versioned.versions(args.root):
-                m = versioned._read_manifest(args.root, v)
-                print(
-                    f"v{v}  mode={m['mode']}  files={len(m['files'])}  "
-                    f"rows_added={m['rows_added']}"
-                )
-            return 0
-        if args.action == "show":
-            df = versioned.read_version(spark, args.root, args.version)
-            df.show(args.limit, truncate=False)
-            return 0
-        if args.action == "rollback":
-            if args.to is None:
-                raise SystemExit("timetravel rollback: --to is required")
-            print(_json.dumps(versioned.rollback(args.root, args.to)))
-            return 0
-        print(_json.dumps(versioned.vacuum(args.root, keep_last=args.keep_last)))
+        versioned.read_version(spark, args.root, args.version).show(
+            args.limit, truncate=False
+        )
         return 0
     if args.cmd == "synth":
         from realtime_data_pipeline_spark import pysource

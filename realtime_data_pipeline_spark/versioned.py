@@ -71,6 +71,25 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _atomic_claim(target: str, body: str) -> bool:
+    """Atomically create ``target`` WITH its full content, or not at all:
+    write a sibling temp file, then hard-link it into place — link fails
+    if the target exists (the claim), and the target is never observable
+    empty or partial (a bare O_EXCL-create-then-write would expose both
+    windows: readers json-loading a 0-byte manifest, and a crash between
+    create and write wedging the version number forever)."""
+    tmp = f"{target}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(body)
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 def commit_version(
     df: DataFrame,
     root: str,
@@ -101,20 +120,27 @@ def commit_version(
 
     commit_dir = f"c-{uuid.uuid4().hex}"
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
-    # append-time schema guard: a snapshot whose files disagree on
-    # columns reads through ONE sampled footer and silently drops the
-    # others' columns — refuse the mixed append instead. (Overwrite
-    # starts a fresh file list, so evolution happens naturally there.)
-    known_now = versions(root)
-    if mode == "append" and known_now:
-        prev = _read_manifest(root, known_now[-1]).get("schema")
-        cur = df.schema.simpleString()
-        if prev is not None and prev != cur:
+    cur_schema = df.schema.simpleString()
+
+    def _check_append_schema(latest: int) -> None:
+        # append-time schema guard: a snapshot whose files disagree on
+        # columns reads through ONE sampled footer and silently drops
+        # the others' columns — refuse the mixed append instead.
+        # (Overwrite starts a fresh file list, so evolution happens
+        # naturally there.) Checked before the data write (fail fast)
+        # AND inside every retry (a lost race may have put a different
+        # schema at latest).
+        prev = _read_manifest(root, latest).get("schema")
+        if prev is not None and prev != cur_schema:
             raise ValueError(
                 "append schema mismatch vs latest snapshot:\n"
-                f"  snapshot: {prev}\n  commit:   {cur}\n"
+                f"  snapshot: {prev}\n  commit:   {cur_schema}\n"
                 "overwrite to evolve the schema, or align the columns"
             )
+
+    known_now = versions(root)
+    if mode == "append" and known_now:
+        _check_append_schema(known_now[-1])
     obs = Observation()
     df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "overwrite"
@@ -131,25 +157,21 @@ def commit_version(
         new_version = (known[-1] + 1) if known else 0
         files = list(added)
         if mode == "append" and known:
+            _check_append_schema(known[-1])
             files = _read_manifest(root, known[-1])["files"] + files
-        target = _manifest_path(root, new_version)
         body = json.dumps(
             {
                 "version": new_version,
                 "mode": mode,
                 "files": files,
                 "rows_added": rows,
-                "schema": df.schema.simpleString(),
+                "schema": cur_schema,
             }
         )
-        try:
-            # O_EXCL: exactly one writer can create v<N> — the loser
-            # re-reads the NEW latest and retries on top of it
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        # exactly one writer claims v<N> — the loser re-reads the NEW
+        # latest and retries on top of it
+        if not _atomic_claim(_manifest_path(root, new_version), body):
             continue
-        with os.fdopen(fd, "w") as f:
-            f.write(body)
         out = {"version": new_version, "files_added": len(added), "rows": rows}
         if batch_tag is not None:
             tag_dir = os.path.join(root, "_commits_by_tag")
@@ -201,44 +223,73 @@ def read_version(
     v = known[-1] if version is None else version
     if v not in known:
         raise ValueError(f"version {v} not in {known}")
-    files = _read_manifest(root, v)["files"]
+    manifest = _read_manifest(root, v)
+    files = manifest["files"]
     if not files:
-        schema = spark.read.parquet(
-            os.path.join(root, _DATA)
-        ).schema  # pragma: no cover - empty commits keep prior schema
-        return spark.createDataFrame([], schema)
+        # empty snapshot (e.g. an empty micro-batch commit): type it from
+        # the manifest's RECORDED schema — inferring from data/ would
+        # crash on a fresh zone and could pick a different version's
+        # schema from surviving commit dirs
+        from pyspark.sql.types import StructType
+
+        ddl = manifest.get("schema")
+        if ddl is None:
+            raise ValueError(
+                f"version {v} is empty and records no schema — cannot type it"
+            )
+        return spark.createDataFrame([], StructType.fromDDL(ddl))
     return spark.read.parquet(*[os.path.join(root, p) for p in files])
 
 
-def rollback(root: str, to_version: int) -> dict:
-    """Publish ``to_version``'s exact file list as a NEW version —
-    non-destructive undo: the rolled-back-over versions stay readable
-    and inspectable until vacuum."""
-    files = _read_manifest(root, to_version)["files"]
-    known = versions(root)
-    new_version = known[-1] + 1
-    target = _manifest_path(root, new_version)
-    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        f.write(
-            json.dumps(
-                {
-                    "version": new_version,
-                    "mode": f"rollback:{to_version}",
-                    "files": files,
-                    "rows_added": 0,
-                }
-            )
+def rollback(root: str, to_version: int, max_retries: int = 10) -> dict:
+    """Publish ``to_version``'s exact file list (and schema — keeping
+    the append guard armed) as a NEW version — non-destructive undo: the
+    rolled-back-over versions stay readable and inspectable until
+    vacuum. Races against concurrent commits with the same
+    optimistic-concurrency retry as :func:`commit_version`."""
+    src = _read_manifest(root, to_version)
+    for _ in range(max_retries):
+        new_version = versions(root)[-1] + 1
+        body = json.dumps(
+            {
+                "version": new_version,
+                "mode": f"rollback:{to_version}",
+                "files": src["files"],
+                "rows_added": 0,
+                "schema": src.get("schema"),
+            }
         )
-    return {"version": new_version, "restored": to_version}
+        if _atomic_claim(_manifest_path(root, new_version), body):
+            return {"version": new_version, "restored": to_version}
+    raise RuntimeError(
+        f"rollback lost the optimistic-concurrency race {max_retries} times"
+    )
 
 
-def vacuum(root: str, keep_last: int = 2) -> dict:
+def vacuum(root: str, keep_last: int = 2, min_age_s: float = 600.0) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete every
     data file no kept manifest references. The ONLY destructive
-    operation; kept snapshots remain byte-identical readable."""
+    operation; kept snapshots remain byte-identical readable.
+
+    ``keep_last`` must be ≥ 1 — a zone is never vacuumed to nothing.
+    ``min_age_s`` is the in-flight-commit guard (the same retention idea
+    as Delta's ``VACUUM ... RETAIN``): a commit writes its data files
+    BEFORE its manifest, so an unreferenced file younger than the window
+    may belong to a commit that has not published yet — it is skipped,
+    not deleted. Crash-orphaned files age past the window and get
+    collected on a later vacuum. Stale ``_commits_by_tag`` markers whose
+    versions were vacuumed are dropped too (a long-running stream would
+    otherwise accumulate one marker per micro-batch forever)."""
+    import time
+
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}) — refusing to vacuum "
+            "a zone down to zero snapshots"
+        )
+    cutoff = time.time() - min_age_s
     known = versions(root)
-    keep = set(known[-keep_last:]) if keep_last > 0 else set()
+    keep = set(known[-keep_last:])
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_read_manifest(root, v)["files"])
@@ -248,18 +299,47 @@ def vacuum(root: str, keep_last: int = 2) -> dict:
             os.remove(_manifest_path(root, v))
             dropped_manifests += 1
     dropped_files = 0
+    skipped_young = 0
     data_root = os.path.join(root, _DATA)
     for commit_dir in list(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         cdir = os.path.join(data_root, commit_dir)
         for f in list(os.listdir(cdir)):
             rel = os.path.join(_DATA, commit_dir, f)
-            if f.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(root, rel))
-                dropped_files += 1
-        if not any(n.endswith(".parquet") for n in os.listdir(cdir)):
+            full = os.path.join(root, rel)
+            if not f.endswith(".parquet") or rel in referenced:
+                continue
+            if os.path.getmtime(full) > cutoff:
+                skipped_young += 1
+                continue
+            os.remove(full)
+            dropped_files += 1
+        remaining = os.listdir(cdir)
+        # only remove a commit dir that is both empty of data AND old —
+        # an in-flight Spark write (e.g. its _temporary/ staging) must
+        # survive until its manifest lands or it ages out
+        if (
+            not any(n.endswith(".parquet") for n in remaining)
+            and os.path.getmtime(cdir) <= cutoff
+        ):
             shutil.rmtree(cdir)
+    tag_dir = os.path.join(root, "_commits_by_tag")
+    dropped_markers = 0
+    if os.path.isdir(tag_dir):
+        for name in list(os.listdir(tag_dir)):
+            mpath = os.path.join(tag_dir, name)
+            if name.endswith(".tmp"):
+                if os.path.getmtime(mpath) <= cutoff:
+                    os.remove(mpath)
+                    dropped_markers += 1
+                continue
+            with open(mpath) as f:
+                if json.load(f).get("version") not in keep:
+                    os.remove(mpath)
+                    dropped_markers += 1
     return {
         "kept_versions": sorted(keep),
         "dropped_manifests": dropped_manifests,
         "dropped_files": dropped_files,
+        "dropped_markers": dropped_markers,
+        "skipped_young_files": skipped_young,
     }

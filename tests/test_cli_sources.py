@@ -473,6 +473,7 @@ def test_cli_timetravel_log_rollback_vacuum(spark, tmp_path, capsys):
     assert versioned.read_version(spark, root).count() == 100
 
     assert cli.main(
-        ["timetravel", "vacuum", "--root", root, "--keep-last", "1"]
+        ["timetravel", "vacuum", "--root", root, "--keep-last", "1",
+         "--min-age-sec", "0"]
     ) == 0
     assert versioned.versions(root) == [2]

@@ -78,7 +78,7 @@ def test_vacuum_drops_unreferenced_files_keeps_live_snapshots(spark, tmp_path):
     versioned.commit_version(_df(spark, 0, 50), root, mode="overwrite")
     versioned.commit_version(_df(spark, 0, 25), root, mode="overwrite")
 
-    out = versioned.vacuum(root, keep_last=2)
+    out = versioned.vacuum(root, keep_last=2, min_age_s=0)
     assert out["dropped_manifests"] == 1
     assert out["dropped_files"] > 0
     assert versioned.versions(root) == [1, 2]
@@ -163,3 +163,78 @@ def test_append_rejects_schema_drift(spark, tmp_path):
     m = versioned.commit_version(drifted, root, mode="overwrite")
     assert m["version"] == 1
     assert "extra" in versioned.read_version(spark, root).columns
+
+
+def test_manifest_claim_is_atomic_with_content(tmp_path):
+    """A claimed manifest is never observable empty/partial: the claim
+    is a hard-link of a fully-written temp file, and a pre-existing
+    EMPTY v<N>.json (the crashed-between-create-and-write artifact the
+    old O_EXCL spelling could leave) loses the claim cleanly instead of
+    wedging readers."""
+    target = str(tmp_path / "v0000000001.json")
+    assert versioned._atomic_claim(target, '{"ok": 1}') is True
+    import json
+
+    with open(target) as f:
+        assert json.load(f) == {"ok": 1}
+    assert versioned._atomic_claim(target, '{"ok": 2}') is False
+    with open(target) as f:
+        assert json.load(f) == {"ok": 1}  # loser never mutates the winner
+    assert not [p for p in tmp_path.iterdir() if p.name.endswith(".tmp")]
+
+
+def test_vacuum_age_guard_spares_inflight_commit_files(spark, tmp_path):
+    """An unreferenced data file younger than min_age_s may belong to a
+    commit whose manifest hasn't landed — vacuum must skip it."""
+    import os
+
+    root = str(tmp_path / "zone_age")
+    versioned.commit_version(_df(spark, 0, 10), root)
+    versioned.commit_version(_df(spark, 0, 5), root, mode="overwrite")
+    # make v0's (unreferenced after keep_last=1) files LOOK in-flight
+    out = versioned.vacuum(root, keep_last=1, min_age_s=3600)
+    assert out["dropped_files"] == 0 and out["skipped_young_files"] > 0
+    # aged out -> collected
+    out = versioned.vacuum(root, keep_last=1, min_age_s=0)
+    assert out["dropped_files"] > 0
+    assert versioned.read_version(spark, root).count() == 5
+
+
+def test_vacuum_refuses_zero_retention(spark, tmp_path):
+    root = str(tmp_path / "zone_keep0")
+    versioned.commit_version(_df(spark, 0, 10), root)
+    with pytest.raises(ValueError, match="keep_last"):
+        versioned.vacuum(root, keep_last=0)
+
+
+def test_rollback_carries_schema_keeping_append_guard_armed(spark, tmp_path):
+    root = str(tmp_path / "zone_rbschema")
+    versioned.commit_version(_df(spark, 0, 10), root)
+    versioned.commit_version(_df(spark, 0, 5), root, mode="overwrite")
+    versioned.rollback(root, to_version=0)
+    drifted = _df(spark, 10, 20).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        versioned.commit_version(drifted, root, mode="append")
+
+
+def test_empty_snapshot_reads_with_recorded_schema(spark, tmp_path):
+    root = str(tmp_path / "zone_empty")
+    versioned.commit_version(_df(spark, 0, 0), root)  # zero rows
+    df = versioned.read_version(spark, root)
+    assert df.count() == 0
+    assert df.columns == ["id", "v"]
+
+
+def test_vacuum_drops_stale_batch_markers(spark, tmp_path):
+    root = str(tmp_path / "zone_markers")
+    for i in range(3):
+        versioned.commit_version(
+            _df(spark, 0, 5), root, mode="overwrite", batch_tag=f"stream-{i}"
+        )
+    import os
+
+    tags = os.path.join(root, "_commits_by_tag")
+    assert len(os.listdir(tags)) == 3
+    out = versioned.vacuum(root, keep_last=1, min_age_s=0)
+    assert out["dropped_markers"] == 2
+    assert os.listdir(tags) == ["stream-2"]
