@@ -17,7 +17,17 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Executor python workers unpickle the module-level DataSource class of
+# pysource.py BY REFERENCE (unlike nested pandas-UDF closures, which
+# cloudpickle ships by value), so the package must be importable in the
+# worker process too. Workers inherit the JVM's env, and the JVM inherits
+# ours — set PYTHONPATH before the session starts so `python bench.py`
+# works from any cwd, exactly as a spark-submit would use --py-files.
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get(
+    "PYTHONPATH", ""
+)
 
 HEADLINE = [
     # scans + aggregation

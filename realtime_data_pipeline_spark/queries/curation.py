@@ -28,6 +28,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from realtime_data_pipeline_spark import ops, text
 from realtime_data_pipeline_spark.neardup import word_shingles
@@ -306,6 +307,169 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-3 highest-scoring
+    terms per document (smoothed sklearn-style idf,
+    ``ln((1+N)/(1+df)) + 1``), the standard signal for topic tagging /
+    keyword indexes over a training corpus.
+
+    Scale shape: the classic wordcount explode feeds a
+    ``groupBy(doc_id, term)`` whose partial (map-side) aggregation
+    collapses repeats before the exchange; the document-frequency table is
+    Zipf-tiny relative to the corpus and is BROADCAST back with the 1-row
+    corpus count, so the scoring join moves no corpus tokens a second
+    time. Top-3-per-doc is row_number + filter, which Spark plans with a
+    partial WindowGroupLimit below the exchange — each map task forwards
+    at most 3 candidate rows per doc. Ties rank deterministically
+    (score desc, then term) so the result is engine-stable."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    idf = F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("__df"))) + F.lit(
+        1.0
+    )
+    scored = tf.join(F.broadcast(dfreq.crossJoin(n_docs)), "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+DOCS_TFIDF_TOP_TERMS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+   dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, ROUND(score, 4) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (LN((1 + n.n_docs) / (1 + dfreq.df)) + 1) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (LN((1 + n.n_docs) / (1 + dfreq.df)) + 1) DESC,
+                    tf.term
+         ) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rank <= 3
+"""
+
+
+#: Fixed keyword query for the BM25 ranking check — chosen from the fixture
+#: vocabulary so all three terms have nonzero document frequency.
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: rank the corpus against a fixed 3-term query
+    (Okapi BM25, k1=1.2 b=0.75) and return the top-10 documents — the
+    retrieval scoring used for corpus search / eval-set mining next to
+    the embedding kNN in ``queries/vectors.py``.
+
+    Scale shape: the explode is FILTERED to the query terms before any
+    shuffle, so the (doc, term) aggregation carries only matching tokens
+    — corpus-size-independent per query term, the inverted-index access
+    pattern without materializing the index. Document lengths are a
+    narrow projection; the per-term df/idf table (≤ |query| rows) and the
+    1-row corpus stats broadcast back. Top-10 is orderBy+limit =
+    TakeOrderedAndProject, never a full sort."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    lens = docs.select(
+        "doc_id", text.word_count(F.col("text")).cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("__avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq.crossJoin(stats)), "term")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * F.lit(_BM25_K1 + 1.0)
+                / (F.col("tf") + norm)
+            ).alias("s"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+DOCS_BM25_SEARCH_SQL = r"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens
+), tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ('spark', 'join', 'vector')
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), per_term AS (
+  SELECT tf.doc_id,
+         LN(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl)) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, ROUND(SUM(s), 4) AS bm25
+FROM per_term
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
 DOCS_UNIGRAM_SURPRISAL_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
@@ -340,8 +504,12 @@ ORACLE_SQL: dict[str, str] = {
 # trio the round-3 verdict graded).
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_unigram_surprisal": docs_unigram_surprisal,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "docs_bm25_search": docs_bm25_search,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_unigram_surprisal": DOCS_UNIGRAM_SURPRISAL_SQL,
+    "docs_tfidf_top_terms": DOCS_TFIDF_TOP_TERMS_SQL,
+    "docs_bm25_search": DOCS_BM25_SEARCH_SQL,
 }
