@@ -439,6 +439,84 @@ GROUP BY event_type
 """
 
 
+def orders_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide): revenue per order-year crossed against order
+    status, one column per status — the crosstab report shape.
+
+    Scale shape: expressed as CONDITIONAL AGGREGATION (``sum(when(...))``
+    per pivot value) rather than ``DataFrame.pivot`` — one shuffle on the
+    group key, partial+final agg. Spark's built-in ``pivot`` plans TWO
+    shuffles even with an explicit value list (a (key, pivot-col) sum,
+    then a ``pivotfirst`` re-agg on the key), and without the value list
+    it adds a third distinct-values job over the fact table first; with a
+    known value set, case-when aggregation is strictly cheaper at 100 TB.
+    The plan gate pins the one-shuffle shape."""
+    o = load(spark, sf_dir, "orders")
+
+    def tot(status: str) -> F.Column:
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))),
+            2,
+        ).alias(f"status_{status.lower()}_total")
+
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(tot("F"), tot("O"), tot("P"))
+
+
+ORDERS_PIVOT_STATUS_BY_YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+         AS status_f_total,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+         AS status_o_total,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+         AS status_p_total
+FROM orders
+GROUP BY 1
+"""
+
+
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide→long): per-returnflag totals of three measure
+    columns restacked into (measure, value) rows — the tidy shape metric
+    stores and plotting layers want.
+
+    Scale shape: the heavy work is the one grouped aggregation; the
+    unpivot itself is an ``Expand`` projection over the tiny aggregated
+    result — a narrow op, no extra shuffle. Restacking BEFORE aggregating
+    would triple the shuffled rows for zero benefit; melt last."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return base.unpivot(
+        "l_returnflag",
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+LINEITEM_UNPIVOT_MEASURES_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price,
+         ROUND(SUM(l_discount), 2) AS sum_disc
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM base
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM base
+UNION ALL
+SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM base
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -459,9 +537,13 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_counts": events_funnel_counts,
     "events_retention_cohorts": events_retention_cohorts,
     "events_props_variant": events_props_variant,
+    "orders_pivot_status_by_year": orders_pivot_status_by_year,
+    "lineitem_unpivot_measures": lineitem_unpivot_measures,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "orders_pivot_status_by_year": ORDERS_PIVOT_STATUS_BY_YEAR_SQL,
+    "lineitem_unpivot_measures": LINEITEM_UNPIVOT_MEASURES_SQL,
     "events_hot_user_share": EVENTS_HOT_USER_SHARE_SQL,
     "events_funnel_counts": EVENTS_FUNNEL_COUNTS_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_COHORTS_SQL,

@@ -318,9 +318,11 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses repeats before the exchange; the document-frequency table is
     Zipf-tiny relative to the corpus and is BROADCAST back with the 1-row
     corpus count, so the scoring join moves no corpus tokens a second
-    time. Top-3-per-doc is row_number + filter, which Spark plans with a
-    partial WindowGroupLimit below the exchange — each map task forwards
-    at most 3 candidate rows per doc. Ties rank deterministically
+    time. Top-3-per-doc is row_number + filter planned as a
+    WindowGroupLimit — and because the tf aggregation inherits the
+    upfront doc_id partitioning, the window itself needs NO further
+    shuffle (one data movement serves the agg and the top-k; the plan
+    gate pins the shuffle-free window). Ties rank deterministically
     (score desc, then term) so the result is engine-stable."""
     docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(

@@ -302,3 +302,55 @@ def test_q22_scalar_subquery_broadcasts_and_anti_joins(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_pivot_conditional_agg_single_shuffle(spark, sf_dir):
+    """The pivot is conditional aggregation: one shuffle on the group key
+    (partial -> final) — not DataFrame.pivot's two-shuffle pivotfirst
+    plan, and no distinct-values discovery pass over the fact table."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["orders_pivot_status_by_year"](spark, sf_dir),
+        mode="simple",
+    )
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_unpivot_is_expand_after_the_agg(spark, sf_dir):
+    """Melt runs as an Expand projection over the aggregated result — the
+    only shuffle is the grouped aggregation's."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["lineitem_unpivot_measures"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "Expand" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_tfidf_topk_window_is_shuffle_free(spark, sf_dir):
+    """Per-doc top-3 has a WindowGroupLimit, and the window adds NO
+    exchange of its own: the tf aggregation inherits the upfront doc_id
+    partitioning, so the same data movement serves the agg and the top-k.
+    The idf table joins back by broadcast — never a sort-merge join of
+    tokens against tokens."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["docs_tfidf_top_terms"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "WindowGroupLimit" in plan
+    # no Exchange between the WindowGroupLimit and the scoring join below
+    # it — the window consumes the aggregation's partitioning directly
+    limit_to_join = plan[
+        plan.index("WindowGroupLimit") : plan.index("BroadcastHashJoin")
+    ]
+    assert "Exchange" not in limit_to_join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """Global top-10 is TakeOrderedAndProject — never a full sort of the
+    scored corpus."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["docs_bm25_search"](spark, sf_dir), mode="simple"
+    )
+    assert "TakeOrderedAndProject" in plan
