@@ -32,6 +32,7 @@ from realtime_data_pipeline_spark.queries import (
     scalars,
     subqueries,
     textdup,
+    tpch,
     vectors,
     windows,
 )
@@ -56,6 +57,7 @@ for _mod in (
     asof,
     scalars,
     subqueries,
+    tpch,
     vectors,
     textdup,
 ):

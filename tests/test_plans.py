@@ -354,3 +354,72 @@ def test_bm25_topk_is_take_ordered(spark, sf_dir):
         q.SHELVED_QUERIES["docs_bm25_search"](spark, sf_dir), mode="simple"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "min_bhj"),
+    [
+        ("local_supplier_volume_q5", 3),
+        ("volume_shipping_q7", 3),
+        ("market_share_q8", 4),
+    ],
+)
+def test_tpch_multiway_joins_broadcast_every_dim(spark, sf_dir, name, min_bhj):
+    """Q5/Q7/Q8: every dimension (supplier, nation x2, region, part
+    slice) rides a hint-driven BroadcastHashJoin — adding the 5th/6th
+    table costs no extra shuffle, and nothing degenerates to a cartesian
+    product."""
+    plan = plan_str(q.SHELVED_QUERIES[name](spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= min_bhj
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered_single_agg_shuffle(spark, sf_dir):
+    """Q10: top-20 customers is TakeOrderedAndProject (never a global
+    sort), the nation dim broadcasts, and the customer-grain aggregation
+    is the plan's one guaranteed shuffle."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["returned_item_losses_q10"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q15_scalar_max_is_broadcast_back(spark, sf_dir):
+    """Q15: the MAX(revenue) scalar subquery joins back by broadcast
+    (1-row build side) — the per-supplier revenue aggregate is never
+    re-sorted or re-shuffled to find its max."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["top_supplier_q15"](spark, sf_dir), mode="simple"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    """Q21 (adapted): EXISTS(other supplier) / NOT EXISTS(other late
+    supplier) plan as a left-semi and left-anti hash join on the order
+    key — no per-row subquery, no cartesian expansion — and the final
+    top-20 is TakeOrderedAndProject."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["waiting_suppliers_q21"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_is_one_join_one_agg_pass(spark, sf_dir):
+    """Q12 (adapted): exactly two scans (lineitem, orders) feed one join,
+    and both priority counters come from a single aggregation pass — no
+    union of per-bucket scans."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["late_shipment_priority_q12"](spark, sf_dir),
+        mode="simple",
+    )
+    assert plan.count("Scan parquet") == 2
+    assert "Union" not in plan
