@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark import dq, etl
 
@@ -549,6 +550,201 @@ def merge_upsert(
         "affected_partitions": sorted(str(p) for p in parts),
         "rows_written": rows,
     }
+
+
+SCD2_META = ("__bucket", "__valid_from", "__valid_to", "__is_current")
+
+
+def scd2_rebuild(
+    observations: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Rebuild SCD2 interval chains from an observation frame (rows of
+    ``keys + tracked + [effective_col]`` plus an ``__src`` priority column,
+    0 = stored segment, 1 = incoming update).
+
+    Every window below shares ONE spec — partition by key, order by
+    (effective, __src, tracked) — so the whole rebuild costs a single
+    shuffle: the filters between the window passes preserve partitioning
+    and sort order, and Catalyst reuses the exchange (plan-gated in
+    tests/test_scd2.py)."""
+    from pyspark.sql import Window
+
+    # the tracked struct is materialized ONCE as a named column: every
+    # window pass then orders by the same column references, so Catalyst
+    # proves the sort orders identical and plans one Sort under the one
+    # Exchange (anonymous per-pass struct exprs get fresh _w0 aliases and
+    # force a re-Sort per window)
+    chain = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(effective_col).asc(), F.col("__src").asc(), F.col("__tracked").asc()
+    )
+    return (
+        observations.withColumn(
+            "__tracked", F.struct(*[F.col(c) for c in tracked])
+        )
+        # same (key, effective) twice: the sort puts the winner LAST
+        # (updates after stored segments, then the largest tracked
+        # struct for a deterministic, partition-order-free pick), so any
+        # row FOLLOWED by another observation at the same effective time
+        # is a loser
+        .withColumn("__next_eff", F.lead(effective_col).over(chain))
+        .filter(
+            F.col("__next_eff").isNull()
+            | (F.col("__next_eff") != F.col(effective_col))
+        )
+        # drop observations that repeat the previous observation's values
+        .withColumn("__prev", F.lag("__tracked").over(chain))
+        .filter(
+            F.col("__prev").isNull()
+            | ~F.col("__prev").eqNullSafe(F.col("__tracked"))
+        )
+        .withColumn("__valid_from", F.col(effective_col))
+        .withColumn("__valid_to", F.lead("__valid_from").over(chain))
+        .withColumn("__is_current", F.col("__valid_to").isNull())
+        .withColumn(
+            "__bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+            ).cast("int"),
+        )
+        .select(*keys, *tracked, *SCD2_META)
+    )
+
+
+def scd2_merge(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    tracked: list[str] | None = None,
+    n_buckets: int = 256,
+) -> dict:
+    """Type-2 slowly-changing-dimension MERGE: keep the full value history
+    of each key as closed intervals (``__valid_from``/``__valid_to``,
+    ``__is_current``) instead of :func:`merge_upsert`'s keep-latest (SCD1).
+
+    Model: every incoming row is an OBSERVATION "key had these tracked
+    values as of ``effective_col``", and every stored segment's
+    ``__valid_from`` is the observation that created it. A merge therefore
+    REBUILDS each affected key's chain from (stored segments ∪ new
+    observations): sort per key by effective time, drop observations whose
+    tracked values equal the previous observation's (``eqNullSafe`` on the
+    tracked struct, so NULLs compare stably), then ``__valid_to`` =
+    lead(``__valid_from``) and the open segment is current. Rebuilding
+    from scratch — rather than diffing against the current row — makes the
+    operator idempotent under replay (same batch twice = same table,
+    tested) and splices LATE observations into their correct historical
+    position (an effective time older than the current segment inserts
+    mid-chain instead of being dropped or mis-closing the head; tested).
+    Same-timestamp conflicts resolve update-wins, matching
+    :func:`merge_upsert`'s documented tie semantic.
+
+    SEMANTIC CONTRACT: for an immutable observation stream (no two
+    observations of one key at the same effective time with different
+    values), the final table is a pure function of the observation SET —
+    invariant to batch split, arrival order, late data, and replays
+    (property-tested). Same-timestamp CORRECTIONS break that invariance
+    at one documented edge: collapsing a repeat merges away the later
+    segment's boundary evidence (the value-over-time function is
+    unchanged), so a correction of the surviving earlier observation
+    re-attributes the whole collapsed span
+    (tests/test_scd2.py::test_correction_after_collapse_reattributes_history).
+    Corrections of observations whose segments still exist behave as
+    expected. If correction-proof boundaries matter, keep the
+    observation log (e.g. the bronze zone) as the source of truth and
+    rebuild; the SCD2 table stores segments, not evidence.
+
+    Scale shape — what a merge does NOT touch:
+    1. the table is hive-partitioned by ``__bucket`` =
+       ``pmod(xxhash64(keys), n_buckets)`` — a deterministic function of
+       the key, so a key's entire history lives in one partition;
+    2. affected buckets = distinct buckets of the batch (driver list,
+       ≤ ``n_buckets`` ints — the only collect); the target read carries
+       an ``isin`` partition filter, so a merge scans |affected|/``n_buckets``
+       of the history, not the table;
+    3. the rebuild is ONE window shuffle of those buckets' rows plus the
+       batch — no join, no per-key loop;
+    4. one dynamic-partition-overwrite write rewrites exactly the
+       affected bucket directories (single write: no close-then-insert
+       crash window between a history append and a current overwrite —
+       the failure mode of the two-table SCD2 spelling).
+
+    ``tracked`` defaults to every non-key, non-effective column. The
+    updates frame must carry ``keys + tracked + [effective_col]``.
+    """
+    tracked = tracked or [
+        c for c in updates.columns if c not in (*keys, effective_col)
+    ]
+    obs_cols = [*keys, *tracked, effective_col]
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+
+    new_obs = updates.select(*obs_cols).withColumn("__src", F.lit(1))
+    if os.path.exists(target_path):
+        affected = sorted(
+            r[0]
+            for r in updates.select(bucket.alias("b")).distinct().collect()
+        )
+        stored = (
+            spark.read.parquet(target_path)
+            .filter(F.col("__bucket").isin(affected))
+            .select(
+                *keys,
+                *tracked,
+                F.col("__valid_from").alias(effective_col),
+            )
+            .withColumn("__src", F.lit(0))
+        )
+        observations = stored.unionByName(new_obs)
+    else:
+        affected = None
+        observations = new_obs
+
+    rebuilt = scd2_rebuild(observations, keys, tracked, effective_col, n_buckets)
+    if affected is None:
+        write_parquet(
+            rebuilt, target_path, mode="overwrite", partition_by="__bucket"
+        )
+        return {
+            "initial_load": True,
+            "affected_buckets": None,
+            "rows_written": spark.read.parquet(target_path).count(),
+        }
+    # Spark cannot overwrite partitions it is reading: materialize the
+    # rebuilt slice (bounded by the affected buckets) before the write
+    rebuilt = rebuilt.localCheckpoint(eager=True)
+    rows = rebuilt.count()
+    write_parquet(
+        rebuilt, target_path, mode="overwrite", partition_by="__bucket"
+    )
+    return {
+        "initial_load": False,
+        "affected_buckets": affected,
+        "rows_written": rows,
+    }
+
+
+def scd2_current(spark: SparkSession, target_path: str) -> DataFrame:
+    """The SCD1 view of an SCD2 table: one open segment per key."""
+    return spark.read.parquet(target_path).filter(F.col("__is_current"))
+
+
+def scd2_as_of(
+    spark: SparkSession, target_path: str, ts
+) -> DataFrame:
+    """Dimension state as of ``ts``: the segment whose half-open interval
+    [__valid_from, __valid_to) covers it. One filter, no window — interval
+    membership is what the closed segments exist to make cheap."""
+    t = F.lit(ts).cast("timestamp")
+    return spark.read.parquet(target_path).filter(
+        (F.col("__valid_from") <= t)
+        & (F.col("__valid_to").isNull() | (F.col("__valid_to") > t))
+    )
 
 
 def replay_quarantine(

@@ -302,3 +302,94 @@ def test_chunk_text_reconstructs_document(spark, n_words, chunk, overlap):
         assert len(toks) == r.n_chunk_words
         rebuilt.extend(toks if r.chunk_idx == 0 else toks[overlap:])
     assert rebuilt == [f"t{i}" for i in range(n_words)]
+
+
+@given(
+    obs=st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(1, 12)),  # (key, day)
+        st.integers(0, 2),  # tracked value
+        min_size=1,
+        max_size=14,
+    ),
+    cuts=st.lists(st.integers(0, 13), min_size=0, max_size=2),
+    replay_last=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_scd2_merge_is_batch_split_invariant(
+    spark, tmp_path_factory, obs, cuts, replay_last
+):
+    """For an IMMUTABLE observation stream (unique (key, effective) —
+    no retroactive same-timestamp corrections), scd2_merge is invariant
+    to how the stream is split into batches: any split (including late
+    arrivals in later batches and replaying a batch verbatim) converges
+    to the one-shot chain over the union — checked against an
+    independent Python model (sort per key, collapse consecutive
+    repeats, chain the intervals). The correction caveat this
+    precondition excludes is pinned by
+    tests/test_scd2.py::test_correction_after_collapse_reattributes_history.
+    """
+    import datetime as dt
+
+    from realtime_data_pipeline_spark import medallion
+
+    tgt = str(tmp_path_factory.mktemp("scd2") / "dim")
+    day = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    # deterministic scramble so batch cuts produce genuine late arrivals
+    # (an early effective day landing in a later batch)
+    import hashlib
+
+    stream = [
+        (f"k{k}", f"v{v}", day(d))
+        for (k, d), v in sorted(
+            obs.items(),
+            key=lambda kv: hashlib.md5(repr(kv[0]).encode()).hexdigest(),
+        )
+    ]
+    # arbitrary split into up to 3 batches (empty slices dropped)
+    bounds = sorted({min(c, len(stream)) for c in cuts})
+    batches = [
+        b
+        for b in (
+            stream[i:j]
+            for i, j in zip([0, *bounds], [*bounds, len(stream)])
+        )
+        if b
+    ]
+    if replay_last:
+        batches.append(batches[-1])
+    for batch in batches:
+        medallion.scd2_merge(
+            spark,
+            tgt,
+            spark.createDataFrame(
+                batch, "id string, val string, eff timestamp"
+            ),
+            keys=["id"],
+            effective_col="eff",
+            n_buckets=4,
+        )
+
+    per_key: dict[str, list] = {}
+    for (k, d), v in sorted(obs.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        chain = per_key.setdefault(f"k{k}", [])
+        if not chain or chain[-1][1] != f"v{v}":
+            chain.append((d, f"v{v}"))
+    expected = {
+        key: [
+            (
+                val,
+                day(d),
+                day(chain[i + 1][0]) if i + 1 < len(chain) else None,
+                i + 1 == len(chain),
+            )
+            for i, (d, val) in enumerate(chain)
+        ]
+        for key, chain in per_key.items()
+    }
+
+    got: dict[str, list] = {}
+    for r in spark.read.parquet(tgt).orderBy("id", "__valid_from").collect():
+        got.setdefault(r["id"], []).append(
+            (r["val"], r["__valid_from"], r["__valid_to"], r["__is_current"])
+        )
+    assert got == expected

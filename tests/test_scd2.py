@@ -1,0 +1,305 @@
+"""SCD2 historization (`medallion.scd2_merge`): interval-chain
+correctness, replay idempotence, late-observation splicing, bucket-pruned
+merges, and the single-shuffle rebuild plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import medallion
+from tests.test_plans import plan_str
+
+
+def ts(day: int, month: int = 1) -> dt.datetime:
+    return dt.datetime(2024, month, day)
+
+
+def obs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "cust_id string, tier string, city string, seen_at timestamp"
+    )
+
+
+def chain_of(spark, path, key):
+    return [
+        (r["tier"], r["city"], r["__valid_from"], r["__valid_to"], r["__is_current"])
+        for r in spark.read.parquet(path)
+        .filter(F.col("cust_id") == key)
+        .orderBy("__valid_from")
+        .collect()
+    ]
+
+
+def snapshot(spark, path):
+    return sorted(
+        map(str, spark.read.parquet(path).drop("__bucket").collect())
+    )
+
+
+def test_initial_load_builds_chains_and_collapses_repeats(spark, tmp_path):
+    tgt = str(tmp_path / "dim")
+    m = medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(
+            spark,
+            [
+                ("c1", "bronze", "lyon", ts(1)),
+                ("c1", "bronze", "lyon", ts(2)),  # repeat -> collapsed
+                ("c1", "gold", "lyon", ts(5)),
+                ("c2", "silver", "nice", ts(3)),
+            ],
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert m["initial_load"] and m["rows_written"] == 3
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "lyon", ts(1), ts(5), False),
+        ("gold", "lyon", ts(5), None, True),
+    ]
+    assert chain_of(spark, tgt, "c2") == [("silver", "nice", ts(3), None, True)]
+
+
+def test_merge_closes_current_and_ignores_unchanged(spark, tmp_path):
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", ts(1)), ("c2", "silver", "nice", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(
+            spark,
+            [
+                ("c1", "gold", "lyon", ts(9)),  # change -> close + insert
+                ("c2", "silver", "nice", ts(9)),  # same values -> no-op
+                ("c3", "bronze", "oslo", ts(9)),  # brand new key
+            ],
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "lyon", ts(1), ts(9), False),
+        ("gold", "lyon", ts(9), None, True),
+    ]
+    assert chain_of(spark, tgt, "c2") == [("silver", "nice", ts(1), None, True)]
+    assert chain_of(spark, tgt, "c3") == [("bronze", "oslo", ts(9), None, True)]
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    batch = obs_df(
+        spark, [("c1", "gold", "lyon", ts(5)), ("c4", "silver", "rome", ts(5))]
+    )
+    medallion.scd2_merge(spark, tgt, batch, keys=["cust_id"], effective_col="seen_at")
+    once = snapshot(spark, tgt)
+    m = medallion.scd2_merge(
+        spark, tgt, batch, keys=["cust_id"], effective_col="seen_at"
+    )
+    assert snapshot(spark, tgt) == once
+    assert not m["initial_load"]
+
+
+def test_late_observation_splices_mid_chain(spark, tmp_path):
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(
+            spark,
+            [("c1", "bronze", "lyon", ts(1)), ("c1", "gold", "lyon", ts(10))],
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    # late observation lands BETWEEN the two stored segments
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "silver", "lyon", ts(5))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "lyon", ts(1), ts(5), False),
+        ("silver", "lyon", ts(5), ts(10), False),
+        ("gold", "lyon", ts(10), None, True),
+    ]
+    # a late repeat of the predecessor's values changes nothing
+    before = snapshot(spark, tgt)
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", ts(3))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert snapshot(spark, tgt) == before
+
+
+def test_same_timestamp_conflict_update_wins(spark, tmp_path):
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "gold", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert chain_of(spark, tgt, "c1") == [("gold", "lyon", ts(1), None, True)]
+
+
+def test_null_tracked_values_compare_stably(spark, tmp_path):
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(
+            spark,
+            [
+                ("c1", "bronze", None, ts(1)),
+                ("c1", "bronze", None, ts(2)),  # NULL == NULL -> collapsed
+                ("c1", "bronze", "lyon", ts(3)),  # NULL -> value = change
+            ],
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", None, ts(1), ts(3), False),
+        ("bronze", "lyon", ts(3), None, True),
+    ]
+
+
+def test_merge_touches_only_affected_buckets(spark, tmp_path):
+    """A one-key merge rewrites that key's bucket directory and leaves
+    every other bucket's files byte-identical."""
+    import os
+
+    tgt = str(tmp_path / "dim")
+    rows = [(f"c{i}", "bronze", "lyon", ts(1)) for i in range(40)]
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, rows),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=8,
+    )
+
+    def file_stamps():
+        out = {}
+        for root, _, files in os.walk(tgt):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_stamps()
+    m = medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c7", "gold", "lyon", ts(5))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=8,
+    )
+    assert len(m["affected_buckets"]) == 1
+    hit = f"__bucket={m['affected_buckets'][0]}"
+    after = file_stamps()
+    untouched = {p: t for p, t in before.items() if hit not in p}
+    assert untouched == {p: t for p, t in after.items() if p in untouched}
+    assert chain_of(spark, tgt, "c7")[-1] == ("gold", "lyon", ts(5), None, True)
+    assert chain_of(spark, tgt, "c3") == [("bronze", "lyon", ts(1), None, True)]
+
+
+def test_rebuild_plan_is_single_shuffle(spark):
+    """All three window passes (same-timestamp dedup, value dedup,
+    interval chaining) share one partitioning and sort — exactly one
+    exchange in the rebuild plan."""
+    observations = obs_df(
+        spark, [("c1", "bronze", "lyon", ts(1))]
+    ).withColumn("__src", F.lit(1))
+    plan = plan_str(
+        medallion.scd2_rebuild(
+            observations, ["cust_id"], ["tier", "city"], "seen_at", 16
+        ),
+        mode="simple",
+    )
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert plan.count("Sort ") <= 1
+
+
+def test_current_and_as_of_views(spark, tmp_path):
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(
+            spark,
+            [
+                ("c1", "bronze", "lyon", ts(1)),
+                ("c1", "gold", "lyon", ts(10)),
+                ("c2", "silver", "nice", ts(4)),
+            ],
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    cur = {
+        r["cust_id"]: r["tier"]
+        for r in medallion.scd2_current(spark, tgt).collect()
+    }
+    assert cur == {"c1": "gold", "c2": "silver"}
+    asof = {
+        r["cust_id"]: r["tier"]
+        for r in medallion.scd2_as_of(spark, tgt, ts(5)).collect()
+    }
+    assert asof == {"c1": "bronze", "c2": "silver"}
+    # before any history: empty
+    assert medallion.scd2_as_of(spark, tgt, dt.datetime(2023, 1, 1)).count() == 0
+
+
+def test_correction_after_collapse_reattributes_history(spark, tmp_path):
+    """The documented correction caveat: a late repeat collapses the
+    stored later segment (the VALUE function over time is unchanged),
+    after which a same-timestamp correction of that late observation
+    re-attributes the whole collapsed span — the boundary evidence was
+    physically merged away. This pins the behavior the batch-split
+    invariance property excludes via its immutable-stream precondition."""
+    tgt = str(tmp_path / "dim")
+    merge = lambda rows: medallion.scd2_merge(  # noqa: E731
+        spark, tgt, obs_df(spark, rows), keys=["cust_id"], effective_col="seen_at"
+    )
+    merge([("c1", "gold", "lyon", ts(11))])
+    # late repeat: same values earlier -> one segment from ts(1); the
+    # ts(11) boundary collapses (value history identical either way)
+    merge([("c1", "gold", "lyon", ts(1))])
+    assert chain_of(spark, tgt, "c1") == [("gold", "lyon", ts(1), None, True)]
+    # correcting the ts(1) observation now rewrites the WHOLE span —
+    # the ts(11) evidence no longer exists as a separate segment
+    merge([("c1", "bronze", "lyon", ts(1))])
+    assert chain_of(spark, tgt, "c1") == [("bronze", "lyon", ts(1), None, True)]
