@@ -224,6 +224,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     ptt.add_argument("--limit", type=int, default=10, help="show: rows printed")
 
+    ps2 = sub.add_parser(
+        "scd2",
+        help="historized dimension (SCD2): merge observation batches / "
+        "query current or as-of state",
+    )
+    ps2.add_argument("action", choices=["merge", "current", "asof"])
+    ps2.add_argument("--target", required=True, help="dimension root path")
+    ps2.add_argument("--batch", default=None, help="merge: observation batch path")
+    ps2.add_argument(
+        "--format", default="parquet", choices=["parquet", "orc", "csv", "json"]
+    )
+    ps2.add_argument("--schema", default=None, help="merge: batch schema (csv/json)")
+    ps2.add_argument("--keys", default=None, help="merge: comma-separated key cols")
+    ps2.add_argument("--effective", default=None, help="merge: observation-time col")
+    ps2.add_argument(
+        "--tracked", default=None,
+        help="merge: comma-separated tracked cols (default: all non-key)",
+    )
+    ps2.add_argument("--buckets", type=int, default=256)
+    ps2.add_argument("--at", default=None, help="asof: ISO timestamp")
+    ps2.add_argument("--limit", type=int, default=20, help="current/asof: rows printed")
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -467,6 +489,38 @@ def main(argv: list[str] | None = None) -> int:
                 f"compact: {out['files_before']} -> {out['files_after']} files "
                 f"({out['rows']} rows)"
             )
+        return 0
+    if args.cmd == "scd2":
+        import json as _json
+
+        if args.action == "merge":
+            if not (args.batch and args.keys and args.effective):
+                raise SystemExit(
+                    "scd2 merge: --batch, --keys and --effective are required"
+                )
+            batch = medallion.read_zone(
+                spark, args.batch, fmt=args.format, schema=args.schema
+            )
+            out = medallion.scd2_merge(
+                spark,
+                args.target,
+                batch,
+                keys=args.keys.split(","),
+                effective_col=args.effective,
+                tracked=args.tracked.split(",") if args.tracked else None,
+                n_buckets=args.buckets,
+            )
+            print(_json.dumps(out))
+            return 0
+        if args.action == "current":
+            view = medallion.scd2_current(spark, args.target)
+        else:
+            if not args.at:
+                raise SystemExit("scd2 asof: --at is required")
+            view = medallion.scd2_as_of(spark, args.target, args.at)
+        view.drop("__bucket").orderBy("__valid_from").show(
+            args.limit, truncate=False
+        )
         return 0
     if args.cmd == "replay":
         # match the zones' existing layout: a stream-produced quarantine is

@@ -477,3 +477,47 @@ def test_cli_timetravel_log_rollback_vacuum(spark, tmp_path, capsys):
          "--min-age-sec", "0"]
     ) == 0
     assert versioned.versions(root) == [2]
+
+
+def test_cli_scd2_merge_current_asof(spark, tmp_path, capsys):
+    """scd2 subcommand: two observation batches merge into a historized
+    dimension; `current` shows the open segments and `asof` the state at
+    a past timestamp."""
+    import json
+
+    from realtime_data_pipeline_spark import cli
+
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [("c1", "bronze", "2024-01-01 00:00:00")],
+        "cust_id string, tier string, seen_at string",
+    ).selectExpr(
+        "cust_id", "tier", "CAST(seen_at AS timestamp) seen_at"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [("c1", "gold", "2024-02-01 00:00:00")],
+        "cust_id string, tier string, seen_at string",
+    ).selectExpr(
+        "cust_id", "tier", "CAST(seen_at AS timestamp) seen_at"
+    ).write.parquet(b2)
+
+    tgt = str(tmp_path / "dim")
+    base = ["scd2", "merge", "--target", tgt, "--keys", "cust_id",
+            "--effective", "seen_at", "--buckets", "4"]
+    assert cli.main([*base, "--batch", b1]) == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["initial_load"] is True
+    assert cli.main([*base, "--batch", b2]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["initial_load"] is False and m2["rows_written"] == 2
+
+    assert cli.main(["scd2", "current", "--target", tgt]) == 0
+    out = capsys.readouterr().out
+    assert "gold" in out and "bronze" not in out
+
+    assert cli.main(
+        ["scd2", "asof", "--target", tgt, "--at", "2024-01-15 00:00:00"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "bronze" in out and "gold" not in out

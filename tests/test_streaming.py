@@ -941,3 +941,62 @@ def test_json_stream_does_not_mutate_caller_schema(spark, tmp_path):
     streaming.read_json_lines_stream(spark, inbox, schema)
     streaming.read_json_lines_stream(spark, inbox, schema)
     assert [f.name for f in schema.fields] == ["event_id"]
+
+
+def test_scd2_stream_accretes_history_and_replays_clean(spark, tmp_path):
+    """Streaming SCD2 sink: change batches streaming through a file
+    source accrete interval history (close + insert per change, repeats
+    ignored); replaying the same inbox from a fresh checkpoint leaves
+    the dimension unchanged (rebuild idempotence stands in for batch_id
+    bookkeeping). A later batch carrying an OLDER effective time splices
+    mid-chain instead of corrupting the head."""
+    import os
+
+    inbox = str(tmp_path / "scd2_inbox")
+    os.makedirs(inbox)
+    batch_rows = [
+        [("c1", "bronze", "2024-01-01T00:00:00"),
+         ("c2", "silver", "2024-01-01T00:00:00")],
+        [("c1", "gold", "2024-01-09T00:00:00"),
+         ("c2", "silver", "2024-01-09T00:00:00")],  # repeat -> no-op
+        [("c1", "silver", "2024-01-05T00:00:00")],  # late: splices 1..9
+    ]
+    for i, rows in enumerate(batch_rows):
+        p = os.path.join(inbox, f"b{i}.csv")
+        with open(p, "w") as f:
+            f.write("cust_id,tier,seen_at\n")
+            for r in rows:
+                f.write(",".join(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = "cust_id string, tier string, seen_at timestamp"
+    tgt = str(tmp_path / "scd2_dim")
+
+    def run(ckpt):
+        stream = streaming.read_file_stream(
+            spark, inbox, schema, max_files_per_trigger=1
+        )
+        q = streaming.scd2_stream(
+            stream, tgt, keys=["cust_id"], effective_col="seen_at",
+            checkpoint=ckpt, n_buckets=4,
+        )
+        q.awaitTermination(120)
+
+    def table():
+        return sorted(
+            (r.cust_id, r.tier, str(r["__valid_from"]), str(r["__valid_to"]),
+             r["__is_current"])
+            for r in spark.read.parquet(tgt).collect()
+        )
+
+    run(str(tmp_path / "ck1"))
+    first = table()
+    assert first == sorted([
+        ("c1", "bronze", "2024-01-01 00:00:00", "2024-01-05 00:00:00", False),
+        ("c1", "silver", "2024-01-05 00:00:00", "2024-01-09 00:00:00", False),
+        ("c1", "gold", "2024-01-09 00:00:00", "None", True),
+        ("c2", "silver", "2024-01-01 00:00:00", "None", True),
+    ])
+    # full redelivery from a fresh checkpoint: table unchanged
+    run(str(tmp_path / "ck2"))
+    assert table() == first
