@@ -28,6 +28,7 @@ from realtime_data_pipeline_spark.queries import (
     core,
     curation,
     llm,
+    mlfeat,
     relational,
     scalars,
     subqueries,
@@ -58,6 +59,7 @@ for _mod in (
     scalars,
     subqueries,
     tpch,
+    mlfeat,
     vectors,
     textdup,
 ):

@@ -1,0 +1,160 @@
+"""Training-feature shapes: grouped anomaly scoring and recency-weighted
+(time-decay) aggregates — the feature-engineering ops a model-training
+pipeline runs over the event stream before labels ever exist.
+
+Scale notes:
+
+* The z-score pass computes group moments with WINDOW aggregates over the
+  group key — the same single shuffle serves the moments and the per-row
+  score (an aggregate-then-join spelling would shuffle the facts twice).
+  Moments come from exact DECIMAL sums (Σx, Σx²), so the score is a pure
+  function of the group's value multiset — order-independent and
+  engine-identical; the flag predicate can't flip on a last-ulp.
+* Recency weighting uses a FIXED reference time, so the decay exponent is
+  always ≤ 0 (no overflow at any data age) and the whole feature is one
+  narrow projection + one aggregation shuffle. A per-row running EMA
+  (e_i = αv_i + (1-α)e_{i-1}) deliberately does NOT ship as a window
+  spelling: the closed form needs exp(+λt) prefix products that overflow
+  at real time spans — at 100 TB that shape belongs to
+  ``applyInPandasWithState`` (streaming) or a fixed-reference feature like
+  this one.
+* Per-term decimal(38,6) quantization of the decay terms before summing:
+  double ``exp`` may differ by 1 ulp (~1e-16 relative) across engines;
+  a 1e-6 grid absorbs it, and the decimal SUM is then exact on both
+  sides (same policy as queries/util.py, one notch coarser because the
+  inputs are transcendental).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark.ops import epoch_seconds
+from realtime_data_pipeline_spark.queries.core import load
+from realtime_data_pipeline_spark.queries.util import DEC
+
+
+def orders_price_anomalies_zscore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orders whose total price is an outlier (|z| > 2.5) within their
+    order-priority group. Group moments (exact decimal Σx/Σx²) are a
+    grouped aggregation — map-side partials, a few rows moved — then
+    BROADCAST back over the facts: the fact table itself never
+    shuffles. The window spelling (moments OVER (PARTITION BY group))
+    would hash the whole table into |groups| partitions — with 5 groups
+    at 100 TB that is 5 executors holding everything; plan-gated against
+    regression to it."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    x = F.col("o_totalprice").cast(DEC)
+    # the square is a double*double (IEEE-exact-rounded, engine-identical)
+    # quantized to decimal BEFORE summing — a decimal*decimal product
+    # would hit precision-overflow rules that differ between engines
+    x2 = (F.col("o_totalprice") * F.col("o_totalprice")).cast(DEC)
+    moments = orders.groupBy(
+        F.col("o_orderpriority").alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x2).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("o_totalprice") - mean) / F.sqrt(var)
+    return (
+        orders.join(
+            F.broadcast(moments), F.col("o_orderpriority") == F.col("g")
+        )
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "z",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORDERS_PRICE_ANOMALIES_ZSCORE_SQL = """
+WITH scored AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10)))
+              OVER w AS DOUBLE) AS sxx
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority)
+)
+SELECT o_orderkey, o_orderpriority,
+       ROUND(o_totalprice, 2) AS totalprice,
+       ROUND((o_totalprice - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS z
+FROM scored
+WHERE ABS(ROUND((o_totalprice - sx / n)
+          / SQRT((sxx - sx * sx / n) / (n - 1)), 4)) > 2.5
+ORDER BY o_orderkey
+"""
+
+
+# half-life 7 days against a fixed post-corpus reference instant: the
+# exponent is <= 0 for every event, so the term never overflows
+_REF = "2024-02-01 00:00:00"
+_HALFLIFE_S = 7 * 86400.0
+
+
+def events_recency_weighted_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user recency-weighted engagement: Σ value · 2^(−age/halflife)
+    at a fixed reference time — the training-feature spelling of "recent
+    activity matters more". Narrow projection + one aggregation shuffle;
+    per-term decimal(38,6) quantization makes the sum engine-exact."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    age_s = F.lit(_REF).cast("timestamp").cast("double") - epoch_seconds(
+        F.col("ts")
+    )
+    term = (
+        F.col("value") * F.exp(-F.lit(0.6931471805599453) * age_s / _HALFLIFE_S)
+    ).cast("decimal(38,6)")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum(term), 4).cast("double").alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_RECENCY_WEIGHTED_VALUE_SQL = f"""
+SELECT user_id,
+       CAST(ROUND(SUM(CAST(value * EXP(-0.6931471805599453
+           * (EPOCH(TIMESTAMP '{_REF}') - EPOCH(ts)) / {_HALFLIFE_S})
+           AS DECIMAL(38,6))), 4) AS DOUBLE) AS decayed_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "orders_price_anomalies_zscore": orders_price_anomalies_zscore,
+    "events_recency_weighted_value": events_recency_weighted_value,
+}
+
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "orders_price_anomalies_zscore": ORDERS_PRICE_ANOMALIES_ZSCORE_SQL,
+    "events_recency_weighted_value": EVENTS_RECENCY_WEIGHTED_VALUE_SQL,
+}

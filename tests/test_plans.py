@@ -423,3 +423,17 @@ def test_q12_is_one_join_one_agg_pass(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 2
     assert "Union" not in plan
+
+
+def test_zscore_moments_broadcast_back_not_windowed(spark, sf_dir):
+    """Grouped anomaly scoring: the 5-row moments aggregate broadcasts
+    back over the facts — the fact table itself never shuffles. A window
+    spelling (moments OVER (PARTITION BY group)) would hash the whole
+    table into |groups| partitions; with low-cardinality groups at scale
+    that is a handful of executors holding everything."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["orders_price_anomalies_zscore"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
