@@ -520,6 +520,7 @@ RAMP_LEGS = [
     "doc_quality_profile",       # pure column exprs over documents
     "embedding_knn_bruteforce",  # fixed 50 queries x 10x corpus
     "docs_pack_chunks",          # distributed prefix sum, 10x docs
+    "local_supplier_volume_q5",  # 6-table star join, facts 10x / dims 1x
 ]
 
 

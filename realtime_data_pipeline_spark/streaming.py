@@ -270,6 +270,71 @@ def running_count_per_key(
     )
 
 
+def ema_per_key(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    halflife: str = "1 hour",
+    watermark: str = "10 minutes",
+):
+    """Per-key exponentially-decayed running average via
+    ``applyInPandasWithState`` — the TRUE sequential EMA the batch layer
+    deliberately refuses to spell (``queries/mlfeat.py``): its
+    window-function closed form needs exp(+λt) prefix products that
+    overflow at real time spans. Stateful streaming is the right engine
+    shape: state is O(1) per key — (ema, last_ts) — and each observation
+    folds in as
+
+        ema = v + exp(-λ·Δt) · ema_prev          (decayed SUM), with
+        λ = ln2 / halflife, Δt = ts - last_ts
+
+    computed in arrival order within the batch after a per-batch sort
+    (micro-batch grouping hands ALL of a key's rows to one call).
+    Decay factors are always exp(≤0) — no overflow at any time span, the
+    same no-positive-exponent rule as the batch recency feature. Emits
+    the per-key EMA once per micro-batch (update mode)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lam = math.log(2.0) / pd.Timedelta(halflife).total_seconds()
+    out_schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", ema double, last_ts timestamp"
+    )
+    state_schema = "ema double, last_ts timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        ema, last = (state.get if state.exists else (0.0, None))
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        for ts, v in zip(rows[ts_col], rows[value_col]):
+            if last is not None:
+                dt = (pd.Timestamp(ts) - pd.Timestamp(last)).total_seconds()
+                # late rows within the batch sort ahead; across batches a
+                # straggler behind the state clamps to no decay
+                ema *= math.exp(-lam * max(dt, 0.0))
+            ema += float(v)
+            last = ts
+        state.update((float(ema), last))
+        yield pd.DataFrame(
+            [[*key, float(ema), last]], columns=[*keys, "ema", "last_ts"]
+        )
+
+    return (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -1000,3 +1000,50 @@ def test_scd2_stream_accretes_history_and_replays_clean(spark, tmp_path):
     # full redelivery from a fresh checkpoint: table unchanged
     run(str(tmp_path / "ck2"))
     assert table() == first
+
+
+def test_ema_per_key_matches_sequential_fold(spark, tmp_path):
+    """Stateful EMA: streaming the events in two time-ordered
+    micro-batches converges each key to the same decayed sum as a single
+    sequential fold over the full history — state carries (ema, last_ts)
+    across batches."""
+    import math
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 4.0),
+         (2, "2024-01-01 10:30:00", 1, 2.0),
+         (3, "2024-01-01 10:15:00", 2, 8.0)],
+        [(4, "2024-01-01 11:30:00", 1, 6.0),
+         (5, "2024-01-01 12:15:00", 2, 1.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(
+        spark, inbox, SCHEMA, max_files_per_trigger=1
+    ).withColumn("user_id", F.col("user_id").cast("string"))
+    ema = streaming.ema_per_key(
+        stream, ["user_id"], "ts", "value", halflife="1 hour"
+    )
+    q = streaming.memory_sink(ema, "ema_t", output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+
+    final = {}
+    for r in spark.table("ema_t").collect():  # rows arrive in batch order
+        final[r.user_id] = r.ema  # last update per key wins
+
+    lam = math.log(2.0) / 3600.0
+    def fold(events):
+        ema, last = 0.0, None
+        for ts, v in sorted(events):
+            if last is not None:
+                ema *= math.exp(-lam * (ts - last))
+            ema += v
+            last = ts
+        return ema
+
+    want = {
+        "1": fold([(0.0, 4.0), (1800.0, 2.0), (5400.0, 6.0)]),
+        "2": fold([(900.0, 8.0), (8100.0, 1.0)]),
+    }
+    for k, v in want.items():
+        assert abs(final[k] - v) < 1e-9, (k, final[k], v)
