@@ -246,6 +246,21 @@ def main(argv: list[str] | None = None) -> int:
     ps2.add_argument("--at", default=None, help="asof: ISO timestamp")
     ps2.add_argument("--limit", type=int, default=20, help="current/asof: rows printed")
 
+    ppr = sub.add_parser(
+        "profile",
+        help="one-scan column profile: rows, nulls, distinct, min/max",
+    )
+    ppr.add_argument("--path", required=True)
+    ppr.add_argument(
+        "--format", default="parquet", choices=["parquet", "orc", "csv", "json"]
+    )
+    ppr.add_argument("--schema", default=None, help="csv/json schema")
+    ppr.add_argument("--columns", default=None, help="comma-separated subset")
+    ppr.add_argument(
+        "--exact-ndv", action="store_true",
+        help="exact COUNT DISTINCT instead of HLL approx",
+    )
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -489,6 +504,18 @@ def main(argv: list[str] | None = None) -> int:
                 f"compact: {out['files_before']} -> {out['files_after']} files "
                 f"({out['rows']} rows)"
             )
+        return 0
+    if args.cmd == "profile":
+        from realtime_data_pipeline_spark import ops
+
+        df = medallion.read_zone(
+            spark, args.path, fmt=args.format, schema=args.schema
+        )
+        ops.profile_table(
+            df,
+            columns=args.columns.split(",") if args.columns else None,
+            exact_ndv=args.exact_ndv,
+        ).show(1000, truncate=False)
         return 0
     if args.cmd == "scd2":
         import json as _json

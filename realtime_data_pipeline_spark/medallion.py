@@ -729,6 +729,43 @@ def scd2_merge(
     }
 
 
+def scd2_temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment: attribute each fact row the dimension
+    values that were in force AT ITS OWN timestamp — the lookup an SCD2
+    table exists to answer (a plain join against ``scd2_current`` would
+    leak today's attributes onto yesterday's facts).
+
+    Plan shape: an equi hash join on the key with the half-open interval
+    membership ``__valid_from <= ts < __valid_to`` as a join-side
+    residual — never a theta-only join (which would plan a nested-loop
+    over facts × history). Segments of one key are disjoint by
+    construction, so the residual matches AT MOST one dimension row per
+    fact: the join cannot fan out. Facts older than the key's first
+    segment (or unknown keys) get NULL attributes under ``how='left'``.
+    At 100 TB this is one shuffle of each side on the key — and the
+    dimension side is usually broadcastable after bucket pruning."""
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (facts[k] == dim[k])
+    cond = (
+        cond
+        & (dim["__valid_from"] <= facts[ts_col])
+        & (dim["__valid_to"].isNull() | (dim["__valid_to"] > facts[ts_col]))
+    )
+    dim_cols = [
+        dim[c] for c in dim.columns if c not in (*keys, *SCD2_META)
+    ]
+    return facts.join(dim, cond, how).select(
+        *[facts[c] for c in facts.columns], *dim_cols
+    )
+
+
 def scd2_current(spark: SparkSession, target_path: str) -> DataFrame:
     """The SCD1 view of an SCD2 table: one open segment per key."""
     return spark.read.parquet(target_path).filter(F.col("__is_current"))

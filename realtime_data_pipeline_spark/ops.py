@@ -415,3 +415,51 @@ def funnel_steps(
         F.col("acc.step").alias("furthest_step"),
         (F.col("acc.step") == n).alias("completed"),
     )
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = False
+) -> DataFrame:
+    """ANALYZE-style column profile in ONE scan: row count, null count /
+    fraction, distinct-count (HLL approx by default — at 100 TB an exact
+    per-column COUNT DISTINCT is its own shuffle PER COLUMN; the HLL
+    sketches all ride the same single aggregation), and min/max rendered
+    as strings so one long-format result covers heterogeneous types.
+
+    Every per-column statistic is an expression in one ``agg`` — N
+    columns cost one pass, not N (the same rewrite as the DQ engine's
+    A2). The wide 1-row aggregate is melted to one row per column with
+    an inline-explode over literal structs: an Expand over ONE row,
+    no extra shuffle. Use the result to pick partition/bucket/Z-order
+    columns (high-ndv keys) and to spot null-heavy or constant columns
+    before they ship to training."""
+    cols = columns or df.columns
+    ndv = F.count_distinct if exact_ndv else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            ndv(F.col(c)).alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.round(
+                    (F.col("__n") - F.col(f"__nn_{c}"))
+                    / F.greatest(F.col("__n"), F.lit(1)),
+                    6,
+                ).alias("null_frac"),
+                F.col(f"__ndv_{c}").alias("ndv"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(entries))

@@ -521,3 +521,16 @@ def test_cli_scd2_merge_current_asof(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "bronze" in out and "gold" not in out
+
+
+def test_cli_profile_prints_column_stats(spark, tmp_path, capsys):
+    from realtime_data_pipeline_spark import cli
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "x"), (2, None)], "id long, s string"
+    ).write.parquet(p)
+    assert cli.main(["profile", "--path", p, "--exact-ndv"]) == 0
+    out = capsys.readouterr().out
+    assert "null_frac" in out and "ndv" in out
+    assert "id" in out and "s" in out

@@ -243,3 +243,44 @@ def test_funnel_steps_strict_order_and_window(spark):
         3: (1, False),
         4: (1, False),
     }
+
+
+def test_profile_table_one_scan_exact_stats(spark):
+    """Column profile: exact stats verified per column, and ALL columns'
+    statistics ride ONE scan + ONE aggregation (N columns != N passes)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, "b", 1.5),
+            (3, "b", 2.5),
+            (4, None, 2.5),
+        ],
+        "id long, s string, v double",
+    )
+    prof = {
+        r.column: r
+        for r in ops.profile_table(df, exact_ndv=True).collect()
+    }
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].ndv == 4
+    assert (prof["id"].min_value, prof["id"].max_value) == ("1", "4")
+    assert prof["s"].n_nulls == 1 and prof["s"].ndv == 2
+    assert prof["v"].null_frac == 0.25
+    assert (prof["v"].min_value, prof["v"].max_value) == ("1.5", "2.5")
+
+    from tests.test_plans import plan_str
+
+    plan = plan_str(ops.profile_table(df), mode="simple")
+    assert plan.count("Scan ") == 1
+    # one partial+final aggregate pair -> a single exchange
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_profile_table_approx_ndv_tracks_exact(spark):
+    """Default HLL distinct counts stay within the sketch's documented
+    error on a 10k-row column."""
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS mod97")
+    prof = {r.column: r for r in ops.profile_table(df).collect()}
+    assert abs(prof["mod97"].ndv - 97) / 97 < 0.1
+    assert abs(prof["id"].ndv - 10_000) / 10_000 < 0.1

@@ -303,3 +303,52 @@ def test_correction_after_collapse_reattributes_history(spark, tmp_path):
     # the ts(11) evidence no longer exists as a separate segment
     merge([("c1", "bronze", "lyon", ts(1))])
     assert chain_of(spark, tgt, "c1") == [("bronze", "lyon", ts(1), None, True)]
+
+
+def test_temporal_join_attributes_facts_point_in_time(spark, tmp_path):
+    """Each fact row picks up the dimension segment in force at its own
+    timestamp: never today's values on yesterday's facts, NULLs before
+    the first segment or for unknown keys, and the disjoint-interval
+    residual cannot fan a fact out to two rows. Plan stays a hash join
+    (equi key + interval residual), not a nested loop."""
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(
+            spark,
+            [
+                ("c1", "bronze", "lyon", ts(2)),
+                ("c1", "gold", "lyon", ts(10)),
+                ("c2", "silver", "nice", ts(5)),
+            ],
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "c1", ts(3)),   # inside bronze segment
+            (2, "c1", ts(10)),  # boundary: new segment starts AT ts -> gold
+            (3, "c1", ts(1)),   # before first segment -> NULL
+            (4, "c2", ts(20)),  # open current segment
+            (5, "c9", ts(5)),   # unknown key -> NULL
+        ],
+        "order_id long, cust_id string, at timestamp",
+    )
+    dim = spark.read.parquet(tgt)
+    got = {
+        r.order_id: r.tier
+        for r in medallion.scd2_temporal_join(
+            facts, dim, keys=["cust_id"], ts_col="at"
+        ).collect()
+    }
+    assert got == {1: "bronze", 2: "gold", 3: None, 4: "silver", 5: None}
+
+    from tests.test_plans import plan_str
+
+    plan = plan_str(
+        medallion.scd2_temporal_join(facts, dim, ["cust_id"], "at"),
+        mode="simple",
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
