@@ -582,7 +582,15 @@ def scd2_rebuild(
         F.col(effective_col).asc(), F.col("__src").asc(), F.col("__tracked").asc()
     )
     return (
-        observations.withColumn(
+        # a NULL effective time has no place on a timeline: dropped at the
+        # scan (fused filter, no extra pass) rather than silently
+        # corrupting the chain sort (NULLs order first, so such a row
+        # would otherwise swallow the same-timestamp dedup of its
+        # successor). NULL KEYS are fine: xxhash64 of all-NULL inputs is
+        # the seed (42), a real bucket, so pruning and windowing treat
+        # the NULL key as one ordinary group (tested).
+        observations.filter(F.col(effective_col).isNotNull())
+        .withColumn(
             "__tracked", F.struct(*[F.col(c) for c in tracked])
         )
         # same (key, effective) twice: the sort puts the winner LAST

@@ -352,3 +352,49 @@ def test_temporal_join_attributes_facts_point_in_time(spark, tmp_path):
         mode="simple",
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_null_key_and_null_effective_handling(spark, tmp_path):
+    """A NULL key is one ordinary group (xxhash64 of NULL = seed -> a
+    real bucket, so pruned merges still find its history); rows with a
+    NULL effective time are dropped at the scan instead of corrupting
+    the chain sort."""
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(
+            spark,
+            [
+                (None, "bronze", "lyon", ts(1)),
+                ("c1", "gold", "nice", ts(1)),
+                ("c1", "gold", "nice", None),  # NULL effective -> dropped
+            ],
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    rows = {
+        (r["cust_id"], r["tier"], r["__is_current"])
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert rows == {(None, "bronze", True), ("c1", "gold", True)}
+    # merging a change for the NULL key closes its open segment
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [(None, "silver", "lyon", ts(5))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    null_chain = [
+        (r["tier"], r["__valid_from"], r["__valid_to"], r["__is_current"])
+        for r in spark.read.parquet(tgt)
+        .filter(F.col("cust_id").isNull())
+        .orderBy("__valid_from")
+        .collect()
+    ]
+    assert null_chain == [
+        ("bronze", ts(1), ts(5), False),
+        ("silver", ts(5), None, True),
+    ]
