@@ -553,6 +553,29 @@ def merge_upsert(
 
 
 SCD2_META = ("__bucket", "__valid_from", "__valid_to", "__is_current")
+_SCD2_META_FILE = "_scd2_meta.json"
+
+
+def _scd2_write_meta(target_path: str, n_buckets: int) -> None:
+    import json
+
+    with open(os.path.join(target_path, _SCD2_META_FILE), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def _scd2_read_meta(target_path: str) -> dict:
+    import json
+
+    p = os.path.join(target_path, _SCD2_META_FILE)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{target_path} has no {_SCD2_META_FILE}: not an scd2_merge "
+            "table (or created by an older layout) — rebuild it via an "
+            "initial load"
+        ) from None
 
 
 def scd2_rebuild(
@@ -688,12 +711,27 @@ def scd2_merge(
         c for c in updates.columns if c not in (*keys, effective_col)
     ]
     obs_cols = [*keys, *tracked, effective_col]
+    # NULL effective rows never make it into a chain (scd2_rebuild drops
+    # them) — exclude them up front so a bucket whose only updates are
+    # dirty rows isn't needlessly read and rewritten
+    updates = updates.filter(F.col(effective_col).isNotNull())
+
+    exists = os.path.exists(target_path)
+    if exists:
+        # the bucket function is part of the table layout: a merge run
+        # with a different n_buckets would prune against the wrong
+        # directories and write chains beside their own history —
+        # silent duplication. The count is pinned in a sidecar at
+        # initial load and ALWAYS wins over the argument.
+        stored_n = _scd2_read_meta(target_path)["n_buckets"]
+        if n_buckets != stored_n:
+            n_buckets = stored_n
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
     ).cast("int")
 
     new_obs = updates.select(*obs_cols).withColumn("__src", F.lit(1))
-    if os.path.exists(target_path):
+    if exists:
         affected = sorted(
             r[0]
             for r in updates.select(bucket.alias("b")).distinct().collect()
@@ -715,13 +753,30 @@ def scd2_merge(
 
     rebuilt = scd2_rebuild(observations, keys, tracked, effective_col, n_buckets)
     if affected is None:
+        # count during the write itself (no read-back pass) — and if
+        # NOTHING survived (empty batch / all-NULL effective), leave the
+        # target nonexistent instead of bricking every later merge on a
+        # file-less parquet dir
+        from pyspark.sql import Observation
+
+        obs = Observation()
         write_parquet(
-            rebuilt, target_path, mode="overwrite", partition_by="__bucket"
+            rebuilt.observe(obs, F.count(F.lit(1)).alias("rows")),
+            target_path,
+            mode="overwrite",
+            partition_by="__bucket",
         )
+        rows = int(obs.get["rows"])
+        if rows == 0:
+            import shutil
+
+            shutil.rmtree(target_path, ignore_errors=True)
+        else:
+            _scd2_write_meta(target_path, n_buckets)
         return {
             "initial_load": True,
             "affected_buckets": None,
-            "rows_written": spark.read.parquet(target_path).count(),
+            "rows_written": rows,
         }
     # Spark cannot overwrite partitions it is reading: materialize the
     # rebuilt slice (bounded by the affected buckets) before the write
@@ -757,10 +812,15 @@ def scd2_temporal_join(
     fact: the join cannot fan out. Facts older than the key's first
     segment (or unknown keys) get NULL attributes under ``how='left'``.
     At 100 TB this is one shuffle of each side on the key — and the
-    dimension side is usually broadcastable after bucket pruning."""
+    dimension side is usually broadcastable after bucket pruning.
+
+    Keys compare null-safely (``<=>``, still an equi hash join key for
+    Spark): a NULL key is one ordinary group in :func:`scd2_merge`, so
+    its facts must find that group's history here too — a plain ``=``
+    would silently NULL-attribute them."""
     cond = F.lit(True)
     for k in keys:
-        cond = cond & (facts[k] == dim[k])
+        cond = cond & facts[k].eqNullSafe(dim[k])
     cond = (
         cond
         & (dim["__valid_from"] <= facts[ts_col])

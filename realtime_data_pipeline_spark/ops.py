@@ -433,16 +433,41 @@ def profile_table(
     no extra shuffle. Use the result to pick partition/bucket/Z-order
     columns (high-ndv keys) and to spot null-heavy or constant columns
     before they ship to training."""
+    from pyspark.sql.types import DataType, MapType
+
+    def _unorderable(dt: DataType) -> bool:
+        # maps have no ordering (min/max/distinct all reject them);
+        # nested fields inherit the problem
+        return any(isinstance(t, MapType) for t in _walk_types(dt))
+
+    def _walk_types(dt: DataType):
+        yield dt
+        for child in getattr(dt, "fields", []):
+            yield from _walk_types(child.dataType)
+        for attr in ("elementType", "valueType", "keyType"):
+            if hasattr(dt, attr):
+                yield from _walk_types(getattr(dt, attr))
+
     cols = columns or df.columns
+    types = dict(zip(df.schema.names, [f.dataType for f in df.schema]))
     ndv = F.count_distinct if exact_ndv else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            ndv(F.col(c)).alias(f"__ndv_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
-        ]
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        if _unorderable(types[c]):
+            # null/row stats still profile; order-dependent stats are
+            # honestly NULL instead of failing the whole table
+            aggs += [
+                F.max(F.lit(None).cast("bigint")).alias(f"__ndv_{c}"),
+                F.max(F.lit(None).cast("string")).alias(f"__min_{c}"),
+                F.max(F.lit(None).cast("string")).alias(f"__max_{c}"),
+            ]
+        else:
+            aggs += [
+                ndv(F.col(c)).alias(f"__ndv_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
     wide = df.agg(*aggs)
     entries = F.array(
         *[

@@ -4,12 +4,14 @@ pipeline runs over the event stream before labels ever exist.
 
 Scale notes:
 
-* The z-score pass computes group moments with WINDOW aggregates over the
-  group key — the same single shuffle serves the moments and the per-row
-  score (an aggregate-then-join spelling would shuffle the facts twice).
-  Moments come from exact DECIMAL sums (Σx, Σx²), so the score is a pure
-  function of the group's value multiset — order-independent and
-  engine-identical; the flag predicate can't flip on a last-ulp.
+* The z-score pass aggregates group moments (exact DECIMAL Σx/Σx²) and
+  BROADCASTS the tiny moments table back over the facts — the facts never
+  shuffle (plan-gated; the window spelling would hash the whole table
+  into |groups| partitions). The score is a pure function of the group's
+  value multiset — order-independent and engine-identical; the flag
+  predicate can't flip on a last-ulp, and degenerate groups (singleton /
+  zero variance) are guarded to NULL so NaN-orders-above-everything
+  semantics can't mark them all anomalous.
 * Recency weighting uses a FIXED reference time, so the decay exponent is
   always ≤ 0 (no overflow at any data age) and the whole feature is one
   narrow projection + one aggregation shuffle. A per-row running EMA
@@ -64,10 +66,21 @@ def orders_price_anomalies_zscore(
         F.sum(x2).cast("double").alias("sxx"),
     )
     mean = F.col("sx") / F.col("n")
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
-        F.col("n") - 1
+    # degenerate groups must yield NO anomalies: a singleton's 0/(n-1)
+    # is a hard DIVIDE_BY_ZERO under ANSI mode (not NaN), and an
+    # all-equal group's var=0 would make z NaN — which both engines
+    # order ABOVE every number, so abs(z) > 2.5 would flag the whole
+    # group and the oracle could never catch it. Guard n>1 before the
+    # divide and var>0 before the sqrt; NULL z fails the predicate on
+    # both engines.
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1),
     )
-    z = (F.col("o_totalprice") - mean) / F.sqrt(var)
+    z = F.when(
+        var > 0, (F.col("o_totalprice") - mean) / F.sqrt(var)
+    )
     return (
         orders.join(
             F.broadcast(moments), F.col("o_orderpriority") == F.col("g")
@@ -96,9 +109,12 @@ WITH scored AS (
 )
 SELECT o_orderkey, o_orderpriority,
        ROUND(o_totalprice, 2) AS totalprice,
-       ROUND((o_totalprice - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS z
+       ROUND((o_totalprice - sx / n)
+             / SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS z
 FROM scored
-WHERE ABS(ROUND((o_totalprice - sx / n)
+WHERE n > 1
+  AND (sxx - sx * sx / n) / (n - 1) > 0
+  AND ABS(ROUND((o_totalprice - sx / n)
           / SQRT((sxx - sx * sx / n) / (n - 1)), 4)) > 2.5
 ORDER BY o_orderkey
 """

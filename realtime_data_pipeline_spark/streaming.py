@@ -289,34 +289,51 @@ def ema_per_key(
         ema = v + exp(-λ·Δt) · ema_prev          (decayed SUM), with
         λ = ln2 / halflife, Δt = ts - last_ts
 
-    computed in arrival order within the batch after a per-batch sort
-    (micro-batch grouping hands ALL of a key's rows to one call).
-    Decay factors are always exp(≤0) — no overflow at any time span, the
-    same no-positive-exponent rule as the batch recency feature. Emits
-    the per-key EMA once per micro-batch (update mode)."""
+    computed over the batch's rows in event-time order (micro-batch
+    grouping hands ALL of a key's rows to one call); a straggler behind
+    the state's frontier joins pre-decayed by its own lag, so the fold
+    is Σ v·exp(−λ(frontier − t)) EXACTLY and the result is invariant to
+    arrival order across micro-batches. Decay factors are always
+    exp(≤0) — no overflow at any time span, the same
+    no-positive-exponent rule as the batch recency feature. Emits the
+    per-key EMA once per micro-batch (update mode)."""
     import math
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     lam = math.log(2.0) / pd.Timedelta(halflife).total_seconds()
-    out_schema = (
-        ", ".join(f"{k} string" for k in keys)
-        + ", ema double, last_ts timestamp"
+    # key columns keep their INPUT types (a hardcoded string schema would
+    # reject bigint keys at the Arrow boundary on the first micro-batch)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name in keys
     )
+    out_schema = key_fields + ", ema double, last_ts timestamp"
     state_schema = "ema double, last_ts timestamp"
 
     def update(key, pdfs, state: GroupState):
+        # fold rule: the state is the decayed sum AT the frontier time
+        # `last`. An on-time event advances the frontier (state decays
+        # forward, value joins at full weight); a cross-batch STRAGGLER
+        # behind the frontier joins pre-decayed by its own lag and must
+        # NOT regress `last` (that would over-decay the next on-time
+        # event by the straggler's full lag). Both arms implement
+        # Σ v·exp(−λ(frontier − t)) exactly, so the result is invariant
+        # to arrival order (tested with an out-of-order batch).
         ema, last = (state.get if state.exists else (0.0, None))
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         for ts, v in zip(rows[ts_col], rows[value_col]):
-            if last is not None:
-                dt = (pd.Timestamp(ts) - pd.Timestamp(last)).total_seconds()
-                # late rows within the batch sort ahead; across batches a
-                # straggler behind the state clamps to no decay
-                ema *= math.exp(-lam * max(dt, 0.0))
-            ema += float(v)
-            last = ts
+            if last is None or ts >= last:
+                if last is not None:
+                    dt = (pd.Timestamp(ts) - pd.Timestamp(last)).total_seconds()
+                    ema *= math.exp(-lam * dt)
+                ema += float(v)
+                last = ts
+            else:
+                lag = (pd.Timestamp(last) - pd.Timestamp(ts)).total_seconds()
+                ema += float(v) * math.exp(-lam * lag)
         state.update((float(ema), last))
         yield pd.DataFrame(
             [[*key, float(ema), last]], columns=[*keys, "ema", "last_ts"]

@@ -284,3 +284,16 @@ def test_profile_table_approx_ndv_tracks_exact(spark):
     prof = {r.column: r for r in ops.profile_table(df).collect()}
     assert abs(prof["mod97"].ndv - 97) / 97 < 0.1
     assert abs(prof["id"].ndv - 10_000) / 10_000 < 0.1
+
+
+def test_profile_table_tolerates_map_columns(spark):
+    """Map columns have no ordering: rows/nulls still profile, the
+    order-dependent stats go NULL instead of failing the whole table."""
+    df = spark.createDataFrame(
+        [(1, {"a": "x"}), (2, None)], "id long, attrs map<string,string>"
+    )
+    prof = {r.column: r for r in ops.profile_table(df).collect()}
+    assert prof["attrs"].n_nulls == 1
+    assert prof["attrs"].ndv is None
+    assert prof["attrs"].min_value is None
+    assert prof["id"].ndv == 2

@@ -48,3 +48,33 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_zscore_degenerate_groups_yield_no_anomalies(spark, tmp_path):
+    """A singleton group (var = 0/0 = NaN) and an all-equal group
+    (var = 0) must contribute ZERO anomaly rows — both engines order NaN
+    above every number, so an unguarded abs(z) > threshold would flag
+    the entire degenerate group and the oracle could never disagree."""
+    import duckdb
+
+    from realtime_data_pipeline_spark.queries import mlfeat
+
+    p = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        [
+            (1, "1-URGENT", 100.0),   # singleton group
+            (2, "2-HIGH", 50.0),      # all-equal group
+            (3, "2-HIGH", 50.0),
+            (4, "3-MEDIUM", 10.0),    # normal group, no outliers
+            (5, "3-MEDIUM", 11.0),
+            (6, "3-MEDIUM", 12.0),
+        ],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).coalesce(1).write.parquet(p)
+    got = mlfeat.orders_price_anomalies_zscore(spark, str(tmp_path)).collect()
+    assert got == []
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    assert con.execute(mlfeat.ORDERS_PRICE_ANOMALIES_ZSCORE_SQL).fetchall() == []

@@ -398,3 +398,82 @@ def test_null_key_and_null_effective_handling(spark, tmp_path):
         ("bronze", ts(1), ts(5), False),
         ("silver", ts(5), None, True),
     ]
+
+
+def test_bucket_count_is_pinned_by_the_table(spark, tmp_path):
+    """n_buckets is part of the on-disk layout: a merge called with a
+    DIFFERENT value must use the table's pinned count (sidecar metadata)
+    — otherwise pruning reads the wrong directories and chains get
+    written beside their own history."""
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=4,
+    )
+    # deliberately wrong bucket count on the merge call
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "gold", "lyon", ts(9))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=256,
+    )
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "lyon", ts(1), ts(9), False),
+        ("gold", "lyon", ts(9), None, True),
+    ]
+    # exactly one current row — no duplicate chain in a second bucket
+    assert medallion.scd2_current(spark, tgt).count() == 1
+
+
+def test_empty_initial_load_leaves_target_absent(spark, tmp_path):
+    """An initial batch with zero surviving observations (all-NULL
+    effective) must NOT create a file-less parquet dir that bricks every
+    later merge."""
+    import os
+
+    tgt = str(tmp_path / "dim")
+    m = medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", None)]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert m["rows_written"] == 0
+    assert not os.path.exists(tgt)
+    # the next batch is a clean initial load
+    m2 = medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "gold", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert m2["initial_load"] and m2["rows_written"] == 1
+
+
+def test_temporal_join_finds_null_key_history(spark, tmp_path):
+    """Facts with a NULL key must pick up the NULL-key group's in-force
+    segment (null-safe key equality), matching scd2_merge's treatment of
+    NULL as one ordinary group."""
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [(None, "bronze", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    facts = spark.createDataFrame(
+        [(1, None, ts(5))], "order_id long, cust_id string, at timestamp"
+    )
+    got = medallion.scd2_temporal_join(
+        facts, spark.read.parquet(tgt), ["cust_id"], "at"
+    ).collect()
+    assert got[0].tier == "bronze"

@@ -1017,9 +1017,11 @@ def test_ema_per_key_matches_sequential_fold(spark, tmp_path):
          (5, "2024-01-01 12:15:00", 2, 1.0)],
     ]
     inbox = write_inbox(tmp_path, batches)
+    # bigint key used AS-IS: the output schema derives key types from the
+    # input (a hardcoded string schema would die at the Arrow boundary)
     stream = streaming.read_file_stream(
         spark, inbox, SCHEMA, max_files_per_trigger=1
-    ).withColumn("user_id", F.col("user_id").cast("string"))
+    )
     ema = streaming.ema_per_key(
         stream, ["user_id"], "ts", "value", halflife="1 hour"
     )
@@ -1042,8 +1044,43 @@ def test_ema_per_key_matches_sequential_fold(spark, tmp_path):
         return ema
 
     want = {
-        "1": fold([(0.0, 4.0), (1800.0, 2.0), (5400.0, 6.0)]),
-        "2": fold([(900.0, 8.0), (8100.0, 1.0)]),
+        1: fold([(0.0, 4.0), (1800.0, 2.0), (5400.0, 6.0)]),
+        2: fold([(900.0, 8.0), (8100.0, 1.0)]),
     }
     for k, v in want.items():
         assert abs(final[k] - v) < 1e-9, (k, final[k], v)
+
+
+def test_ema_per_key_is_arrival_order_invariant(spark, tmp_path):
+    """A cross-batch straggler joins pre-decayed by its own lag and does
+    NOT regress the frontier: streaming (on-time batch, then straggler
+    batch, then on-time batch) equals the sequential fold over the
+    time-sorted events."""
+    import math
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 4.0),
+         (2, "2024-01-01 11:00:00", 1, 2.0)],
+        [(3, "2024-01-01 10:30:00", 1, 8.0)],   # straggler behind 11:00
+        [(4, "2024-01-01 12:00:00", 1, 6.0)],   # must decay 1h, not 1.5h
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(
+        spark, inbox, SCHEMA, max_files_per_trigger=1
+    )
+    ema = streaming.ema_per_key(
+        stream, ["user_id"], "ts", "value", halflife="1 hour"
+    )
+    q = streaming.memory_sink(ema, "ema_ooo_t", output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+    final = {r.user_id: r.ema for r in spark.table("ema_ooo_t").collect()}
+
+    lam = math.log(2.0) / 3600.0
+    ema_v, last = 0.0, None
+    for t, v in [(0.0, 4.0), (1800.0, 8.0), (3600.0, 2.0), (7200.0, 6.0)]:
+        if last is not None:
+            ema_v *= math.exp(-lam * (t - last))
+        ema_v += v
+        last = t
+    assert abs(final[1] - ema_v) < 1e-9
