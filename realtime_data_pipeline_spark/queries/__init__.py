@@ -33,6 +33,7 @@ from realtime_data_pipeline_spark.queries import (
     scalars,
     subqueries,
     textdup,
+    timeseries,
     tpch,
     vectors,
     windows,
@@ -60,6 +61,7 @@ for _mod in (
     subqueries,
     tpch,
     mlfeat,
+    timeseries,
     vectors,
     textdup,
 ):

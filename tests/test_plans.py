@@ -437,3 +437,27 @@ def test_zscore_moments_broadcast_back_not_windowed(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_rolling_range_window_is_one_pass(spark, sf_dir):
+    """The trailing-hour RANGE frame evaluates in one pass over each
+    key's sorted run — one window shuffle plus the presentation sort,
+    never a banded self-join (no Join operator at all)."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["events_rolling_1h_stats"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+
+
+def test_gap_fill_grid_is_generated_distributed(spark, sf_dir):
+    """The resample grid comes from sequence()+explode per key (Generate
+    under the per-key aggregate) — no cartesian against a calendar table,
+    and the forward-fill join stays a hash join on (key, hour)."""
+    plan = plan_str(
+        q.SHELVED_QUERIES["events_hourly_ffill"](spark, sf_dir),
+        mode="simple",
+    )
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
