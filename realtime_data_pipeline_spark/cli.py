@@ -210,11 +210,20 @@ def main(argv: list[str] | None = None) -> int:
 
     ptt = sub.add_parser(
         "timetravel",
-        help="versioned-zone maintenance: log / show / rollback / vacuum",
+        help="versioned-zone maintenance: log / show / changes / rollback / vacuum",
     )
-    ptt.add_argument("action", choices=["log", "show", "rollback", "vacuum"])
+    ptt.add_argument(
+        "action", choices=["log", "show", "changes", "rollback", "vacuum"]
+    )
     ptt.add_argument("--root", required=True, help="versioned zone root")
-    ptt.add_argument("--version", type=int, default=None, help="show: pin a version")
+    ptt.add_argument(
+        "--version", type=int, default=None,
+        help="show: pin a version; changes: the commit to diff",
+    )
+    ptt.add_argument(
+        "--minimal", action="store_true",
+        help="changes: row-level delta for overwrite commits",
+    )
     ptt.add_argument("--to", type=int, default=None, help="rollback target version")
     ptt.add_argument("--keep-last", type=int, default=2, help="vacuum retention")
     ptt.add_argument(
@@ -279,7 +288,7 @@ def main(argv: list[str] | None = None) -> int:
     # timetravel log/rollback/vacuum are pure-filesystem maintenance —
     # skip the multi-second JVM/session startup for them (only `show`
     # runs a query)
-    if args.cmd == "timetravel" and args.action != "show":
+    if args.cmd == "timetravel" and args.action not in ("show", "changes"):
         import json as _json
 
         from realtime_data_pipeline_spark import versioned
@@ -340,12 +349,19 @@ def main(argv: list[str] | None = None) -> int:
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
         return 0
-    if args.cmd == "timetravel":  # only `show` reaches here (see above)
+    if args.cmd == "timetravel":  # only show/changes reach here (see above)
         from realtime_data_pipeline_spark import versioned
 
-        versioned.read_version(spark, args.root, args.version).show(
-            args.limit, truncate=False
-        )
+        if args.action == "changes":
+            if args.version is None:
+                raise SystemExit("timetravel changes: --version is required")
+            versioned.changes(
+                spark, args.root, args.version, minimal=args.minimal
+            ).show(args.limit, truncate=False)
+        else:
+            versioned.read_version(spark, args.root, args.version).show(
+                args.limit, truncate=False
+            )
         return 0
     if args.cmd == "synth":
         from realtime_data_pipeline_spark import pysource

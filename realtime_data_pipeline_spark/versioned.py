@@ -241,6 +241,66 @@ def read_version(
     return spark.read.parquet(*[os.path.join(root, p) for p in files])
 
 
+def changes(
+    spark: SparkSession, root: str, version: int, minimal: bool = False
+) -> DataFrame:
+    """Change data feed for one commit: the rows a downstream consumer
+    must apply to move from ``version - 1`` to ``version``, tagged
+    ``_change_type`` (insert | delete) and ``_commit_version``.
+
+    Resolution is MANIFEST-level first: an append commit's change set is
+    exactly its added files — read directly, zero shuffle, zero diff,
+    regardless of zone size (this is the incremental-consumer path: a
+    daily ETL tailing a 100 TB zone reads only the day's files). An
+    overwrite commit logically deletes the old snapshot and inserts the
+    new one, and that full delete+insert IS the default answer;
+    ``minimal=True`` instead computes the row-level delta between the
+    two snapshots (``exceptAll`` both ways — two shuffles of both
+    snapshots, opt-in because at scale you usually want the cheap
+    file-level truth or should be appending in the first place).
+
+    Files of superseded snapshots stay readable until ``vacuum`` — a CDF
+    read of a vacuumed version raises like any time-travel read."""
+    from pyspark.sql import functions as F
+
+    known = versions(root)
+    if version not in known:
+        raise ValueError(f"version {version} not in {known}")
+    man = _read_manifest(root, version)
+
+    def _read(paths: list[str]) -> DataFrame:
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromDDL(man["schema"])
+            )
+        return spark.read.parquet(*[os.path.join(root, p) for p in paths])
+
+    def _tag(df: DataFrame, kind: str) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_version", F.lit(version)
+        )
+
+    if version == known[0] or man["mode"] == "append":
+        prev_files = (
+            set(_read_manifest(root, version - 1)["files"])
+            if version != known[0]
+            else set()
+        )
+        added = [p for p in man["files"] if p not in prev_files]
+        return _tag(_read(added), "insert")
+
+    # overwrite commit
+    prev = _read(_read_manifest(root, version - 1)["files"])
+    cur = _read(man["files"])
+    if not minimal:
+        return _tag(cur, "insert").unionByName(_tag(prev, "delete"))
+    return _tag(cur.exceptAll(prev), "insert").unionByName(
+        _tag(prev.exceptAll(cur), "delete")
+    )
+
+
 def rollback(root: str, to_version: int, max_retries: int = 10) -> dict:
     """Publish ``to_version``'s exact file list (and schema — keeping
     the append guard armed) as a NEW version — non-destructive undo: the

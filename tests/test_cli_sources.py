@@ -534,3 +534,21 @@ def test_cli_profile_prints_column_stats(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "null_frac" in out and "ndv" in out
     assert "id" in out and "s" in out
+
+
+def test_cli_timetravel_changes(spark, tmp_path, capsys):
+    from realtime_data_pipeline_spark import cli, versioned
+
+    root = str(tmp_path / "zone")
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), root
+    )
+    versioned.commit_version(
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        root, mode="append",
+    )
+    assert cli.main(
+        ["timetravel", "changes", "--root", root, "--version", "1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "insert" in out and "b" in out and "a " not in out

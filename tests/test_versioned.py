@@ -238,3 +238,40 @@ def test_vacuum_drops_stale_batch_markers(spark, tmp_path):
     out = versioned.vacuum(root, keep_last=1, min_age_s=0)
     assert out["dropped_markers"] == 2
     assert os.listdir(tags) == ["stream-2"]
+
+
+def test_changes_feed_append_overwrite_and_minimal(spark, tmp_path):
+    """CDF: an append commit's change set is exactly its added files
+    (inserts only, resolved from manifests — no diff); an overwrite is
+    delete-all+insert-all by default and a true row-level delta with
+    minimal=True."""
+    root = str(tmp_path / "zone")
+
+    def rows(df):
+        return sorted(
+            (r.k, r.v, r._change_type) for r in df.collect()
+        )
+
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(1, "a"), (2, "b")]), root)           # v0
+    versioned.commit_version(d([(3, "c")]), root, mode="append")       # v1
+    versioned.commit_version(d([(1, "a"), (3, "C")]), root, mode="overwrite")  # v2
+
+    assert rows(versioned.changes(spark, root, 0)) == [
+        (1, "a", "insert"), (2, "b", "insert")
+    ]
+    # append: just the new file's rows, not a diff of the whole zone
+    assert rows(versioned.changes(spark, root, 1)) == [(3, "c", "insert")]
+    # overwrite default: the logical truth (drop old snapshot, adopt new)
+    assert rows(versioned.changes(spark, root, 2)) == [
+        (1, "a", "delete"), (1, "a", "insert"),
+        (2, "b", "delete"), (3, "C", "insert"), (3, "c", "delete"),
+    ]
+    # minimal: the unchanged (1, 'a') cancels out
+    assert rows(versioned.changes(spark, root, 2, minimal=True)) == [
+        (2, "b", "delete"), (3, "C", "insert"), (3, "c", "delete"),
+    ]
+    assert all(
+        r._commit_version == 1
+        for r in versioned.changes(spark, root, 1).collect()
+    )
