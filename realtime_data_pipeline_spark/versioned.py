@@ -301,6 +301,41 @@ def changes(
     )
 
 
+def changes_since(
+    spark: SparkSession, root: str, after_version: int
+) -> DataFrame:
+    """Tail the zone incrementally: every commit's change feed AFTER
+    ``after_version`` up to the current latest, unioned in commit order —
+    the consumer loop is ``v = changes_since(spark, root, last_seen)``,
+    checkpoint ``max(_commit_version)``, repeat. Append-only histories
+    stay manifest-resolved (each commit contributes just its own files);
+    an overwrite commit in the range contributes its full
+    delete+insert, signalling the consumer to resync. Raises if
+    ``after_version`` is ahead of the zone (a consumer checkpoint from a
+    different zone)."""
+    known = versions(root)
+    if not known or after_version > known[-1]:
+        raise ValueError(
+            f"after_version {after_version} is ahead of {root!r} "
+            f"(latest {known[-1] if known else None})"
+        )
+    todo = [v for v in known if v > after_version]
+    if not todo:
+        man = _read_manifest(root, known[-1])
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        return (
+            spark.createDataFrame([], StructType.fromDDL(man["schema"]))
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0))
+        )
+    out = changes(spark, root, todo[0])
+    for v in todo[1:]:
+        out = out.unionByName(changes(spark, root, v))
+    return out
+
+
 def rollback(root: str, to_version: int, max_retries: int = 10) -> dict:
     """Publish ``to_version``'s exact file list (and schema — keeping
     the append guard armed) as a NEW version — non-destructive undo: the

@@ -275,3 +275,23 @@ def test_changes_feed_append_overwrite_and_minimal(spark, tmp_path):
         r._commit_version == 1
         for r in versioned.changes(spark, root, 1).collect()
     )
+
+
+def test_changes_since_tails_commits_in_order(spark, tmp_path):
+    """The incremental-consumer loop: read everything after a
+    checkpointed version, advance the checkpoint to max(_commit_version),
+    repeat; an empty range returns an empty typed frame."""
+    root = str(tmp_path / "zone")
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(1, "a")]), root)                   # v0
+    versioned.commit_version(d([(2, "b")]), root, mode="append")    # v1
+    versioned.commit_version(d([(3, "c")]), root, mode="append")    # v2
+
+    feed = versioned.changes_since(spark, root, 0)
+    got = sorted((r.k, r._commit_version) for r in feed.collect())
+    assert got == [(2, 1), (3, 2)]
+    assert versioned.changes_since(spark, root, 2).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        versioned.changes_since(spark, root, 99)
