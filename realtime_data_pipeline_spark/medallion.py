@@ -713,8 +713,11 @@ def scd2_merge(
     obs_cols = [*keys, *tracked, effective_col]
     # NULL effective rows never make it into a chain (scd2_rebuild drops
     # them) — exclude them up front so a bucket whose only updates are
-    # dirty rows isn't needlessly read and rewritten
-    updates = updates.filter(F.col(effective_col).isNotNull())
+    # dirty rows isn't needlessly read and rewritten. Persist: the batch
+    # is evaluated twice (bucket discovery, then the merge itself), and
+    # re-running an upstream aggregation per action doubles the merge
+    # cost; the cache is bounded by the batch, not the table
+    updates = updates.filter(F.col(effective_col).isNotNull()).persist()
 
     exists = os.path.exists(target_path)
     if exists:
@@ -773,6 +776,7 @@ def scd2_merge(
             shutil.rmtree(target_path, ignore_errors=True)
         else:
             _scd2_write_meta(target_path, n_buckets)
+        updates.unpersist()
         return {
             "initial_load": True,
             "affected_buckets": None,
@@ -781,6 +785,7 @@ def scd2_merge(
     # Spark cannot overwrite partitions it is reading: materialize the
     # rebuilt slice (bounded by the affected buckets) before the write
     rebuilt = rebuilt.localCheckpoint(eager=True)
+    updates.unpersist()
     rows = rebuilt.count()
     write_parquet(
         rebuilt, target_path, mode="overwrite", partition_by="__bucket"
