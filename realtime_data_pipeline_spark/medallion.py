@@ -713,55 +713,26 @@ def scd2_merge(
     obs_cols = [*keys, *tracked, effective_col]
     # NULL effective rows never make it into a chain (scd2_rebuild drops
     # them) — exclude them up front so a bucket whose only updates are
-    # dirty rows isn't needlessly read and rewritten. Persist: the batch
-    # is evaluated twice (bucket discovery, then the merge itself), and
-    # re-running an upstream aggregation per action doubles the merge
-    # cost; the cache is bounded by the batch, not the table
-    updates = updates.filter(F.col(effective_col).isNotNull()).persist()
+    # dirty rows isn't needlessly read and rewritten
+    updates = updates.filter(F.col(effective_col).isNotNull())
 
     exists = os.path.exists(target_path)
-    if exists:
-        # the bucket function is part of the table layout: a merge run
-        # with a different n_buckets would prune against the wrong
-        # directories and write chains beside their own history —
-        # silent duplication. The count is pinned in a sidecar at
-        # initial load and ALWAYS wins over the argument.
-        stored_n = _scd2_read_meta(target_path)["n_buckets"]
-        if n_buckets != stored_n:
-            n_buckets = stored_n
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
-    ).cast("int")
-
-    new_obs = updates.select(*obs_cols).withColumn("__src", F.lit(1))
-    if exists:
-        affected = sorted(
-            r[0]
-            for r in updates.select(bucket.alias("b")).distinct().collect()
-        )
-        stored = (
-            spark.read.parquet(target_path)
-            .filter(F.col("__bucket").isin(affected))
-            .select(
-                *keys,
-                *tracked,
-                F.col("__valid_from").alias(effective_col),
-            )
-            .withColumn("__src", F.lit(0))
-        )
-        observations = stored.unionByName(new_obs)
-    else:
-        affected = None
-        observations = new_obs
-
-    rebuilt = scd2_rebuild(observations, keys, tracked, effective_col, n_buckets)
-    if affected is None:
-        # count during the write itself (no read-back pass) — and if
-        # NOTHING survived (empty batch / all-NULL effective), leave the
-        # target nonexistent instead of bricking every later merge on a
-        # file-less parquet dir
+    if not exists:
+        # initial load: one action (the write) — nothing to cache, and
+        # this is the full-dataset case where a persist would be pure
+        # overhead. Count rides the write via Observation (no read-back
+        # pass), and if NOTHING survived (empty batch / all-NULL
+        # effective) the target is left nonexistent instead of a
+        # file-less parquet dir that bricks every later merge.
         from pyspark.sql import Observation
 
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+        ).cast("int")
+        new_obs = updates.select(*obs_cols).withColumn("__src", F.lit(1))
+        rebuilt = scd2_rebuild(
+            new_obs, keys, tracked, effective_col, n_buckets
+        )
         obs = Observation()
         write_parquet(
             rebuilt.observe(obs, F.count(F.lit(1)).alias("rows")),
@@ -776,16 +747,54 @@ def scd2_merge(
             shutil.rmtree(target_path, ignore_errors=True)
         else:
             _scd2_write_meta(target_path, n_buckets)
-        updates.unpersist()
         return {
             "initial_load": True,
             "affected_buckets": None,
             "rows_written": rows,
         }
-    # Spark cannot overwrite partitions it is reading: materialize the
-    # rebuilt slice (bounded by the affected buckets) before the write
-    rebuilt = rebuilt.localCheckpoint(eager=True)
-    updates.unpersist()
+
+    # the bucket function is part of the table layout: a merge run with
+    # a different n_buckets would prune against the wrong directories
+    # and write chains beside their own history — silent duplication.
+    # The count is pinned in a sidecar at initial load and ALWAYS wins
+    # over the argument.
+    stored_n = _scd2_read_meta(target_path)["n_buckets"]
+    if n_buckets != stored_n:
+        n_buckets = stored_n
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+
+    # the merge path evaluates the batch twice (bucket discovery, then
+    # the rebuild union); persist so an expensive upstream batch plan
+    # doesn't re-run per action — bounded by the batch, not the table,
+    # and released in finally so a failed merge can't leak the cache
+    updates = updates.persist()
+    try:
+        affected = sorted(
+            r[0]
+            for r in updates.select(bucket.alias("b")).distinct().collect()
+        )
+        new_obs = updates.select(*obs_cols).withColumn("__src", F.lit(1))
+        stored = (
+            spark.read.parquet(target_path)
+            .filter(F.col("__bucket").isin(affected))
+            .select(
+                *keys,
+                *tracked,
+                F.col("__valid_from").alias(effective_col),
+            )
+            .withColumn("__src", F.lit(0))
+        )
+        observations = stored.unionByName(new_obs)
+        rebuilt = scd2_rebuild(
+            observations, keys, tracked, effective_col, n_buckets
+        )
+        # Spark cannot overwrite partitions it is reading: materialize
+        # the rebuilt slice (bounded by the affected buckets) pre-write
+        rebuilt = rebuilt.localCheckpoint(eager=True)
+    finally:
+        updates.unpersist()
     rows = rebuilt.count()
     write_parquet(
         rebuilt, target_path, mode="overwrite", partition_by="__bucket"

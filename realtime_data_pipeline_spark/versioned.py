@@ -71,6 +71,21 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _typed_empty(spark: SparkSession, manifest: dict) -> DataFrame:
+    """Empty frame typed from a manifest's RECORDED schema — inferring
+    from surviving commit dirs could pick a different version's schema
+    (or crash on a fresh zone)."""
+    from pyspark.sql.types import StructType
+
+    ddl = manifest.get("schema")
+    if ddl is None:
+        raise ValueError(
+            f"version {manifest.get('version')} is empty and records no "
+            "schema — cannot type it"
+        )
+    return spark.createDataFrame([], StructType.fromDDL(ddl))
+
+
 def _atomic_claim(target: str, body: str) -> bool:
     """Atomically create ``target`` WITH its full content, or not at all:
     write a sibling temp file, then hard-link it into place — link fails
@@ -226,18 +241,8 @@ def read_version(
     manifest = _read_manifest(root, v)
     files = manifest["files"]
     if not files:
-        # empty snapshot (e.g. an empty micro-batch commit): type it from
-        # the manifest's RECORDED schema — inferring from data/ would
-        # crash on a fresh zone and could pick a different version's
-        # schema from surviving commit dirs
-        from pyspark.sql.types import StructType
-
-        ddl = manifest.get("schema")
-        if ddl is None:
-            raise ValueError(
-                f"version {v} is empty and records no schema — cannot type it"
-            )
-        return spark.createDataFrame([], StructType.fromDDL(ddl))
+        # empty snapshot (e.g. an empty micro-batch commit)
+        return _typed_empty(spark, manifest)
     return spark.read.parquet(*[os.path.join(root, p) for p in files])
 
 
@@ -259,8 +264,14 @@ def changes(
     snapshots, opt-in because at scale you usually want the cheap
     file-level truth or should be appending in the first place).
 
-    Files of superseded snapshots stay readable until ``vacuum`` — a CDF
-    read of a vacuumed version raises like any time-travel read."""
+    Files AND manifests of superseded snapshots survive until ``vacuum``
+    — a CDF read whose predecessor manifest was vacuumed raises (the
+    delta vs a destroyed snapshot is unknowable; treating the oldest
+    SURVIVING commit as genesis would silently re-deliver the whole
+    zone as inserts). A schema-evolving overwrite yields the full
+    delete+insert with the old rows NULL-padded to the new schema —
+    ``minimal`` is ignored there (every row differs across a schema
+    change anyway)."""
     from pyspark.sql import functions as F
 
     known = versions(root)
@@ -268,13 +279,9 @@ def changes(
         raise ValueError(f"version {version} not in {known}")
     man = _read_manifest(root, version)
 
-    def _read(paths: list[str]) -> DataFrame:
+    def _read(paths: list[str], manifest: dict) -> DataFrame:
         if not paths:
-            from pyspark.sql.types import StructType
-
-            return spark.createDataFrame(
-                [], StructType.fromDDL(man["schema"])
-            )
+            return _typed_empty(spark, manifest)
         return spark.read.parquet(*[os.path.join(root, p) for p in paths])
 
     def _tag(df: DataFrame, kind: str) -> DataFrame:
@@ -282,18 +289,31 @@ def changes(
             "_commit_version", F.lit(version)
         )
 
-    if version == known[0] or man["mode"] == "append":
-        prev_files = (
-            set(_read_manifest(root, version - 1)["files"])
-            if version != known[0]
-            else set()
-        )
-        added = [p for p in man["files"] if p not in prev_files]
-        return _tag(_read(added), "insert")
+    prev_man = None
+    if version > 0:
+        try:
+            prev_man = _read_manifest(root, version - 1)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot compute changes for version {version}: its "
+                f"predecessor {version - 1} was vacuumed — resync from a "
+                "full snapshot instead"
+            ) from None
 
-    # overwrite commit
-    prev = _read(_read_manifest(root, version - 1)["files"])
-    cur = _read(man["files"])
+    if prev_man is None or man["mode"] == "append":
+        prev_files = set(prev_man["files"]) if prev_man else set()
+        added = [p for p in man["files"] if p not in prev_files]
+        return _tag(_read(added, man), "insert")
+
+    # overwrite (or rollback) commit
+    prev = _read(prev_man["files"], prev_man)
+    cur = _read(man["files"], man)
+    if set(cur.columns) != set(prev.columns):
+        # schema evolution: row-level diff is meaningless (every row
+        # "changed"); emit the full logical swap, old rows NULL-padded
+        return _tag(cur, "insert").unionByName(
+            _tag(prev, "delete"), allowMissingColumns=True
+        )
     if not minimal:
         return _tag(cur, "insert").unionByName(_tag(prev, "delete"))
     return _tag(cur.exceptAll(prev), "insert").unionByName(
@@ -321,12 +341,10 @@ def changes_since(
         )
     todo = [v for v in known if v > after_version]
     if not todo:
-        man = _read_manifest(root, known[-1])
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
 
         return (
-            spark.createDataFrame([], StructType.fromDDL(man["schema"]))
+            _typed_empty(spark, _read_manifest(root, known[-1]))
             .withColumn("_change_type", F.lit("insert"))
             .withColumn("_commit_version", F.lit(0))
         )

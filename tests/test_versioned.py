@@ -295,3 +295,46 @@ def test_changes_since_tails_commits_in_order(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         versioned.changes_since(spark, root, 99)
+
+
+def test_changes_after_vacuum_raises_instead_of_replaying_zone(spark, tmp_path):
+    """Once a commit's predecessor manifest is vacuumed its delta is
+    unknowable: changes() must raise, not silently re-deliver the whole
+    oldest surviving snapshot as inserts (which a consumer would
+    double-apply)."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "zone")
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(1, "a")]), root)                  # v0
+    versioned.commit_version(d([(2, "b")]), root, mode="append")   # v1
+    versioned.commit_version(d([(3, "c")]), root, mode="append")   # v2
+    versioned.vacuum(root, keep_last=2, min_age_s=0.0)
+    assert versioned.versions(root) == [1, 2]
+    with _pytest.raises(ValueError, match="vacuumed"):
+        versioned.changes(spark, root, 1)
+    # the commit whose predecessor survives still works
+    assert sorted(
+        r.k for r in versioned.changes(spark, root, 2).collect()
+    ) == [3]
+
+
+def test_changes_across_schema_evolution_null_pads(spark, tmp_path):
+    """An overwrite that evolves the schema (the documented evolution
+    path) yields the full delete+insert with old rows NULL-padded to the
+    new columns — not an unresolved-column crash."""
+    root = str(tmp_path / "zone")
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), root
+    )
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a", 9.0)], "k long, v string, w double"),
+        root,
+        mode="overwrite",
+    )
+    feed = versioned.changes(spark, root, 1, minimal=True)
+    rows = sorted(
+        ((r._change_type, r.k, r.v, r.w) for r in feed.collect()),
+        key=lambda t: t[0],
+    )
+    assert rows == [("delete", 1, "a", None), ("insert", 1, "a", 9.0)]
