@@ -43,6 +43,7 @@ streaming restarts.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator, Sequence
 
 from dataclasses import dataclass
@@ -52,6 +53,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -455,8 +457,152 @@ def read_jsonl_audit(spark, path: str, schema: str | None = None):
     return reader.json(files)
 
 
+def _simple_to_ddl(simple: str) -> str:
+    """``struct<k:bigint,v:string>`` -> ``k bigint, v string`` with
+    bracket-depth-aware splitting so nested struct/map/decimal types
+    pass through intact."""
+    if not (simple.startswith("struct<") and simple.endswith(">")):
+        raise ValueError(f"not a struct simpleString: {simple!r}")
+    inner = simple[len("struct<"):-1]
+    parts, depth, cur = [], 0, ""
+    for ch in inner:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur:
+        parts.append(cur)
+    fields = []
+    for p in parts:
+        name, _, typ = p.partition(":")
+        fields.append(f"{name} {typ}")
+    return ", ".join(fields)
+
+
+class _ZoneFilePartition(InputPartition):
+    def __init__(self, path: str, version: int):
+        self.path = path
+        self.version = version
+
+
+class _ZoneChangesStreamReader(DataSourceStreamReader):
+    """Streaming reader over a versioned zone's commit log (the
+    Delta-streaming idiom, format-free): offsets are VERSION NUMBERS, a
+    micro-batch is the commits in (start, end], and each added parquet
+    file is one input partition read executor-side with pyarrow — the
+    driver plans file lists from manifests only, no data moves through
+    it. Restart replays any offset range identically because manifests
+    are immutable.
+
+    Overwrite/rollback commits are not expressible as an append feed;
+    ``on_overwrite`` chooses: ``'fail'`` (default — the consumer must
+    resync), ``'full'`` (emit the commit's whole snapshot — downstream
+    dedups/merges), or ``'skip'``."""
+
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.on_overwrite = options.get("on_overwrite", "fail")
+        if self.on_overwrite not in ("fail", "full", "skip"):
+            raise ValueError(
+                f"on_overwrite must be fail|full|skip, got {self.on_overwrite!r}"
+            )
+        self.start_after = int(options.get("starting_after_version", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_after}
+
+    def latestOffset(self) -> dict:
+        from realtime_data_pipeline_spark import versioned
+
+        known = versioned.versions(self.root)
+        return {"version": known[-1] if known else self.start_after}
+
+    def partitions(self, start: dict, end: dict):
+        from realtime_data_pipeline_spark import versioned
+
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            man = versioned._read_manifest(self.root, v)
+            if v > 0 and man["mode"] != "append":
+                if self.on_overwrite == "fail":
+                    raise ValueError(
+                        f"zone_changes: version {v} is mode={man['mode']!r},"
+                        " not an append — pass on_overwrite=full|skip, or"
+                        " resync from a snapshot"
+                    )
+                if self.on_overwrite == "skip":
+                    continue
+                added = man["files"]  # 'full': the whole new snapshot
+            else:
+                prev = (
+                    set(versioned._read_manifest(self.root, v - 1)["files"])
+                    if v > 0
+                    else set()
+                )
+                added = [p for p in man["files"] if p not in prev]
+            out.extend(
+                _ZoneFilePartition(os.path.join(self.root, p), v)
+                for p in added
+            )
+        return out or [_ZoneFilePartition("", end["version"])]
+
+    def read(self, partition: _ZoneFilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        cols = [c.to_pylist() for c in table.columns]
+        v = partition.version
+        return iter([(*row, v) for row in zip(*cols)])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class ZoneChangesDataSource(DataSource):
+    """``zone_changes`` — stream a versioned zone's commits as
+    micro-batches. Options: ``root`` (required), ``on_overwrite``
+    (fail|full|skip), ``starting_after_version``. Payload schema comes
+    from the zone's latest manifest plus ``_commit_version bigint``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zone_changes"
+
+    def schema(self) -> str:
+        from realtime_data_pipeline_spark import versioned
+
+        root = self.options["root"]
+        known = versioned.versions(root)
+        if not known:
+            raise ValueError(f"zone_changes: no committed versions in {root!r}")
+        simple = versioned._read_manifest(root, known[-1]).get("schema")
+        if simple is None:
+            raise ValueError(
+                f"zone_changes: latest manifest of {root!r} records no schema"
+            )
+        # schema() runs in a session-less worker process: no JVM, so no
+        # StructType.fromDDL here — return a DDL STRING converted from
+        # the manifest's simpleString ("struct<k:bigint,...>"), which
+        # Spark parses once it is back on the driver
+        return _simple_to_ddl(simple) + ", _commit_version bigint"
+
+    def streamReader(self, schema):
+        return _ZoneChangesStreamReader(dict(self.options))
+
+
 def register(spark) -> None:
     """Idempotent registration of every custom source in this module."""
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(JsonlAuditDataSource)
     spark.dataSource.register(PagedJsonlDataSource)
+    spark.dataSource.register(ZoneChangesDataSource)

@@ -304,3 +304,91 @@ def test_paged_jsonl_rejects_template_without_placeholder(spark):
             .load()
             .count()
         )
+
+
+def test_zone_changes_streams_commits_as_microbatches(spark, tmp_path):
+    """The versioned zone is a streaming SOURCE: each append commit's
+    added files arrive as one micro-batch tagged _commit_version, read
+    executor-side; a restart picks up exactly the commits that landed
+    after the checkpointed version."""
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(1, "a")]), root)                  # v0
+    versioned.commit_version(d([(2, "b")]), root, mode="append")   # v1
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run() -> None:
+        q = (
+            spark.readStream.format("zone_changes")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    got = sorted(
+        (r.k, r.v, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a", 0), (2, "b", 1)]
+
+    # two more commits land; the restarted query emits exactly those
+    versioned.commit_version(d([(3, "c")]), root, mode="append")   # v2
+    versioned.commit_version(d([(4, "d")]), root, mode="append")   # v3
+    run()
+    got = sorted(
+        (r.k, r.v, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a", 0), (2, "b", 1), (3, "c", 2), (4, "d", 3)]
+
+
+def test_zone_changes_overwrite_policy(spark, tmp_path):
+    """An overwrite commit is not expressible as an append feed: the
+    default fails the stream; on_overwrite=full re-emits the snapshot."""
+    import pytest as _pytest
+
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(1, "a")]), root)
+    versioned.commit_version(d([(9, "z")]), root, mode="overwrite")
+
+    def run(out, ckpt, **opts):
+        reader = spark.readStream.format("zone_changes").option("root", root)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with _pytest.raises(Exception, match="on_overwrite"):
+        run("s1", "c1")
+    run("s2", "c2", on_overwrite="full")
+    got = sorted(
+        (r.k, r._commit_version)
+        for r in spark.read.parquet(str(tmp_path / "s2")).collect()
+    )
+    assert got == [(1, 0), (9, 1)]
