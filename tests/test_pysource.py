@@ -392,3 +392,57 @@ def test_zone_changes_overwrite_policy(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "s2")).collect()
     )
     assert got == [(1, 0), (9, 1)]
+
+
+def test_zone_roundtrip_stream_in_stream_out(spark, tmp_path):
+    """The full loop: an upstream stream commits micro-batches into the
+    versioned zone (versioned_batch_writer, exactly-once), and a
+    DOWNSTREAM stream tails the same zone via zone_changes — every
+    committed row arrives exactly once, tagged with the commit that
+    produced it."""
+    import os as _os
+
+    from realtime_data_pipeline_spark import streaming, versioned
+
+    pysource.register(spark)
+    inbox = str(tmp_path / "inbox")
+    _os.makedirs(inbox)
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(3, "c")]]):
+        with open(_os.path.join(inbox, f"b{i}.csv"), "w") as f:
+            f.write("k,v\n")
+            for k, v in rows:
+                f.write(f"{k},{v}\n")
+        _os.utime(inbox + f"/b{i}.csv", (1_700_000_000 + i,) * 2)
+
+    root = str(tmp_path / "zone")
+    up = (
+        streaming.read_file_stream(
+            spark, inbox, "k long, v string", max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(versioned.versioned_batch_writer(root))
+        .option("checkpointLocation", str(tmp_path / "up_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    up.awaitTermination(120)
+    assert versioned.versions(root) == [0, 1]
+
+    out = str(tmp_path / "down_sink")
+    down = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "down_ck"))
+        .start()
+    )
+    try:
+        down.processAllAvailable()
+    finally:
+        down.stop()
+    got = sorted(
+        (r.k, r.v, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
