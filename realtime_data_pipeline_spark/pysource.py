@@ -512,6 +512,8 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
                 f"on_overwrite must be fail|full|skip, got {self.on_overwrite!r}"
             )
         self.start_after = int(options.get("starting_after_version", -1))
+        self.max_versions = int(options.get("max_versions_per_trigger", 0))
+        self._cursor: int | None = None  # last end handed to partitions()
 
     def initialOffset(self) -> dict:
         return {"version": self.start_after}
@@ -520,9 +522,21 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
         from realtime_data_pipeline_spark import versioned
 
         known = versioned.versions(self.root)
-        return {"version": known[-1] if known else self.start_after}
+        latest = known[-1] if known else self.start_after
+        # backlog pacing: cap commits per trigger so a long-idle consumer
+        # catches up in bounded batches instead of one giant one. The cap
+        # anchors on the previous trigger's end (the API never shows
+        # latestOffset the start), so the FIRST trigger after a restart
+        # is uncapped — bound it with starting_after_version if needed.
+        if self.max_versions > 0 and self._cursor is not None:
+            latest = min(latest, self._cursor + self.max_versions)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        self._cursor = end["version"]
+        return self._plan(start, end)
+
+    def _plan(self, start: dict, end: dict):
         from realtime_data_pipeline_spark import versioned
 
         out = []

@@ -446,3 +446,42 @@ def test_zone_roundtrip_stream_in_stream_out(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
+
+
+def test_zone_changes_paces_backlog(spark, tmp_path):
+    """max_versions_per_trigger bounds catch-up batches (from the second
+    trigger on): 4 pending commits with a cap of 1 drain as separate
+    micro-batches, all rows still exactly once."""
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    d = lambda k: spark.createDataFrame([(k, "x")], "k long, v string")  # noqa: E731
+    versioned.commit_version(d(0), root)
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .option("max_versions_per_trigger", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drains v0, sets the pacing cursor
+        for k in range(1, 4):  # a 3-commit backlog accumulates
+            versioned.commit_version(d(k), root, mode="append")
+        q.processAllAvailable()
+        batch_rows = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"]
+        ]
+    finally:
+        q.stop()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3]
+    # the backlog drains one commit (one row) per trigger, never a
+    # 3-commit gulp
+    assert max(batch_rows) == 1 and len(batch_rows) == 4
