@@ -457,31 +457,26 @@ def read_jsonl_audit(spark, path: str, schema: str | None = None):
     return reader.json(files)
 
 
-def _simple_to_ddl(simple: str) -> str:
-    """``struct<k:bigint,v:string>`` -> ``k bigint, v string`` with
-    bracket-depth-aware splitting so nested struct/map/decimal types
-    pass through intact."""
+def _payload_names(simple: str) -> list[str]:
+    """Top-level field names of a ``struct<...>`` simpleString (depth-aware
+    split so nested struct/map/decimal types don't confuse the commas)."""
     if not (simple.startswith("struct<") and simple.endswith(">")):
         raise ValueError(f"not a struct simpleString: {simple!r}")
     inner = simple[len("struct<"):-1]
-    parts, depth, cur = [], 0, ""
+    names, depth, cur = [], 0, ""
     for ch in inner:
         if ch in "<(":
             depth += 1
         elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
-            parts.append(cur)
+            names.append(cur.partition(":")[0])
             cur = ""
         else:
             cur += ch
     if cur:
-        parts.append(cur)
-    fields = []
-    for p in parts:
-        name, _, typ = p.partition(":")
-        fields.append(f"{name} {typ}")
-    return ", ".join(fields)
+        names.append(cur.partition(":")[0])
+    return names
 
 
 class _ZoneFilePartition(InputPartition):
@@ -502,10 +497,14 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
     Overwrite/rollback commits are not expressible as an append feed;
     ``on_overwrite`` chooses: ``'fail'`` (default — the consumer must
     resync), ``'full'`` (emit the commit's whole snapshot — downstream
-    dedups/merges), or ``'skip'``."""
+    dedups/merges), or ``'skip'``. Files are read BY NAME against the
+    declared (latest-manifest) schema, so a ``full`` re-emit across a
+    column reorder or evolution NULL-pads/reorders instead of
+    misaligning positionally."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, payload_names: list[str]):
         self.root = options["root"]
+        self.payload_names = payload_names
         self.on_overwrite = options.get("on_overwrite", "fail")
         if self.on_overwrite not in ("fail", "full", "skip"):
             raise ValueError(
@@ -530,18 +529,45 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
         # is uncapped — bound it with starting_after_version if needed.
         if self.max_versions > 0 and self._cursor is not None:
             latest = min(latest, self._cursor + self.max_versions)
+        if self._cursor is not None:
+            # NEVER rewind: a transient versions() blip (storage hiccup)
+            # or a stale listing must not move the offset log backwards —
+            # that would re-deliver every commit as duplicates
+            latest = max(latest, self._cursor)
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        if end["version"] < start["version"]:
+            raise ValueError(
+                f"zone_changes: offset would rewind ({start['version']} -> "
+                f"{end['version']}) — wrong zone root for this checkpoint, "
+                "or starting_after_version ahead of the zone"
+            )
         self._cursor = end["version"]
         return self._plan(start, end)
 
     def _plan(self, start: dict, end: dict):
         from realtime_data_pipeline_spark import versioned
 
+        def manifest(v: int) -> dict:
+            try:
+                return versioned._read_manifest(self.root, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"zone_changes: manifest for version {v} was vacuumed —"
+                    " this checkpoint predates the zone's retention; resync"
+                    " from a full snapshot"
+                ) from None
+
+        lo = start["version"]
+        # carry the previous manifest's file set across the loop: one
+        # manifest read per version, not two
+        prev_files: set[str] = (
+            set(manifest(lo)["files"]) if lo >= 0 else set()
+        )
         out = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            man = versioned._read_manifest(self.root, v)
+        for v in range(lo + 1, end["version"] + 1):
+            man = manifest(v)
             if v > 0 and man["mode"] != "append":
                 if self.on_overwrite == "fail":
                     raise ValueError(
@@ -549,16 +575,10 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
                         " not an append — pass on_overwrite=full|skip, or"
                         " resync from a snapshot"
                     )
-                if self.on_overwrite == "skip":
-                    continue
-                added = man["files"]  # 'full': the whole new snapshot
+                added = [] if self.on_overwrite == "skip" else man["files"]
             else:
-                prev = (
-                    set(versioned._read_manifest(self.root, v - 1)["files"])
-                    if v > 0
-                    else set()
-                )
-                added = [p for p in man["files"] if p not in prev]
+                added = [p for p in man["files"] if p not in prev_files]
+            prev_files = set(man["files"])
             out.extend(
                 _ZoneFilePartition(os.path.join(self.root, p), v)
                 for p in added
@@ -567,13 +587,31 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _ZoneFilePartition):
         if not partition.path:
-            return iter(())
+            return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
-        cols = [c.to_pylist() for c in table.columns]
+        names = self.payload_names
         v = partition.version
-        return iter([(*row, v) for row in zip(*cols)])
+        if set(names) <= set(table.column_names):
+            # fast path: select by name (reorders, drops extras), append
+            # the constant version column, ship Arrow batches — no
+            # per-row Python tuples
+            table = table.select(names).append_column(
+                "_commit_version", pa.array([v] * len(table), pa.int64())
+            )
+            yield from table.to_batches()
+            return
+        # evolution path (on_overwrite=full across a schema change): a
+        # column the declared schema expects is absent — NULL-pad by name
+        cols = [
+            table[n].to_pylist() if n in table.column_names
+            else [None] * len(table)
+            for n in names
+        ]
+        for row in zip(*cols):
+            yield (*row, v)
 
     def commit(self, end: dict) -> None:
         pass
@@ -605,13 +643,18 @@ class ZoneChangesDataSource(DataSource):
                 f"zone_changes: latest manifest of {root!r} records no schema"
             )
         # schema() runs in a session-less worker process: no JVM, so no
-        # StructType.fromDDL here — return a DDL STRING converted from
-        # the manifest's simpleString ("struct<k:bigint,...>"), which
-        # Spark parses once it is back on the driver
-        return _simple_to_ddl(simple) + ", _commit_version bigint"
+        # StructType.fromDDL here — splice the extra column into the
+        # manifest's simpleString ("struct<k:bigint,...>"), a form
+        # Spark's DDL parser accepts once it is back on the driver
+        self._payload = _payload_names(simple)
+        return simple[:-1] + ",_commit_version:bigint>"
 
     def streamReader(self, schema):
-        return _ZoneChangesStreamReader(dict(self.options))
+        # schema() always runs first; fall back for direct construction
+        payload = getattr(self, "_payload", None) or _payload_names(
+            self.schema()[: -len(",_commit_version:bigint>")] + ">"
+        )
+        return _ZoneChangesStreamReader(dict(self.options), payload)
 
 
 def register(spark) -> None:

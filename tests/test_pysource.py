@@ -485,3 +485,45 @@ def test_zone_changes_paces_backlog(spark, tmp_path):
     # the backlog drains one commit (one row) per trigger, never a
     # 3-commit gulp
     assert max(batch_rows) == 1 and len(batch_rows) == 4
+
+
+def test_zone_changes_full_reemit_aligns_by_name(spark, tmp_path):
+    """on_overwrite=full across a schema-evolving overwrite: old files
+    are read BY NAME against the latest declared schema — reordered
+    columns land correctly and the added column NULL-pads, never a
+    positional misalignment."""
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    versioned.commit_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), root
+    )
+    # overwrite evolves the schema AND reorders the shared columns
+    versioned.commit_version(
+        spark.createDataFrame(
+            [("b", 2.5, 2)], "v string, w double, k long"
+        ),
+        root,
+        mode="overwrite",
+    )
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .option("on_overwrite", "full")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.v, r.w, r.k, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("a", None, 1, 0), ("b", 2.5, 2, 1)]
