@@ -371,6 +371,18 @@ def compact(
         max_records_per_file=target_records_per_file,
     )
     rows = int(obs.get["rows"])
+    # non-dataset sidecar files at the root (e.g. the SCD2 bucket-count
+    # pin `_scd2_meta.json`) must survive the swap — the rewritten dir
+    # contains only Spark's output
+    sidecars = [
+        n
+        for n in os.listdir(path)
+        if os.path.isfile(os.path.join(path, n))
+        and not n.endswith((".parquet", ".crc"))
+        and n != "_SUCCESS"
+    ]
+    for n in sidecars:
+        shutil.copy2(os.path.join(path, n), os.path.join(tmp, n))
     # swap old aside FIRST (rmtree-then-rename leaves NO dataset at `path`
     # if we crash between the calls): after the aside-rename, the worst
     # crash window is a single rename, recoverable by renaming __old back

@@ -477,3 +477,44 @@ def test_temporal_join_finds_null_key_history(spark, tmp_path):
         facts, spark.read.parquet(tgt), ["cust_id"], "at"
     ).collect()
     assert got[0].tier == "bronze"
+
+
+def test_compaction_preserves_scd2_table(spark, tmp_path):
+    """Small-file compaction on an SCD2 dimension keeps the chains
+    byte-identical AND carries the bucket-count sidecar across the
+    directory swap — a follow-up merge still prunes correctly."""
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [(f"c{i}", "bronze", "lyon", ts(1)) for i in range(20)]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=4,
+    )
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c3", "gold", "lyon", ts(5))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    before = snapshot(spark, tgt)
+    out = medallion.compact(spark, tgt, partition_by="__bucket")
+    assert out["files_after"] <= out["files_before"]
+    assert snapshot(spark, tgt) == before
+    # the sidecar survived: a further merge uses the pinned bucket count
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c3", "silver", "lyon", ts(9))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=256,  # wrong on purpose; the pin must win
+    )
+    assert chain_of(spark, tgt, "c3") == [
+        ("bronze", "lyon", ts(1), ts(5), False),
+        ("gold", "lyon", ts(5), ts(9), False),
+        ("silver", "lyon", ts(9), None, True),
+    ]
+    assert medallion.scd2_current(spark, tgt).count() == 20
