@@ -210,10 +210,11 @@ def main(argv: list[str] | None = None) -> int:
 
     ptt = sub.add_parser(
         "timetravel",
-        help="versioned-zone maintenance: log / show / changes / rollback / vacuum",
+        help="versioned-zone maintenance: log / show / changes / compact / rollback / vacuum",
     )
     ptt.add_argument(
-        "action", choices=["log", "show", "changes", "rollback", "vacuum"]
+        "action",
+        choices=["log", "show", "changes", "compact", "rollback", "vacuum"],
     )
     ptt.add_argument("--root", required=True, help="versioned zone root")
     ptt.add_argument(
@@ -288,7 +289,9 @@ def main(argv: list[str] | None = None) -> int:
     # timetravel log/rollback/vacuum are pure-filesystem maintenance —
     # skip the multi-second JVM/session startup for them (only `show`
     # runs a query)
-    if args.cmd == "timetravel" and args.action not in ("show", "changes"):
+    if args.cmd == "timetravel" and args.action not in (
+        "show", "changes", "compact"
+    ):
         import json as _json
 
         from realtime_data_pipeline_spark import versioned
@@ -352,7 +355,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "timetravel":  # only show/changes reach here (see above)
         from realtime_data_pipeline_spark import versioned
 
-        if args.action == "changes":
+        if args.action == "compact":
+            import json as _json
+
+            print(_json.dumps(versioned.compact_snapshot(spark, args.root)))
+        elif args.action == "changes":
             if args.version is None:
                 raise SystemExit("timetravel changes: --version is required")
             versioned.changes(

@@ -347,6 +347,12 @@ def compact(
     # normpath guards the swap: with a trailing slash the tmp dir would
     # nest INSIDE the source root and the rmtree below would destroy both
     path = os.path.normpath(path)
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        raise ValueError(
+            f"{path} is a VERSIONED zone: compacting it as a flat parquet "
+            "root would read across commit dirs and destroy the manifest "
+            "log — use versioned.compact_snapshot (then vacuum) instead"
+        )
     before = sum(1 for p in Path(path).rglob("*.parquet"))
     df = spark.read.parquet(path)
     # co-locate each hive partition into one write task (one output file

@@ -379,6 +379,33 @@ def rollback(root: str, to_version: int, max_retries: int = 10) -> dict:
     )
 
 
+def compact_snapshot(
+    spark: SparkSession, root: str, target_partitions: int | None = None
+) -> dict:
+    """Small-file maintenance for a versioned zone, transactionally: read
+    the LATEST snapshot, right-size it, and publish the result as a new
+    OVERWRITE commit. Readers pinned to older versions are untouched
+    (their manifests still reference the old files), concurrent commits
+    lose/win the usual optimistic race, and the superseded small files
+    become unreferenced — reclaimed by the next :func:`vacuum`. This is
+    the table-format answer to :func:`medallion.compact`'s directory
+    swap, which `compact` itself refuses on versioned roots."""
+    df = read_version(spark, root)
+    if target_partitions is None:
+        latest = versions(root)[-1]
+        files = _read_manifest(root, latest)["files"]
+        total = sum(
+            os.path.getsize(os.path.join(root, p))
+            for p in files
+            if os.path.exists(os.path.join(root, p))
+        )
+        target_partitions = max(1, -(-total // (256 << 20)))
+    out = commit_version(
+        df.repartition(target_partitions), root, mode="overwrite"
+    )
+    return {**out, "compacted_to_partitions": target_partitions}
+
+
 def vacuum(root: str, keep_last: int = 2, min_age_s: float = 600.0) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete every
     data file no kept manifest references. The ONLY destructive

@@ -338,3 +338,35 @@ def test_changes_across_schema_evolution_null_pads(spark, tmp_path):
         key=lambda t: t[0],
     )
     assert rows == [("delete", 1, "a", None), ("insert", 1, "a", 9.0)]
+
+
+def test_compact_snapshot_is_transactional(spark, tmp_path):
+    """Compaction of a versioned zone is an overwrite COMMIT: rows
+    identical, old versions still readable, small files reclaimed only
+    by vacuum; medallion.compact refuses the root outright."""
+    import pytest as _pytest
+
+    from realtime_data_pipeline_spark import medallion
+
+    root = str(tmp_path / "zone")
+    for i in range(3):  # three tiny append commits -> many small files
+        versioned.commit_version(
+            spark.createDataFrame([(i, "x")], "k long, v string").repartition(4),
+            root,
+            mode="append" if i else "overwrite",
+        )
+    before = sorted(
+        (r.k, r.v) for r in versioned.read_version(spark, root).collect()
+    )
+    with _pytest.raises(ValueError, match="VERSIONED zone"):
+        medallion.compact(spark, root)
+    out = versioned.compact_snapshot(spark, root, target_partitions=1)
+    assert out["version"] == 3
+    after = sorted(
+        (r.k, r.v) for r in versioned.read_version(spark, root).collect()
+    )
+    assert after == before
+    # pre-compaction version still time-travels
+    assert versioned.read_version(spark, root, 2).count() == 3
+    # compacted snapshot references exactly one data file
+    assert len(versioned._read_manifest(root, 3)["files"]) == 1
