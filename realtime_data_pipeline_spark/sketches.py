@@ -1,0 +1,96 @@
+"""Count-min sketch as a plain DataFrame — a mergeable frequency sketch
+with no UDFs, no driver state, and exact distributed semantics.
+
+The sketch IS a ``(depth, bucket) -> n`` table: row ``(d, b, n)`` says
+"hash_d landed n input rows in bucket b", with ``hash_d(key) =
+pmod(xxhash64(key, seed=d), width)``. That representation makes every
+property structural:
+
+* **building** is one groupBy over a ``depth``-way explode of the input —
+  map-side partials do the heavy lifting, the shuffle carries at most
+  ``depth × width`` rows per map partition;
+* **merging** is union + re-aggregate: counts add, so
+  ``sketch(A ∪ B) == merge(sketch(A), sketch(B))`` EXACTLY (tested),
+  which is what makes it a streaming/rollup partial — the same
+  contract as the HLL partials in ``continuous_rollup``;
+* **querying** broadcasts the sketch (``depth × width`` rows — tiny by
+  construction) against the probe keys and takes ``min(n)`` over the
+  depths: the classic one-sided estimate, ``true <= est <= true + εN``
+  with ε ≈ e/width at the usual confidence for depth rows.
+
+Classic reference: Cormode & Muthukrishnan, "An improved data stream
+summary: the count-min sketch and its applications" (2005). The point of
+carrying it alongside exact heavy-hitters (`ops.top_k`): at 100 TB a
+per-key exact count of a high-cardinality column shuffles the key space;
+the sketch shuffles ``depth × width`` integers regardless of
+cardinality, and stays mergeable across days/streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def countmin_build(
+    df: DataFrame, col: str, depth: int = 5, width: int = 1024
+) -> DataFrame:
+    """Sketch the frequency of ``col``: returns the ``(depth, bucket, n)``
+    table (missing (d, b) pairs mean 0). NULL keys are counted like any
+    other value (xxhash64 of NULL = seed hash, one ordinary bucket)."""
+    rows = df.select(
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("__depth"),
+        F.col(col).alias("__key"),
+    )
+    return (
+        rows.select(
+            "__depth",
+            F.pmod(
+                F.xxhash64(F.col("__key"), F.col("__depth")), F.lit(width)
+            ).alias("__bucket"),
+        )
+        .groupBy("__depth", "__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + re-aggregate: exact, associative, commutative — the
+    partial-merge contract that makes the sketch a rollup/stream
+    partial."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("__depth", "__bucket").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def countmin_query(
+    sketch: DataFrame, probes: DataFrame, col: str, width: int = 1024
+) -> DataFrame:
+    """Estimated frequency for each distinct probe key: broadcast the
+    (tiny) sketch against the probes' per-depth buckets and take the
+    min across depths. A (depth, bucket) pair absent from the sketch
+    means 0 — a key never seen estimates 0, not NULL."""
+    depth = sketch.select(F.max("__depth")).first()[0] + 1
+    keyed = probes.select(F.col(col).alias("__key")).distinct().select(
+        "__key",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("__depth"),
+    ).select(
+        "__key",
+        "__depth",
+        F.pmod(
+            F.xxhash64(F.col("__key"), F.col("__depth")), F.lit(width)
+        ).alias("__bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["__depth", "__bucket"], "left")
+        .groupBy("__key")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
+        .select(F.col("__key").alias(col), "est_count")
+    )

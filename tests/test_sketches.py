@@ -1,0 +1,67 @@
+"""Count-min sketch (sketches.py): one-sided error bound, exact merge
+semantics, zero-for-unseen queries, and the no-UDF/no-collect plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import sketches
+
+
+def skewed_df(spark):
+    # key k appears (k+1) * 10 times for k in 0..9, plus a heavy hitter
+    rows = [(f"k{k}",) for k in range(10) for _ in range((k + 1) * 10)]
+    rows += [("hot",)] * 500
+    return spark.createDataFrame(rows, "key string")
+
+
+def test_estimates_are_one_sided_and_tight_at_low_load(spark):
+    df = skewed_df(spark)
+    sk = sketches.countmin_build(df, "key", depth=5, width=256)
+    true = {r.key: r.n for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    est = {
+        r.key: r.est_count
+        for r in sketches.countmin_query(sk, df, "key", width=256).collect()
+    }
+    n_total = sum(true.values())
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)  # never undercounts
+        # 11 distinct keys in 256 buckets x 5 depths: collisions are
+        # overwhelmingly unlikely to survive the min across depths
+        assert est[k] <= t + 0.05 * n_total, (k, est[k], t)
+    assert est["hot"] == 500  # the heavy hitter reads exact here
+
+
+def test_merge_equals_sketch_of_union_exactly(spark):
+    df = skewed_df(spark)
+    a = df.filter(F.crc32("key") % 2 == 0)
+    b = df.filter(F.crc32("key") % 2 == 1)
+    merged = sketches.countmin_merge(
+        sketches.countmin_build(a, "key", depth=3, width=64),
+        sketches.countmin_build(b, "key", depth=3, width=64),
+    )
+    whole = sketches.countmin_build(df, "key", depth=3, width=64)
+    as_rows = lambda s: sorted(  # noqa: E731
+        (r["__depth"], r["__bucket"], r.n) for r in s.collect()
+    )
+    assert as_rows(merged) == as_rows(whole)
+
+
+def test_unseen_key_estimates_zero_or_collision(spark):
+    df = skewed_df(spark)
+    sk = sketches.countmin_build(df, "key", depth=5, width=512)
+    probes = spark.createDataFrame([("never-seen",)], "key string")
+    est = sketches.countmin_query(sk, probes, "key", width=512).collect()
+    assert est[0].est_count == 0  # absent (d, b) pairs read as 0
+
+
+def test_plan_is_udf_free_and_collect_free(spark):
+    from tests.test_plans import plan_str
+
+    df = skewed_df(spark)
+    sk = sketches.countmin_build(df, "key", depth=3, width=64)
+    plan = plan_str(
+        sketches.countmin_query(sk, df, "key", width=64), mode="simple"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the sketch rides broadcast
