@@ -692,20 +692,23 @@ def scd2_merge(
     Same-timestamp conflicts resolve update-wins, matching
     :func:`merge_upsert`'s documented tie semantic.
 
-    SEMANTIC CONTRACT: for an immutable observation stream (no two
-    observations of one key at the same effective time with different
-    values), the final table is a pure function of the observation SET —
-    invariant to batch split, arrival order, late data, and replays
-    (property-tested). Same-timestamp CORRECTIONS break that invariance
-    at one documented edge: collapsing a repeat merges away the later
-    segment's boundary evidence (the value-over-time function is
-    unchanged), so a correction of the surviving earlier observation
-    re-attributes the whole collapsed span
+    SEMANTIC CONTRACT: for TIME-MONOTONE arrival (each batch's
+    observations no earlier than previous batches' — any
+    event-time-ordered feed), the final table is a pure function of the
+    observation SET: invariant to where the stream is cut and to
+    replaying batches verbatim (property-tested). The boundary of that
+    guarantee is COLLAPSE: dropping a repeat observation destroys its
+    boundary evidence (harmless for the value-over-time function), so
+    anything that later lands BEFORE a collapsed repeat re-attributes up
+    to the next SURVIVING boundary — a late out-of-order splice
+    (tests/test_scd2.py::test_late_splice_before_collapsed_repeat) or a
+    same-timestamp correction
     (tests/test_scd2.py::test_correction_after_collapse_reattributes_history).
-    Corrections of observations whose segments still exist behave as
-    expected. If correction-proof boundaries matter, keep the
-    observation log (e.g. the bronze zone) as the source of truth and
-    rebuild; the SCD2 table stores segments, not evidence.
+    Late splices whose surroundings still exist behave exactly
+    (tested). If evidence-exact boundaries under arbitrary disorder
+    matter, keep the observation log (e.g. the bronze zone) as the
+    source of truth and rebuild; the SCD2 table stores segments, not
+    evidence.
 
     Scale shape — what a merge does NOT touch:
     1. the table is hive-partitioned by ``__bucket`` =

@@ -318,14 +318,19 @@ def test_chunk_text_reconstructs_document(spark, n_words, chunk, overlap):
 def test_scd2_merge_is_batch_split_invariant(
     spark, tmp_path_factory, obs, cuts, replay_last
 ):
-    """For an IMMUTABLE observation stream (unique (key, effective) —
-    no retroactive same-timestamp corrections), scd2_merge is invariant
-    to how the stream is split into batches: any split (including late
-    arrivals in later batches and replaying a batch verbatim) converges
-    to the one-shot chain over the union — checked against an
-    independent Python model (sort per key, collapse consecutive
-    repeats, chain the intervals). The correction caveat this
-    precondition excludes is pinned by
+    """For a TIME-MONOTONE observation stream (each batch's observations
+    are no earlier than the previous batches' — the shape of any
+    event-time-ordered feed), scd2_merge is invariant to where the
+    stream is cut into batches, including replaying a batch verbatim:
+    every split converges to the one-shot chain over the union — checked
+    against an independent Python model (sort per key, collapse
+    consecutive repeats, chain the intervals). OUT-OF-ORDER arrivals are
+    deliberately excluded here: a late observation that precedes a
+    COLLAPSED repeat cannot restore the collapsed boundary (the evidence
+    was merged away), so cross-batch invariance cannot hold for them —
+    that re-attribution edge is pinned deterministically by
+    tests/test_scd2.py::test_late_splice_before_collapsed_repeat and the
+    same-timestamp variant by
     tests/test_scd2.py::test_correction_after_collapse_reattributes_history.
     """
     import datetime as dt
@@ -334,16 +339,10 @@ def test_scd2_merge_is_batch_split_invariant(
 
     tgt = str(tmp_path_factory.mktemp("scd2") / "dim")
     day = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
-    # deterministic scramble so batch cuts produce genuine late arrivals
-    # (an early effective day landing in a later batch)
-    import hashlib
-
+    # time-sorted stream: any cut yields per-key monotone batches
     stream = [
         (f"k{k}", f"v{v}", day(d))
-        for (k, d), v in sorted(
-            obs.items(),
-            key=lambda kv: hashlib.md5(repr(kv[0]).encode()).hexdigest(),
-        )
+        for (k, d), v in sorted(obs.items(), key=lambda kv: (kv[0][1], kv[0][0]))
     ]
     # arbitrary split into up to 3 batches (empty slices dropped)
     bounds = sorted({min(c, len(stream)) for c in cuts})

@@ -518,3 +518,33 @@ def test_compaction_preserves_scd2_table(spark, tmp_path):
         ("silver", "lyon", ts(9), None, True),
     ]
     assert medallion.scd2_current(spark, tgt).count() == 20
+
+
+def test_late_splice_before_collapsed_repeat(spark, tmp_path):
+    """The second half of the collapse caveat: a batch whose repeats
+    collapsed (days 3/6/7 merged into the day-1 segment) cannot lend
+    boundary evidence to a LATER late splice — the late v1@4 closes at
+    the next SURVIVING boundary (day 8), not at the merged-away day-6
+    observation. The batch-split invariance property therefore holds for
+    time-monotone arrival only; this pins what out-of-order arrival does
+    instead (value history stays plausible — v0 before 4, v1 in [4, 8),
+    v0 after — but the re-attribution extends across collapsed spans)."""
+    tgt = str(tmp_path / "dim")
+    merge = lambda rows: medallion.scd2_merge(  # noqa: E731
+        spark, tgt, obs_df(spark, rows), keys=["cust_id"], effective_col="seen_at"
+    )
+    merge([
+        ("c1", "bronze", "lyon", ts(1)),
+        ("c1", "bronze", "lyon", ts(3)),  # collapsed
+        ("c1", "bronze", "lyon", ts(6)),  # collapsed — evidence lost
+        ("c1", "bronze", "lyon", ts(7)),  # collapsed
+    ])
+    merge([
+        ("c1", "gold", "lyon", ts(4)),    # late: splices before the repeats
+        ("c1", "bronze", "lyon", ts(8)),
+    ])
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "lyon", ts(1), ts(4), False),
+        ("gold", "lyon", ts(4), ts(8), False),  # extends past lost day 6
+        ("bronze", "lyon", ts(8), None, True),
+    ]
