@@ -597,8 +597,26 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
         if set(names) <= set(table.column_names):
             # fast path: select by name (reorders, drops extras), append
             # the constant version column, ship Arrow batches — no
-            # per-row Python tuples
-            table = table.select(names).append_column(
+            # per-row Python tuples. pyarrow reads Spark's parquet
+            # timestamps as NANOSECOND, which Spark's Arrow ingest
+            # rejects — normalize to microseconds (lossless: Spark
+            # wrote µs precision)
+            table = table.select(names)
+            norm = pa.schema(
+                [
+                    pa.field(
+                        f.name,
+                        pa.timestamp("us", tz=f.type.tz)
+                        if pa.types.is_timestamp(f.type)
+                        and f.type.unit == "ns"
+                        else f.type,
+                    )
+                    for f in table.schema
+                ]
+            )
+            if norm != table.schema:
+                table = table.cast(norm)
+            table = table.append_column(
                 "_commit_version", pa.array([v] * len(table), pa.int64())
             )
             yield from table.to_batches()

@@ -548,3 +548,73 @@ def test_late_splice_before_collapsed_repeat(spark, tmp_path):
         ("gold", "lyon", ts(4), ts(8), False),  # extends past lost day 6
         ("bronze", "lyon", ts(8), None, True),
     ]
+
+
+def test_cdc_chain_zone_to_scd2_dimension(spark, tmp_path):
+    """Full CDC chain: observation batches COMMIT into a versioned zone,
+    a stream TAILS the zone via zone_changes, and scd2_stream folds each
+    micro-batch into the historized dimension — the closed loop from
+    table-format commits to queryable history, exactly once."""
+    from realtime_data_pipeline_spark import pysource, streaming, versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "obs_zone")
+    obs = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "cust_id string, tier string, seen_at timestamp"
+    )
+    versioned.commit_version(obs([("c1", "bronze", ts(1))]), root)
+    versioned.commit_version(
+        obs([("c1", "gold", ts(9)), ("c2", "silver", ts(9))]),
+        root,
+        mode="append",
+    )
+
+    dim = str(tmp_path / "dim")
+    q = streaming.scd2_stream(
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .load()
+        .drop("_commit_version"),
+        dim,
+        keys=["cust_id"],
+        effective_col="seen_at",
+        checkpoint=str(tmp_path / "ck"),
+        n_buckets=4,
+    )
+    q.awaitTermination(120)
+    assert chain_of2(spark, dim, "c1") == [
+        ("bronze", ts(1), ts(9), False),
+        ("gold", ts(9), None, True),
+    ]
+    # a third commit lands; re-running the stream folds exactly it
+    versioned.commit_version(
+        obs([("c1", "platinum", ts(20))]), root, mode="append"
+    )
+    q2 = streaming.scd2_stream(
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .load()
+        .drop("_commit_version"),
+        dim,
+        keys=["cust_id"],
+        effective_col="seen_at",
+        checkpoint=str(tmp_path / "ck"),
+        n_buckets=4,
+    )
+    q2.awaitTermination(120)
+    assert chain_of2(spark, dim, "c1") == [
+        ("bronze", ts(1), ts(9), False),
+        ("gold", ts(9), ts(20), False),
+        ("platinum", ts(20), None, True),
+    ]
+    assert medallion.scd2_current(spark, dim).count() == 2
+
+
+def chain_of2(spark, path, key):
+    return [
+        (r["tier"], r["__valid_from"], r["__valid_to"], r["__is_current"])
+        for r in spark.read.parquet(path)
+        .filter(F.col("cust_id") == key)
+        .orderBy("__valid_from")
+        .collect()
+    ]
