@@ -287,8 +287,8 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     # timetravel log/rollback/vacuum are pure-filesystem maintenance —
-    # skip the multi-second JVM/session startup for them (only `show`
-    # runs a query)
+    # skip the multi-second JVM/session startup for them (show/changes/
+    # compact run queries and fall through to the session path)
     if args.cmd == "timetravel" and args.action not in (
         "show", "changes", "compact"
     ):
@@ -352,7 +352,7 @@ def main(argv: list[str] | None = None) -> int:
         status = "passed" if report.passed else "warned"
         print(f"silver: DQ {status} -> {args.silver}")
         return 0
-    if args.cmd == "timetravel":  # only show/changes reach here (see above)
+    if args.cmd == "timetravel":  # show/changes/compact (see above)
         from realtime_data_pipeline_spark import versioned
 
         if args.action == "compact":

@@ -347,7 +347,9 @@ def compact(
     # normpath guards the swap: with a trailing slash the tmp dir would
     # nest INSIDE the source root and the rmtree below would destroy both
     path = os.path.normpath(path)
-    if os.path.isdir(os.path.join(path, "_manifests")):
+    from realtime_data_pipeline_spark import versioned as _versioned
+
+    if os.path.isdir(os.path.join(path, _versioned._MANIFESTS)):
         raise ValueError(
             f"{path} is a VERSIONED zone: compacting it as a flat parquet "
             "root would read across commit dirs and destroy the manifest "

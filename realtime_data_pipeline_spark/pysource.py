@@ -602,17 +602,22 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
             # rejects — normalize to microseconds (lossless: Spark
             # wrote µs precision)
             table = table.select(names)
-            norm = pa.schema(
-                [
-                    pa.field(
-                        f.name,
-                        pa.timestamp("us", tz=f.type.tz)
-                        if pa.types.is_timestamp(f.type)
-                        and f.type.unit == "ns"
-                        else f.type,
+
+            def _us(t):  # recurse: nested ns timestamps crash too
+                if pa.types.is_timestamp(t) and t.unit == "ns":
+                    return pa.timestamp("us", tz=t.tz)
+                if pa.types.is_list(t):
+                    return pa.list_(_us(t.value_type))
+                if pa.types.is_struct(t):
+                    return pa.struct(
+                        [f.with_type(_us(f.type)) for f in t]
                     )
-                    for f in table.schema
-                ]
+                if pa.types.is_map(t):
+                    return pa.map_(_us(t.key_type), _us(t.item_type))
+                return t
+
+            norm = pa.schema(
+                [f.with_type(_us(f.type)) for f in table.schema]
             )
             if norm != table.schema:
                 table = table.cast(norm)

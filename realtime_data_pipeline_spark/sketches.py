@@ -36,8 +36,12 @@ def countmin_build(
     df: DataFrame, col: str, depth: int = 5, width: int = 1024
 ) -> DataFrame:
     """Sketch the frequency of ``col``: returns the ``(depth, bucket, n)``
-    table (missing (d, b) pairs mean 0). NULL keys are counted like any
-    other value (xxhash64 of NULL = seed hash, one ordinary bucket)."""
+    table (missing (d, b) pairs mean 0) with the GEOMETRY stamped on
+    every row (``__depth_total``/``__width``) — estimates are only
+    meaningful against the geometry the sketch was built with, so it
+    travels with the data instead of being a parameter a caller can get
+    wrong. NULL keys are counted like any other value (xxhash64 of NULL
+    = seed hash, one ordinary bucket)."""
     rows = df.select(
         F.explode(
             F.array(*[F.lit(d) for d in range(depth)])
@@ -53,29 +57,57 @@ def countmin_build(
         )
         .groupBy("__depth", "__bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "__depth",
+            "__bucket",
+            "n",
+            F.lit(depth).alias("__depth_total"),
+            F.lit(width).alias("__width"),
+        )
     )
 
 
 def countmin_merge(*sketches: DataFrame) -> DataFrame:
     """Union + re-aggregate: exact, associative, commutative — the
     partial-merge contract that makes the sketch a rollup/stream
-    partial."""
+    partial. Geometry columns ride through the groupBy; sketches of
+    DIFFERENT geometry cannot be merged meaningfully and surface as
+    mixed ``__width`` rows, which :func:`countmin_query` rejects."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("__depth", "__bucket").agg(
-        F.sum("n").alias("n")
-    )
+    return out.groupBy(
+        "__depth", "__bucket", "__depth_total", "__width"
+    ).agg(F.sum("n").alias("n"))
 
 
 def countmin_query(
-    sketch: DataFrame, probes: DataFrame, col: str, width: int = 1024
+    sketch: DataFrame, probes: DataFrame, col: str
 ) -> DataFrame:
     """Estimated frequency for each distinct probe key: broadcast the
     (tiny) sketch against the probes' per-depth buckets and take the
-    min across depths. A (depth, bucket) pair absent from the sketch
-    means 0 — a key never seen estimates 0, not NULL."""
-    depth = sketch.select(F.max("__depth")).first()[0] + 1
+    min across depths. Geometry comes FROM the sketch (one bounded
+    1-row aggregate — persist the sketch if querying repeatedly, its
+    lineage re-runs otherwise); mixed-geometry sketches (a bad merge)
+    are rejected. A (depth, bucket) pair absent from the sketch means
+    0 — a key never seen estimates 0, not NULL, including against an
+    EMPTY sketch (nothing was ever counted)."""
+    geo = sketch.agg(
+        F.first("__depth_total").alias("d"),
+        F.first("__width").alias("w"),
+        F.count_distinct("__depth_total", "__width").alias("geoms"),
+    ).first()
+    if geo["geoms"] > 1:
+        raise ValueError(
+            "countmin_query: sketch mixes geometries — it was merged "
+            "from sketches built with different depth/width"
+        )
+    if geo["d"] is None:  # empty sketch: every estimate is 0
+        return (
+            probes.select(F.col(col)).distinct()
+            .withColumn("est_count", F.lit(0).cast("bigint"))
+        )
+    depth, width = int(geo["d"]), int(geo["w"])
     keyed = probes.select(F.col(col).alias("__key")).distinct().select(
         "__key",
         F.explode(

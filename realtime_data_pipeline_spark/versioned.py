@@ -46,6 +46,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+
+class ConcurrentCommitError(RuntimeError):
+    """A conditional commit (``expected_latest=``) lost: another writer
+    advanced the zone after this writer read its base snapshot."""
+
+
 _MANIFESTS = "_manifests"
 _DATA = "data"
 
@@ -111,6 +117,7 @@ def commit_version(
     mode: str = "append",
     max_retries: int = 10,
     batch_tag: str | None = None,
+    expected_latest: int | None = None,
 ) -> dict:
     """Write ``df`` as a new snapshot of the zone.
 
@@ -120,8 +127,15 @@ def commit_version(
     under replay: a marker in ``_commits_by_tag/`` is created atomically
     with publication, and a second commit carrying the same tag is a
     no-op (the streaming-restart contract — see
-    :func:`versioned_batch_writer`). Returns {version, files_added,
-    rows} (or {skipped_replay: True, ...} for a deduplicated replay).
+    :func:`versioned_batch_writer`). ``expected_latest`` makes the
+    commit CONDITIONAL: publish only if the zone's latest version still
+    equals it (compare-and-swap) — the read-modify-write guard for
+    writers whose output depends on what they read (e.g.
+    :func:`compact_snapshot`), where the plain retry loop would
+    serialize version numbers but silently publish on top of a state it
+    never saw; raises ``ConcurrentCommitError`` on conflict. Returns
+    {version, files_added, rows} (or {skipped_replay: True, ...} for a
+    deduplicated replay).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -169,6 +183,14 @@ def commit_version(
 
     for _ in range(max_retries):
         known = versions(root)
+        if expected_latest is not None and (
+            not known or known[-1] != expected_latest
+        ):
+            raise ConcurrentCommitError(
+                f"conditional commit failed: zone latest is "
+                f"{known[-1] if known else None}, expected "
+                f"{expected_latest} — re-read and retry"
+            )
         new_version = (known[-1] + 1) if known else 0
         files = list(added)
         if mode == "append" and known:
@@ -389,19 +411,29 @@ def compact_snapshot(
     lose/win the usual optimistic race, and the superseded small files
     become unreferenced — reclaimed by the next :func:`vacuum`. This is
     the table-format answer to :func:`medallion.compact`'s directory
-    swap, which `compact` itself refuses on versioned roots."""
-    df = read_version(spark, root)
+    swap, which `compact` itself refuses on versioned roots; a commit
+    racing the compaction raises ``ConcurrentCommitError`` (never a
+    lost update)."""
+    base = versions(root)[-1]
+    df = read_version(spark, root, base)
     if target_partitions is None:
-        latest = versions(root)[-1]
-        files = _read_manifest(root, latest)["files"]
+        files = _read_manifest(root, base)["files"]
         total = sum(
             os.path.getsize(os.path.join(root, p))
             for p in files
             if os.path.exists(os.path.join(root, p))
         )
         target_partitions = max(1, -(-total // (256 << 20)))
+    # CONDITIONAL commit: the compacted snapshot is a function of the
+    # base it read — publishing after a concurrent append landed would
+    # silently drop that append from the latest snapshot. The
+    # compare-and-swap raises ConcurrentCommitError instead; re-run
+    # compaction in a quieter window.
     out = commit_version(
-        df.repartition(target_partitions), root, mode="overwrite"
+        df.repartition(target_partitions),
+        root,
+        mode="overwrite",
+        expected_latest=base,
     )
     return {**out, "compacted_to_partitions": target_partitions}
 

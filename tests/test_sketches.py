@@ -21,7 +21,7 @@ def test_estimates_are_one_sided_and_tight_at_low_load(spark):
     true = {r.key: r.n for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()}
     est = {
         r.key: r.est_count
-        for r in sketches.countmin_query(sk, df, "key", width=256).collect()
+        for r in sketches.countmin_query(sk, df, "key").collect()
     }
     n_total = sum(true.values())
     for k, t in true.items():
@@ -51,7 +51,7 @@ def test_unseen_key_estimates_zero_or_collision(spark):
     df = skewed_df(spark)
     sk = sketches.countmin_build(df, "key", depth=5, width=512)
     probes = spark.createDataFrame([("never-seen",)], "key string")
-    est = sketches.countmin_query(sk, probes, "key", width=512).collect()
+    est = sketches.countmin_query(sk, probes, "key").collect()
     assert est[0].est_count == 0  # absent (d, b) pairs read as 0
 
 
@@ -61,7 +61,24 @@ def test_plan_is_udf_free_and_collect_free(spark):
     df = skewed_df(spark)
     sk = sketches.countmin_build(df, "key", depth=3, width=64)
     plan = plan_str(
-        sketches.countmin_query(sk, df, "key", width=64), mode="simple"
+        sketches.countmin_query(sk, df, "key"), mode="simple"
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the sketch rides broadcast
+
+
+def test_empty_sketch_estimates_zero_and_mixed_geometry_rejected(spark):
+    import pytest as _pytest
+
+    empty = sketches.countmin_build(
+        spark.createDataFrame([], "key string"), "key", depth=3, width=64
+    )
+    probes = spark.createDataFrame([("x",)], "key string")
+    got = sketches.countmin_query(empty, probes, "key").collect()
+    assert got[0].est_count == 0
+    a = sketches.countmin_build(skewed_df(spark), "key", depth=3, width=64)
+    b = sketches.countmin_build(skewed_df(spark), "key", depth=3, width=128)
+    with _pytest.raises(ValueError, match="geometries"):
+        sketches.countmin_query(
+            sketches.countmin_merge(a, b), probes, "key"
+        ).collect()

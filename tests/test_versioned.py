@@ -370,3 +370,22 @@ def test_compact_snapshot_is_transactional(spark, tmp_path):
     assert versioned.read_version(spark, root, 2).count() == 3
     # compacted snapshot references exactly one data file
     assert len(versioned._read_manifest(root, 3)["files"]) == 1
+
+
+def test_conditional_commit_rejects_stale_base(spark, tmp_path):
+    """The compare-and-swap behind compact_snapshot: a commit carrying
+    expected_latest older than the zone's actual latest raises instead
+    of silently publishing over a state it never read."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "zone")
+    d = lambda k: spark.createDataFrame([(k, "x")], "k long, v string")  # noqa: E731
+    versioned.commit_version(d(0), root)                        # v0
+    versioned.commit_version(d(1), root, mode="append")         # v1
+    with _pytest.raises(versioned.ConcurrentCommitError, match="expected 0"):
+        versioned.commit_version(
+            d(9), root, mode="overwrite", expected_latest=0
+        )
+    # the zone is untouched by the failed publish
+    assert versioned.versions(root) == [0, 1]
+    assert versioned.read_version(spark, root).count() == 2
