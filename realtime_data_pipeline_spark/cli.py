@@ -239,7 +239,7 @@ def main(argv: list[str] | None = None) -> int:
         help="historized dimension (SCD2): merge observation batches / "
         "query current or as-of state",
     )
-    ps2.add_argument("action", choices=["merge", "current", "asof"])
+    ps2.add_argument("action", choices=["merge", "stream", "current", "asof"])
     ps2.add_argument("--target", required=True, help="dimension root path")
     ps2.add_argument("--batch", default=None, help="merge: observation batch path")
     ps2.add_argument(
@@ -254,6 +254,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     ps2.add_argument("--buckets", type=int, default=256)
     ps2.add_argument("--at", default=None, help="asof: ISO timestamp")
+    ps2.add_argument("--inbox", default=None, help="stream: observation inbox")
+    ps2.add_argument("--checkpoint", default=None, help="stream: checkpoint dir")
+    ps2.add_argument(
+        "--zone", default=None,
+        help="stream: tail a VERSIONED ZONE of observation commits "
+        "instead of a file inbox (zone_changes source)",
+    )
+    ps2.add_argument("--max-files-per-trigger", type=int, default=1)
+    ps2.add_argument("--timeout-sec", type=int, default=600)
     ps2.add_argument("--limit", type=int, default=20, help="current/asof: rows printed")
 
     ppr = sub.add_parser(
@@ -561,6 +570,57 @@ def main(argv: list[str] | None = None) -> int:
                 n_buckets=args.buckets,
             )
             print(_json.dumps(out))
+            return 0
+        if args.action == "stream":
+            from realtime_data_pipeline_spark import streaming
+
+            if not (args.keys and args.effective and args.checkpoint):
+                raise SystemExit(
+                    "scd2 stream: --keys, --effective and --checkpoint "
+                    "are required"
+                )
+            if bool(args.inbox) == bool(args.zone):
+                raise SystemExit(
+                    "scd2 stream: pass exactly one of --inbox / --zone"
+                )
+            if args.zone:
+                from realtime_data_pipeline_spark import pysource
+
+                pysource.register(spark)
+                src = (
+                    spark.readStream.format("zone_changes")
+                    .option("root", args.zone)
+                    .load()
+                    .drop("_commit_version")
+                )
+            else:
+                if not args.schema:
+                    raise SystemExit("scd2 stream: --schema is required with --inbox")
+                if args.format == "orc":
+                    raise SystemExit(
+                        "scd2 stream: --format orc is not a streaming "
+                        "inbox format (use parquet/csv/json)"
+                    )
+                src = streaming.read_file_stream(
+                    spark,
+                    args.inbox,
+                    args.schema,
+                    fmt=args.format,
+                    max_files_per_trigger=args.max_files_per_trigger,
+                )
+            sq = streaming.scd2_stream(
+                src,
+                args.target,
+                keys=args.keys.split(","),
+                effective_col=args.effective,
+                checkpoint=args.checkpoint,
+                tracked=args.tracked.split(",") if args.tracked else None,
+                n_buckets=args.buckets,
+            )
+            if not sq.awaitTermination(args.timeout_sec):
+                sq.stop()
+                raise SystemExit("scd2 stream: timed out before catch-up")
+            print(f"scd2 stream: dimension updated -> {args.target}")
             return 0
         if args.action == "current":
             view = medallion.scd2_current(spark, args.target)

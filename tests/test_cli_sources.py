@@ -552,3 +552,33 @@ def test_cli_timetravel_changes(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "insert" in out and "b" in out and "a " not in out
+
+
+def test_cli_scd2_stream_from_zone(spark, tmp_path, capsys):
+    """`scd2 stream --zone`: commits of observation batches tail into
+    the historized dimension via the zone_changes source."""
+    from realtime_data_pipeline_spark import cli, medallion, versioned
+
+    root = str(tmp_path / "obs_zone")
+    obs = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "cust_id string, tier string, seen_at timestamp"
+    )
+    import datetime as dt
+
+    versioned.commit_version(
+        obs([("c1", "bronze", dt.datetime(2024, 1, 1))]), root
+    )
+    versioned.commit_version(
+        obs([("c1", "gold", dt.datetime(2024, 2, 1))]), root, mode="append"
+    )
+    dim = str(tmp_path / "dim")
+    rc = cli.main([
+        "scd2", "stream", "--target", dim, "--zone", root,
+        "--keys", "cust_id", "--effective", "seen_at",
+        "--checkpoint", str(tmp_path / "ck"), "--buckets", "4",
+        "--timeout-sec", "300",
+    ])
+    assert rc == 0
+    cur = {r.cust_id: r.tier for r in medallion.scd2_current(spark, dim).collect()}
+    assert cur == {"c1": "gold"}
+    assert spark.read.parquet(dim).count() == 2
