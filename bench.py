@@ -765,6 +765,10 @@ def scale_ramp(factor: int = 10) -> None:
             f"{factor}x index",
             file=sys.stderr,
         )
+        # recompute over the FULL leg dict: the incremental-maintenance
+        # legs were appended after the headline pass, and the headline
+        # metric must track the worst slope of everything it reports
+        worst = max(v["slope_vs_factor"] for v in legs.values())
         print(
             json.dumps(
                 {

@@ -305,6 +305,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from realtime_data_pipeline_spark import versioned
 
+        if not versioned.versions(args.root):
+            raise SystemExit(
+                f"timetravel {args.action}: no committed versions under "
+                f"{args.root!r} (fresh or wrong --root?)"
+            )
         if args.action == "log":
             for v in versioned.versions(args.root):
                 m = versioned._read_manifest(args.root, v)
@@ -316,6 +321,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "rollback":
             if args.to is None:
                 raise SystemExit("timetravel rollback: --to is required")
+            if args.to not in versioned.versions(args.root):
+                raise SystemExit(
+                    f"timetravel rollback: version {args.to} not in "
+                    f"{versioned.versions(args.root)}"
+                )
             print(_json.dumps(versioned.rollback(args.root, args.to)))
             return 0
         print(

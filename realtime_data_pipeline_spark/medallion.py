@@ -534,6 +534,14 @@ def merge_upsert(
             observed, target_path, mode="overwrite", partition_by=partition_col
         )
         m = obs.get
+        if int(m["rows"]) == 0:
+            # a zero-row initial load would leave a file-less parquet
+            # dir: os.path.exists then routes every later merge into
+            # the read path, which dies on schema inference — leave the
+            # target nonexistent instead (same guard as scd2_merge)
+            import shutil
+
+            shutil.rmtree(target_path, ignore_errors=True)
         return {
             "initial_load": True,
             "affected_partitions": sorted(m["parts"]),
@@ -576,11 +584,13 @@ SCD2_META = ("__bucket", "__valid_from", "__valid_to", "__is_current")
 _SCD2_META_FILE = "_scd2_meta.json"
 
 
-def _scd2_write_meta(target_path: str, n_buckets: int) -> None:
+def _scd2_write_meta(
+    target_path: str, n_buckets: int, tracked: list[str]
+) -> None:
     import json
 
     with open(os.path.join(target_path, _SCD2_META_FILE), "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+        json.dump({"n_buckets": n_buckets, "tracked": tracked}, f)
 
 
 def _scd2_read_meta(target_path: str) -> dict:
@@ -730,9 +740,27 @@ def scd2_merge(
     ``tracked`` defaults to every non-key, non-effective column. The
     updates frame must carry ``keys + tracked + [effective_col]``.
     """
-    tracked = tracked or [
-        c for c in updates.columns if c not in (*keys, effective_col)
-    ]
+    meta = (
+        _scd2_read_meta(target_path) if os.path.exists(target_path) else None
+    )
+    if meta is not None:
+        # the tracked column set is part of the table schema: deriving
+        # it per-batch would let a producer that DROPS a column rewrite
+        # only the affected buckets without it — mixed-bucket schemas
+        # that read back differently depending on which footer Spark
+        # samples. The pinned set always wins; a batch missing a pinned
+        # column fails loudly below (select), never silently narrows.
+        if tracked is not None and tracked != meta["tracked"]:
+            raise ValueError(
+                f"scd2_merge: tracked={tracked} differs from the table's "
+                f"pinned tracked columns {meta['tracked']} — the tracked "
+                "set is fixed at initial load (rebuild to change it)"
+            )
+        tracked = meta["tracked"]
+    else:
+        tracked = tracked or [
+            c for c in updates.columns if c not in (*keys, effective_col)
+        ]
     obs_cols = [*keys, *tracked, effective_col]
     # NULL effective rows never make it into a chain (scd2_rebuild drops
     # them) — exclude them up front so a bucket whose only updates are
@@ -769,7 +797,7 @@ def scd2_merge(
 
             shutil.rmtree(target_path, ignore_errors=True)
         else:
-            _scd2_write_meta(target_path, n_buckets)
+            _scd2_write_meta(target_path, n_buckets, tracked)
         return {
             "initial_load": True,
             "affected_buckets": None,
@@ -781,9 +809,8 @@ def scd2_merge(
     # and write chains beside their own history — silent duplication.
     # The count is pinned in a sidecar at initial load and ALWAYS wins
     # over the argument.
-    stored_n = _scd2_read_meta(target_path)["n_buckets"]
-    if n_buckets != stored_n:
-        n_buckets = stored_n
+    if n_buckets != meta["n_buckets"]:
+        n_buckets = meta["n_buckets"]
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
     ).cast("int")
@@ -863,11 +890,18 @@ def scd2_temporal_join(
         & (dim["__valid_from"] <= facts[ts_col])
         & (dim["__valid_to"].isNull() | (dim["__valid_to"] > facts[ts_col]))
     )
-    dim_cols = [
-        dim[c] for c in dim.columns if c not in (*keys, *SCD2_META)
-    ]
+    attr_names = [c for c in dim.columns if c not in (*keys, *SCD2_META)]
+    clash = sorted(set(attr_names) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"scd2_temporal_join: fact columns {clash} collide with "
+            "dimension attributes — the joined frame would carry "
+            "duplicate column names (ambiguous downstream); rename or "
+            "drop them on one side first"
+        )
     return facts.join(dim, cond, how).select(
-        *[facts[c] for c in facts.columns], *dim_cols
+        *[facts[c] for c in facts.columns],
+        *[dim[c] for c in attr_names],
     )
 
 

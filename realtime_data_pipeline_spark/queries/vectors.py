@@ -249,11 +249,13 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT quantized bytes (md5 over the int sequence) plus the per-vector
     scale, so any engine-side drift in the floor-plus-half rule fails the
     hash."""
-    emb = load(spark, sf_dir, "embeddings")
-    scale, qvec = similarity.quantize_int8(F.col("embedding"))
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "__scale", similarity.quantize_scale(F.col("embedding"))
+    )
+    _, qvec = similarity.quantize_int8(F.col("embedding"), F.col("__scale"))
     return emb.select(
         "vec_id",
-        F.round(scale, 9).alias("qscale"),
+        F.round("__scale", 9).alias("qscale"),
         F.md5(
             F.array_join(F.transform(qvec, lambda x: x.cast("string")), ",")
         ).alias("qvec_md5"),

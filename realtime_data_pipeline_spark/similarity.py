@@ -46,7 +46,9 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def quantize_int8(vec_col: Column) -> tuple[Column, Column]:
+def quantize_int8(
+    vec_col: Column, scale_col: Column | None = None
+) -> tuple[Column, Column]:
     """Symmetric per-vector int8 quantization: ``(scale, qvec)`` where
     ``scale = max(|x|)/127`` and ``qvec[i] = floor(x[i]/scale + 0.5)``
     (explicit floor-plus-half instead of ``round()`` — ROUND's half-up
@@ -62,30 +64,31 @@ def quantize_int8(vec_col: Column) -> tuple[Column, Column]:
     (recall-gated in tests). Pure JVM HOFs — no UDF.
     """
     v = as_double_array(vec_col)
-    scale = (
+    if scale_col is None:
+        # single-select convenience: the scale expression is inlined in
+        # the qvec lambda, and HOF lambdas re-evaluate their body per
+        # ELEMENT (Catalyst does not hoist loop-invariant subtrees out
+        # of them) — O(d²) per vector. Hot paths must materialize the
+        # scale first (quantize_scale + a select) and pass it in.
+        scale_col = quantize_scale(vec_col)
+    qvec = F.transform(
+        v, lambda x: F.floor(x / scale_col + F.lit(0.5)).cast("int")
+    )
+    return scale_col, qvec
+
+
+def quantize_scale(vec_col: Column) -> Column:
+    """The symmetric per-vector quantization scale ``max(|x|)/127`` —
+    materialize this as a real column FIRST, then hand it to
+    :func:`quantize_int8`: one O(d) pass, and the qvec lambda reads a
+    bound scalar per element instead of recomputing the array max."""
+    v = as_double_array(vec_col)
+    return (
         F.greatest(
             F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
         )
         / F.lit(127.0)
     )
-    # NB: scale is inlined (not a separate projected column) so the two
-    # returned columns stay independently usable; Catalyst CSEs the
-    # subtree when both are selected together
-    qvec = F.transform(
-        v,
-        lambda x: F.floor(
-            x
-            / (
-                F.greatest(
-                    F.array_max(F.transform(v, lambda y: F.abs(y))),
-                    F.lit(1e-12),
-                )
-                / F.lit(127.0)
-            )
-            + F.lit(0.5)
-        ).cast("int"),
-    )
-    return scale, qvec
 
 
 def quantized_cosine(
@@ -278,11 +281,13 @@ def build_ivf_index(
         F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col))).alias("cell"),
     )
     if quantize:
-        scale, qvec = quantize_int8(F.col("vec"))
+        # two-step: scale materialized once (O(d)), then qvec reads it
+        cells = cells.withColumn("qscale", quantize_scale(F.col("vec")))
+        _, qvec = quantize_int8(F.col("vec"), F.col("qscale"))
         cells = cells.select(
             id_col,
             qvec.alias("qvec"),
-            scale.alias("qscale"),
+            "qscale",
             "cell",
         ).select(
             id_col,
@@ -347,9 +352,10 @@ def append_to_ivf_index(
         F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
     )
     if quantized:
-        scale, qvec = quantize_int8(F.col("vec"))
+        staged = staged.withColumn("qscale", quantize_scale(F.col("vec")))
+        _, qvec = quantize_int8(F.col("vec"), F.col("qscale"))
         staged = staged.select(
-            id_col, qvec.alias("qvec"), scale.alias("qscale"), "cell"
+            id_col, qvec.alias("qvec"), "qscale", "cell"
         ).select(
             id_col,
             "qvec",

@@ -481,9 +481,16 @@ def dedup_ingest_batch(
     from realtime_data_pipeline_spark import dedup as _dedup
 
     spark = batch_df.sparkSession
-    staged = batch_df.withColumn(
-        "__fp", _dedup.content_fingerprint(F.col(content_col))
-    )
+    # NULL content has no fingerprint: md5(NULL) is NULL, so the
+    # keep-latest window would collapse every NULL-content doc in the
+    # batch to ONE survivor and the anti-join (NULL never equals NULL)
+    # would re-admit it forever — such rows bypass dedup entirely and
+    # pass straight to silver, unindexed
+    batch_df = batch_df.persist()
+    null_content = batch_df.filter(F.col(content_col).isNull())
+    staged = batch_df.filter(
+        F.col(content_col).isNotNull()
+    ).withColumn("__fp", _dedup.content_fingerprint(F.col(content_col)))
     batch_unique = _dedup.keep_latest(
         staged, ["__fp"], [F.col(id_col).asc()]
     )
@@ -499,7 +506,7 @@ def dedup_ingest_batch(
     # one materialization feeds both writes (and survives the silver
     # overwrite that would otherwise race the index read)
     fresh = fresh.localCheckpoint(eager=True)
-    out = fresh.drop("__fp")
+    out = fresh.drop("__fp").unionByName(null_content)
     if curate is not None:
         # curation (PII redaction, quality gates) runs AFTER the
         # fingerprint was taken: the index remembers the ORIGINAL
@@ -521,6 +528,7 @@ def dedup_ingest_batch(
         .partitionBy("batch_id")
         .parquet(index_path)
     )
+    batch_df.unpersist()
 
 
 def dedup_ingest_stream(
@@ -586,7 +594,13 @@ def neardup_ingest_batch(
 
     spark = batch_df.sparkSession
     r = k // n_bands
-    has_grams = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    # coalesce: size(split(NULL)) is NULL, and under three-valued logic
+    # a NULL predicate fails BOTH filters — the doc would vanish from
+    # silver and index alike. NULL text can never match anything, so it
+    # belongs on the pass-through path with the too-short docs.
+    has_grams = F.coalesce(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n, F.lit(False)
+    )
     batch_df = batch_df.persist()
     eligible = batch_df.filter(has_grams)
     short_docs = batch_df.filter(~has_grams)

@@ -449,9 +449,12 @@ def vacuum(root: str, keep_last: int = 2, min_age_s: float = 600.0) -> dict:
     BEFORE its manifest, so an unreferenced file younger than the window
     may belong to a commit that has not published yet — it is skipped,
     not deleted. Crash-orphaned files age past the window and get
-    collected on a later vacuum. Stale ``_commits_by_tag`` markers whose
-    versions were vacuumed are dropped too (a long-running stream would
-    otherwise accumulate one marker per micro-batch forever)."""
+    collected on a later vacuum. Stale ``_commits_by_tag`` markers are dropped only
+    for versions BELOW the kept window and past the age guard — a
+    marker claimed by a commit racing the vacuum (version newer than
+    the vacuum's snapshot of latest) must survive, or a stream restart
+    would republish its batch (a long-running stream still cannot
+    accumulate markers forever)."""
     import time
 
     if keep_last < 1:
@@ -505,9 +508,21 @@ def vacuum(root: str, keep_last: int = 2, min_age_s: float = 600.0) -> dict:
                     dropped_markers += 1
                 continue
             with open(mpath) as f:
-                if json.load(f).get("version") not in keep:
-                    os.remove(mpath)
-                    dropped_markers += 1
+                v = json.load(f).get("version")
+            # drop only markers of VACUUMED history (below the kept
+            # window) that are also past the in-flight age guard: a
+            # concurrent commit may claim a version NEWER than the
+            # stale `keep` snapshot and write its marker mid-vacuum —
+            # removing it would resurrect the batch on stream restart
+            # (duplicate publish), the exactly-once contract's one
+            # bookkeeping file
+            if (
+                v is not None
+                and v < min(keep)
+                and os.path.getmtime(mpath) <= cutoff
+            ):
+                os.remove(mpath)
+                dropped_markers += 1
     return {
         "kept_versions": sorted(keep),
         "dropped_manifests": dropped_manifests,

@@ -1084,3 +1084,26 @@ def test_ema_per_key_is_arrival_order_invariant(spark, tmp_path):
         ema_v += v
         last = t
     assert abs(final[1] - ema_v) < 1e-9
+
+
+def test_ingest_null_content_passes_through(spark, tmp_path):
+    """NULL-content docs must reach silver exactly once per doc (not
+    collapse to one survivor, not vanish, not re-admit forever) in both
+    the exact and near-dup ingest paths."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    silver = str(tmp_path / "s1")
+    idx = str(tmp_path / "i1")
+    streaming.dedup_ingest_batch(docs, 0, idx, silver, "text", "doc_id")
+    got = sorted(r.doc_id for r in spark.read.parquet(silver).collect())
+    assert got == [1, 2, 3]  # 4 is an exact dup of 1; both NULLs survive
+
+    silver2 = str(tmp_path / "s2")
+    idx2 = str(tmp_path / "i2")
+    streaming.neardup_ingest_batch(
+        docs, 0, idx2, silver2, "doc_id", "text"
+    )
+    got2 = sorted(r.doc_id for r in spark.read.parquet(silver2).collect())
+    assert got2 == [1, 2, 3]

@@ -389,3 +389,45 @@ def test_conditional_commit_rejects_stale_base(spark, tmp_path):
     # the zone is untouched by the failed publish
     assert versioned.versions(root) == [0, 1]
     assert versioned.read_version(spark, root).count() == 2
+
+
+def test_vacuum_spares_markers_of_commits_racing_it(spark, tmp_path):
+    """A batch_tag marker claimed by a commit NEWER than the vacuum's
+    snapshot of latest (the racing-commit window) must survive the
+    marker sweep — removing it would make a stream restart republish the
+    batch. Only markers of vacuumed history past the age guard drop."""
+    import json as _json
+    import os as _os
+
+    root = str(tmp_path / "zone")
+    d = lambda k: spark.createDataFrame([(k, "x")], "k long, v string")  # noqa: E731
+    versioned.commit_version(d(0), root, batch_tag="stream-0")        # v0
+    versioned.commit_version(d(1), root, mode="append", batch_tag="stream-1")
+    versioned.commit_version(d(2), root, mode="append", batch_tag="stream-2")
+    # simulate a commit racing the vacuum: its marker exists with a
+    # version NEWER than what vacuum's keep-set will contain
+    tag_dir = _os.path.join(root, "_commits_by_tag")
+    with open(_os.path.join(tag_dir, "stream-99"), "w") as f:
+        _json.dump({"version": 99, "files_added": 1, "rows": 1}, f)
+
+    versioned.vacuum(root, keep_last=2, min_age_s=0.0)
+    left = set(_os.listdir(tag_dir))
+    # stream-0's version was vacuumed -> dropped; kept + racing survive
+    assert left == {"stream-1", "stream-2", "stream-99"}
+    # replay of the racing batch id still dedups
+    replay = versioned.commit_version(
+        d(9), root, mode="append", batch_tag="stream-99"
+    )
+    assert replay["skipped_replay"] is True
+
+
+def test_cli_timetravel_guards_fresh_root(tmp_path):
+    from realtime_data_pipeline_spark import cli
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="no committed versions"):
+        cli.main([
+            "timetravel", "rollback", "--root", str(tmp_path / "nope"),
+            "--to", "3",
+        ])
