@@ -126,3 +126,101 @@ def countmin_query(
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
         .select(F.col("__key").alias(col), "est_count")
     )
+
+
+def histogram_build(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 256
+) -> DataFrame:
+    """Fixed-bin histogram of ``col`` over [lo, hi): a ``(bin, n)``
+    DataFrame with the geometry stamped on every row — the MERGEABLE
+    quantile/distribution partial (``percentile_approx``'s sketch is not
+    exposed as a reusable partial in the SQL surface; a fixed-bin
+    histogram is, trivially: counts add). Out-of-range values clamp to
+    the edge bins (min/max live in `ops.profile_table` — pick lo/hi from
+    there); NULLs are dropped and reported via the profile, not here.
+    Quantile error is bounded by one bin width."""
+    w = (hi - lo) / bins
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "__bin",
+            "n",
+            F.lit(float(lo)).alias("__lo"),
+            F.lit(float(hi)).alias("__hi"),
+            F.lit(bins).alias("__bins"),
+        )
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Union + re-aggregate — exact, like :func:`countmin_merge`; mixed
+    geometries surface as distinct ``__lo``/``__hi``/``__bins`` rows and
+    are rejected at quantile time."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("__bin", "__lo", "__hi", "__bins").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def histogram_quantile(hist: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from the histogram: one cumulative window over
+    the (≤ bins)-row table, linear interpolation inside the landing bin.
+    |estimate − true quantile| ≤ one bin width for in-range data."""
+    from pyspark.sql import Window
+
+    geo = hist.agg(
+        F.first("__lo").alias("lo"),
+        F.first("__hi").alias("hi"),
+        F.first("__bins").alias("b"),
+        F.count_distinct("__lo", "__hi", "__bins").alias("geoms"),
+        F.sum("n").alias("total"),
+    ).first()
+    if geo["geoms"] > 1:
+        raise ValueError(
+            "histogram_quantile: mixed geometries — merged from "
+            "histograms built with different lo/hi/bins"
+        )
+    if not geo["total"]:
+        raise ValueError("histogram_quantile: empty histogram")
+    lo, hi, bins, total = (
+        float(geo["lo"]), float(geo["hi"]), int(geo["b"]), int(geo["total"])
+    )
+    w = (hi - lo) / bins
+    cum = hist.select(
+        "__bin",
+        "n",
+        F.sum("n")
+        .over(Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+    )
+    probes = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    ).withColumn("__rank", F.col("q") * F.lit(float(total)))
+    # the landing bin: first bin whose cumulative count reaches the rank
+    landed = (
+        probes.join(cum, F.col("__cum") >= F.col("__rank"))
+        .groupBy("q", "__rank")
+        .agg(F.min_by(F.struct("__bin", "n", "__cum"), "__bin").alias("b"))
+    )
+    frac = (
+        F.col("__rank") - (F.col("b.__cum") - F.col("b.n"))
+    ) / F.greatest(F.col("b.n"), F.lit(1))
+    return landed.select(
+        "q",
+        (
+            F.lit(lo)
+            + (F.col("b.__bin") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)))
+            * F.lit(w)
+        ).alias("estimate"),
+    ).orderBy("q")

@@ -82,3 +82,38 @@ def test_empty_sketch_estimates_zero_and_mixed_geometry_rejected(spark):
         sketches.countmin_query(
             sketches.countmin_merge(a, b), probes, "key"
         ).collect()
+
+
+def test_histogram_quantiles_within_one_bin_and_merge_exact(spark):
+    """Histogram sketch: quantile estimates land within one bin width of
+    the exact percentiles, and merge ≡ histogram-of-union exactly (the
+    partial contract)."""
+    df = spark.range(10_000).selectExpr("CAST(id AS DOUBLE) AS x")
+    h = sketches.histogram_build(df, "x", lo=0.0, hi=10_000.0, bins=200)
+    est = {
+        r.q: r.estimate
+        for r in sketches.histogram_quantile(h, [0.1, 0.5, 0.9]).collect()
+    }
+    binw = 10_000.0 / 200
+    for q, true in [(0.1, 1000.0), (0.5, 5000.0), (0.9, 9000.0)]:
+        assert abs(est[q] - true) <= binw, (q, est[q], true)
+
+    a = df.filter("x < 3000")
+    b = df.filter("x >= 3000")
+    merged = sketches.histogram_merge(
+        sketches.histogram_build(a, "x", 0.0, 10_000.0, 200),
+        sketches.histogram_build(b, "x", 0.0, 10_000.0, 200),
+    )
+    whole = sketches.histogram_build(df, "x", 0.0, 10_000.0, 200)
+    rows = lambda hh: sorted(  # noqa: E731
+        (r["__bin"], r.n) for r in hh.collect()
+    )
+    assert rows(merged) == rows(whole)
+
+    import pytest as _pytest
+
+    other = sketches.histogram_build(df, "x", 0.0, 5_000.0, 200)
+    with _pytest.raises(ValueError, match="geometries"):
+        sketches.histogram_quantile(
+            sketches.histogram_merge(whole, other), [0.5]
+        ).collect()
