@@ -117,3 +117,68 @@ def test_histogram_quantiles_within_one_bin_and_merge_exact(spark):
         sketches.histogram_quantile(
             sketches.histogram_merge(whole, other), [0.5]
         ).collect()
+
+
+def test_sketch_partials_stream_and_merge_on_read(spark, tmp_path):
+    """The streaming-partial wiring: each micro-batch writes its own
+    count-min partial under batch_id=N (same discipline as the
+    continuous rollup); the merged view over ALL partials equals the
+    batch sketch of the full stream — no state store, replay-safe by
+    dynamic partition overwrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import streaming
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    batches = [[("a",), ("b",), ("a",)], [("a",), ("c",)]]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(inbox, f"b{i}.csv"), "w") as f:
+            f.write("key\n")
+            for (k,) in rows:
+                f.write(k + "\n")
+        os.utime(inbox + f"/b{i}.csv", (1_700_000_000 + i,) * 2)
+
+    out = str(tmp_path / "cm_partials")
+
+    def write_partial(batch_df, batch_id):
+        (
+            sketches.countmin_build(batch_df, "key", depth=3, width=64)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        streaming.read_file_stream(
+            spark, inbox, "key string", max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = sketches.countmin_merge(spark.read.parquet(out).drop("batch_id"))
+    whole = sketches.countmin_build(
+        spark.createDataFrame(
+            [r for b in batches for r in b], "key string"
+        ),
+        "key",
+        depth=3,
+        width=64,
+    )
+    assert sorted(
+        (r["__depth"], r["__bucket"], r.n) for r in merged.collect()
+    ) == sorted((r["__depth"], r["__bucket"], r.n) for r in whole.collect())
+    probes = spark.createDataFrame([("a",), ("c",), ("z",)], "key string")
+    est = {
+        r.key: r.est_count
+        for r in sketches.countmin_query(merged, probes, "key").collect()
+    }
+    assert est == {"a": 3, "c": 1, "z": 0}
