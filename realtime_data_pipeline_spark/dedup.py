@@ -97,7 +97,25 @@ def incremental_fingerprint_dedup(
     staged = new_docs.withColumn(
         "__fp", content_fingerprint(F.col(content_col))
     )
-    batch_unique = keep_latest(staged, ["__fp"], tiebreak)
+    # Per-fingerprint group size rides the SAME hash exchange as the
+    # keep_latest row_number window (both partition on __fp), so
+    # batch_rows = sum of survivor group sizes costs no extra shuffle.
+    # Checkpointing the survivors means the metrics agg AND the index
+    # anti-join both read the materialized batch: the raw batch is
+    # scanned exactly once — not new_docs.count(), which would re-scan
+    # it (neardup.py discipline; a daily batch at corpus scale is not
+    # free to scan).
+    batch_unique = keep_latest(
+        staged.withColumn(
+            "__grp_rows", F.count("*").over(Window.partitionBy("__fp"))
+        ),
+        ["__fp"],
+        tiebreak,
+    ).localCheckpoint(eager=True)
+    batch_rows = int(
+        batch_unique.agg(F.sum("__grp_rows")).first()[0] or 0
+    )
+    batch_unique = batch_unique.drop("__grp_rows")
     if os.path.exists(index_path):
         index = spark.read.parquet(index_path)
         fresh = batch_unique.join(
@@ -114,7 +132,7 @@ def incremental_fingerprint_dedup(
             .parquet(index_path)
         )
     return fresh.drop("__fp"), {
-        "batch_rows": new_docs.count(),
+        "batch_rows": batch_rows,
         "fresh_rows": n_fresh,
     }
 

@@ -737,6 +737,15 @@ def scd2_merge(
        crash window between a history append and a current overwrite —
        the failure mode of the two-table SCD2 spelling).
 
+    SINGLE WRITER ASSUMED (like :func:`merge_upsert`): two concurrent
+    merges touching the same bucket both read the stored segments,
+    rebuild independently, and the second dynamic-overwrite silently
+    drops the first merge's observations — there is no compare-and-swap
+    on a plain hive layout. Serialize merges per table (the streaming
+    ``scd2_stream`` path already does: one foreachBatch at a time), or
+    route the table through the versioned zone's CAS commit
+    (``versioned.commit_version``) when multi-writer use is expected.
+
     ``tracked`` defaults to every non-key, non-effective column. The
     updates frame must carry ``keys + tracked + [effective_col]``.
     """

@@ -646,8 +646,17 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
 class ZoneChangesDataSource(DataSource):
     """``zone_changes`` — stream a versioned zone's commits as
     micro-batches. Options: ``root`` (required), ``on_overwrite``
-    (fail|full|skip), ``starting_after_version``. Payload schema comes
-    from the zone's latest manifest plus ``_commit_version bigint``."""
+    (fail|full|skip), ``starting_after_version``,
+    ``max_versions_per_trigger``. Payload schema comes from the zone's
+    latest manifest plus ``_commit_version bigint``.
+
+    CAVEAT — ``max_versions_per_trigger`` paces a catch-up backlog from
+    the SECOND trigger of a run onward: the cap anchors on an in-memory
+    cursor that does not survive restart, so the FIRST trigger after a
+    (re)start ingests everything between the checkpoint offset and the
+    zone head uncapped. For bounded catch-up after a restart, set
+    ``starting_after_version`` near the head (or resync from a snapshot)
+    rather than relying on the cap alone."""
 
     @classmethod
     def name(cls) -> str:

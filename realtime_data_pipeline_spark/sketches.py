@@ -139,6 +139,13 @@ def histogram_build(
     the edge bins (min/max live in `ops.profile_table` — pick lo/hi from
     there); NULLs are dropped and reported via the profile, not here.
     Quantile error is bounded by one bin width."""
+    # loud geometry check, matching the query functions: hi <= lo makes
+    # the bin width <= 0 so every value would silently clamp into bin 0
+    # and histogram_quantile would report lo for every quantile
+    if hi <= lo:
+        raise ValueError(f"histogram_build requires lo < hi, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"histogram_build requires bins >= 1, got {bins}")
     w = (hi - lo) / bins
     bin_ = F.least(
         F.greatest(

@@ -487,48 +487,56 @@ def dedup_ingest_batch(
     # would re-admit it forever — such rows bypass dedup entirely and
     # pass straight to silver, unindexed
     batch_df = batch_df.persist()
-    null_content = batch_df.filter(F.col(content_col).isNull())
-    staged = batch_df.filter(
-        F.col(content_col).isNotNull()
-    ).withColumn("__fp", _dedup.content_fingerprint(F.col(content_col)))
-    batch_unique = _dedup.keep_latest(
-        staged, ["__fp"], [F.col(id_col).asc()]
-    )
-    if os.path.exists(index_path):
-        idx = spark.read.parquet(index_path).filter(
-            F.col("batch_id") != batch_id
+    # try/finally: a failed micro-batch write must not leak cached blocks
+    # across foreachBatch retries in a long-running stream (same pattern
+    # as dq_gate_stream's batch function)
+    try:
+        null_content = batch_df.filter(F.col(content_col).isNull())
+        staged = batch_df.filter(
+            F.col(content_col).isNotNull()
+        ).withColumn(
+            "__fp", _dedup.content_fingerprint(F.col(content_col))
         )
-        fresh = batch_unique.join(
-            idx.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+        batch_unique = _dedup.keep_latest(
+            staged, ["__fp"], [F.col(id_col).asc()]
         )
-    else:
-        fresh = batch_unique
-    # one materialization feeds both writes (and survives the silver
-    # overwrite that would otherwise race the index read)
-    fresh = fresh.localCheckpoint(eager=True)
-    out = fresh.drop("__fp").unionByName(null_content)
-    if curate is not None:
-        # curation (PII redaction, quality gates) runs AFTER the
-        # fingerprint was taken: the index remembers the ORIGINAL
-        # content, so a redacted doc's raw twin arriving later is still
-        # a duplicate — and curation stays a projection on fresh rows
-        out = curate(out)
-    (
-        out.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(silver_path)
-    )
-    (
-        fresh.select(F.col("__fp").alias("fp"))
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(index_path)
-    )
-    batch_df.unpersist()
+        if os.path.exists(index_path):
+            idx = spark.read.parquet(index_path).filter(
+                F.col("batch_id") != batch_id
+            )
+            fresh = batch_unique.join(
+                idx.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+            )
+        else:
+            fresh = batch_unique
+        # one materialization feeds both writes (and survives the silver
+        # overwrite that would otherwise race the index read)
+        fresh = fresh.localCheckpoint(eager=True)
+        out = fresh.drop("__fp").unionByName(null_content)
+        if curate is not None:
+            # curation (PII redaction, quality gates) runs AFTER the
+            # fingerprint was taken: the index remembers the ORIGINAL
+            # content, so a redacted doc's raw twin arriving later is
+            # still a duplicate — and curation stays a projection on
+            # fresh rows
+            out = curate(out)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(silver_path)
+        )
+        (
+            fresh.select(F.col("__fp").alias("fp"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_path)
+        )
+    finally:
+        batch_df.unpersist()
 
 
 def dedup_ingest_stream(

@@ -370,9 +370,16 @@ def changes_since(
             .withColumn("_change_type", F.lit("insert"))
             .withColumn("_commit_version", F.lit(0))
         )
+    # allowMissingColumns: a schema-evolving overwrite commit in the range
+    # yields a wider change feed (union of old+new columns) that must still
+    # union with earlier commits' old-schema frames — NULL-pad the narrower
+    # side instead of dying with an AnalysisException, preserving the
+    # documented "overwrite contributes its full delete+insert" contract.
     out = changes(spark, root, todo[0])
     for v in todo[1:]:
-        out = out.unionByName(changes(spark, root, v))
+        out = out.unionByName(
+            changes(spark, root, v), allowMissingColumns=True
+        )
     return out
 
 

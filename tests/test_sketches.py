@@ -118,6 +118,13 @@ def test_histogram_quantiles_within_one_bin_and_merge_exact(spark):
             sketches.histogram_merge(whole, other), [0.5]
         ).collect()
 
+    # degenerate geometry fails loudly at build time, not as a silent
+    # all-in-bin-0 histogram whose quantiles all read lo (round-5 advice)
+    with _pytest.raises(ValueError, match="lo < hi"):
+        sketches.histogram_build(df, "x", lo=5.0, hi=5.0, bins=10)
+    with _pytest.raises(ValueError, match="bins >= 1"):
+        sketches.histogram_build(df, "x", lo=0.0, hi=1.0, bins=0)
+
 
 def test_sketch_partials_stream_and_merge_on_read(spark, tmp_path):
     """The streaming-partial wiring: each micro-batch writes its own

@@ -297,6 +297,39 @@ def test_changes_since_tails_commits_in_order(spark, tmp_path):
         versioned.changes_since(spark, root, 99)
 
 
+def test_changes_since_spans_schema_evolving_overwrite(spark, tmp_path):
+    """A schema-evolving overwrite inside the range widens that commit's
+    change feed (old+new columns); earlier append commits' old-schema
+    frames must still union — NULL-padded — instead of dying with an
+    AnalysisException (round-5 advice)."""
+    root = str(tmp_path / "zone")
+    d = lambda pairs, s: spark.createDataFrame(pairs, s)  # noqa: E731
+    versioned.commit_version(d([(1, "a")], "k long, v string"), root)  # v0
+    versioned.commit_version(
+        d([(2, "b")], "k long, v string"), root, mode="append"
+    )  # v1
+    versioned.commit_version(
+        d([(1, "a", 9.0)], "k long, v string, w double"),
+        root,
+        mode="overwrite",
+    )  # v2: evolved schema
+    feed = versioned.changes_since(spark, root, 0)
+    got = sorted(
+        (
+            (r.k, r.v, r.w, r._change_type, r._commit_version)
+            for r in feed.collect()
+        ),
+        key=lambda t: (t[0], t[3], t[4], t[2] is not None),
+    )
+    # v1's append is NULL-padded on w; v2 contributes full delete+insert
+    assert got == [
+        (1, "a", None, "delete", 2),
+        (1, "a", 9.0, "insert", 2),
+        (2, "b", None, "delete", 2),
+        (2, "b", None, "insert", 1),
+    ]
+
+
 def test_changes_after_vacuum_raises_instead_of_replaying_zone(spark, tmp_path):
     """Once a commit's predecessor manifest is vacuumed its delta is
     unknowable: changes() must raise, not silently re-deliver the whole
