@@ -78,6 +78,70 @@ for _mod in (
 # driver coverage, so tests/test_entry.py asserts the budget.
 DRIVER_ROW_BUDGET = 50
 
+# ROUND-6 ROTATION — widen cumulative driver-grade proof. 46 implemented
+# queries sat shelved under the 50-row cap with only locally-authored
+# pytest oracle checks; this round swaps 18 of them (all oracle-backed:
+# the 8-way TPC-H analogs, timeseries gap-fill/rolling stats, funnel/
+# retention, pivot, BM25, packing, int8 quantization, right-outer,
+# intersect) into the declared set in place of incumbents that have 5
+# consecutive green CORRECTNESS rounds. The two rows-only LSH queries
+# also rotate out (their recall gates live in tests/test_neardup.py and
+# tests/test_similarity.py), so all 50 declared rows are hash-checkable
+# this round. Rotated-out queries keep full pytest oracle coverage via
+# SHELVED_*; nothing loses a check — the DRIVER gets fresh targets.
+_ROTATE_IN = [
+    "local_supplier_volume_q5",
+    "market_share_q8",
+    "disjunctive_revenue_q19",
+    "order_priority_check_q4",
+    "returned_item_losses_q10",
+    "customer_order_distribution_q13",
+    "promo_revenue_ratio_q14",
+    "events_hourly_ffill",
+    "events_rolling_1h_stats",
+    # NOT orders_price_anomalies_zscore: the fixture's uniform order
+    # price caps |z| at √3, so that query is structurally empty here —
+    # a 0-row driver row proves nothing; the customer-spend variant has
+    # real tail mass at every SF (2 / 20 / 203 rows)
+    "customer_spend_anomalies_zscore",
+    "docs_pack_chunks",
+    "embeddings_quantize_int8",
+    "nation_order_counts_right",
+    "buyer_and_building_custkeys",
+    "events_funnel_counts",
+    "events_retention_cohorts",
+    "orders_pivot_status_by_year",
+    "docs_bm25_search",
+]
+_ROTATE_OUT = [
+    "customer_order_stats",
+    "region_nation_grid",
+    "top_orders_by_price",
+    "nation_supplier_union",
+    "daily_orders_vs_shipments",
+    "high_value_open_custkeys",
+    "customer_order_window",
+    "customer_balance_window",
+    "events_distinct_user_type",
+    "docs_hash_split",
+    "doc_lang_profile",
+    "docs_repetition_profile",
+    "events_user_cardinality",
+    "orders_marginals_grouping_sets",
+    "events_sliding_10m_5m",
+    "clicks_with_next_purchase",
+    "embeddings_neardup_lsh",
+    "docs_neardup_minhash",
+]
+
+for _name in _ROTATE_IN:
+    _MERGED[_name] = SHELVED_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = SHELVED_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT:
+    SHELVED_QUERIES[_name] = _MERGED.pop(_name)
+    if _name in ORACLE_SQL:
+        SHELVED_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: v for k, v in _MERGED.items() if k in ORACLE_SQL},
     **{k: v for k, v in _MERGED.items() if k not in ORACLE_SQL},

@@ -120,6 +120,95 @@ ORDER BY o_orderkey
 """
 
 
+def customer_spend_anomalies_zscore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customers whose TOTAL spend is an outlier (|z| > 2.5) within
+    their market segment. Unlike the per-order variant (whose uniform
+    fixture price can never exceed |z| = √3 ≈ 1.73 — structurally empty
+    on this data), a customer's spend is a sum over a varying order
+    count, so the fixture has genuine tail mass at every SF.
+
+    Scale shape: facts shuffle ONCE (the per-customer groupBy on
+    ``o_custkey``); the segment join reuses that hash partitioning
+    (sort-merge on the same key — no second fact exchange), the 5-row
+    segment-moments table broadcasts back, and the z filter is a
+    projection. Exact-decimal Σx/Σx² keeps both the spend sums and the
+    moments engine-identical, so the anomaly flag can't flip on a
+    last-ulp (same recipe as :func:`orders_price_anomalies_zscore`)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("spend")
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_custkey").alias("custkey"),
+            "spend",
+        )
+    )
+    moments = spend.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("spend").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("spend") * F.col("spend")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1),
+    )
+    z = F.when(var > 0, (F.col("spend") - mean) / F.sqrt(var))
+    return (
+        spend.join(F.broadcast(moments), "mktsegment")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select(
+            "custkey",
+            "mktsegment",
+            F.round("spend", 2).alias("spend"),
+            "z",
+        )
+        .orderBy("custkey")
+    )
+
+
+CUSTOMER_SPEND_ANOMALIES_ZSCORE_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS mktsegment, o.o_custkey AS custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(spend AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(spend * spend AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+  FROM spend GROUP BY mktsegment
+)
+SELECT custkey, mktsegment, ROUND(spend, 2) AS spend,
+       ROUND((spend - sx / n)
+             / SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS z
+FROM spend JOIN m USING (mktsegment)
+WHERE n > 1
+  AND (sxx - sx * sx / n) / (n - 1) > 0
+  AND ABS(ROUND((spend - sx / n)
+          / SQRT((sxx - sx * sx / n) / (n - 1)), 4)) > 2.5
+ORDER BY custkey
+"""
+
+
 # half-life 7 days against a fixed post-corpus reference instant: the
 # exponent is <= 0 for every event, so the term never overflows
 _REF = "2024-02-01 00:00:00"
@@ -167,10 +256,12 @@ ORACLE_SQL: dict[str, str] = {}
 
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_anomalies_zscore": orders_price_anomalies_zscore,
+    "customer_spend_anomalies_zscore": customer_spend_anomalies_zscore,
     "events_recency_weighted_value": events_recency_weighted_value,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "orders_price_anomalies_zscore": ORDERS_PRICE_ANOMALIES_ZSCORE_SQL,
+    "customer_spend_anomalies_zscore": CUSTOMER_SPEND_ANOMALIES_ZSCORE_SQL,
     "events_recency_weighted_value": EVENTS_RECENCY_WEIGHTED_VALUE_SQL,
 }

@@ -26,8 +26,15 @@ def plan_str(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def qfn(name: str):
+    """Tier-agnostic query lookup: a plan property holds for the query
+    itself, not for which side of the 50-row driver budget it currently
+    sits on — queries rotate between declared and shelved each round."""
+    return q.QUERIES.get(name) or q.SHELVED_QUERIES[name]
+
+
 def test_pricing_summary_pushes_date_filter_into_scan(spark, sf_dir):
-    df = q.QUERIES["pricing_summary_q1"](spark, sf_dir)
+    df = qfn("pricing_summary_q1")(spark, sf_dir)
     plan = plan_str(df)
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     # single-stage agg: exactly one shuffle (partial -> final hash agg)
@@ -36,21 +43,21 @@ def test_pricing_summary_pushes_date_filter_into_scan(spark, sf_dir):
 
 
 def test_pricing_summary_prunes_columns(spark, sf_dir):
-    plan = plan_str(q.QUERIES["pricing_summary_q1"](spark, sf_dir))
+    plan = plan_str(qfn("pricing_summary_q1")(spark, sf_dir))
     scan = next(s for s in plan.splitlines() if "ReadSchema" in s)
     # 7 needed columns, not the 16-column table
     assert "l_comment" not in scan and "l_partkey" not in scan
 
 
 def test_revenue_per_nation_broadcasts_dims(spark, sf_dir):
-    plan = plan_str(q.QUERIES["revenue_per_nation"](spark, sf_dir))
+    plan = plan_str(qfn("revenue_per_nation")(spark, sf_dir))
     # customer and nation are hint-broadcast: never a shuffle join for dims
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
 
 
 def test_global_topk_is_take_ordered(spark, sf_dir):
-    plan = plan_str(q.QUERIES["top_orders_by_price"](spark, sf_dir))
+    plan = plan_str(qfn("top_orders_by_price")(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Sort (" not in plan  # never a full global sort
 
@@ -59,7 +66,7 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     "name", ["top_orders_per_segment", "events_keep_latest_per_user"]
 )
 def test_per_group_topk_has_partial_window_group_limit(spark, sf_dir, name):
-    plan = plan_str(q.QUERIES[name](spark, sf_dir), mode="simple")
+    plan = plan_str(qfn(name)(spark, sf_dir), mode="simple")
     # WindowGroupLimit both below (partial, pre-shuffle) and above the
     # Exchange: the shuffle carries <= k rows per group per map partition
     assert plan.count("WindowGroupLimit") == 2
@@ -100,7 +107,7 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_q6_pushes_every_predicate(spark, sf_dir):
-    plan = plan_str(q.QUERIES["forecast_revenue_q6"](spark, sf_dir))
+    plan = plan_str(qfn("forecast_revenue_q6")(spark, sf_dir))
     pushed = next(s for s in plan.splitlines() if "PushedFilters" in s)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
@@ -155,7 +162,7 @@ def test_repetition_profile_is_shuffle_free(spark, sf_dir):
     """docs_repetition_profile claims per-doc top-frequency stats WITHOUT
     the explode + groupBy word shuffle — the plan must hold zero exchanges
     (ops.spread's small-input repartition is the allowed exception)."""
-    df = q.QUERIES["docs_repetition_profile"](spark, sf_dir)
+    df = qfn("docs_repetition_profile")(spark, sf_dir)
     simple = plan_str(df, mode="simple")
     # the only Exchange permitted is spread()'s RoundRobin/hash repartition
     exchanges = [
@@ -171,7 +178,7 @@ def test_multimodal_meta_profile_never_materializes_payload(spark, sf_dir):
     in the optimized plan would mean every meta query pays for the media
     bytes. multimodal.media_meta's two-step projection is what lets
     CollapseProject + SimplifyExtractValueOps eliminate it."""
-    df = q.QUERIES["docs_multimodal_meta_profile"](spark, sf_dir)
+    df = qfn("docs_multimodal_meta_profile")(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "sha2" not in optimized.lower(), optimized
     physical = plan_str(df, mode="simple")
@@ -198,7 +205,7 @@ def test_multimodal_meta_only_scan_prunes_nested_payload(spark, sf_dir, tmp_path
 def test_pii_redaction_is_narrow_projection(spark, sf_dir):
     """Redaction + counts must stay one projection over the scan: no
     aggregates, no joins, no Python UDFs."""
-    df = q.QUERIES["docs_pii_redaction"](spark, sf_dir)
+    df = qfn("docs_pii_redaction")(spark, sf_dir)
     simple = plan_str(df, mode="simple")
     for op in ("Join", "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
         assert op not in simple, simple
@@ -208,7 +215,7 @@ def test_surprisal_broadcasts_frequency_table(spark, sf_dir):
     """The unigram LM scoring join must broadcast the Zipf-small
     frequency table — a shuffled scoring join would move every corpus
     token twice."""
-    plan = plan_str(q.SHELVED_QUERIES["docs_unigram_surprisal"](spark, sf_dir))
+    plan = plan_str(qfn("docs_unigram_surprisal")(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastExchange" in plan
 
@@ -217,7 +224,7 @@ def test_hot_user_share_broadcasts_total(spark, sf_dir):
     """The exact heavy-hitter profile attaches the 1-row total via a
     broadcast nested-loop cross join — never a global window (single-task
     funnel) nor a shuffled join."""
-    plan = plan_str(q.SHELVED_QUERIES["events_hot_user_share"](spark, sf_dir))
+    plan = plan_str(qfn("events_hot_user_share")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
 
@@ -258,7 +265,7 @@ def test_q19_disjunction_is_one_join_no_union(spark, sf_dir):
     """The OR-of-ANDs must be a residual filter on ONE broadcast hash
     join — a union-of-three-joins rewrite would scan lineitem 3x."""
     plan = plan_str(
-        q.SHELVED_QUERIES["disjunctive_revenue_q19"](spark, sf_dir),
+        qfn("disjunctive_revenue_q19")(spark, sf_dir),
         mode="simple",
     )
     assert plan.count("Join") == 1
@@ -271,7 +278,7 @@ def test_q4_exists_is_semi_join_carrying_correlation(spark, sf_dir):
     join with the extra predicate on the join (never a per-row subquery
     or a post-join dedup)."""
     plan = plan_str(
-        q.SHELVED_QUERIES["order_priority_check_q4"](spark, sf_dir),
+        qfn("order_priority_check_q4")(spark, sf_dir),
         mode="simple",
     )
     semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
@@ -284,7 +291,7 @@ def test_q17_window_decorrelation_single_shuffle(spark, sf_dir):
     key: exactly one data shuffle (the window) before the 1-row agg, and
     the brand filter reaches lineitem via broadcast."""
     plan = plan_str(
-        q.SHELVED_QUERIES["small_quantity_revenue_q17"](spark, sf_dir),
+        qfn("small_quantity_revenue_q17")(spark, sf_dir),
         mode="simple",
     )
     assert "BroadcastHashJoin" in plan
@@ -297,7 +304,7 @@ def test_q22_scalar_subquery_broadcasts_and_anti_joins(spark, sf_dir):
     NOT EXISTS is a hash anti join — no shuffle of the customer table for
     the scalar comparison."""
     plan = plan_str(
-        q.SHELVED_QUERIES["idle_rich_customers_q22"](spark, sf_dir),
+        qfn("idle_rich_customers_q22")(spark, sf_dir),
         mode="simple",
     )
     assert "BroadcastNestedLoopJoin" in plan
@@ -309,7 +316,7 @@ def test_pivot_conditional_agg_single_shuffle(spark, sf_dir):
     (partial -> final) — not DataFrame.pivot's two-shuffle pivotfirst
     plan, and no distinct-values discovery pass over the fact table."""
     plan = plan_str(
-        q.SHELVED_QUERIES["orders_pivot_status_by_year"](spark, sf_dir),
+        qfn("orders_pivot_status_by_year")(spark, sf_dir),
         mode="simple",
     )
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
@@ -319,7 +326,7 @@ def test_unpivot_is_expand_after_the_agg(spark, sf_dir):
     """Melt runs as an Expand projection over the aggregated result — the
     only shuffle is the grouped aggregation's."""
     plan = plan_str(
-        q.SHELVED_QUERIES["lineitem_unpivot_measures"](spark, sf_dir),
+        qfn("lineitem_unpivot_measures")(spark, sf_dir),
         mode="simple",
     )
     assert "Expand" in plan
@@ -333,7 +340,7 @@ def test_tfidf_topk_window_is_shuffle_free(spark, sf_dir):
     The idf table joins back by broadcast — never a sort-merge join of
     tokens against tokens."""
     plan = plan_str(
-        q.SHELVED_QUERIES["docs_tfidf_top_terms"](spark, sf_dir),
+        qfn("docs_tfidf_top_terms")(spark, sf_dir),
         mode="simple",
     )
     assert "WindowGroupLimit" in plan
@@ -351,7 +358,7 @@ def test_bm25_topk_is_take_ordered(spark, sf_dir):
     """Global top-10 is TakeOrderedAndProject — never a full sort of the
     scored corpus."""
     plan = plan_str(
-        q.SHELVED_QUERIES["docs_bm25_search"](spark, sf_dir), mode="simple"
+        qfn("docs_bm25_search")(spark, sf_dir), mode="simple"
     )
     assert "TakeOrderedAndProject" in plan
 
@@ -369,7 +376,7 @@ def test_tpch_multiway_joins_broadcast_every_dim(spark, sf_dir, name, min_bhj):
     slice) rides a hint-driven BroadcastHashJoin — adding the 5th/6th
     table costs no extra shuffle, and nothing degenerates to a cartesian
     product."""
-    plan = plan_str(q.SHELVED_QUERIES[name](spark, sf_dir), mode="simple")
+    plan = plan_str(qfn(name)(spark, sf_dir), mode="simple")
     assert plan.count("BroadcastHashJoin") >= min_bhj
     assert "CartesianProduct" not in plan
 
@@ -379,7 +386,7 @@ def test_q10_topk_is_take_ordered_single_agg_shuffle(spark, sf_dir):
     sort), the nation dim broadcasts, and the customer-grain aggregation
     is the plan's one guaranteed shuffle."""
     plan = plan_str(
-        q.SHELVED_QUERIES["returned_item_losses_q10"](spark, sf_dir),
+        qfn("returned_item_losses_q10")(spark, sf_dir),
         mode="simple",
     )
     assert "TakeOrderedAndProject" in plan
@@ -392,7 +399,7 @@ def test_q15_scalar_max_is_broadcast_back(spark, sf_dir):
     (1-row build side) — the per-supplier revenue aggregate is never
     re-sorted or re-shuffled to find its max."""
     plan = plan_str(
-        q.SHELVED_QUERIES["top_supplier_q15"](spark, sf_dir), mode="simple"
+        qfn("top_supplier_q15")(spark, sf_dir), mode="simple"
     )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
@@ -404,7 +411,7 @@ def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
     key — no per-row subquery, no cartesian expansion — and the final
     top-20 is TakeOrderedAndProject."""
     plan = plan_str(
-        q.SHELVED_QUERIES["waiting_suppliers_q21"](spark, sf_dir),
+        qfn("waiting_suppliers_q21")(spark, sf_dir),
         mode="simple",
     )
     assert "LeftSemi" in plan
@@ -418,7 +425,7 @@ def test_q12_is_one_join_one_agg_pass(spark, sf_dir):
     and both priority counters come from a single aggregation pass — no
     union of per-bucket scans."""
     plan = plan_str(
-        q.SHELVED_QUERIES["late_shipment_priority_q12"](spark, sf_dir),
+        qfn("late_shipment_priority_q12")(spark, sf_dir),
         mode="simple",
     )
     assert plan.count("Scan parquet") == 2
@@ -432,7 +439,20 @@ def test_zscore_moments_broadcast_back_not_windowed(spark, sf_dir):
     table into |groups| partitions; with low-cardinality groups at scale
     that is a handful of executors holding everything."""
     plan = plan_str(
-        q.SHELVED_QUERIES["orders_price_anomalies_zscore"](spark, sf_dir),
+        qfn("orders_price_anomalies_zscore")(spark, sf_dir),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_customer_spend_zscore_broadcasts_moments_not_windowed(spark, sf_dir):
+    """The segment-spend variant keeps the same discipline: the 5-row
+    moments table broadcasts back over the per-customer spend rows, and
+    no window spelling sneaks in (which would hash everything into
+    |segments| partitions)."""
+    plan = plan_str(
+        qfn("customer_spend_anomalies_zscore")(spark, sf_dir),
         mode="simple",
     )
     assert "BroadcastHashJoin" in plan
@@ -444,7 +464,7 @@ def test_rolling_range_window_is_one_pass(spark, sf_dir):
     key's sorted run — one window shuffle plus the presentation sort,
     never a banded self-join (no Join operator at all)."""
     plan = plan_str(
-        q.SHELVED_QUERIES["events_rolling_1h_stats"](spark, sf_dir),
+        qfn("events_rolling_1h_stats")(spark, sf_dir),
         mode="simple",
     )
     assert "Join" not in plan
@@ -456,7 +476,7 @@ def test_gap_fill_grid_is_generated_distributed(spark, sf_dir):
     under the per-key aggregate) — no cartesian against a calendar table,
     and the forward-fill join stays a hash join on (key, hour)."""
     plan = plan_str(
-        q.SHELVED_QUERIES["events_hourly_ffill"](spark, sf_dir),
+        qfn("events_hourly_ffill")(spark, sf_dir),
         mode="simple",
     )
     assert "Generate explode" in plan
