@@ -527,3 +527,114 @@ def test_zone_changes_full_reemit_aligns_by_name(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [("a", None, 1, 0), ("b", 2.5, 2, 1)]
+
+
+def test_zone_changes_checkpoint_behind_vacuum_surfaces_resync(
+    spark, tmp_path
+):
+    """Torture: a vacuum racing a stopped zone_changes consumer. If the
+    vacuum's retention window passes the consumer's checkpointed
+    version, the restart must fail LOUDLY with the documented resync
+    guidance ("vacuumed ... resync"), never silently replay the oldest
+    surviving snapshot as fresh inserts (double-apply downstream). A
+    vacuum that keeps the checkpoint in-window must not disturb the
+    restart at all."""
+    import pytest as _pytest
+
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(0, "a")]), root)                 # v0
+    versioned.commit_version(d([(1, "b")]), root, mode="append")  # v1
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run() -> None:
+        q = (
+            spark.readStream.format("zone_changes")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()  # checkpoint now at v1
+
+    # in-window vacuum: v1 (the checkpointed offset) survives, restart
+    # drains the backlog normally
+    versioned.commit_version(d([(2, "c")]), root, mode="append")  # v2
+    versioned.commit_version(d([(3, "d")]), root, mode="append")  # v3
+    versioned.vacuum(root, keep_last=3, min_age_s=0.0)  # keeps v1..v3
+    run()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3]
+
+    # out-of-window vacuum: the checkpoint (v3) predates retention
+    versioned.commit_version(d([(4, "e")]), root, mode="append")  # v4
+    versioned.commit_version(d([(5, "f")]), root, mode="append")  # v5
+    versioned.vacuum(root, keep_last=1, min_age_s=0.0)  # keeps only v5
+    with _pytest.raises(Exception, match="vacuumed|resync"):
+        run()
+    # and nothing was silently appended to the sink by the failed run
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_zone_changes_restart_across_compaction(spark, tmp_path):
+    """Torture: a compactor racing a stopped zone_changes consumer.
+    compact_snapshot publishes an OVERWRITE commit, which is not
+    expressible as an append feed: the default on_overwrite=fail must
+    stop the restarted stream with the policy guidance, and
+    on_overwrite=full must re-emit the compacted snapshot exactly once
+    (dedupable downstream), not lose it or crash."""
+    import pytest as _pytest
+
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(0, "a")]), root)                 # v0
+    versioned.commit_version(d([(1, "b")]), root, mode="append")  # v1
+
+    def run(out, ckpt, **opts):
+        reader = (
+            spark.readStream.format("zone_changes").option("root", root)
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("s1", "c1")  # checkpoint at v1
+    run("s2", "c2", on_overwrite="full")  # second consumer, same zone
+
+    versioned.compact_snapshot(spark, root, target_partitions=1)  # v2
+
+    with _pytest.raises(Exception, match="on_overwrite"):
+        run("s1", "c1")
+    run("s2", "c2", on_overwrite="full")
+    got = sorted(
+        (r.k, r._commit_version)
+        for r in spark.read.parquet(str(tmp_path / "s2")).collect()
+    )
+    # v0+v1 as appends, then the compacted snapshot re-emitted at v2
+    assert got == [(0, 0), (0, 2), (1, 1), (1, 2)]

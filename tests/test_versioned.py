@@ -464,3 +464,50 @@ def test_cli_timetravel_guards_fresh_root(tmp_path):
             "timetravel", "rollback", "--root", str(tmp_path / "nope"),
             "--to", "3",
         ])
+
+
+def test_writer_racing_compaction_never_loses_the_append(
+    spark, tmp_path, monkeypatch
+):
+    """Torture: an append commit landing INSIDE compact_snapshot's
+    read-compact-publish window (injected deterministically by wrapping
+    read_version). The compaction's conditional commit must raise
+    ConcurrentCommitError — never publish a snapshot that silently
+    drops the racer's rows — and a re-run in a quiet window must then
+    succeed with every row intact."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "zone")
+    d = lambda pairs: spark.createDataFrame(pairs, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(1, "a"), (2, "b")]), root)  # v0
+
+    real_read = versioned.read_version
+    raced = {"done": False}
+
+    def read_then_race(spark_, root_, version):
+        df = real_read(spark_, root_, version)
+        if not raced["done"]:
+            raced["done"] = True
+            # the racing writer lands AFTER compaction read its base
+            versioned.commit_version(
+                d([(3, "c")]), root_, mode="append"
+            )  # v1
+        return df
+
+    monkeypatch.setattr(versioned, "read_version", read_then_race)
+    with _pytest.raises(versioned.ConcurrentCommitError):
+        versioned.compact_snapshot(spark, root, target_partitions=1)
+    monkeypatch.setattr(versioned, "read_version", real_read)
+
+    # the racer's append is the latest snapshot; nothing lost
+    assert versioned.versions(root) == [0, 1]
+    assert sorted(
+        r.k for r in versioned.read_version(spark, root).collect()
+    ) == [1, 2, 3]
+
+    # quiet-window re-run compacts v1's full content
+    out = versioned.compact_snapshot(spark, root, target_partitions=1)
+    assert out["version"] == 2
+    assert sorted(
+        r.k for r in versioned.read_version(spark, root).collect()
+    ) == [1, 2, 3]
