@@ -571,7 +571,39 @@ def main() -> None:
             if i > 0:
                 best = min(best, dt)
         timings["ivf_index_append"] = round(best, 3)
-    print(f"# ivf_index_append: {timings['ivf_index_append']}s", file=sys.stderr)
+        print(
+            f"# ivf_index_append: {timings['ivf_index_append']}s",
+            file=sys.stderr,
+        )
+
+        # IVF index SEARCH leg (the probe path — build and append were
+        # timed above, the read side wasn't): 50 queries, top-10, 4
+        # probed cells of 64 against the full-corpus index built in the
+        # rebuild pass. The partition-pruned scan touches ~nprobe/64 of
+        # the index; compare with embedding_knn_bruteforce, which scans
+        # the whole corpus per query batch.
+        full_idx = os.path.join(td, "full_2")
+        ivf_queries = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+        def ivf_search_leg():
+            return similarity.ivf_index_search(
+                spark, full_idx, ivf_queries, k=10, nprobe=4
+            )
+
+        ivf_search_leg().write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ivf_search_leg().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["ivf_index_search"] = round(best, 3)
+    print(
+        f"# ivf_index_search: {timings['ivf_index_search']}s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

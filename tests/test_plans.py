@@ -145,6 +145,60 @@ def test_salted_join_partitions_on_salt(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_runtime_bloom_filter_injects_on_fact_fact_shuffle_join(
+    spark, sf_dir
+):
+    """100 TB scan-reduction: Spark's runtime bloom filter builds a
+    filter from the selective (dim-filtered) side of a shuffle join and
+    pushes might_contain() into the fact side's scan stage — rows that
+    can't join are dropped before the shuffle. The session leaves the
+    feature ON with stock thresholds; those thresholds are sized for
+    cluster scale (application side >= 10 GB), so this test lowers them
+    to fixture scale and pins that OUR join shape stays bloom-ELIGIBLE:
+    a fact-fact shuffle join whose application side itself contains a
+    shuffle, creation side carrying a selective non-join predicate. A
+    refactor that broke eligibility (e.g. filter hidden behind a
+    Python UDF, join rewritten to nested-loop) would fail here long
+    before a 100 TB run noticed the missing pruning."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        app = li.join(part, li.l_partkey == part.p_partkey)
+        j = (
+            app.join(orders, app.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = plan_str(j, mode="extended")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            prev_app,
+        )
+    assert "bloom_filter_agg" in plan, "bloom filter not built"
+    assert "might_contain" in plan, "bloom filter not applied"
+
+
 def test_bronze_transform_is_single_projection(spark, sf_dir):
     """P1-P6 must compose into O(1) plan nodes (one Project over the scan),
     not one node per column like the reference's withColumn loops."""
