@@ -145,6 +145,48 @@ def test_salted_join_partitions_on_salt(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, sf_dir, tmp_path
+):
+    """The partition-layout twin of the bloom gate: joining a
+    hive-partitioned fact against a dim whose filter selects a subset of
+    partition values must produce a dynamicpruningexpression in the
+    fact scan's PartitionFilters — at 100 TB the fact side lists and
+    reads only the partitions the filtered dim can still join, decided
+    at runtime from the dim's rows, not statically. A layout or join
+    refactor that silently broke DPP (partition column transformed
+    before the join, pruning-hostile expression) turns every such query
+    into a full-table scan; this pins the shape."""
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        )
+        == "true"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    fact_path = str(tmp_path / "fact_by_month")
+    orders.write.partitionBy("order_month").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        orders.select("order_month")
+        .distinct()
+        .withColumn(
+            "half", F.when(F.col("order_month") < "1995", 1).otherwise(2)
+        )
+        .filter(F.col("half") == 1)
+    )
+    j = (
+        fact.join(dim, "order_month")
+        .groupBy("half")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    plan = plan_str(j)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("dynamicpruning" in ln for ln in pf), plan
+
+
 def test_runtime_bloom_filter_injects_on_fact_fact_shuffle_join(
     spark, sf_dir
 ):
