@@ -129,13 +129,16 @@ def customer_spend_anomalies_zscore(
     on this data), a customer's spend is a sum over a varying order
     count, so the fixture has genuine tail mass at every SF.
 
-    Scale shape: facts shuffle ONCE (the per-customer groupBy on
-    ``o_custkey``); the segment join reuses that hash partitioning
-    (sort-merge on the same key — no second fact exchange), the 5-row
-    segment-moments table broadcasts back, and the z filter is a
-    projection. Exact-decimal Σx/Σx² keeps both the spend sums and the
-    moments engine-identical, so the anomaly flag can't flip on a
-    last-ulp (same recipe as :func:`orders_price_anomalies_zscore`)."""
+    Scale shape: the ``spend`` subtree (orders scan → custkey groupBy →
+    broadcast customer join) appears under BOTH the moments aggregate
+    and the probe side, but AQE's exchange reuse dedupes the identical
+    custkey shuffle at runtime (executed plan shows ReusedExchange —
+    pin: tests/test_plans.py::test_customer_spend_zscore_reuses_fact_exchange),
+    so the facts shuffle ONCE; the 5-row segment-moments table
+    broadcasts back and the z filter is a projection. Exact-decimal
+    Σx/Σx² keeps both the spend sums and the moments engine-identical,
+    so the anomaly flag can't flip on a last-ulp (same recipe as
+    :func:`orders_price_anomalies_zscore`)."""
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )

@@ -555,6 +555,19 @@ def test_customer_spend_zscore_broadcasts_moments_not_windowed(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_customer_spend_zscore_reuses_fact_exchange(spark, sf_dir):
+    """The spend subtree feeds both the moments aggregate and the probe
+    side; the static plan duplicates it, and AQE's exchange reuse must
+    dedupe the identical custkey shuffle at RUNTIME — the executed plan
+    carries ReusedExchange, so the fact table pays its shuffle once.
+    (Executed-plan check: reuse is an AQE-time decision, invisible in
+    the pre-execution explain.)"""
+    df = qfn("customer_spend_anomalies_zscore")(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
 def test_rolling_range_window_is_one_pass(spark, sf_dir):
     """The trailing-hour RANGE frame evaluates in one pass over each
     key's sorted run — one window shuffle plus the presentation sort,
