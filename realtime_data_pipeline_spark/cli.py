@@ -210,11 +210,15 @@ def main(argv: list[str] | None = None) -> int:
 
     ptt = sub.add_parser(
         "timetravel",
-        help="versioned-zone maintenance: log / show / changes / compact / rollback / vacuum",
+        help="versioned-zone maintenance: log / show / changes / compact "
+        "/ rollback / vacuum / prune",
     )
     ptt.add_argument(
         "action",
-        choices=["log", "show", "changes", "compact", "rollback", "vacuum"],
+        choices=[
+            "log", "show", "changes", "compact", "rollback", "vacuum",
+            "prune",
+        ],
     )
     ptt.add_argument("--root", required=True, help="versioned zone root")
     ptt.add_argument(
@@ -233,6 +237,12 @@ def main(argv: list[str] | None = None) -> int:
         "(in-flight commit guard)",
     )
     ptt.add_argument("--limit", type=int, default=10, help="show: rows printed")
+    ptt.add_argument(
+        "--where", action="append", default=[],
+        help="prune: predicate 'col<op>value' (op: = < <= > >=), "
+        "repeatable — reports how many files the recorded footer stats "
+        "prove out of the snapshot",
+    )
 
     ps2 = sub.add_parser(
         "scd2",
@@ -317,6 +327,39 @@ def main(argv: list[str] | None = None) -> int:
                     f"v{v}  mode={m['mode']}  files={len(m['files'])}  "
                     f"rows_added={m['rows_added']}"
                 )
+            return 0
+        if args.action == "prune":
+            import re as _re
+
+            if not args.where:
+                raise SystemExit(
+                    "timetravel prune: at least one --where is required"
+                )
+            preds = []
+            for w in args.where:
+                m = _re.match(r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", w)
+                if not m:
+                    raise SystemExit(
+                        f"timetravel prune: cannot parse --where {w!r} "
+                        "(expected col<op>value with op = < <= > >=)"
+                    )
+                col, op, raw = m.groups()
+                val: object = raw
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        pass  # string/ISO-date literal compares as text
+                preds.append((col, op, val))
+            print(
+                _json.dumps(
+                    versioned.prune_report(
+                        args.root, preds, version=args.version
+                    )
+                )
+            )
             return 0
         if args.action == "rollback":
             if args.to is None:

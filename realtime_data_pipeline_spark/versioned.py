@@ -111,6 +111,72 @@ def _atomic_claim(target: str, body: str) -> bool:
         os.unlink(tmp)
 
 
+def _norm_stat(v):
+    """Normalize a parquet-footer statistic (or a query literal) to a
+    JSON-safe, totally-ordered-within-its-type value: numbers stay
+    numbers (NaN/inf → unusable), bytes decode, date/timestamp become
+    ISO strings (lexicographic order == chronological order). None ⇒
+    the value can't participate in pruning."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if (v != v or v in (float("inf"), float("-inf"))) else v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(root: str, rel_paths: list[str]) -> dict:
+    """Per-file min/max of top-level columns, read from parquet FOOTERS
+    (no data pages touched) — one driver-side metadata read per added
+    file at commit time, the same O(files-in-commit) cost class as the
+    manifest write itself. Columns whose stats are absent/unusable in
+    ANY row group are dropped for that file (absence must never prune)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_paths:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        dead: set[str] = set()
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for i in range(rgm.num_columns):
+                col = rgm.column(i)
+                name = col.path_in_schema
+                if "." in name or name in dead:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dead.add(name)
+                    continue
+                lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+                if lo is None or hi is None:
+                    dead.add(name)
+                    continue
+                if name in mins:
+                    mins[name] = min(mins[name], lo)
+                    maxs[name] = max(maxs[name], hi)
+                else:
+                    mins[name], maxs[name] = lo, hi
+        out[rel] = {
+            n: [mins[n], maxs[n]] for n in mins if n not in dead
+        }
+    return out
+
+
 def commit_version(
     df: DataFrame,
     root: str,
@@ -118,6 +184,7 @@ def commit_version(
     max_retries: int = 10,
     batch_tag: str | None = None,
     expected_latest: int | None = None,
+    collect_stats: bool = True,
 ) -> dict:
     """Write ``df`` as a new snapshot of the zone.
 
@@ -180,6 +247,9 @@ def commit_version(
         for f in os.listdir(os.path.join(root, _DATA, commit_dir))
         if f.endswith(".parquet")
     )
+    added_stats = (
+        _collect_file_stats(root, added) if collect_stats else {}
+    )
 
     for _ in range(max_retries):
         known = versions(root)
@@ -193,9 +263,21 @@ def commit_version(
             )
         new_version = (known[-1] + 1) if known else 0
         files = list(added)
+        file_stats = dict(added_stats)
         if mode == "append" and known:
             _check_append_schema(known[-1])
-            files = _read_manifest(root, known[-1])["files"] + files
+            prev_man = _read_manifest(root, known[-1])
+            files = prev_man["files"] + files
+            # carry the carried-over files' stats forward so every
+            # manifest is self-contained (like its file list)
+            prev_stats = prev_man.get("file_stats", {})
+            file_stats.update(
+                {
+                    f: prev_stats[f]
+                    for f in prev_man["files"]
+                    if f in prev_stats
+                }
+            )
         body = json.dumps(
             {
                 "version": new_version,
@@ -203,6 +285,7 @@ def commit_version(
                 "files": files,
                 "rows_added": rows,
                 "schema": cur_schema,
+                "file_stats": file_stats,
             }
         )
         # exactly one writer claims v<N> — the loser re-reads the NEW
@@ -266,6 +349,125 @@ def read_version(
         # empty snapshot (e.g. an empty micro-batch commit)
         return _typed_empty(spark, manifest)
     return spark.read.parquet(*[os.path.join(root, p) for p in files])
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(stats: dict | None, preds: list[tuple]) -> bool:
+    """False only when the file's recorded [min, max] PROVES no row can
+    satisfy every predicate — absent stats, unknown columns, and
+    incomparable literals all keep the file (skipping is an
+    optimization, never a correctness decision)."""
+    if not stats:
+        return True
+    for col, op, val in preds:
+        rng = stats.get(col)
+        v = _norm_stat(val)
+        if not rng or v is None:
+            continue
+        lo, hi = rng
+        try:
+            if op == "=" and not (lo <= v <= hi):
+                return False
+            if op == "<" and not (lo < v):
+                return False
+            if op == "<=" and not (lo <= v):
+                return False
+            if op == ">" and not (hi > v):
+                return False
+            if op == ">=" and not (hi >= v):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _check_preds(predicates: list[tuple]) -> None:
+    for p in predicates:
+        if len(p) != 3 or p[1] not in _PRUNE_OPS:
+            raise ValueError(
+                f"predicate must be (col, op, value) with op in "
+                f"{_PRUNE_OPS}, got {p!r}"
+            )
+
+
+def prune_report(
+    root: str, predicates: list[tuple], version: int | None = None
+) -> dict:
+    """How many of a snapshot's files the recorded footer stats prove
+    OUT for ``predicates`` — the observability half of
+    :func:`read_version_where` (driver-side, reads one manifest, no
+    Spark)."""
+    _check_preds(predicates)
+    known = versions(root)
+    if not known:
+        raise ValueError(f"no committed versions under {root!r}")
+    v = known[-1] if version is None else version
+    man = _read_manifest(root, v)
+    stats = man.get("file_stats", {})
+    kept = [
+        f
+        for f in man["files"]
+        if _file_may_match(stats.get(f), predicates)
+    ]
+    return {
+        "version": v,
+        "total_files": len(man["files"]),
+        "kept_files": len(kept),
+        "skipped_files": len(man["files"]) - len(kept),
+    }
+
+
+def read_version_where(
+    spark: SparkSession,
+    root: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot read — Delta-style data skipping on the
+    manifest's per-file footer stats. ``predicates`` is a list of
+    ``(column, op, literal)`` with op in ``= < <= > >=``; files whose
+    recorded [min, max] prove no row can match are dropped from the
+    scan BEFORE Spark sees them (on a range-sorted or z-ordered zone a
+    narrow predicate reads a handful of files out of a 100 TB snapshot
+    — file-level pruning on top of the row-group pruning parquet
+    already does). The predicates are ALSO applied as Spark filters, so
+    the result equals ``read_version(...).filter(...)`` exactly:
+    pruning can only skip provably-dead files, never change the answer
+    (date/timestamp literals compare as ISO strings, matching how the
+    stats were recorded). Comparison predicates never match NULL rows
+    on either path, so null-heavy files prune soundly too."""
+    from pyspark.sql import functions as F
+
+    _check_preds(predicates)
+    known = versions(root)
+    if not known:
+        raise ValueError(f"no committed versions under {root!r}")
+    v = known[-1] if version is None else version
+    if v not in known:
+        raise ValueError(f"version {v} not in {known}")
+    man = _read_manifest(root, v)
+    stats = man.get("file_stats", {})
+    kept = [
+        f
+        for f in man["files"]
+        if _file_may_match(stats.get(f), predicates)
+    ]
+    if not kept:
+        df = _typed_empty(spark, man)
+    else:
+        df = spark.read.parquet(*[os.path.join(root, p) for p in kept])
+    ops_map = {
+        "=": lambda c, x: F.col(c) == F.lit(x),
+        "<": lambda c, x: F.col(c) < F.lit(x),
+        "<=": lambda c, x: F.col(c) <= F.lit(x),
+        ">": lambda c, x: F.col(c) > F.lit(x),
+        ">=": lambda c, x: F.col(c) >= F.lit(x),
+    }
+    for col, op, val in predicates:
+        df = df.filter(ops_map[op](col, val))
+    return df
 
 
 def changes(
@@ -399,6 +601,7 @@ def rollback(root: str, to_version: int, max_retries: int = 10) -> dict:
                 "files": src["files"],
                 "rows_added": 0,
                 "schema": src.get("schema"),
+                "file_stats": src.get("file_stats", {}),
             }
         )
         if _atomic_claim(_manifest_path(root, new_version), body):

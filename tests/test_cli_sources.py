@@ -479,6 +479,40 @@ def test_cli_timetravel_log_rollback_vacuum(spark, tmp_path, capsys):
     assert versioned.versions(root) == [2]
 
 
+def test_cli_timetravel_prune_reports_stats_skipping(
+    spark, tmp_path, capsys
+):
+    """prune: --where predicates parse (int literal), the report counts
+    files the footer stats prove out, and bad predicates fail loudly."""
+    import json
+
+    from realtime_data_pipeline_spark import cli, versioned
+
+    root = str(tmp_path / "pz")
+    for lo in (0, 100):
+        versioned.commit_version(
+            spark.range(lo, lo + 100).toDF("id").coalesce(1),
+            root,
+            mode="append",
+        )
+    assert cli.main(
+        ["timetravel", "prune", "--root", root, "--where", "id<50"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {
+        "version": 1, "total_files": 2, "kept_files": 1,
+        "skipped_files": 1,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="cannot parse"):
+        cli.main(
+            ["timetravel", "prune", "--root", root, "--where", "id!!5"]
+        )
+    with _pytest.raises(SystemExit, match="at least one"):
+        cli.main(["timetravel", "prune", "--root", root])
+
+
 def test_cli_scd2_merge_current_asof(spark, tmp_path, capsys):
     """scd2 subcommand: two observation batches merge into a historized
     dimension; `current` shows the open segments and `asof` the state at

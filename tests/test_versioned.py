@@ -511,3 +511,97 @@ def test_writer_racing_compaction_never_loses_the_append(
     assert sorted(
         r.k for r in versioned.read_version(spark, root).collect()
     ) == [1, 2, 3]
+
+
+def test_file_stats_recorded_and_pruned_reads_match_full_filter(
+    spark, tmp_path
+):
+    """Data skipping: commits record per-file footer min/max in the
+    manifest (appends carry prior files' stats forward), and
+    read_version_where drops provably-dead files BEFORE the scan while
+    returning exactly read_version().filter(...)."""
+    import datetime
+
+    root = str(tmp_path / "zone")
+    d0 = datetime.date(2024, 1, 1)
+    for lo in (0, 100, 200, 300):  # one file per commit, disjoint ranges
+        df = spark.range(lo, lo + 100).select(
+            F.col("id"),
+            F.date_add(F.lit(d0), F.col("id").cast("int")).alias("day"),
+            (F.col("id") % 7).cast("double").alias("v"),
+        )
+        versioned.commit_version(df.coalesce(1), root, mode="append")
+
+    man = versioned._read_manifest(root, 3)
+    assert len(man["files"]) == 4
+    # every file carries stats for every column, including carried-over
+    # files from earlier commits
+    for f in man["files"]:
+        st = man["file_stats"][f]
+        assert set(st) == {"id", "day", "v"}
+    ids = sorted(tuple(man["file_stats"][f]["id"]) for f in man["files"])
+    assert ids == [(0, 99), (100, 199), (200, 299), (300, 399)]
+
+    # int predicate: one surviving file out of four
+    rep = versioned.prune_report(root, [("id", "<", 50)])
+    assert rep == {
+        "version": 3, "total_files": 4, "kept_files": 1, "skipped_files": 3,
+    }
+    got = versioned.read_version_where(spark, root, [("id", "<", 50)])
+    want = versioned.read_version(spark, root).filter(F.col("id") < 50)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # date predicate: ISO-string order == chronological order
+    rep = versioned.prune_report(
+        root, [("day", ">=", datetime.date(2024, 11, 1))]
+    )
+    assert rep["skipped_files"] >= 2
+    got = versioned.read_version_where(
+        spark, root, [("day", ">=", datetime.date(2024, 11, 1))]
+    )
+    want = versioned.read_version(spark, root).filter(
+        F.col("day") >= F.lit(datetime.date(2024, 11, 1))
+    )
+    assert got.count() == want.count() > 0
+
+    # conjunction that kills every file -> typed empty, zero files read
+    rep = versioned.prune_report(
+        root, [("id", ">", 150), ("id", "<", 60)]
+    )
+    assert rep["kept_files"] < 4
+    empty = versioned.read_version_where(
+        spark, root, [("id", ">", 1000)]
+    )
+    assert empty.count() == 0 and "day" in empty.columns
+
+    # unknown column / unsupported literal never prunes (kept = total)
+    rep = versioned.prune_report(root, [("nope", "=", 5)])
+    assert rep["kept_files"] == rep["total_files"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predicate"):
+        versioned.prune_report(root, [("id", "!=", 5)])
+
+
+def test_file_stats_survive_rollback_and_overwrite(spark, tmp_path):
+    """Rollback republishes the source manifest's stats; an overwrite
+    records fresh stats for its own files only."""
+    root = str(tmp_path / "zone")
+    versioned.commit_version(
+        spark.range(0, 50).coalesce(1), root, mode="append"
+    )
+    versioned.commit_version(
+        spark.range(1000, 1100).coalesce(1), root, mode="overwrite"
+    )
+    man1 = versioned._read_manifest(root, 1)
+    assert [
+        tuple(man1["file_stats"][f]["id"]) for f in man1["files"]
+    ] == [(1000, 1099)]
+    versioned.rollback(root, to_version=0)
+    man2 = versioned._read_manifest(root, 2)
+    assert [
+        tuple(man2["file_stats"][f]["id"]) for f in man2["files"]
+    ] == [(0, 49)]
+    rep = versioned.prune_report(root, [("id", ">=", 10)])
+    assert rep["kept_files"] == 1
