@@ -392,3 +392,45 @@ def test_scd2_merge_is_batch_split_invariant(
             (r["val"], r["__valid_from"], r["__valid_to"], r["__is_current"])
         )
     assert got == expected
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40
+    ),
+    preds=st.lists(
+        st.tuples(
+            st.sampled_from(["x"]),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_stats_pruning_is_sound(values, preds):
+    """Data-skipping soundness (no Spark needed): a file whose rows
+    contain ANY value satisfying every predicate must be KEPT by
+    _file_may_match given that file's true [min, max] — pruning may
+    only ever drop provably-dead files. (Completeness — dropping as
+    much as possible — is an optimization; soundness is correctness.)"""
+    from realtime_data_pipeline_spark import versioned
+
+    stats = {"x": [min(values), max(values)]}
+
+    def row_matches(v: int) -> bool:
+        for _, op, lit in preds:
+            ok = {
+                "=": v == lit,
+                "<": v < lit,
+                "<=": v <= lit,
+                ">": v > lit,
+                ">=": v >= lit,
+            }[op]
+            if not ok:
+                return False
+        return True
+
+    if any(row_matches(v) for v in values):
+        assert versioned._file_may_match(stats, preds) is True
