@@ -291,3 +291,49 @@ def pack_concat_chunks(
             "blocks_spanned", (end - start + F.lit(1)).cast("long")
         )
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    order_alias: str = "shard_pos",
+    shard_alias: str = "shard",
+) -> DataFrame:
+    """Reproducible global shuffle for training-data assembly: assign
+    every row a shard and a dense within-shard position that together
+    define a pseudo-random total order — the "shuffle the corpus before
+    training" step, without RNG state (rerunnable, engine-deterministic,
+    invariant to input partitioning).
+
+    shard = pmod(xxhash64(id, seed), n_shards); within-shard order =
+    (xxhash64(id, seed+1), id) — two independent hash draws so shard
+    membership and intra-shard order are uncorrelated, the id tiebreak
+    makes the order total even under (astronomically unlikely) hash
+    collisions.
+
+    Scale shape: ONE shuffle (the window's hash partition on the shard
+    key) and a per-shard local sort; each window partition IS one
+    shard, so size n_shards to the shard you want on disk (1-4 GB) and
+    write with ``partitionBy(shard)``. The global-orderBy spelling
+    would range-sample and sort the whole corpus for an order nobody
+    reads back; this gives the same statistical shuffle for one
+    hash-partition exchange. The oracle-checkable query twin
+    (``docs_shuffle_shards``) spells the same construction over md5 hex
+    (cross-engine stable); this library version uses xxhash64 (JVM
+    codegen, no string materialization) — same contract, faster hash.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards)
+    ).cast("int")
+    order_h = F.xxhash64(F.col(id_col), F.lit(seed + 1))
+    w = Window.partitionBy(shard_alias).orderBy(
+        order_h, F.col(id_col)
+    )
+    return (
+        df.withColumn(shard_alias, shard)
+        .withColumn(order_alias, F.row_number().over(w))
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark import dedup, ops, text
@@ -618,6 +618,46 @@ FROM e
 """
 
 
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global pre-training shuffle, oracle-checkable
+    spelling: shard = first md5 hex nibble of (seed ‖ doc_id) → 16
+    shards; within-shard position = rank by (full md5 hex, doc_id).
+    Same construction as ``packing.shuffle_shards`` (which uses
+    xxhash64 for JVM speed and generic shard counts); md5 hex compares
+    byte-identically in Spark and DuckDB, so shard AND position are
+    exact-hash-verifiable. One window shuffle on the shard key — each
+    window partition is one shard; never a global orderBy sort."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    h = F.md5(F.concat_ws("\x1f", F.lit("42"), F.col("doc_id").cast("string")))
+    shuffled = docs.select(
+        "doc_id", F.substring(h, 1, 1).alias("shard"), h.alias("__h")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    return (
+        shuffled.withColumn(
+            "shard_pos", F.row_number().over(w).cast("bigint")
+        )
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos")
+    )
+
+
+DOCS_SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5('42' || chr(31) || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+)
+SELECT doc_id,
+       substr(hh, 1, 1) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY substr(hh, 1, 1) ORDER BY hh, doc_id
+       ) AS BIGINT) AS shard_pos
+FROM h
+ORDER BY shard, shard_pos
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (``sampleBy``): down-weight the dominant
     language, keep the rest — the class-rebalancing step before training.
@@ -655,6 +695,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_manifest": docs_pack_manifest,
     "docs_mixture_sample_exact": docs_mixture_sample_exact,
     "docs_rag_chunks": docs_rag_chunks,
+    "docs_shuffle_shards": docs_shuffle_shards,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
@@ -665,6 +706,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_pack_manifest": DOCS_PACK_MANIFEST_SQL,
     "docs_mixture_sample_exact": DOCS_MIXTURE_SAMPLE_EXACT_SQL,
     "docs_rag_chunks": DOCS_RAG_CHUNKS_SQL,
+    "docs_shuffle_shards": DOCS_SHUFFLE_SHARDS_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

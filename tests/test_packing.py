@@ -171,3 +171,51 @@ def test_prefix_sum_no_row_carrying_single_partition(spark, sf_dir):
     # through its single partition; here SinglePartition appears exactly
     # once (bucket totals)
     assert plan.count("SinglePartition") == 1
+
+
+def test_shuffle_shards_is_deterministic_and_dense(spark):
+    """Reproducible pre-training shuffle: same seed → identical
+    (shard, shard_pos) regardless of input partitioning; different
+    seed → a different order; positions are dense 1..k per shard; the
+    plan has no SinglePartition funnel (each window partition is one
+    shard)."""
+    df = spark.range(0, 2_000).toDF("doc_id")
+    out1 = packing.shuffle_shards(df, "doc_id", n_shards=8, seed=7)
+    out2 = packing.shuffle_shards(
+        df.repartition(13), "doc_id", n_shards=8, seed=7
+    )
+    rows1 = sorted(
+        (r.doc_id, r.shard, r.shard_pos) for r in out1.collect()
+    )
+    rows2 = sorted(
+        (r.doc_id, r.shard, r.shard_pos) for r in out2.collect()
+    )
+    assert rows1 == rows2
+    assert len(rows1) == 2_000
+
+    # dense per-shard positions 1..k
+    by_shard: dict = {}
+    for _, s, p in rows1:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # hash balance: no shard more than 2x the fair share
+    assert max(len(ps) for ps in by_shard.values()) < 2 * (2_000 / 8)
+
+    # a different seed produces a genuinely different order
+    rows3 = sorted(
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in packing.shuffle_shards(
+            df, "doc_id", n_shards=8, seed=8
+        ).collect()
+    )
+    assert rows3 != rows1
+
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        packing.shuffle_shards(df, "doc_id", n_shards=0)
