@@ -249,7 +249,9 @@ def main(argv: list[str] | None = None) -> int:
         help="historized dimension (SCD2): merge observation batches / "
         "query current or as-of state",
     )
-    ps2.add_argument("action", choices=["merge", "stream", "current", "asof"])
+    ps2.add_argument(
+        "action", choices=["merge", "stream", "enrich", "current", "asof"]
+    )
     ps2.add_argument("--target", required=True, help="dimension root path")
     ps2.add_argument("--batch", default=None, help="merge: observation batch path")
     ps2.add_argument(
@@ -264,7 +266,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     ps2.add_argument("--buckets", type=int, default=256)
     ps2.add_argument("--at", default=None, help="asof: ISO timestamp")
-    ps2.add_argument("--inbox", default=None, help="stream: observation inbox")
+    ps2.add_argument(
+        "--inbox", default=None,
+        help="stream: observation inbox; enrich: fact inbox",
+    )
+    ps2.add_argument(
+        "--ts-col", default=None, help="enrich: fact event-time column"
+    )
+    ps2.add_argument(
+        "--out", default=None, help="enrich: enriched-facts sink path"
+    )
     ps2.add_argument("--checkpoint", default=None, help="stream: checkpoint dir")
     ps2.add_argument(
         "--zone", default=None,
@@ -674,6 +685,36 @@ def main(argv: list[str] | None = None) -> int:
                 sq.stop()
                 raise SystemExit("scd2 stream: timed out before catch-up")
             print(f"scd2 stream: dimension updated -> {args.target}")
+            return 0
+        if args.action == "enrich":
+            from realtime_data_pipeline_spark import streaming
+
+            missing = [
+                n for n, v in (
+                    ("--inbox", args.inbox), ("--schema", args.schema),
+                    ("--keys", args.keys), ("--ts-col", args.ts_col),
+                    ("--out", args.out), ("--checkpoint", args.checkpoint),
+                ) if not v
+            ]
+            if missing:
+                raise SystemExit(
+                    f"scd2 enrich: {', '.join(missing)} required"
+                )
+            sq = streaming.temporal_enrich_stream(
+                streaming.read_file_stream(
+                    spark, args.inbox, args.schema, fmt=args.format,
+                    max_files_per_trigger=args.max_files_per_trigger,
+                ),
+                args.target,
+                keys=args.keys.split(","),
+                ts_col=args.ts_col,
+                out_path=args.out,
+                checkpoint=args.checkpoint,
+            )
+            if not sq.awaitTermination(args.timeout_sec):
+                sq.stop()
+                raise SystemExit("scd2 enrich: timed out before catch-up")
+            print(f"scd2 enrich: facts attributed -> {args.out}")
             return 0
         if args.action == "current":
             view = medallion.scd2_current(spark, args.target)

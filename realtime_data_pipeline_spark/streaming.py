@@ -933,6 +933,67 @@ def scd2_stream(
     return writer.start()
 
 
+def temporal_enrich_stream(
+    df: DataFrame,
+    dim_path: str,
+    keys: list[str],
+    ts_col: str,
+    out_path: str,
+    checkpoint: str,
+    how: str = "left",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming point-in-time enrichment — the consumer half of the
+    SCD2 story: :func:`scd2_stream` accretes the dimension from a
+    change feed; THIS attributes an in-flight fact stream the dimension
+    values in force at each fact's OWN event time
+    (:func:`medallion.scd2_temporal_join` per micro-batch), so late
+    facts pick up historical attributes and never leak today's. The
+    dimension is re-resolved AT EVERY TRIGGER, so segments merged
+    between triggers are visible to the next batch.
+
+    Scale shape: the dimension read prunes to the batch's key-hash
+    buckets — the same ``pmod(xxhash64(keys), n_buckets)`` partition
+    filter :func:`medallion.scd2_merge` writes through (n_buckets from
+    the table's pinned sidecar), so one trigger scans
+    |batch-keys|/n_buckets of the history, and the join is one shuffle
+    of the (bounded) batch against that slice. Sink appends are
+    at-least-once under foreachBatch replay (same contract as every
+    non-transactional sink here); route through the versioned-zone
+    writer for exactly-once."""
+    from realtime_data_pipeline_spark import medallion
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        n_buckets = medallion._scd2_read_meta(dim_path)["n_buckets"]
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+        ).cast("int")
+        batch_df = batch_df.persist()
+        try:
+            affected = sorted(
+                r[0]
+                for r in batch_df.select(bucket.alias("b"))
+                .distinct()
+                .collect()
+            )
+            dim = spark.read.parquet(dim_path).filter(
+                F.col("__bucket").isin(affected)
+            )
+            medallion.scd2_temporal_join(
+                batch_df, dim, keys, ts_col, how=how
+            ).write.mode("append").parquet(out_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = df.writeStream.foreachBatch(enrich).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rollup_batch_writer(
     out_path: str,
     ts_col: str,

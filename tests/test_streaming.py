@@ -1002,6 +1002,111 @@ def test_scd2_stream_accretes_history_and_replays_clean(spark, tmp_path):
     assert table() == first
 
 
+def test_temporal_enrich_stream_attributes_facts_point_in_time(
+    spark, tmp_path
+):
+    """The consumer half of the SCD2 chain: facts streaming through the
+    enrich sink pick up the dimension attribute in force at their OWN
+    event time (late facts get historical values, unknown keys get
+    NULL), and a dimension segment merged BETWEEN runs is visible to the
+    next run's facts — the dimension is re-resolved per trigger."""
+    import os
+
+    from realtime_data_pipeline_spark import medallion
+
+    dim = str(tmp_path / "dim")
+    d = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "cust_id string, tier string, seen_at string"
+    ).withColumn("seen_at", F.col("seen_at").cast("timestamp"))
+    medallion.scd2_merge(
+        spark,
+        dim,
+        d(
+            [
+                ("c1", "bronze", "2024-01-01 00:00:00"),
+                ("c1", "gold", "2024-01-10 00:00:00"),
+                ("c2", "silver", "2024-01-01 00:00:00"),
+            ]
+        ),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=4,
+    )
+
+    inbox = str(tmp_path / "facts")
+    os.makedirs(inbox)
+
+    def fact_file(name, rows, mtime):
+        p = os.path.join(inbox, name)
+        with open(p, "w") as f:
+            f.write("cust_id,amount,ts\n")
+            for r in rows:
+                f.write(",".join(map(str, r)) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    fact_file(
+        "f0.csv",
+        [
+            ("c1", 10.0, "2024-01-05T00:00:00"),  # inside bronze segment
+            ("c1", 20.0, "2024-01-15T00:00:00"),  # inside gold segment
+            ("c2", 30.0, "2024-01-02T00:00:00"),  # silver
+            ("c9", 40.0, "2024-01-02T00:00:00"),  # unknown key -> NULL
+        ],
+        1_700_000_000,
+    )
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ck")
+    schema = "cust_id string, amount double, ts timestamp"
+
+    def run():
+        q = streaming.temporal_enrich_stream(
+            streaming.read_file_stream(
+                spark, inbox, schema, max_files_per_trigger=1
+            ),
+            dim,
+            keys=["cust_id"],
+            ts_col="ts",
+            out_path=out,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(
+        (r.cust_id, r.amount, r.tier) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("c1", 10.0, "bronze"),
+        ("c1", 20.0, "gold"),
+        ("c2", 30.0, "silver"),
+        ("c9", 40.0, None),
+    ]
+
+    # dimension accretes between runs; a new fact older than the new
+    # segment still lands in the OLD one (point-in-time, not current)
+    medallion.scd2_merge(
+        spark,
+        dim,
+        d([("c2", "gold", "2024-02-01 00:00:00")]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    fact_file(
+        "f1.csv",
+        [
+            ("c2", 50.0, "2024-02-02T00:00:00"),  # new gold segment
+            ("c2", 60.0, "2024-01-20T00:00:00"),  # still silver
+        ],
+        1_700_000_100,
+    )
+    run()
+    got = sorted(
+        (r.cust_id, r.amount, r.tier) for r in spark.read.parquet(out).collect()
+    )
+    assert ("c2", 50.0, "gold") in got and ("c2", 60.0, "silver") in got
+    assert len(got) == 6  # checkpoint continuity: f0 not re-processed
+
+
 def test_ema_per_key_matches_sequential_fold(spark, tmp_path):
     """Stateful EMA: streaming the events in two time-ordered
     micro-batches converges each key to the same decayed sum as a single
