@@ -45,6 +45,34 @@ def _parse_rules(specs: list[str] | None) -> list[dq.Rule]:
     return rules
 
 
+def _parse_where(specs: list[str]) -> list[tuple]:
+    """``--where 'col<op>value'`` (op: = < <= > >=) -> (col, op, literal)
+    tuples for versioned.prune_report / read_version_where; numeric
+    literals parse as numbers, everything else (incl. ISO dates)
+    compares as text, matching how the manifest stats are recorded."""
+    import re as _re
+
+    preds = []
+    for w in specs:
+        m = _re.match(r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", w)
+        if not m:
+            raise SystemExit(
+                f"cannot parse --where {w!r} "
+                "(expected col<op>value with op = < <= > >=)"
+            )
+        col, op, raw = m.groups()
+        val: object = raw
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                pass
+        preds.append((col, op, val))
+    return preds
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="realtime_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -239,9 +267,9 @@ def main(argv: list[str] | None = None) -> int:
     ptt.add_argument("--limit", type=int, default=10, help="show: rows printed")
     ptt.add_argument(
         "--where", action="append", default=[],
-        help="prune: predicate 'col<op>value' (op: = < <= > >=), "
-        "repeatable — reports how many files the recorded footer stats "
-        "prove out of the snapshot",
+        help="prune/show: predicate 'col<op>value' (op: = < <= > >=), "
+        "repeatable — prune reports skip counts; show runs a "
+        "stats-pruned read",
     )
 
     ps2 = sub.add_parser(
@@ -340,34 +368,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 0
         if args.action == "prune":
-            import re as _re
-
             if not args.where:
                 raise SystemExit(
                     "timetravel prune: at least one --where is required"
                 )
-            preds = []
-            for w in args.where:
-                m = _re.match(r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", w)
-                if not m:
-                    raise SystemExit(
-                        f"timetravel prune: cannot parse --where {w!r} "
-                        "(expected col<op>value with op = < <= > >=)"
-                    )
-                col, op, raw = m.groups()
-                val: object = raw
-                try:
-                    val = int(raw)
-                except ValueError:
-                    try:
-                        val = float(raw)
-                    except ValueError:
-                        pass  # string/ISO-date literal compares as text
-                preds.append((col, op, val))
             print(
                 _json.dumps(
                     versioned.prune_report(
-                        args.root, preds, version=args.version
+                        args.root,
+                        _parse_where(args.where),
+                        version=args.version,
                     )
                 )
             )
@@ -439,9 +449,16 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.root, args.version, minimal=args.minimal
             ).show(args.limit, truncate=False)
         else:
-            versioned.read_version(spark, args.root, args.version).show(
-                args.limit, truncate=False
-            )
+            if args.where:
+                # stats-pruned read: provably-dead files never reach the
+                # scan; result identical to read_version().filter(...)
+                view = versioned.read_version_where(
+                    spark, args.root, _parse_where(args.where),
+                    version=args.version,
+                )
+            else:
+                view = versioned.read_version(spark, args.root, args.version)
+            view.show(args.limit, truncate=False)
         return 0
     if args.cmd == "synth":
         from realtime_data_pipeline_spark import pysource
