@@ -11,11 +11,14 @@ The Spark-side contract is the real deliverable here:
 * all per-item compute runs through ``mapInPandas`` — Arrow batches in and
   out, schema declared up front, one Python worker per partition; this is
   the shape a real PIL/ffmpeg decoder drops into;
-* DECODING IS STUBBED: the container has no image/audio codecs, so
-  ``fake_decode`` derives deterministic pseudo-pixels from the payload
-  bytes. Swap ``_decode_payload`` for the real library; nothing else
-  (schema, partitioning, batch handling) changes. ``real_decode=True``
-  raises ``NotImplementedError`` to make the boundary explicit.
+* decoding: ``real_decode=True`` runs REAL codecs for the two formats
+  decodable without third-party libraries — PNG (pure-Python inflate +
+  per-row unfilter from the RFC 2083 spec, 8-bit gray/RGB/RGBA) and
+  WAV-PCM (stdlib ``wave``, 8/16/32-bit) — and raises
+  ``NotImplementedError`` for formats that genuinely need external
+  codecs (JPEG/MP3/video), keeping that boundary explicit. The default
+  ``fake_decode`` path derives deterministic pseudo-pixels from the
+  payload bytes so the plumbing is exercisable on text fixtures.
 """
 
 from __future__ import annotations
@@ -43,6 +46,159 @@ FRAME_SCHEMA = (
 )
 
 _FEATURE_DIM = 16
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/px
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """REAL PNG decode, implemented from the public spec (RFC 2083) with
+    nothing but stdlib zlib: parse chunks, inflate IDAT, undo the five
+    per-row filters. Supports 8-bit depth, gray / gray+alpha / RGB /
+    RGBA, non-interlaced (the overwhelmingly common case); anything else
+    raises. Returns ``(h, w, channels)`` uint8. The Up/None filters
+    vectorize; Sub/Average/Paeth are sequential by definition (each byte
+    depends on the reconstructed left neighbor) — fine for thumbnails
+    and tests, and the call site is exactly where a SIMD codec slots in
+    at production scale."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, hdr = len(_PNG_SIG), [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = hdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant unsupported here (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace}) — 8-bit "
+            "non-interlaced gray/RGB/RGBA only"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    i = 0
+    for y in range(h):
+        f = raw[i]
+        line = np.frombuffer(raw[i + 1 : i + 1 + stride], dtype=np.uint8)
+        i += 1 + stride
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec's rule)
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG row filter {f} out of range")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal spec-correct PNG encoder (filter 0 rows, one zlib IDAT) —
+    enough to round-trip :func:`decode_png` and to emit payloads real
+    external tools open. 8-bit gray/gray+alpha/RGB/RGBA."""
+    import struct
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV-PCM decode via the stdlib ``wave`` module: returns
+    float64 samples in [-1, 1] shaped ``(n_frames, channels)`` plus the
+    sample rate. 8/16/32-bit integer PCM; float/ADPCM WAVs raise."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        ch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        sr = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned by spec
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        arr = (
+            np.frombuffer(frames, dtype="<i4").astype(np.float64)
+            / 2147483648.0
+        )
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    return arr.reshape(-1, ch), sr
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """16-bit PCM WAV encoder (stdlib ``wave``) — the test/round-trip
+    twin of :func:`decode_wav`. ``samples`` float in [-1, 1], 1-D or
+    ``(n, channels)``."""
+    import io
+    import wave
+
+    samples = np.asarray(samples, dtype=np.float64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ints = (np.clip(samples, -1.0, 1.0) * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(ints.tobytes())
+    return buf.getvalue()
 
 
 def attach_fake_media(df: DataFrame, id_col: str, fmt: str = "img") -> DataFrame:
@@ -86,20 +242,33 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     fixed (``DECODED_SCHEMA``); the input partitioning is preserved — no
     shuffle, one Arrow round-trip per partition.
 
+    ``real_decode=True`` dispatches on the payload's MAGIC BYTES and runs
+    the real codecs implemented in this module: PNG (:func:`decode_png`;
+    width/height/mean come from the actual pixels, channel-averaged) and
+    WAV-PCM (:func:`decode_wav`; width = frames, height = channels, the
+    "intensity" is mean |amplitude|, feature pooled over the sample
+    stream). Payloads that are neither — JPEG, MP3, video containers —
+    raise ``NotImplementedError`` naming the genuinely external-codec
+    boundary. The default fake path derives deterministic pseudo-pixels
+    from the payload hash so the plumbing runs on text fixtures.
+
     The closure is deliberately self-contained (locals + library imports
     only): Spark pickles it to Python workers that may not have this
-    package on their path."""
-    if real_decode:
-        raise NotImplementedError(
-            "real codecs unavailable in this environment; wire PIL/libav "
-            "into the decode closure below — schema and batching are ready"
-        )
+    package on their path — which is also why the real branch re-binds
+    the codec functions as locals."""
     feature_dim = _FEATURE_DIM
+    png_codec, wav_codec = decode_png, decode_wav
+
+    def pooled(flat: np.ndarray, scale: float) -> np.ndarray:
+        return np.array(
+            [s.mean() for s in np.array_split(flat, feature_dim)],
+            dtype=np.float32,
+        ) / scale
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode_payload(data: bytes, width: int, height: int) -> np.ndarray:
-            # STUB decoder — the PIL/libav call site. Deterministic:
-            # expands the payload hash into width*height pseudo-pixels.
+        def fake_payload(data: bytes, width: int, height: int) -> np.ndarray:
+            # deterministic pseudo-pixels from the payload hash — the
+            # plumbing-only path for formats without a native codec
             seed = int.from_bytes(hashlib.sha256(data).digest()[:4], "big")
             rng = np.random.RandomState(seed)
             return rng.randint(0, 256, size=(height, width)).astype(np.float64)
@@ -107,24 +276,39 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
         for pdf in batches:
             out = []
             for m in pdf["media"]:
-                data, meta = m["data"], m["meta"]
-                px = decode_payload(bytes(data), meta["width"], meta["height"])
-                flat = px.ravel()
-                # fixed-dim pooled feature: mean of equal slices
-                feat = np.array(
-                    [s.mean() for s in np.array_split(flat, feature_dim)],
-                    dtype=np.float32,
-                ) / 255.0
-                out.append(
-                    (
-                        meta["source_id"],
-                        meta["format"],
-                        meta["width"],
-                        meta["height"],
-                        float(px.mean()),
-                        feat,
+                data, meta = bytes(m["data"]), m["meta"]
+                if real_decode:
+                    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+                        px = png_codec(data).astype(np.float64)
+                        gray = px.mean(axis=2)
+                        row = (
+                            meta["source_id"], "png",
+                            int(gray.shape[1]), int(gray.shape[0]),
+                            float(gray.mean()), pooled(gray.ravel(), 255.0),
+                        )
+                    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                        samples, _sr = wav_codec(data)
+                        row = (
+                            meta["source_id"], "wav",
+                            int(samples.shape[0]), int(samples.shape[1]),
+                            float(np.abs(samples).mean()),
+                            pooled(samples.ravel(), 1.0),
+                        )
+                    else:
+                        raise NotImplementedError(
+                            "payload is neither PNG nor WAV-PCM — JPEG/"
+                            "MP3/video need external codecs (PIL/libav) "
+                            "not present in this environment; the Arrow "
+                            "plumbing and schema are format-agnostic"
+                        )
+                else:
+                    px = fake_payload(data, meta["width"], meta["height"])
+                    row = (
+                        meta["source_id"], meta["format"],
+                        meta["width"], meta["height"],
+                        float(px.mean()), pooled(px.ravel(), 255.0),
                     )
-                )
+                out.append(row)
             yield pd.DataFrame(
                 out,
                 columns=[

@@ -44,10 +44,137 @@ def test_decode_deterministic_and_shaped(spark, sf_dir):
 
 
 def test_real_decode_boundary_is_explicit(spark, sf_dir):
+    """real_decode handles PNG and WAV natively; any OTHER payload (the
+    fake sha2 bytes here) must fail loudly naming the external-codec
+    boundary, not decode garbage."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media_df(spark, sf_dir), real_decode=True)
+    with pytest.raises(Exception, match="neither PNG nor WAV"):
+        multimodal.decode_media(
+            media_df(spark, sf_dir), real_decode=True
+        ).collect()
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode_png is a real spec decoder: it must invert encode_png
+    exactly AND reconstruct rows written with every PNG filter type
+    (0-4), for gray, RGB and RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    for ch in (1, 3, 4):
+        px = rng.randint(0, 256, size=(13, 17, ch)).astype(np.uint8)
+        assert (
+            multimodal.decode_png(multimodal.encode_png(px)) == px
+        ).all(), f"filter-0 roundtrip failed ch={ch}"
+
+    # hand-filter an image with each filter type and decode it
+    def forward_filter(px: np.ndarray, f: int) -> bytes:
+        h, w, ch = px.shape
+        stride = w * ch
+        flat = px.reshape(h, stride).astype(int)
+        out = b""
+        prev = np.zeros(stride, dtype=int)
+        for y in range(h):
+            cur = flat[y]
+            line = np.zeros(stride, dtype=int)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                line[x] = (cur[x] - pred) % 256
+            out += bytes([f]) + bytes(line.astype(np.uint8))
+            prev = cur
+        return out
+
+    def wrap(raw: bytes, w: int, h: int, color_type: int) -> bytes:
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0),
+            )
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    px = rng.randint(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    for f in range(5):
+        data = wrap(forward_filter(px, f), 11, 9, 2)
+        got = multimodal.decode_png(data)
+        assert (got == px).all(), f"filter {f} decode failed"
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    stereo = np.stack(
+        [0.5 * np.sin(2 * np.pi * 440 * t), 0.25 * np.sin(2 * np.pi * 220 * t)],
+        axis=1,
+    )
+    data = multimodal.encode_wav(stereo, sr)
+    samples, got_sr = multimodal.decode_wav(data)
+    assert got_sr == sr and samples.shape == (sr, 2)
+    # 16-bit quantization: within one LSB
+    assert np.abs(samples - stereo).max() <= 1.0 / 32767 + 1e-9
+
+
+def test_real_decode_png_and_wav_through_spark(spark):
+    """End to end through the Arrow path: real PNG and WAV payloads in a
+    media column decode to their true dimensions and intensities
+    (numpy ground truth), side by side in one DataFrame."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(10, 12, 3)).astype(np.uint8)
+    png = multimodal.encode_png(px)
+    mono = 0.3 * np.sin(2 * np.pi * 100 * np.arange(400) / 4000)
+    wav = multimodal.encode_wav(mono, 4000)
+
+    rows = [
+        ((bytearray(png), ("png", 0, 0, 1, 1)),),
+        ((bytearray(wav), ("wav", 0, 0, 1, 2)),),
+    ]
+    df = spark.createDataFrame(rows, f"media {multimodal.MEDIA_SCHEMA}")
+    got = {
+        r.source_id: r
+        for r in multimodal.decode_media(df, real_decode=True).collect()
+    }
+    g1 = got[1]
+    assert (g1.format, g1.width, g1.height) == ("png", 12, 10)
+    assert abs(g1.mean_intensity - px.astype(float).mean(axis=2).mean()) < 1e-9
+    assert len(g1.feature) == 16
+
+    g2 = got[2]
+    assert (g2.format, g2.width, g2.height) == ("wav", 400, 1)
+    dec, _ = multimodal.decode_wav(wav)
+    assert abs(g2.mean_intensity - np.abs(dec).mean()) < 1e-9
+    assert len(g2.feature) == 16
 
 
 def test_frame_sampling_expands_rows(spark, sf_dir):
