@@ -221,6 +221,72 @@ def attach_fake_media(df: DataFrame, id_col: str, fmt: str = "img") -> DataFrame
     )
 
 
+def attach_png_media(
+    df: DataFrame, id_col: str, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Attach a REAL PNG payload per row — deterministic grayscale
+    pixels seeded by the id, encoded with :func:`encode_png` inside an
+    Arrow-batched ``mapInPandas`` (the encode half of the real-codec
+    path; :func:`decode_media` with ``real_decode=True`` inverts it
+    exactly). Returns ``(id_col, media)`` — join back on the id if the
+    other columns are needed. Self-contained closure; same meta struct
+    as :func:`attach_fake_media` so every media operator composes."""
+    out_schema = f"{id_col} bigint, media {MEDIA_SCHEMA}"
+    w, h = width, height
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def png(px: np.ndarray) -> bytes:
+            def chunk(t: bytes, d: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+                )
+
+            hh, ww = px.shape
+            raw = b"".join(b"\x00" + px[y].tobytes() for y in range(hh))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(
+                    b"IHDR",
+                    struct.pack(">IIBBBBB", ww, hh, 8, 0, 0, 0, 0),
+                )
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                px = (
+                    np.random.RandomState(int(i) & 0x7FFFFFFF)
+                    .randint(0, 256, size=(h, w))
+                    .astype(np.uint8)
+                )
+                rows.append(
+                    {
+                        id_col: int(i),
+                        "media": {
+                            "data": png(px),
+                            "meta": {
+                                "format": "png",
+                                "width": w,
+                                "height": h,
+                                "n_frames": 1,
+                                "source_id": int(i),
+                            },
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        attach, schema=out_schema
+    )
+
+
 def media_meta(df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """Metadata-only view of a media column: extracts ``media.meta`` WITHOUT
     ever materializing the binary payload.

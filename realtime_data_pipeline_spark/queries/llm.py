@@ -293,6 +293,33 @@ GROUP BY format
 """
 
 
+def docs_multimodal_real_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X5 with REAL codecs end to end inside Spark: executor-side PNG
+    ENCODE (`multimodal.attach_png_media`, deterministic pixels seeded
+    by doc_id) followed by the real magic-byte-dispatched DECODE
+    (`decode_media(real_decode=True)`) — spec-correct inflate +
+    unfilter, no stubs anywhere in this path. Rows-only (binary codec
+    semantics have no SQL twin); determinism + numpy ground-truth
+    equality are pinned in tests/test_multimodal.py."""
+    from realtime_data_pipeline_spark import multimodal
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = multimodal.attach_png_media(docs, "doc_id")
+    return (
+        multimodal.decode_media(media, real_decode=True)
+        .select(
+            "source_id",
+            "format",
+            "width",
+            "height",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("source_id")
+    )
+
+
 def docs_curated_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation pass a training-data pipeline runs: quality
     gate (band != low) → language gate (en vote) → exact content dedup
@@ -690,6 +717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_multimodal_decode": docs_multimodal_decode,
+    "docs_multimodal_real_decode": docs_multimodal_real_decode,
     "docs_pack_chunks": docs_pack_chunks,
     "docs_mixture_sample": docs_mixture_sample,
     "docs_pack_manifest": docs_pack_manifest,

@@ -286,3 +286,29 @@ def test_resize_media_upscale_no_black_stripes(spark):
         # make a fully-zero row astronomically unlikely otherwise
         rows_all_zero = (arr.reshape(96, 96) == 0).all(axis=1).sum()
         assert rows_all_zero == 0
+
+
+def test_attach_png_media_roundtrips_through_real_decode(spark):
+    """The encode side (attach_png_media, executor-side real PNG encode)
+    and the decode side (real_decode=True) are exact inverses: the
+    decoded mean intensity equals the numpy ground truth of the seeded
+    pixel grid for every id, twice (determinism)."""
+    import numpy as np
+
+    df = spark.range(0, 30).toDF("doc_id")
+    media = multimodal.attach_png_media(df, "doc_id", width=16, height=12)
+    got = {
+        r.source_id: r
+        for r in multimodal.decode_media(media, real_decode=True).collect()
+    }
+    assert len(got) == 30
+    for i in (0, 7, 29):
+        px = np.random.RandomState(i).randint(0, 256, size=(12, 16))
+        r = got[i]
+        assert (r.format, r.width, r.height) == ("png", 16, 12)
+        assert abs(r.mean_intensity - px.mean()) < 1e-9
+    again = {
+        r.source_id: r.mean_intensity
+        for r in multimodal.decode_media(media, real_decode=True).collect()
+    }
+    assert again == {k: v.mean_intensity for k, v in got.items()}
