@@ -434,3 +434,70 @@ def test_stats_pruning_is_sound(values, preds):
 
     if any(row_matches(v) for v in values):
         assert versioned._file_may_match(stats, preds) is True
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decode_inverts_any_per_row_filter_choice(h, w, ch, seed):
+    """Real encoders pick a DIFFERENT filter per row; the decoder must
+    invert any mix of the five filter types (the uniform-filter unit
+    test can't catch cross-row filter interactions like Paeth reading
+    an Up-filtered previous row)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from realtime_data_pipeline_spark import multimodal
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    filters = rng.randint(0, 5, size=h)
+
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(int)
+    raw = b""
+    prev = np.zeros(stride, dtype=int)
+    for y in range(h):
+        cur = flat[y]
+        f = int(filters[y])
+        line = np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) >> 1,
+            }.get(f)
+            if pred is None:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) % 256
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+        prev = cur
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        )
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(data) == px).all()
