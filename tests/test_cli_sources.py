@@ -616,3 +616,48 @@ def test_cli_scd2_stream_from_zone(spark, tmp_path, capsys):
     cur = {r.cust_id: r.tier for r in medallion.scd2_current(spark, dim).collect()}
     assert cur == {"c1": "gold"}
     assert spark.read.parquet(dim).count() == 2
+
+
+def test_cli_scd2_enrich_attributes_facts(spark, tmp_path, capsys):
+    """scd2 enrich: a facts CSV inbox streams through the point-in-time
+    join against the dimension; each fact lands with the tier in force
+    at its own event time."""
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [
+            ("c1", "bronze", "2024-01-01 00:00:00"),
+            ("c1", "gold", "2024-02-01 00:00:00"),
+        ],
+        "cust_id string, tier string, seen_at string",
+    ).selectExpr(
+        "cust_id", "tier", "CAST(seen_at AS timestamp) seen_at"
+    ).write.parquet(b1)
+    tgt = str(tmp_path / "dim")
+    assert cli.main(
+        ["scd2", "merge", "--target", tgt, "--keys", "cust_id",
+         "--effective", "seen_at", "--buckets", "4", "--batch", b1]
+    ) == 0
+    capsys.readouterr()
+
+    inbox = str(tmp_path / "facts")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "f0.csv"), "w") as f:
+        f.write("cust_id,amount,ts\n")
+        f.write("c1,10.0,2024-01-15T00:00:00\n")  # bronze era
+        f.write("c1,20.0,2024-02-15T00:00:00\n")  # gold era
+    out = str(tmp_path / "enriched")
+    assert cli.main(
+        ["scd2", "enrich", "--target", tgt, "--inbox", inbox,
+         "--format", "csv",
+         "--schema", "cust_id string, amount double, ts timestamp",
+         "--keys", "cust_id", "--ts-col", "ts", "--out", out,
+         "--checkpoint", str(tmp_path / "ck")]
+    ) == 0
+    got = sorted(
+        (r.amount, r.tier) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(10.0, "bronze"), (20.0, "gold")]
