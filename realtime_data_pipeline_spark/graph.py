@@ -1,0 +1,116 @@
+"""Link-graph operators for corpus curation.
+
+Web-scale training corpora carry a link graph (page → page, host →
+host), and real curation pipelines propagate quality over it: a page
+linked from many reputable pages is likelier worth keeping, link farms
+concentrate rank among themselves and get culled. This module gives the
+engine that shape as plain DataFrame iteration — the same
+loop-with-lineage-checkpoints discipline as
+``dedup.connected_components``, no GraphX/GraphFrames dependency.
+
+Scale notes:
+
+* each iteration is ONE join (edges ⋈ ranks on the source id) + ONE
+  aggregation (contributions by destination); edges are repartitioned
+  on ``src`` once and persisted, so every iteration's join reuses that
+  layout and only the (|nodes|-row) rank table moves;
+* dangling mass (nodes with no out-links) is a 1-row aggregate per
+  iteration collected to the driver — a bounded scalar, not a data
+  path;
+* ``checkpoint_every`` truncates lineage so N iterations cost N jobs,
+  not one job with an N-deep plan (the classic iterative-DataFrame
+  failure mode);
+* double addition is order-dependent across partitions, so ranks are
+  reproducible to float tolerance, not bit-exact — this operator is
+  rows-only by nature (validated against a dense numpy power iteration
+  in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank over an edge list; returns ``(node, rank)`` with ranks
+    summing to ~1. Parallel edges count once (deduped); self-loops are
+    legal and behave as the textbook definition says. Nodes appearing
+    only as destinations (no out-links) are dangling: their rank
+    redistributes uniformly each step, keeping the total mass at 1 —
+    dropping it (the naive spelling) leaks mass every iteration and
+    under-ranks everything downstream of sinks."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(
+            F.col(src).alias("__src"), F.col(dst).alias("__dst")
+        )
+        .filter(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    # one shuffle each at setup; the per-iteration join then reuses the
+    # edge layout and only the rank table moves
+    out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    e = (
+        e.join(out_deg, "__src")
+        .repartition("__src")
+        .persist()
+    )
+    nodes = nodes.persist()
+    n = nodes.count()
+    e.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        linked = ranks.join(
+            e, ranks["node"] == e["__src"], "left"
+        )
+        contribs = (
+            linked.filter(F.col("__dst").isNotNull())
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        # dangling mass: bounded 1-row aggregate -> driver scalar
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["__src"], "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        spread = damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base + spread)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
