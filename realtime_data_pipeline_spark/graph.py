@@ -64,8 +64,13 @@ def pagerank(
         .distinct()
     )
     # one shuffle each at setup; the per-iteration join then reuses the
-    # edge layout and only the rank table moves
-    out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # edge layout and only the rank table moves. out_deg is persisted in
+    # its own right: the dangling anti-join reads it EVERY iteration,
+    # and an unpersisted plan would recompute the edge distinct+groupBy
+    # lineage each round
+    out_deg = (
+        e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg")).persist()
+    )
     e = (
         e.join(out_deg, "__src")
         .repartition("__src")
@@ -74,6 +79,7 @@ def pagerank(
     nodes = nodes.persist()
     n = nodes.count()
     e.count()
+    out_deg.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -113,4 +119,5 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
+    out_deg.unpersist()
     return ranks

@@ -404,6 +404,8 @@ def prune_report(
     if not known:
         raise ValueError(f"no committed versions under {root!r}")
     v = known[-1] if version is None else version
+    if v not in known:
+        raise ValueError(f"version {v} not in {known}")
     man = _read_manifest(root, v)
     stats = man.get("file_stats", {})
     kept = [
