@@ -223,6 +223,24 @@ def main(argv: list[str] | None = None) -> int:
         help="fp/neardup: write the batch rows that survived dedup here",
     )
 
+    pas = sub.add_parser(
+        "assemble",
+        help="assemble training shards: hash split -> reproducible "
+        "shard shuffle -> context-block packing manifest",
+    )
+    pas.add_argument("--docs", required=True, help="curated docs parquet")
+    pas.add_argument("--out", required=True, help="shard output root")
+    pas.add_argument("--id-col", default="doc_id")
+    pas.add_argument("--text-col", default="text")
+    pas.add_argument("--shards", type=int, default=16)
+    pas.add_argument("--seed", type=int, default=42)
+    pas.add_argument("--ctx-len", type=int, default=1024)
+    pas.add_argument(
+        "--split", choices=["train", "eval", "all"], default="train",
+        help="keep only this side of the content-hash split (md5 first "
+        "nibble <= 'c' is train, ~13/16)",
+    )
+
     psy = sub.add_parser(
         "synth",
         help="generate synthetic events via the custom Python data source",
@@ -459,6 +477,43 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 view = versioned.read_version(spark, args.root, args.version)
             view.show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "assemble":
+        from pyspark.sql import functions as F
+
+        from realtime_data_pipeline_spark import packing, text
+
+        docs = spark.read.parquet(args.docs)
+        if args.split != "all":
+            side = F.when(
+                F.substring(F.md5(F.col(args.text_col)), 1, 1) <= "c",
+                "train",
+            ).otherwise("eval")
+            docs = docs.filter(side == args.split)
+        shuffled = packing.shuffle_shards(
+            docs, args.id_col, n_shards=args.shards, seed=args.seed
+        )
+        weighted = shuffled.withColumn(
+            "n_tokens",
+            text.token_count_re(F.col(args.text_col)).cast("long"),
+        ).withColumn(
+            "__order",
+            F.col("shard").cast("long") * F.lit(1_000_000_000)
+            + F.col("shard_pos"),
+        )
+        packed = packing.pack_concat_chunks(
+            weighted, "__order", "n_tokens", ctx_len=args.ctx_len
+        ).drop("__order")
+        (
+            packed.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.out)
+        )
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"assemble: {n} docs -> {args.shards} shards "
+            f"(ctx {args.ctx_len}) -> {args.out}"
+        )
         return 0
     if args.cmd == "synth":
         from realtime_data_pipeline_spark import pysource

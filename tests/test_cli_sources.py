@@ -661,3 +661,46 @@ def test_cli_scd2_enrich_attributes_facts(spark, tmp_path, capsys):
         (r.amount, r.tier) for r in spark.read.parquet(out).collect()
     )
     assert got == [(10.0, "bronze"), (20.0, "gold")]
+
+
+def test_cli_assemble_builds_shuffled_packed_shards(spark, tmp_path, capsys):
+    """assemble: curated docs -> hash-split train side -> reproducible
+    shard shuffle -> packing manifest, written shard-partitioned; two
+    runs produce identical manifests (replay-deterministic)."""
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(docs)
+
+    def run(out):
+        rc = cli.main(
+            ["assemble", "--docs", docs, "--out", out,
+             "--shards", "4", "--ctx-len", "256"]
+        )
+        assert rc == 0
+        return sorted(
+            map(tuple, spark.read.parquet(out)
+                .select("doc_id", "shard", "shard_pos", "offset")
+                .collect())
+        )
+
+    a = run(str(tmp_path / "o1"))
+    b = run(str(tmp_path / "o2"))
+    assert a == b and len(a) > 0
+    # shard-partitioned layout on disk
+    assert any(
+        d.startswith("shard=") for d in os.listdir(str(tmp_path / "o1"))
+    )
+    # train side only: eval docs (md5 nibble > 'c') are absent
+    ids = {r[0] for r in a}
+    evals = {
+        r.doc_id
+        for r in spark.read.parquet(docs)
+        .where("substring(md5(text), 1, 1) > 'c'")
+        .collect()
+    }
+    assert not (ids & evals)
