@@ -503,6 +503,8 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
     misaligning positionally."""
 
     def __init__(self, options: dict, payload_names: list[str]):
+        import json as _json
+
         self.root = options["root"]
         self.payload_names = payload_names
         self.on_overwrite = options.get("on_overwrite", "fail")
@@ -512,6 +514,26 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
             )
         self.start_after = int(options.get("starting_after_version", -1))
         self.max_versions = int(options.get("max_versions_per_trigger", 0))
+        # predicate pushdown: where = JSON [[col, op, literal], ...]
+        # (op: = < <= > >=). File-level: added files whose manifest
+        # footer stats prove no row can match are never planned as
+        # partitions (data skipping inside the stream). Row-level: the
+        # surviving files are filtered executor-side with pyarrow
+        # compute, so the option IS a row filter, not just a hint.
+        # Numeric and string columns; comparison predicates never match
+        # NULLs (same semantics as versioned.read_version_where).
+        self.where: list = _json.loads(options.get("where", "[]"))
+        for p_ in self.where:
+            if (
+                len(p_) != 3
+                or p_[1] not in ("=", "<", "<=", ">", ">=")
+                or p_[0] not in payload_names
+            ):
+                raise ValueError(
+                    f"zone_changes: bad where predicate {p_!r} — expected "
+                    f"[payload_column, op, literal] with op in = < <= > >= "
+                    f"and column among {payload_names}"
+                )
         self._cursor: int | None = None  # last end handed to partitions()
 
     def initialOffset(self) -> dict:
@@ -579,6 +601,16 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
             else:
                 added = [p for p in man["files"] if p not in prev_files]
             prev_files = set(man["files"])
+            if self.where:
+                # file-level data skipping: stats-disproven files never
+                # become partitions (absent stats keep the file — the
+                # row filter in read() remains the correctness path)
+                stats = man.get("file_stats", {})
+                added = [
+                    p
+                    for p in added
+                    if versioned._file_may_match(stats.get(p), self.where)
+                ]
             out.extend(
                 _ZoneFilePartition(os.path.join(self.root, p), v)
                 for p in added
@@ -621,6 +653,18 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
             )
             if norm != table.schema:
                 table = table.cast(norm)
+            if self.where:
+                import pyarrow.compute as pc
+
+                ops = {
+                    "=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                    ">": pc.greater, ">=": pc.greater_equal,
+                }
+                mask = None
+                for col, op, val in self.where:
+                    m = ops[op](table[col], val)
+                    mask = m if mask is None else pc.and_(mask, m)
+                table = table.filter(mask)
             table = table.append_column(
                 "_commit_version", pa.array([v] * len(table), pa.int64())
             )
@@ -628,13 +672,28 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
             return
         # evolution path (on_overwrite=full across a schema change): a
         # column the declared schema expects is absent — NULL-pad by name
+        def _row_matches(row: tuple) -> bool:
+            by_name = dict(zip(names, row))
+            for col, op, val in self.where:
+                x = by_name.get(col)
+                if x is None:
+                    return False  # comparisons never match NULL
+                ok = {
+                    "=": x == val, "<": x < val, "<=": x <= val,
+                    ">": x > val, ">=": x >= val,
+                }[op]
+                if not ok:
+                    return False
+            return True
+
         cols = [
             table[n].to_pylist() if n in table.column_names
             else [None] * len(table)
             for n in names
         ]
         for row in zip(*cols):
-            yield (*row, v)
+            if not self.where or _row_matches(row):
+                yield (*row, v)
 
     def commit(self, end: dict) -> None:
         pass
@@ -647,7 +706,11 @@ class ZoneChangesDataSource(DataSource):
     """``zone_changes`` — stream a versioned zone's commits as
     micro-batches. Options: ``root`` (required), ``on_overwrite``
     (fail|full|skip), ``starting_after_version``,
-    ``max_versions_per_trigger``. Payload schema comes from the zone's
+    ``max_versions_per_trigger``, ``where`` (JSON
+    ``[[col, op, literal], ...]`` with op in ``= < <= > >=`` — a real
+    row filter evaluated executor-side, with manifest footer-stats file
+    skipping underneath so provably-dead files are never even planned;
+    numeric/string columns). Payload schema comes from the zone's
     latest manifest plus ``_commit_version bigint``.
 
     CAVEAT — ``max_versions_per_trigger`` paces a catch-up backlog from

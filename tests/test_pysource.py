@@ -638,3 +638,67 @@ def test_zone_changes_restart_across_compaction(spark, tmp_path):
     )
     # v0+v1 as appends, then the compacted snapshot re-emitted at v2
     assert got == [(0, 0), (0, 2), (1, 1), (1, 2)]
+
+
+def test_zone_changes_where_prunes_files_and_filters_rows(spark, tmp_path):
+    """zone_changes predicate pushdown: the where option is a real row
+    filter AND skips provably-dead files at planning — proven by
+    CORRUPTING the out-of-range commit's data file: if pruning works the
+    stream never opens it; if pruning silently broke, the read crashes
+    instead of delivering wrong results."""
+    import json
+    import os
+
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    mk = lambda lo: spark.range(lo, lo + 100).toDF("k").coalesce(1)  # noqa: E731
+    versioned.commit_version(mk(0), root)                    # v0: 0-99
+    versioned.commit_version(mk(100), root, mode="append")   # v1: 100-199
+    versioned.commit_version(mk(200), root, mode="append")   # v2: 200-299
+
+    # v0's file is out of range for k >= 150 — garble it
+    v0_file = os.path.join(
+        root, versioned._read_manifest(root, 0)["files"][0]
+    )
+    with open(v0_file, "wb") as f:
+        f.write(b"not parquet anymore")
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .option("where", json.dumps([["k", ">=", 150]]))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    # v1's file straddles the predicate: rows 150-199 pass the
+    # executor-side filter; v2 passes whole; v0 was never opened
+    assert got == list(range(150, 300))
+
+    # a predicate on an unknown column fails loudly at source setup
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="bad where predicate"):
+        q2 = (
+            spark.readStream.format("zone_changes")
+            .option("root", root)
+            .option("where", json.dumps([["nope", "=", 1]]))
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
