@@ -277,6 +277,96 @@ WHERE g.split = 'eval'
 """
 
 
+BOILER_N = 5
+BOILER_MIN_DF = 3
+
+
+def docs_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal repeated-span (boilerplate) detection: a word
+    5-gram occurring in >= BOILER_MIN_DF distinct documents is
+    boilerplate (shared headers/footers/disclaimers — the de-boilerplate
+    cull every corpus pipeline runs); each document reports how much of
+    it is made of such spans. The fixture corpus is template-generated,
+    so this is non-empty at every SF.
+
+    Scale shape mirrors :func:`docs_contamination_check`: grams become
+    xxhash64 longs immediately and are distinct-reduced PER DOC before
+    anything moves, so doc-frequency is one groupBy over 8-byte keys
+    and the flag join is bucket-sized — no text shuffles. Same
+    documented collision bound vs the string-joining oracle."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("text"), BOILER_N),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("grams"),
+    )
+    per_doc = base.select("doc_id", F.explode("grams").alias("g"))
+    boiler = (
+        per_doc.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("g")
+    )
+    hits = (
+        per_doc.join(boiler, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint"))
+    return (
+        base.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_boiler.alias("n_boiler"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    n_boiler / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+DOCS_BOILERPLATE_PROFILE_SQL = r"""
+WITH f AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS grams
+  FROM f
+), per_doc AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), boiler AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(*) AS df FROM per_doc GROUP BY gram
+  ) WHERE df >= 3
+), hits AS (
+  SELECT p.doc_id, COUNT(*) AS n_boiler
+  FROM per_doc p JOIN boiler b USING (gram)
+  GROUP BY p.doc_id
+)
+SELECT
+  g.doc_id,
+  CAST(len(g.grams) AS INTEGER) AS n_grams,
+  CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+  ROUND(CASE WHEN len(g.grams) > 0
+        THEN COALESCE(h.n_boiler, 0) / CAST(len(g.grams) AS DOUBLE)
+        ELSE 0.0 END, 4) AS boiler_ratio
+FROM g LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/KenLM-style quality proxy: per-document average and max
     unigram surprisal (-ln corpus frequency) — fluent text scores low,
@@ -508,10 +598,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_bm25_search": docs_bm25_search,
+    "docs_boilerplate_profile": docs_boilerplate_profile,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_unigram_surprisal": DOCS_UNIGRAM_SURPRISAL_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_TOP_TERMS_SQL,
     "docs_bm25_search": DOCS_BM25_SEARCH_SQL,
+    "docs_boilerplate_profile": DOCS_BOILERPLATE_PROFILE_SQL,
 }
