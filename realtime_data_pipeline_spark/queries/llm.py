@@ -685,6 +685,82 @@ ORDER BY shard, shard_pos
 """
 
 
+BATCH_SIZE = 32
+
+
+def docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning — the padding-minimizing batcher
+    for SFT/eval: sort docs by token count inside power-of-two length
+    buckets, cut into fixed-size batches, and report each batch's
+    padding overhead (batch cost is max-length × batch-size; mixing a
+    10-token doc into a 1000-token batch wastes 99% of its rows). The
+    per-batch ``padding_frac`` is the quantity a data engineer tunes
+    bucket geometry against.
+
+    Scale shape: one window shuffle on the bucket key (each partition =
+    one length bucket), then a per-batch groupBy that reuses nothing
+    corpus-sized — identical discipline to ``shuffle_shards``."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id",
+        text.token_count_re(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    bucket = F.floor(F.log2("n_tokens")).cast("int")
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    ranked = docs.withColumn("bucket", bucket).withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / BATCH_SIZE).cast("int"),
+    )
+    return (
+        ranked.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            F.round(
+                1.0
+                - F.col("sum_tokens")
+                / (F.col("max_tokens") * F.col("n_docs")).cast("double"),
+                4,
+            ).alias("padding_frac"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+DOCS_LENGTH_BATCHES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(LOG2(n_tokens)) AS INTEGER) AS bucket,
+         CAST(FLOOR((ROW_NUMBER() OVER (
+           PARTITION BY CAST(FLOOR(LOG2(n_tokens)) AS INTEGER)
+           ORDER BY n_tokens, doc_id) - 1) / 32) AS INTEGER) AS batch_id
+  FROM d WHERE n_tokens > 0
+)
+SELECT bucket, batch_id,
+       COUNT(*) AS n_docs,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(1.0 - CAST(SUM(n_tokens) AS BIGINT)
+             / CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE), 4)
+         AS padding_frac
+FROM r
+GROUP BY bucket, batch_id
+ORDER BY bucket, batch_id
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (``sampleBy``): down-weight the dominant
     language, keep the rest — the class-rebalancing step before training.
@@ -724,6 +800,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_mixture_sample_exact": docs_mixture_sample_exact,
     "docs_rag_chunks": docs_rag_chunks,
     "docs_shuffle_shards": docs_shuffle_shards,
+    "docs_length_batches": docs_length_batches,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
@@ -735,6 +812,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_mixture_sample_exact": DOCS_MIXTURE_SAMPLE_EXACT_SQL,
     "docs_rag_chunks": DOCS_RAG_CHUNKS_SQL,
     "docs_shuffle_shards": DOCS_SHUFFLE_SHARDS_SQL,
+    "docs_length_batches": DOCS_LENGTH_BATCHES_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
