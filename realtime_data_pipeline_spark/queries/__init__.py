@@ -112,6 +112,11 @@ _ROTATE_IN = [
     "events_retention_cohorts",
     "orders_pivot_status_by_year",
     "docs_bm25_search",
+    # built new this round — declared immediately so they get driver-grade
+    # CORRECTNESS rows in the round that shipped them
+    "docs_shuffle_shards",
+    "docs_boilerplate_profile",
+    "docs_length_batches",
 ]
 _ROTATE_OUT = [
     "customer_order_stats",
@@ -132,6 +137,9 @@ _ROTATE_OUT = [
     "clicks_with_next_purchase",
     "embeddings_neardup_lsh",
     "docs_neardup_minhash",
+    "parts_with_lineitems",
+    "orders_price_band",
+    "clicks_with_last_purchase",
 ]
 
 for _name in _ROTATE_IN:
