@@ -457,26 +457,61 @@ def read_jsonl_audit(spark, path: str, schema: str | None = None):
     return reader.json(files)
 
 
-def _payload_names(simple: str) -> list[str]:
-    """Top-level field names of a ``struct<...>`` simpleString (depth-aware
-    split so nested struct/map/decimal types don't confuse the commas)."""
+def _payload_fields(simple: str) -> list[tuple[str, str]]:
+    """Top-level ``(name, type)`` pairs of a ``struct<...>`` simpleString
+    (depth-aware split so nested struct/map/decimal types don't confuse
+    the commas)."""
     if not (simple.startswith("struct<") and simple.endswith(">")):
         raise ValueError(f"not a struct simpleString: {simple!r}")
     inner = simple[len("struct<"):-1]
-    names, depth, cur = [], 0, ""
+    fields, depth, cur = [], 0, ""
     for ch in inner:
         if ch in "<(":
             depth += 1
         elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
-            names.append(cur.partition(":")[0])
+            name, _, typ = cur.partition(":")
+            fields.append((name, typ))
             cur = ""
         else:
             cur += ch
     if cur:
-        names.append(cur.partition(":")[0])
-    return names
+        name, _, typ = cur.partition(":")
+        fields.append((name, typ))
+    return fields
+
+
+def _payload_names(simple: str) -> list[str]:
+    return [n for n, _ in _payload_fields(simple)]
+
+
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _check_where_literal(col: str, typ: str, val) -> str | None:
+    """None when ``val`` can legally compare against a column of
+    simpleString type ``typ`` in the executor-side pyarrow filter; an
+    error message otherwise. Catching this at stream DEFINITION beats a
+    pyarrow compute crash mid-stream on the first matching file."""
+    if typ == "string":
+        if not isinstance(val, str):
+            return (
+                f"column {col!r} is string but the literal {val!r} is "
+                f"{type(val).__name__}"
+            )
+        return None
+    if typ in _NUMERIC_TYPES or typ.startswith("decimal"):
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            return (
+                f"column {col!r} is {typ} but the literal {val!r} is "
+                f"{type(val).__name__}"
+            )
+        return None
+    return (
+        f"column {col!r} has type {typ}: where pushdown supports numeric "
+        "and string columns only"
+    )
 
 
 class _ZoneFilePartition(InputPartition):
@@ -502,11 +537,12 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
     column reorder or evolution NULL-pads/reorders instead of
     misaligning positionally."""
 
-    def __init__(self, options: dict, payload_names: list[str]):
+    def __init__(self, options: dict, payload_fields: list[tuple[str, str]]):
         import json as _json
 
         self.root = options["root"]
-        self.payload_names = payload_names
+        self.payload_names = [n for n, _ in payload_fields]
+        types = dict(payload_fields)
         self.on_overwrite = options.get("on_overwrite", "fail")
         if self.on_overwrite not in ("fail", "full", "skip"):
             raise ValueError(
@@ -522,18 +558,30 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
         # compute, so the option IS a row filter, not just a hint.
         # Numeric and string columns; comparison predicates never match
         # NULLs (same semantics as versioned.read_version_where).
+        # CAVEAT (NaN): the pyarrow row filter uses IEEE comparison —
+        # NaN matches NO comparison predicate — while Spark's own
+        # filters order NaN above every value, so on a float column
+        # whose data contains NaN, `where` diverges from
+        # read_version_where for >/>= exactly on those NaN rows.
         self.where: list = _json.loads(options.get("where", "[]"))
         for p_ in self.where:
             if (
                 len(p_) != 3
                 or p_[1] not in ("=", "<", "<=", ">", ">=")
-                or p_[0] not in payload_names
+                or p_[0] not in types
             ):
                 raise ValueError(
                     f"zone_changes: bad where predicate {p_!r} — expected "
                     f"[payload_column, op, literal] with op in = < <= > >= "
-                    f"and column among {payload_names}"
+                    f"and column among {self.payload_names}"
                 )
+            # literal-vs-column type check at stream DEFINITION: a
+            # mismatched literal would otherwise only explode
+            # executor-side in pyarrow compute on the first non-empty
+            # micro-batch — long after .start() returned successfully
+            err = _check_where_literal(p_[0], types[p_[0]], p_[2])
+            if err is not None:
+                raise ValueError(f"zone_changes: bad where predicate: {err}")
         self._cursor: int | None = None  # last end handed to partitions()
 
     def initialOffset(self) -> dict:
@@ -710,7 +758,13 @@ class ZoneChangesDataSource(DataSource):
     ``[[col, op, literal], ...]`` with op in ``= < <= > >=`` — a real
     row filter evaluated executor-side, with manifest footer-stats file
     skipping underneath so provably-dead files are never even planned;
-    numeric/string columns). Payload schema comes from the zone's
+    numeric/string columns, and the literal's type is validated against
+    the manifest schema at stream DEFINITION so a mismatch fails at
+    ``.load()``, not executor-side mid-stream. NaN caveat: the pyarrow
+    row filter is IEEE — NaN matches no comparison — whereas Spark
+    filters order NaN largest, so ``where`` on a NaN-bearing float
+    column diverges from ``read_version_where`` for ``>``/``>=`` on
+    exactly the NaN rows). Payload schema comes from the zone's
     latest manifest plus ``_commit_version bigint``.
 
     CAVEAT — ``max_versions_per_trigger`` paces a catch-up backlog from
@@ -741,12 +795,12 @@ class ZoneChangesDataSource(DataSource):
         # StructType.fromDDL here — splice the extra column into the
         # manifest's simpleString ("struct<k:bigint,...>"), a form
         # Spark's DDL parser accepts once it is back on the driver
-        self._payload = _payload_names(simple)
+        self._payload = _payload_fields(simple)
         return simple[:-1] + ",_commit_version:bigint>"
 
     def streamReader(self, schema):
         # schema() always runs first; fall back for direct construction
-        payload = getattr(self, "_payload", None) or _payload_names(
+        payload = getattr(self, "_payload", None) or _payload_fields(
             self.schema()[: -len(",_commit_version:bigint>")] + ">"
         )
         return _ZoneChangesStreamReader(dict(self.options), payload)

@@ -90,6 +90,11 @@ def get_spark(
         # pushFilters() — without it Spark refuses to plan a reader that
         # implements pushdown rather than silently skipping it
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # write timestamps as INT64 micros, not the legacy INT96: INT96
+        # carries NO parquet min/max statistics, which silently disables
+        # both Spark's row-group pruning and the versioned zone's
+        # manifest file skipping on every timestamp column
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config(_STATE_STORE_CONF, STATE_STORE_PROVIDERS[state_store])

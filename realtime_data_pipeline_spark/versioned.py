@@ -137,12 +137,56 @@ def _norm_stat(v):
     return None
 
 
+def _stat_kind(raw) -> str:
+    """Column-kind marker stored beside each [min, max] pair so the
+    pruner knows which comparison regime the column's Spark filter will
+    use: ``f`` float (NaN orders ABOVE max in Spark but is absent from
+    parquet footer min/max), ``t``/``d`` timestamp/date (recorded as ISO
+    strings; user literals may spell the same instant differently),
+    ``n`` integer, ``s`` string/binary."""
+    import datetime
+
+    if isinstance(raw, float):
+        return "f"
+    if isinstance(raw, datetime.datetime):
+        return "t"
+    if isinstance(raw, datetime.date):
+        return "d"
+    if isinstance(raw, bool) or isinstance(raw, int):
+        return "n"
+    return "s"
+
+
+def _ts_parse(s):
+    """ISO-ish string → naive-UTC datetime (accepts 'T' or ' '
+    separators and truncated time forms, i.e. both isoformat() output
+    and the literals users actually type); None when not
+    chronologically parseable. Footer stats for Spark-written
+    timestamps are tz-aware (+00:00, isAdjustedToUTC) while user
+    literals are naive — the session pins UTC, so both collapse to
+    naive UTC for comparison."""
+    import datetime
+
+    if not isinstance(s, str):
+        return None
+    try:
+        dt = datetime.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def _collect_file_stats(root: str, rel_paths: list[str]) -> dict:
     """Per-file min/max of top-level columns, read from parquet FOOTERS
     (no data pages touched) — one driver-side metadata read per added
     file at commit time, the same O(files-in-commit) cost class as the
     manifest write itself. Columns whose stats are absent/unusable in
-    ANY row group are dropped for that file (absence must never prune)."""
+    ANY row group are dropped for that file (absence must never prune).
+    Each entry is ``[min, max, kind]`` — the kind marker (see
+    :func:`_stat_kind`) lets :func:`_file_may_match` apply the right
+    comparison regime (floats: NaN-aware; timestamps: chronological)."""
     import pyarrow.parquet as pq
 
     out: dict = {}
@@ -150,6 +194,7 @@ def _collect_file_stats(root: str, rel_paths: list[str]) -> dict:
         md = pq.ParquetFile(os.path.join(root, rel)).metadata
         mins: dict = {}
         maxs: dict = {}
+        kinds: dict = {}
         dead: set[str] = set()
         for rg in range(md.num_row_groups):
             rgm = md.row_group(rg)
@@ -171,8 +216,9 @@ def _collect_file_stats(root: str, rel_paths: list[str]) -> dict:
                     maxs[name] = max(maxs[name], hi)
                 else:
                     mins[name], maxs[name] = lo, hi
+                    kinds[name] = _stat_kind(st.min)
         out[rel] = {
-            n: [mins[n], maxs[n]] for n in mins if n not in dead
+            n: [mins[n], maxs[n], kinds[n]] for n in mins if n not in dead
         }
     return out
 
@@ -358,7 +404,26 @@ def _file_may_match(stats: dict | None, preds: list[tuple]) -> bool:
     """False only when the file's recorded [min, max] PROVES no row can
     satisfy every predicate — absent stats, unknown columns, and
     incomparable literals all keep the file (skipping is an
-    optimization, never a correctness decision)."""
+    optimization, never a correctness decision).
+
+    Two comparison-regime traps are handled via the stats' kind marker:
+
+    * FLOAT columns: parquet footer min/max exclude NaN, but Spark SQL
+      orders NaN ABOVE every value — a file whose only rows matching
+      ``col > v`` are NaN would look dead by its max. Upper-bound ops
+      (``>``/``>=``) therefore never prune float files; ``=``/``<``/
+      ``<=`` stay sound because NaN rows cannot match them.
+    * TIMESTAMP/DATE columns: stats are isoformat strings ('T'
+      separator); a user literal may spell the same instant with a
+      space or truncated seconds, and lexicographic order would then
+      disagree with the chronological order Spark's filter uses. Both
+      sides are parsed to datetimes before comparing; an unparseable
+      literal keeps the file.
+    * legacy 2-element entries (no kind marker): float bounds are
+      recognizable from JSON and treated as ``f``; string bounds that
+      parse as datetimes prune only when the proof holds under BOTH
+      lexicographic and chronological order (the column could be either
+      a real string or a recorded timestamp)."""
     if not stats:
         return True
     for col, op, val in preds:
@@ -366,17 +431,43 @@ def _file_may_match(stats: dict | None, preds: list[tuple]) -> bool:
         v = _norm_stat(val)
         if not rng or v is None:
             continue
-        lo, hi = rng
+        lo, hi = rng[0], rng[1]
+        kind = rng[2] if len(rng) > 2 else None
+        if kind is None and (isinstance(lo, float) or isinstance(hi, float)):
+            kind = "f"
+        if kind == "f" and op in (">", ">="):
+            continue
+        # every interpretation in this list must prove the file dead
+        if kind in ("t", "d"):
+            chron = tuple(_ts_parse(x) for x in (lo, hi, v))
+            if any(x is None for x in chron):
+                continue
+            interps = [chron]
+        else:
+            interps = [(lo, hi, v)]
+            if (
+                kind is None
+                and isinstance(v, str)
+                and isinstance(lo, str)
+                and isinstance(hi, str)
+            ):
+                chron = tuple(_ts_parse(x) for x in (lo, hi, v))
+                if all(x is not None for x in chron):
+                    interps.append(chron)
+
+        def _dead(lo_i, hi_i, v_i) -> bool:
+            if op == "=":
+                return not (lo_i <= v_i <= hi_i)
+            if op == "<":
+                return not (lo_i < v_i)
+            if op == "<=":
+                return not (lo_i <= v_i)
+            if op == ">":
+                return not (hi_i > v_i)
+            return not (hi_i >= v_i)
+
         try:
-            if op == "=" and not (lo <= v <= hi):
-                return False
-            if op == "<" and not (lo < v):
-                return False
-            if op == "<=" and not (lo <= v):
-                return False
-            if op == ">" and not (hi > v):
-                return False
-            if op == ">=" and not (hi >= v):
+            if all(_dead(*t) for t in interps):
                 return False
         except TypeError:
             continue
@@ -437,9 +528,12 @@ def read_version_where(
     already does). The predicates are ALSO applied as Spark filters, so
     the result equals ``read_version(...).filter(...)`` exactly:
     pruning can only skip provably-dead files, never change the answer
-    (date/timestamp literals compare as ISO strings, matching how the
-    stats were recorded). Comparison predicates never match NULL rows
-    on either path, so null-heavy files prune soundly too."""
+    (date/timestamp literals are parsed and compared chronologically —
+    a space-separated or truncated literal prunes exactly like the
+    isoformat the stats were recorded in; float columns never prune on
+    ``>``/``>=`` because Spark orders NaN above every recorded max).
+    Comparison predicates never match NULL rows on either path, so
+    null-heavy files prune soundly too."""
     from pyspark.sql import functions as F
 
     _check_preds(predicates)

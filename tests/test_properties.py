@@ -437,6 +437,69 @@ def test_stats_pruning_is_sound(values, preds):
 
 
 @given(
+    values=st.lists(
+        st.one_of(
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=-100.0,
+                max_value=100.0,
+            ),
+            st.just(float("nan")),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    preds=st.lists(
+        st.tuples(
+            st.sampled_from(["x"]),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=-100.0,
+                max_value=100.0,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_stats_pruning_is_sound_for_nan_floats(values, preds):
+    """The float trap: parquet footer min/max EXCLUDE NaN, Spark SQL
+    orders NaN ABOVE every value — so a file whose only rows matching
+    ``col > v`` are NaN must still be kept even though its recorded max
+    disproves the range. row_matches below uses Spark's comparison
+    semantics; stats are what _collect_file_stats would record."""
+    from realtime_data_pipeline_spark import versioned
+
+    finite = [v for v in values if v == v]
+    if not finite:
+        return  # footer records no min/max -> absent stats never prune
+    stats = {"x": [min(finite), max(finite), "f"]}
+
+    def row_matches(v: float) -> bool:
+        for _, op, lit in preds:
+            if v != v:  # NaN: Spark orders it larger than everything
+                ok = op in (">", ">=")
+            else:
+                ok = {
+                    "=": v == lit,
+                    "<": v < lit,
+                    "<=": v <= lit,
+                    ">": v > lit,
+                    ">=": v >= lit,
+                }[op]
+            if not ok:
+                return False
+        return True
+
+    if any(row_matches(v) for v in values):
+        assert versioned._file_may_match(stats, preds) is True
+
+
+@given(
     h=st.integers(min_value=1, max_value=12),
     w=st.integers(min_value=1, max_value=12),
     ch=st.sampled_from([1, 2, 3, 4]),

@@ -702,3 +702,21 @@ def test_zone_changes_where_prunes_files_and_filters_rows(spark, tmp_path):
             q2.processAllAvailable()
         finally:
             q2.stop()
+
+    # a type-mismatched literal (string vs the bigint column) fails at
+    # stream DEFINITION too — not executor-side in pyarrow compute on
+    # the first non-empty micro-batch
+    with _pytest.raises(Exception, match="bad where predicate"):
+        q3 = (
+            spark.readStream.format("zone_changes")
+            .option("root", root)
+            .option("where", json.dumps([["k", ">", "oops"]]))
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .start()
+        )
+        try:
+            q3.processAllAvailable()
+        finally:
+            q3.stop()

@@ -539,8 +539,13 @@ def test_file_stats_recorded_and_pruned_reads_match_full_filter(
     for f in man["files"]:
         st = man["file_stats"][f]
         assert set(st) == {"id", "day", "v"}
-    ids = sorted(tuple(man["file_stats"][f]["id"]) for f in man["files"])
+    ids = sorted(
+        tuple(man["file_stats"][f]["id"][:2]) for f in man["files"]
+    )
     assert ids == [(0, 99), (100, 199), (200, 299), (300, 399)]
+    # each entry carries its kind marker (int / date / float)
+    st0 = man["file_stats"][man["files"][0]]
+    assert [st0["id"][2], st0["day"][2], st0["v"][2]] == ["n", "d", "f"]
 
     # int predicate: one surviving file out of four
     rep = versioned.prune_report(root, [("id", "<", 50)])
@@ -584,6 +589,73 @@ def test_file_stats_recorded_and_pruned_reads_match_full_filter(
         versioned.prune_report(root, [("id", "!=", 5)])
 
 
+def test_stats_pruning_nan_floats_and_timestamp_literals(spark, tmp_path):
+    """Two comparison-regime traps in the pruner, end to end:
+
+    1. NaN floats — footer min/max exclude NaN but Spark's filter
+       treats NaN as larger than every value, so ``x > v`` must KEEP a
+       file whose only matching rows are NaN (``read_version_where``
+       must equal ``read_version().filter(...)`` exactly);
+    2. timestamp literals — stats are isoformat ('T' separator); a
+       space-separated user literal must compare chronologically, both
+       for soundness (no wrong prune) and to keep pruning power."""
+    import datetime
+
+    root = str(tmp_path / "zone")
+    t0 = datetime.datetime(2024, 1, 1, 1, 0, 0)
+    df0 = spark.createDataFrame(
+        [(1, 1.0, t0), (2, float("nan"), t0.replace(hour=2))],
+        "id bigint, x double, ts timestamp",
+    )
+    df1 = spark.createDataFrame(
+        [
+            (3, 5.0, datetime.datetime(2024, 3, 1, 0, 0, 0)),
+            (4, 6.0, datetime.datetime(2024, 3, 2, 0, 0, 0)),
+        ],
+        "id bigint, x double, ts timestamp",
+    )
+    versioned.commit_version(df0.coalesce(1), root)
+    versioned.commit_version(df1.coalesce(1), root, mode="append")
+
+    # float >: file 0's recorded max (1.0, NaN excluded) disproves the
+    # range, but its NaN row matches in Spark — upper-bound ops must
+    # never prune float files, and the result must include id=2
+    rep = versioned.prune_report(root, [("x", ">", 3.0)])
+    assert rep["skipped_files"] == 0
+    got = versioned.read_version_where(spark, root, [("x", ">", 3.0)])
+    want = versioned.read_version(spark, root).filter(F.col("x") > 3.0)
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+    assert 2 in {r.id for r in got.collect()}
+
+    # float < / = stay prunable (NaN rows can never match them)
+    rep = versioned.prune_report(root, [("x", "<", 0.5)])
+    assert rep["skipped_files"] >= 1
+    got = versioned.read_version_where(spark, root, [("x", "<", 0.5)])
+    want = versioned.read_version(spark, root).filter(F.col("x") < 0.5)
+    assert got.count() == want.count() == 0
+
+    # space-separated timestamp literal: must keep file 0 (its rows
+    # match) AND still prune file 1 (all of March) — chronological
+    # comparison, not lexicographic-vs-'T'
+    lit = "2024-01-01 02:00:00"
+    rep = versioned.prune_report(root, [("ts", "<=", lit)])
+    assert rep == {
+        "version": 1, "total_files": 2, "kept_files": 1, "skipped_files": 1,
+    }
+    got = versioned.read_version_where(spark, root, [("ts", "<=", lit)])
+    want = versioned.read_version(spark, root).filter(F.col("ts") <= lit)
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    ) == [1, 2]
+
+    # unparseable pseudo-timestamp literal on a timestamp column: never
+    # prunes (kept == total), result still equals the full filter
+    rep = versioned.prune_report(root, [("ts", "<=", "2024-1-1 02:00")])
+    assert rep["kept_files"] == rep["total_files"]
+
+
 def test_file_stats_survive_rollback_and_overwrite(spark, tmp_path):
     """Rollback republishes the source manifest's stats; an overwrite
     records fresh stats for its own files only."""
@@ -596,12 +668,12 @@ def test_file_stats_survive_rollback_and_overwrite(spark, tmp_path):
     )
     man1 = versioned._read_manifest(root, 1)
     assert [
-        tuple(man1["file_stats"][f]["id"]) for f in man1["files"]
+        tuple(man1["file_stats"][f]["id"][:2]) for f in man1["files"]
     ] == [(1000, 1099)]
     versioned.rollback(root, to_version=0)
     man2 = versioned._read_manifest(root, 2)
     assert [
-        tuple(man2["file_stats"][f]["id"]) for f in man2["files"]
+        tuple(man2["file_stats"][f]["id"][:2]) for f in man2["files"]
     ] == [(0, 49)]
     rep = versioned.prune_report(root, [("id", ">=", 10)])
     assert rep["kept_files"] == 1
