@@ -605,6 +605,28 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # PageRank leg (round-6 verdict #4: iteration cost was asserted, not
+    # measured): rank the order→part purchase graph derived from
+    # lineitem (~SF·600k edges, deterministic — dst offset keeps the two
+    # key spaces disjoint). 5 power iterations, each one join + one agg
+    # + the single materializing action; wall time includes the eager
+    # final checkpoint, so the number IS the iteration cost.
+    from realtime_data_pipeline_spark import graph
+
+    def pagerank_leg() -> float:
+        edges = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        t0 = time.perf_counter()
+        ranks = graph.pagerank(edges, iterations=5, checkpoint_every=3)
+        ranks.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    pagerank_leg()  # warm
+    timings["pagerank"] = round(min(pagerank_leg() for _ in range(2)), 3)
+    print(f"# pagerank: {timings['pagerank']}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -978,6 +1000,41 @@ def scale_ramp(factor: int = 10) -> None:
         print(
             f"# scd2_merge_batch slope {scd2_slope:.2f}x at {factor}x "
             f"history (buckets 64 -> {64 * factor})",
+            file=sys.stderr,
+        )
+
+        # PageRank slope (round-6 verdict #4): per-iteration cost is one
+        # join against the src-partitioned edges + one aggregate, both
+        # linear in |edges| — the slope at factor× edges must track the
+        # data ratio, not exceed it (a super-linear slope would mean the
+        # iteration loop is re-deriving lineage, the exact failure mode
+        # the persist-per-iteration discipline exists to prevent).
+        from realtime_data_pipeline_spark import graph as _graph
+
+        pr_times = {}
+        for label, d in (("base", base_dir), ("ramp", ramp_dir)):
+            def pr_once() -> float:
+                edges = spark.read.parquet(f"{d}/lineitem.parquet").select(
+                    F.col("l_orderkey").alias("src"),
+                    (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+                )
+                t0 = time.perf_counter()
+                _graph.pagerank(
+                    edges, iterations=5, checkpoint_every=3
+                ).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            pr_once()  # warm
+            pr_times[label] = round(min(pr_once() for _ in range(2)), 3)
+        pr_slope = pr_times["ramp"] / pr_times["base"]
+        legs["pagerank"] = {
+            "base_sec": pr_times["base"],
+            "ramp_sec": pr_times["ramp"],
+            "slope": round(pr_slope, 2),
+            "slope_vs_factor": round(pr_slope / factor, 2),
+        }
+        print(
+            f"# pagerank slope {pr_slope:.2f}x at {factor}x edges",
             file=sys.stderr,
         )
 

@@ -240,6 +240,22 @@ def main(argv: list[str] | None = None) -> int:
         help="keep only this side of the content-hash split (md5 first "
         "nibble <= 'c' is train, ~13/16)",
     )
+    pas.add_argument(
+        "--link-edges", default=None,
+        help="parquet edge list (src, dst = id-col values); when given, "
+        "PageRank is computed over it and low-rank documents are culled "
+        "before the split (link-farm demotion)",
+    )
+    pas.add_argument(
+        "--min-rank-pct", type=float, default=10.0,
+        help="drop LINKED documents whose PageRank falls below this "
+        "percentile of all node ranks; documents absent from the graph "
+        "are kept (no link evidence either way)",
+    )
+    pas.add_argument(
+        "--rank-iterations", type=int, default=10,
+        help="PageRank power iterations over --link-edges",
+    )
 
     psy = sub.add_parser(
         "synth",
@@ -484,6 +500,31 @@ def main(argv: list[str] | None = None) -> int:
         from realtime_data_pipeline_spark import packing, text
 
         docs = spark.read.parquet(args.docs)
+        if args.link_edges:
+            # link-graph demotion: rank every node of the provided edge
+            # list, find the percentile cutoff (bounded 1-row driver
+            # scalar), and cull linked docs below it. Docs outside the
+            # graph carry no link evidence and pass through.
+            from realtime_data_pipeline_spark import graph
+
+            ranks = graph.pagerank(
+                spark.read.parquet(args.link_edges),
+                src="src",
+                dst="dst",
+                iterations=args.rank_iterations,
+            )
+            thr = ranks.approxQuantile(
+                "rank", [args.min_rank_pct / 100.0], 0.001
+            )[0]
+            docs = (
+                docs.join(
+                    ranks.withColumnRenamed("node", args.id_col),
+                    args.id_col,
+                    "left",
+                )
+                .filter(F.col("rank").isNull() | (F.col("rank") >= thr))
+                .drop("rank")
+            )
         if args.split != "all":
             side = F.when(
                 F.substring(F.md5(F.col(args.text_col)), 1, 1) <= "c",

@@ -81,14 +81,34 @@ def pagerank(
     e.count()
     out_deg.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # Iteration discipline (ONE action per iteration): each iteration's
+    # ranks frame is persisted BEFORE the dangling-mass aggregate runs,
+    # so that single action materializes the iteration's join+agg work
+    # into cache; the next iteration's contributions join then reads the
+    # cache instead of re-deriving the whole chain (the old spelling ran
+    # the unpersisted lineage twice per iteration — O(checkpoint²) plan
+    # re-execution inside a checkpoint window). The previous iteration's
+    # cache is released only after the new frame is materialized, and a
+    # periodic localCheckpoint still truncates lineage so a lost cached
+    # partition never has to recompute through N joins.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    prev: DataFrame | None = None
     base = (1.0 - damping) / n
     for i in range(iterations):
-        linked = ranks.join(
-            e, ranks["node"] == e["__src"], "left"
+        # bounded 1-row aggregate -> driver scalar; ALSO the action that
+        # materializes this iteration's persisted ranks
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["__src"], "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        spread = damping * dangling / n
         contribs = (
-            linked.filter(F.col("__dst").isNotNull())
+            ranks.join(e, ranks["node"] == e["__src"])
             .select(
                 F.col("__dst").alias("node"),
                 (F.col("rank") / F.col("__deg")).alias("c"),
@@ -96,15 +116,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        # dangling mass: bounded 1-row aggregate -> driver scalar
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["__src"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
-        spread = damping * dangling / n
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
@@ -115,9 +127,17 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    ranks = ranks.localCheckpoint(eager=True)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks.unpersist()
+        else:
+            new_ranks = new_ranks.persist()
+            prev = ranks
+        ranks = new_ranks
+    final = ranks.localCheckpoint(eager=True)
+    ranks.unpersist()  # no-op when the last frame was checkpoint-truncated
+    if prev is not None:
+        prev.unpersist()
     e.unpersist()
     nodes.unpersist()
     out_deg.unpersist()
-    return ranks
+    return final

@@ -704,3 +704,44 @@ def test_cli_assemble_builds_shuffled_packed_shards(spark, tmp_path, capsys):
         .collect()
     }
     assert not (ids & evals)
+
+
+def test_cli_assemble_link_rank_culls_low_rank_docs(spark, tmp_path):
+    """assemble --link-edges: PageRank over the provided edge list
+    demotes link-poor documents — a hub with many in-links survives a
+    high cutoff, leaf docs that only point at it are culled, and docs
+    OUTSIDE the graph pass through untouched (no link evidence)."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import cli
+
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 60).write.parquet(docs)
+
+    # chain+star over docs 0-39: every node links to hub 0 AND to its
+    # chain successor, so rank rises monotonically along the chain (node
+    # 1 has no in-links = minimum rank, hub 0 collects everything =
+    # maximum); docs 40-59 are outside the graph entirely
+    edges = str(tmp_path / "edges")
+    chain = spark.range(1, 39).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    star = spark.range(1, 40).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    chain.unionByName(star).write.parquet(edges)
+
+    out = str(tmp_path / "ranked")
+    rc = cli.main(
+        ["assemble", "--docs", docs, "--out", out, "--shards", "2",
+         "--ctx-len", "256", "--split", "all",
+         "--link-edges", edges, "--min-rank-pct", "50"]
+    )
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 0 in kept and 39 in kept  # hub + chain tail outrank the median
+    assert 1 not in kept and 2 not in kept  # chain head ranks lowest
+    assert len(kept & set(range(40))) < 40  # the cull actually binds
+    assert set(range(40, 60)) <= kept  # ungraphed docs pass through
