@@ -367,6 +367,77 @@ FROM g LEFT JOIN hits h USING (doc_id)
 """
 
 
+def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (the transform half of
+    :func:`docs_boilerplate_profile`): rewrite each document with the
+    corpus-repeated 5-gram spans stripped — cleaning documents instead
+    of only dropping them — and hash-verify the CLEANED TEXT itself
+    (like ``docs_pii_redaction``: the md5 pins the rewrite, not just
+    counts). Untouched docs pass their original bytes through.
+
+    Scale shape is :func:`text.strip_boilerplate`'s: positional gram
+    hashes explode as longs, doc-frequency is one 8-byte-key groupBy,
+    flagged starts come back as one small per-doc frame, and the span
+    reassembly is per-row HOFs — surviving text never shuffles."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    cleaned = text.strip_boilerplate(
+        docs, n=BOILER_N, min_df=BOILER_MIN_DF
+    )
+    return cleaned.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.length("text").cast("bigint").alias("clean_len"),
+    )
+
+
+DOCS_STRIP_BOILERPLATE_SQL = r"""
+WITH f AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, text, toks,
+         list_transform(
+           range(1, greatest(len(toks) - 3, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS grams
+  FROM f
+), per_pos AS (
+  SELECT doc_id, unnest(grams) AS gram,
+         generate_subscripts(grams, 1) AS pos
+  FROM g
+), boiler AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM per_pos GROUP BY gram
+  ) WHERE df >= 3
+), starts AS (
+  SELECT p.doc_id, list_sort(list(DISTINCT p.pos)) AS starts
+  FROM per_pos p JOIN boiler b USING (gram)
+  GROUP BY p.doc_id
+), rebuilt AS (
+  SELECT g.doc_id,
+         CASE WHEN s.starts IS NULL THEN g.text
+              -- COALESCE: DuckDB array_to_string([]) is NULL where
+              -- Spark array_join([]) is '' (fully-boilerplate docs)
+              ELSE COALESCE(array_to_string(
+                list_filter(
+                  list_transform(
+                    range(1, len(g.toks) + 1),
+                    i -> CASE WHEN NOT list_contains(
+                           flatten(list_transform(
+                             s.starts, j -> range(j, j + 5))), i)
+                         THEN g.toks[i] END),
+                  x -> x IS NOT NULL),
+                ' '), '')
+         END AS clean
+  FROM g LEFT JOIN starts s USING (doc_id)
+)
+SELECT doc_id, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS clean_len
+FROM rebuilt
+"""
+
+
 def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/KenLM-style quality proxy: per-document average and max
     unigram surprisal (-ln corpus frequency) — fluent text scores low,
@@ -599,6 +670,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_bm25_search": docs_bm25_search,
     "docs_boilerplate_profile": docs_boilerplate_profile,
+    "docs_strip_boilerplate": docs_strip_boilerplate,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
@@ -606,4 +678,5 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_tfidf_top_terms": DOCS_TFIDF_TOP_TERMS_SQL,
     "docs_bm25_search": DOCS_BM25_SEARCH_SQL,
     "docs_boilerplate_profile": DOCS_BOILERPLATE_PROFILE_SQL,
+    "docs_strip_boilerplate": DOCS_STRIP_BOILERPLATE_SQL,
 }

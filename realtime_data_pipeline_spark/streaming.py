@@ -387,11 +387,27 @@ def curation_stage(
     redact: bool = True,
     min_bands: tuple[str, ...] | None = None,
     require_en: bool = False,
+    strip_boiler: bool = False,
+    boiler_min_df: int = 3,
+    id_col: str = "doc_id",
 ) -> Callable[[DataFrame], DataFrame]:
     """Composable per-batch curation transform for the medallion stream:
     PII redaction plus quality/language gates, all pure JVM column
     expressions (zero shuffle, whole-stage codegen) so the stage adds a
     projection + filter to the micro-batch plan, never a second scan.
+
+    ``strip_boiler=True`` additionally REWRITES each batch's documents
+    with batch-repeated 5-gram spans removed
+    (:func:`text.strip_boilerplate` — cleaning, not just dropping).
+    This is the one optional step that is NOT shuffle-free: detection
+    needs within-batch doc-frequency, so it adds two hash-key shuffles
+    of 8-byte gram hashes per micro-batch (never of text). Repetition
+    across batches is invisible to it by design — batch-local df is the
+    streaming analog of the batch query's corpus df; run the batch
+    profile + cull over the accumulated silver zone for corpus-level
+    boilerplate. Runs after the gates (a doc's quality is judged on its
+    original text) and before redaction (placeholders would form fake
+    repeated grams).
 
     Returns a ``DataFrame -> DataFrame`` callable to pass as
     :func:`dq_gated_stream`'s ``curate=`` hook — curation runs on the
@@ -407,8 +423,12 @@ def curation_stage(
             out = out.filter(_text.quality_band(col).isin(*min_bands))
         if require_en:
             out = out.filter(_text.lang_id_en_vote(col) == "en")
+        if strip_boiler:
+            out = _text.strip_boilerplate(
+                out, id_col=id_col, text_col=text_col, min_df=boiler_min_df
+            )
         if redact:
-            out = out.withColumn(text_col, _text.redact_pii(col))
+            out = out.withColumn(text_col, _text.redact_pii(F.col(text_col)))
         return out
 
     return stage

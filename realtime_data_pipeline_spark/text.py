@@ -141,6 +141,92 @@ def top_run_length(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
+def strip_boilerplate(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 3,
+):
+    """Boilerplate REMOVAL (the transform half of the detection in
+    ``queries/curation.docs_boilerplate_profile``): rewrite ``text_col``
+    with every corpus-repeated word ``n``-gram span stripped, so the
+    de-boilerplate pass can CLEAN documents instead of only dropping
+    them. A token survives unless it lies inside some n-gram occurrence
+    whose gram appears in >= ``min_df`` distinct documents.
+
+    DataFrame -> DataFrame (the one corpus-level operator in this
+    module — detection needs corpus doc-frequency). Scale shape, same
+    discipline as the profile query:
+
+    * grams travel as positional xxhash64 longs — the only exploded
+      rows are (doc_id, pos, hash) triples, never text;
+    * doc-frequency is one groupBy over 8-byte keys (per-doc distinct
+      first, so a gram repeated inside one doc counts once);
+    * flagged START positions come back as one small (doc_id, starts)
+      frame joined by id — span reassembly then happens per-row with
+      array HOFs (filter-by-index over the original token array), no
+      shuffle of surviving text;
+    * untouched documents keep their text byte-identical (only docs
+      with a flagged span are re-joined with single spaces — rebuilt
+      from the same tokens both engines split on, so the oracle twin
+      reproduces it exactly).
+
+    Cost note: coverage testing is ``array_contains`` per token over the
+    doc's covered-index list — O(tokens × flagged_spans) per document,
+    fine while flagged spans are boilerplate-sized; a fully-templated
+    corpus degrades toward O(tokens²), at which point dropping the doc
+    (profile + cull) is the right tool anyway."""
+    from pyspark.sql import DataFrame  # noqa: F401  (documented contract)
+
+    from realtime_data_pipeline_spark.neardup import word_shingles
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram_hashes = F.transform(
+        word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+    )
+    base = docs.select(
+        F.col(id_col), gram_hashes.alias("__grams")
+    )
+    per_pos = base.select(
+        id_col, F.posexplode("__grams").alias("__pos", "__g")
+    )
+    boiler = (
+        per_pos.select(id_col, "__g")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__g")
+    )
+    starts = (
+        per_pos.join(boiler, "__g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__pos")).alias("__starts"))
+    )
+    covered = F.flatten(
+        F.transform(
+            F.col("__starts"),
+            lambda j: F.sequence(j, j + F.lit(n - 1)),
+        )
+    )
+    kept = F.filter(
+        toks, lambda t, i: ~F.array_contains(F.col("__covered"), i)
+    )
+    cleaned = F.when(
+        F.col("__starts").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(kept, " "))
+    out_cols = [
+        cleaned.alias(c) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return (
+        docs.join(starts, id_col, "left")
+        .withColumn("__covered", covered)
+        .select(*out_cols)
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 hex digest (cross-engine stable). For
     rolling/shift-resistant fingerprints see :func:`winnow_fingerprints`."""

@@ -235,6 +235,25 @@ def test_curation_stage_quality_gate_filters_low_band(spark):
     assert kept == [1, 3]
 
 
+def test_curation_stage_strip_boiler_cleans_not_drops(spark):
+    """strip_boiler=True REWRITES batch-repeated spans out of the text
+    instead of dropping documents: every row survives, the shared header
+    is gone, per-doc content remains, and PII redaction still runs
+    AFTER the strip (on the rewritten text)."""
+    hdr = "subscribe to our newsletter today unsubscribe anytime"
+    rows = [
+        (i, f"{hdr} story{i}a story{i}b story{i}c story{i}d") for i in range(3)
+    ]
+    rows.append((5, "no shared header here mail bob@example.com ok"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stage = streaming.curation_stage(text_col="text", strip_boiler=True)
+    got = {r.doc_id: r.text for r in stage(df).collect()}
+    assert set(got) == {0, 1, 2, 5}  # cleaned, never dropped
+    for i in range(3):
+        assert got[i] == f"story{i}a story{i}b story{i}c story{i}d"
+    assert got[5] == "no shared header here mail [EMAIL] ok"
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream inner join with event-time bounds produces exactly the
     pairs its batch twin produces on the same files."""

@@ -46,3 +46,43 @@ def test_phone_redaction_duckdb_parity(raw, expected):
         params=[raw, text.PII_PHONE_RE],
     ).fetchone()[0]
     assert got == expected
+
+
+def test_strip_boilerplate_cleans_shared_spans(spark):
+    """Span-removal semantics: corpus-repeated 5-gram runs are stripped,
+    per-doc unique content survives, untouched docs stay BYTE-identical
+    (whitespace included), a fully-boilerplate doc collapses to '' and
+    NULL text passes through."""
+    hdr = "copyright acme corp all rights reserved"
+    rows = [
+        (i, f"{hdr} body{i}a body{i}b body{i}c body{i}d body{i}e")
+        for i in range(3)
+    ]
+    rows += [
+        (7, "an untouched  doc   with odd   spacing kept byte identical"),
+        (8, hdr),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in text.strip_boilerplate(df).collect()
+    }
+    for i in range(3):
+        assert got[i] == f"body{i}a body{i}b body{i}c body{i}d body{i}e"
+    assert got[7] == "an untouched  doc   with odd   spacing kept byte identical"
+    assert got[8] == ""  # nothing but the shared header
+    assert got[9] is None
+
+
+def test_strip_boilerplate_keeps_schema_and_other_columns(spark):
+    """Only text_col is rewritten; sibling columns ride through."""
+    hdr = "one two three four five six"
+    df = spark.createDataFrame(
+        [(i, f"{hdr} tail{i}x tail{i}y", f"src{i}") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    out = text.strip_boilerplate(df)
+    assert out.columns == ["doc_id", "text", "source"]
+    got = {r.doc_id: (r.text, r.source) for r in out.collect()}
+    assert got[1] == ("tail1x tail1y", "src1")
