@@ -142,13 +142,53 @@ _ROTATE_OUT = [
     "clicks_with_last_purchase",
 ]
 
-for _name in _ROTATE_IN:
-    _MERGED[_name] = SHELVED_QUERIES.pop(_name)
-    ORACLE_SQL[_name] = SHELVED_ORACLE_SQL.pop(_name)
-for _name in _ROTATE_OUT:
-    SHELVED_QUERIES[_name] = _MERGED.pop(_name)
-    if _name in ORACLE_SQL:
-        SHELVED_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+# ROUND-7 ROTATION — the queue OPERATORS.md staged last round: every
+# oracle-backed query that has never had a driver-grade CORRECTNESS row.
+# The 20 queue entries (remaining TPC-H analogs q7/q12/q15/q17/q18/q21/
+# q22, VARIANT, unpivot, TF-IDF, surprisal, RAG chunks, both mixture
+# samplers, pack manifest, top paths, hot-user share, balance
+# distribution, recency-weighted value, per-order z-score) plus
+# docs_strip_boilerplate (built this round — declared in the round that
+# shipped it) replace the 21 round-6 entrants, all of which now carry a
+# green driver round and keep their pytest oracle hash checks shelved.
+# Cumulative driver-grade proof after this round: ~92 of 102 queries.
+_ROTATE_IN_R7 = [
+    "volume_shipping_q7",
+    "late_shipment_priority_q12",
+    "top_supplier_q15",
+    "small_quantity_revenue_q17",
+    "large_order_customers_q18",
+    "waiting_suppliers_q21",
+    "idle_rich_customers_q22",
+    "events_props_variant",
+    "lineitem_unpivot_measures",
+    "docs_tfidf_top_terms",
+    "docs_unigram_surprisal",
+    "docs_rag_chunks",
+    "docs_mixture_sample",
+    "docs_mixture_sample_exact",
+    "docs_pack_manifest",
+    "events_top_paths",
+    "events_hot_user_share",
+    "customer_balance_distribution",
+    "events_recency_weighted_value",
+    # structurally sparse on the uniform-price fixture (|z| <= sqrt(3)
+    # for same-priced orders; rows come from mixed-price customers) but
+    # never driver-proven — the queue's one remaining z-score variant
+    "orders_price_anomalies_zscore",
+    # built new this round
+    "docs_strip_boilerplate",
+]
+_ROTATE_OUT_R7 = list(_ROTATE_IN)  # all 21 round-6 entrants, now proven
+
+for _in, _out in ((_ROTATE_IN, _ROTATE_OUT), (_ROTATE_IN_R7, _ROTATE_OUT_R7)):
+    for _name in _in:
+        _MERGED[_name] = SHELVED_QUERIES.pop(_name)
+        ORACLE_SQL[_name] = SHELVED_ORACLE_SQL.pop(_name)
+    for _name in _out:
+        SHELVED_QUERIES[_name] = _MERGED.pop(_name)
+        if _name in ORACLE_SQL:
+            SHELVED_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: v for k, v in _MERGED.items() if k in ORACLE_SQL},
