@@ -618,3 +618,37 @@ def chain_of2(spark, path, key):
         .orderBy("__valid_from")
         .collect()
     ]
+
+
+def test_concurrent_merge_refused_then_succeeds_with_no_loss(spark, tmp_path):
+    """Two-writer race, made deterministic by holding the merge lock:
+    the second merge is REFUSED loudly (never silently dropped by the
+    later dynamic overwrite), and retried after release it lands — the
+    final table carries BOTH writers' observations."""
+    import pytest
+
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark, tgt,
+        obs_df(spark, [("c1", "bronze", "paris", ts(1))]),
+        keys=["cust_id"], effective_col="seen_at",
+    )
+    b_batch = obs_df(spark, [("c1", "gold", "paris", ts(5))])
+    with medallion._scd2_merge_lock(tgt):  # writer A mid-merge
+        with pytest.raises(medallion.ConcurrentMergeError, match="in flight"):
+            medallion.scd2_merge(
+                spark, tgt, b_batch, keys=["cust_id"],
+                effective_col="seen_at",
+            )
+    # writer A released -> B's retry succeeds; both observations present
+    medallion.scd2_merge(
+        spark, tgt, b_batch, keys=["cust_id"], effective_col="seen_at"
+    )
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "paris", ts(1), ts(5), False),
+        ("gold", "paris", ts(5), None, True),
+    ]
+    # a failed/finished merge never leaks the lock file
+    import os
+
+    assert not os.path.exists(tgt + "._merge_lock")
