@@ -627,6 +627,40 @@ def main() -> None:
     timings["pagerank"] = round(min(pagerank_leg() for _ in range(2)), 3)
     print(f"# pagerank: {timings['pagerank']}s", file=sys.stderr)
 
+    # Real-codec multimodal leg (round-6 verdict #7): 2000 docs get a
+    # REAL 64x48 grayscale PNG encoded executor-side (mapInPandas), then
+    # the magic-byte-dispatched spec decoder (zlib inflate + unfilter)
+    # runs over them — the end-to-end Arrow-batched codec path priced as
+    # a throughput number, not just a pytest roundtrip.
+    from realtime_data_pipeline_spark import multimodal
+
+    def real_decode_leg():
+        # repartition: the 2000-id slice arrives as one input split and
+        # mapInPandas would encode serially — a real corpus is many
+        # files; spread the codec work across the executor threads
+        docs2k = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        ).filter(F.col("doc_id") < 2000).repartition(32)
+        media = multimodal.attach_png_media(
+            docs2k, "doc_id", width=64, height=48
+        )
+        return multimodal.decode_media(media, real_decode=True).select(
+            "source_id", "format", "width", "height", "mean_intensity"
+        )
+
+    real_decode_leg().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        real_decode_leg().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["multimodal_real_decode_2k"] = round(best, 3)
+    print(
+        f"# multimodal_real_decode_2k: "
+        f"{timings['multimodal_real_decode_2k']}s",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
