@@ -256,6 +256,17 @@ def main(argv: list[str] | None = None) -> int:
         "--rank-iterations", type=int, default=10,
         help="PageRank power iterations over --link-edges",
     )
+    pas.add_argument(
+        "--strip-boilerplate", action="store_true",
+        help="rewrite documents with corpus-repeated 5-gram spans "
+        "removed (text.strip_boilerplate) before splitting/packing — "
+        "boilerplate never reaches the training shards",
+    )
+    pas.add_argument(
+        "--boiler-min-df", type=int, default=3,
+        help="a 5-gram is boilerplate when it appears in at least this "
+        "many distinct documents",
+    )
 
     psy = sub.add_parser(
         "synth",
@@ -524,6 +535,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 .filter(F.col("rank").isNull() | (F.col("rank") >= thr))
                 .drop("rank")
+            )
+        if args.strip_boilerplate:
+            # clean repeated spans BEFORE the content-hash split: the
+            # split and the packing weights must see the text that will
+            # actually be trained on
+            docs = text.strip_boilerplate(
+                docs,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                min_df=args.boiler_min_df,
             )
         if args.split != "all":
             side = F.when(

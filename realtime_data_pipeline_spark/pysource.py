@@ -557,12 +557,10 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
         # surviving files are filtered executor-side with pyarrow
         # compute, so the option IS a row filter, not just a hint.
         # Numeric and string columns; comparison predicates never match
-        # NULLs (same semantics as versioned.read_version_where).
-        # CAVEAT (NaN): the pyarrow row filter uses IEEE comparison —
-        # NaN matches NO comparison predicate — while Spark's own
-        # filters order NaN above every value, so on a float column
-        # whose data contains NaN, `where` diverges from
-        # read_version_where for >/>= exactly on those NaN rows.
+        # NULLs, and NaN is ordered ABOVE every value on >/>= (both
+        # matching Spark SQL semantics, so the stream returns exactly
+        # what versioned.read_version_where would — the raw pyarrow
+        # comparison is IEEE and is explicitly corrected in read()).
         self.where: list = _json.loads(options.get("where", "[]"))
         for p_ in self.where:
             if (
@@ -711,6 +709,17 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
                 mask = None
                 for col, op, val in self.where:
                     m = ops[op](table[col], val)
+                    # Spark SQL orders NaN ABOVE every value, pyarrow
+                    # compares IEEE (NaN matches nothing) — OR the NaN
+                    # rows back into upper-bound matches so the stream
+                    # filter returns exactly what read_version_where
+                    # would. (<, <=, = agree between the regimes: NaN
+                    # matches neither way.)
+                    if op in (">", ">=") and pa.types.is_floating(
+                        table[col].type
+                    ):
+                        m = pc.or_kleene(m, pc.is_nan(table[col]))
+                    m = pc.fill_null(m, False)
                     mask = m if mask is None else pc.and_(mask, m)
                 table = table.filter(mask)
             table = table.append_column(
@@ -726,10 +735,14 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
                 x = by_name.get(col)
                 if x is None:
                     return False  # comparisons never match NULL
-                ok = {
-                    "=": x == val, "<": x < val, "<=": x <= val,
-                    ">": x > val, ">=": x >= val,
-                }[op]
+                if isinstance(x, float) and x != x:
+                    # NaN: Spark orders it above every value
+                    ok = op in (">", ">=")
+                else:
+                    ok = {
+                        "=": x == val, "<": x < val, "<=": x <= val,
+                        ">": x > val, ">=": x >= val,
+                    }[op]
                 if not ok:
                     return False
             return True
@@ -760,12 +773,11 @@ class ZoneChangesDataSource(DataSource):
     skipping underneath so provably-dead files are never even planned;
     numeric/string columns, and the literal's type is validated against
     the manifest schema at stream DEFINITION so a mismatch fails at
-    ``.load()``, not executor-side mid-stream. NaN caveat: the pyarrow
-    row filter is IEEE — NaN matches no comparison — whereas Spark
-    filters order NaN largest, so ``where`` on a NaN-bearing float
-    column diverges from ``read_version_where`` for ``>``/``>=`` on
-    exactly the NaN rows). Payload schema comes from the zone's
-    latest manifest plus ``_commit_version bigint``.
+    ``.load()``, not executor-side mid-stream. NaN rows match
+    ``>``/``>=`` — Spark-SQL ordering, not pyarrow's IEEE default — so
+    the filtered stream equals ``read_version_where`` exactly on
+    NaN-bearing float columns too). Payload schema comes from the
+    zone's latest manifest plus ``_commit_version bigint``.
 
     CAVEAT — ``max_versions_per_trigger`` paces a catch-up backlog from
     the SECOND trigger of a run onward: the cap anchors on an in-memory

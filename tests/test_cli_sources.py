@@ -745,3 +745,35 @@ def test_cli_assemble_link_rank_culls_low_rank_docs(spark, tmp_path):
     assert 1 not in kept and 2 not in kept  # chain head ranks lowest
     assert len(kept & set(range(40))) < 40  # the cull actually binds
     assert set(range(40, 60)) <= kept  # ungraphed docs pass through
+
+
+def test_cli_assemble_strip_boilerplate_shrinks_token_budget(spark, tmp_path):
+    """assemble --strip-boilerplate: shared spans are rewritten out
+    before the split/pack, so every doc survives but the packed token
+    budget shrinks vs the unstripped run on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import cli
+
+    hdr = "all rights reserved contact legal department before reuse"
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit(hdr + " "), F.col("text")).alias("text"),
+    ).filter(F.col("doc_id") < 40).write.parquet(docs)
+
+    def run(out, extra):
+        rc = cli.main(
+            ["assemble", "--docs", docs, "--out", out, "--shards", "2",
+             "--ctx-len", "256", "--split", "all", *extra]
+        )
+        assert rc == 0
+        return spark.read.parquet(out)
+
+    plain = run(str(tmp_path / "plain"), [])
+    stripped = run(str(tmp_path / "stripped"), ["--strip-boilerplate"])
+    assert stripped.count() == plain.count()  # cleaned, never dropped
+    t_plain = plain.agg(F.sum("n_tokens")).first()[0]
+    t_stripped = stripped.agg(F.sum("n_tokens")).first()[0]
+    # every doc lost at least the 8-token header
+    assert t_plain - t_stripped >= 8 * plain.count()

@@ -720,3 +720,51 @@ def test_zone_changes_where_prunes_files_and_filters_rows(spark, tmp_path):
             q3.processAllAvailable()
         finally:
             q3.stop()
+
+
+def test_zone_changes_where_nan_rows_match_spark_semantics(spark, tmp_path):
+    """NaN ordering parity: Spark SQL treats NaN as larger than every
+    value, so a `where [[x, >, v]]` stream must DELIVER NaN rows — the
+    raw pyarrow comparison (IEEE: NaN matches nothing) is corrected in
+    read(). The filtered stream equals read_version_where exactly."""
+    import json
+    import math
+
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 5.0), (4, None)],
+        "k bigint, x double",
+    )
+    versioned.commit_version(df.coalesce(1), root)
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .option("where", json.dumps([["x", ">", 3.0]]))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r.k
+        for r in versioned.read_version_where(
+            spark, root, [("x", ">", 3.0)]
+        ).collect()
+    )
+    # NaN row (k=2) in, NULL row (k=4) out — on both paths
+    assert got == want == [2, 3]
+    nan_x = [
+        r.x for r in spark.read.parquet(out).filter("k = 2").collect()
+    ]
+    assert len(nan_x) == 1 and math.isnan(nan_x[0])
