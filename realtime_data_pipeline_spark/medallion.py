@@ -508,7 +508,26 @@ def merge_upsert(
 
     If the target does not exist yet, the updates are simply written as
     the initial load. Returns metrics incl. the affected partition list.
+
+    WRITER SERIALIZATION: like :func:`scd2_merge`, the merge holds an
+    O_EXCL lock file beside the table — a concurrent merge raises
+    :class:`ConcurrentMergeError` instead of the later dynamic
+    overwrite silently dropping the earlier writer's rows.
     """
+    with _merge_lock(target_path, op="merge_upsert"):
+        return _merge_upsert_locked(
+            spark, target_path, updates, keys, order_by, partition_col
+        )
+
+
+def _merge_upsert_locked(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    partition_col: str,
+) -> dict:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -596,15 +615,18 @@ import contextlib as _contextlib  # noqa: E402
 
 
 @_contextlib.contextmanager
-def _scd2_merge_lock(target_path: str):
+def _merge_lock(target_path: str, op: str = "merge"):
     """O_EXCL advisory lock file beside the table (``<table>._merge_lock``
     — beside, not inside, so the initial load can take it before the
     table directory exists and a full-rebuild rmtree can't delete it
-    mid-hold). Raises :class:`ConcurrentMergeError` immediately on
-    conflict (merges are short; the caller retries). A crashed holder
-    leaves the file behind — the error message carries the recorded
-    pid/timestamp so an operator can verify the writer is gone and
-    remove it; on a single-writer schedule the lock is pure insurance."""
+    mid-hold). Serializes BOTH merge flavors (`scd2_merge` and
+    `merge_upsert` share the read-rebuild-overwrite shape and therefore
+    the same silent-lost-write race). Raises
+    :class:`ConcurrentMergeError` immediately on conflict (merges are
+    short; the caller retries). A crashed holder leaves the file behind
+    — the error message carries the recorded pid/timestamp so an
+    operator can verify the writer is gone and remove it; on a
+    single-writer schedule the lock is pure insurance."""
     import json
     import time
 
@@ -619,7 +641,7 @@ def _scd2_merge_lock(target_path: str):
         except OSError:
             holder = "<unreadable>"
         raise ConcurrentMergeError(
-            f"scd2_merge: {lock} exists — another merge is in flight "
+            f"{op}: {lock} exists — another merge is in flight "
             f"(holder: {holder}). Retry after it finishes; if its "
             "process is dead, remove the lock file."
         ) from None
@@ -802,7 +824,7 @@ def scd2_merge(
     ``tracked`` defaults to every non-key, non-effective column. The
     updates frame must carry ``keys + tracked + [effective_col]``.
     """
-    with _scd2_merge_lock(target_path):
+    with _merge_lock(target_path, op="scd2_merge"):
         return _scd2_merge_locked(
             spark, target_path, updates, keys, effective_col, tracked,
             n_buckets,

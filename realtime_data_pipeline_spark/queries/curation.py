@@ -438,6 +438,54 @@ FROM rebuilt
 """
 
 
+DOMAIN_CAP = 50
+
+
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap — the anti-domination pass every
+    web-scale corpus runs (one mega-site must not swamp the mixture):
+    keep at most ``DOMAIN_CAP`` documents per ``source``, selected by
+    deterministic content-hash rank (md5 asc, doc_id tiebreak) so the
+    kept subset is a pure function of the corpus — stable across runs,
+    engines, and partition layouts, unlike arrival-order caps.
+
+    Scale shape: ONE shuffle on the domain key, then a partial-ranked
+    window (WindowGroupLimit pushes the cap below the exchange on
+    Spark ≥3.5, so each map task forwards at most CAP rows per domain
+    it sees). A pathologically hot domain concentrates its (≤ its own
+    row count) rows on one task — at 100 TB pre-aggregate with the
+    count-min heavy-hitter sketch and hash-threshold-prefilter those
+    domains before ranking; the fixture's source cardinality doesn't
+    need it."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.md5("text").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", "text")
+        .withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.col("domain_rank").cast("int").alias("domain_rank"),
+        )
+    )
+
+
+DOCS_DOMAIN_CAP_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+         ) AS domain_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(domain_rank AS INTEGER) AS domain_rank
+FROM ranked WHERE domain_rank <= 50
+"""
+
+
 def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/KenLM-style quality proxy: per-document average and max
     unigram surprisal (-ln corpus frequency) — fluent text scores low,
@@ -671,6 +719,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25_search": docs_bm25_search,
     "docs_boilerplate_profile": docs_boilerplate_profile,
     "docs_strip_boilerplate": docs_strip_boilerplate,
+    "docs_domain_cap": docs_domain_cap,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
@@ -679,4 +728,5 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_bm25_search": DOCS_BM25_SEARCH_SQL,
     "docs_boilerplate_profile": DOCS_BOILERPLATE_PROFILE_SQL,
     "docs_strip_boilerplate": DOCS_STRIP_BOILERPLATE_SQL,
+    "docs_domain_cap": DOCS_DOMAIN_CAP_SQL,
 }

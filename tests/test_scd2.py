@@ -634,7 +634,7 @@ def test_concurrent_merge_refused_then_succeeds_with_no_loss(spark, tmp_path):
         keys=["cust_id"], effective_col="seen_at",
     )
     b_batch = obs_df(spark, [("c1", "gold", "paris", ts(5))])
-    with medallion._scd2_merge_lock(tgt):  # writer A mid-merge
+    with medallion._merge_lock(tgt):  # writer A mid-merge
         with pytest.raises(medallion.ConcurrentMergeError, match="in flight"):
             medallion.scd2_merge(
                 spark, tgt, b_batch, keys=["cust_id"],
@@ -652,3 +652,18 @@ def test_concurrent_merge_refused_then_succeeds_with_no_loss(spark, tmp_path):
     import os
 
     assert not os.path.exists(tgt + "._merge_lock")
+
+    # merge_upsert shares the same guard (same read-rebuild-overwrite race)
+    up_tgt = str(tmp_path / "scd1")
+    up = spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "id long, v string, d string"
+    )
+    medallion.merge_upsert(
+        spark, up_tgt, up, keys=["id"], order_by=["d"], partition_col="d"
+    )
+    with medallion._merge_lock(up_tgt):
+        with pytest.raises(medallion.ConcurrentMergeError, match="in flight"):
+            medallion.merge_upsert(
+                spark, up_tgt, up, keys=["id"], order_by=["d"],
+                partition_col="d",
+            )
