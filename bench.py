@@ -46,6 +46,7 @@ HEADLINE = [
     "embedding_knn_bruteforce",
     "docs_neardup_minhash",
     "docs_pack_chunks",  # distributed prefix-sum packing (shelved registry)
+    "docs_strip_boilerplate",  # corpus-df detect + HOF span rewrite (r7)
 ]
 
 

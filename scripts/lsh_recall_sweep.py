@@ -300,8 +300,13 @@ def main() -> None:
     out["hyperplane_embeddings"] = hyper
 
     path = os.path.join(_REPO_ROOT, "LSH_RECALL.json")
+    # merge-preserving write: sibling sections other scripts own (e.g.
+    # incremental_drift from lsh_incremental_drift.py) must survive a
+    # sweep refresh
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    doc.update(out)
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(doc, f, indent=1)
     print(json.dumps({"written": path}))
     spark.stop()
 

@@ -1231,3 +1231,45 @@ def test_ingest_null_content_passes_through(spark, tmp_path):
     )
     got2 = sorted(r.doc_id for r in spark.read.parquet(silver2).collect())
     assert got2 == [1, 2, 3]
+
+
+def test_running_stats_per_key_v2_state_accumulates_across_batches(
+    spark, tmp_path
+):
+    """Arbitrary stateful API v2 (transformWithStateInPandas): per-key
+    running count/sum/min/max carried in a typed ValueState across two
+    micro-batches — the final emitted row per key equals the batch
+    aggregate over the full history (the v2 twin of the
+    applyInPandasWithState operators). Skips where the v2 protocol's
+    protobuf dependency is absent (this container) — there the operator
+    must instead fail loudly AT DEFINITION with install guidance, which
+    the except branch asserts."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming.running_stats_per_key(
+                spark.readStream.format("rate").load(), "value", "value"
+            )
+        pytest.skip("protobuf not installed: v2 state protocol unavailable")
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 4.0),
+         (2, "2024-01-01 10:30:00", 1, 2.0),
+         (3, "2024-01-01 10:15:00", 2, 8.0)],
+        [(4, "2024-01-01 11:30:00", 1, 6.0),
+         (5, "2024-01-01 12:15:00", 2, 1.0)],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    stream = streaming.read_file_stream(
+        spark, inbox, SCHEMA, max_files_per_trigger=1
+    )
+    stats = streaming.running_stats_per_key(stream, "user_id", "value")
+    q = streaming.memory_sink(stats, "tws_t", output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+
+    final = {}
+    for r in spark.table("tws_t").collect():  # batch order; last wins
+        final[r.user_id] = (r.n, r.total, r.mn, r.mx)
+    assert final[1] == (3, 12.0, 2.0, 6.0)
+    assert final[2] == (2, 9.0, 1.0, 8.0)
