@@ -516,6 +516,74 @@ def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram surprisal — the KenLM-style upgrade of
+    :func:`docs_unigram_surprisal`: per-document average and max of
+    ``-ln P(w_i | w_{i-1})`` with ``P(w2|w1) = c(w1 w2) / c(w1 ·)``
+    (prefix-normalized from the bigram table itself, so probabilities
+    sum to 1 per context). Fluent text follows corpus word order and
+    scores low; shuffled/garbage text scores high even when its
+    UNIGRAMS look fine — the signal the unigram proxy cannot see.
+
+    Scale shape: bigram counts are one groupBy over the exploded
+    bigrams; prefix totals are a second aggregate OF THE COUNTS table
+    (vocab-sized, not corpus-sized); the scoring join is a shuffle join
+    on the bigram string (bigram vocab is too big to broadcast at
+    corpus scale — deliberately not `F.broadcast`, unlike the unigram
+    table). In production both count tables are persisted corpus
+    artifacts; the query form rebuilds them inline for the oracle."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    bi = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), 2)).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    prefix = (
+        counts.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("n").alias("m"))
+    )
+    p = F.col("n") / F.col("m")
+    return (
+        bi.join(counts, "bg")
+        .join(prefix, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("avg_surprisal"),
+            F.round(F.max(-F.log(p)), 4).alias("max_surprisal"),
+        )
+    )
+
+
+DOCS_BIGRAM_SURPRISAL_SQL = r"""
+WITH f AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM f
+  WHERE len(toks) >= 2
+), bi AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM b
+), counts AS (
+  SELECT bg, COUNT(*) AS n FROM bi GROUP BY bg
+), prefix AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(n) AS BIGINT) AS m
+  FROM counts GROUP BY 1
+)
+SELECT
+  bi.doc_id,
+  CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+  ROUND(AVG(-ln(c.n / CAST(p.m AS DOUBLE))), 4) AS avg_surprisal,
+  ROUND(MAX(-ln(c.n / CAST(p.m AS DOUBLE))), 4) AS max_surprisal
+FROM bi JOIN counts c USING (bg) JOIN prefix p USING (w1)
+GROUP BY bi.doc_id
+"""
+
+
 def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword extraction: the top-3 highest-scoring
     terms per document (smoothed sklearn-style idf,
@@ -720,6 +788,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_boilerplate_profile": docs_boilerplate_profile,
     "docs_strip_boilerplate": docs_strip_boilerplate,
     "docs_domain_cap": docs_domain_cap,
+    "docs_bigram_surprisal": docs_bigram_surprisal,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
@@ -729,4 +798,5 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_boilerplate_profile": DOCS_BOILERPLATE_PROFILE_SQL,
     "docs_strip_boilerplate": DOCS_STRIP_BOILERPLATE_SQL,
     "docs_domain_cap": DOCS_DOMAIN_CAP_SQL,
+    "docs_bigram_surprisal": DOCS_BIGRAM_SURPRISAL_SQL,
 }

@@ -513,6 +513,41 @@ def test_cli_timetravel_prune_reports_stats_skipping(
         cli.main(["timetravel", "prune", "--root", root])
 
 
+def test_cli_timetravel_prune_timestamp_literal_is_chronological(
+    spark, tmp_path, capsys
+):
+    """The round-6 advisory scenario end to end: --where passes a raw
+    SPACE-separated timestamp literal while the manifest stats are
+    'T'-isoformat — pruning must compare chronologically (keep the
+    matching file, still skip the provably-dead one), never
+    lexicographically ('T' > ' ' would have pruned the match)."""
+    import datetime
+    import json
+
+    from realtime_data_pipeline_spark import cli, versioned
+
+    root = str(tmp_path / "tz")
+    for day in (1, 60):  # one file of Jan 1 hours, one of Mar 1 hours
+        base = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            days=day - 1
+        )
+        df = spark.createDataFrame(
+            [(i, base + datetime.timedelta(hours=i)) for i in range(4)],
+            "k long, ts timestamp",
+        )
+        versioned.commit_version(df.coalesce(1), root, mode="append")
+
+    assert cli.main(
+        ["timetravel", "prune", "--root", root,
+         "--where", "ts<=2024-01-01 02:00:00"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {
+        "version": 1, "total_files": 2, "kept_files": 1,
+        "skipped_files": 1,
+    }
+
+
 def test_cli_scd2_merge_current_asof(spark, tmp_path, capsys):
     """scd2 subcommand: two observation batches merge into a historized
     dimension; `current` shows the open segments and `asof` the state at
