@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from realtime_data_pipeline_spark import ops, streaming
 from realtime_data_pipeline_spark.queries.llm import load_events
@@ -165,13 +166,20 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
-    return ops.topk_per_group(
-        paths.withColumn("__g", F.lit(1)),
-        ["__g"],
-        [F.col("n_sessions").desc(), F.col("path").asc()],
-        k=20,
-        rank_col="rank",
-    ).select("path", "n_sessions", F.col("rank").cast("int").alias("rank"))
+    # distributed top-k FIRST (TakeOrderedAndProject over the path
+    # counts), THEN rank the <= 20 survivors — ranking the full distinct
+    # path table through topk_per_group's constant-group window would
+    # funnel every path through one task; this way the single-partition
+    # window only ever sees the bounded result
+    top = paths.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(20)
+    w = W.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.select(
+        "path",
+        "n_sessions",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
 
 
 EVENTS_TOP_PATHS_SQL = """
