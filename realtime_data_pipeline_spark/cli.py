@@ -140,6 +140,16 @@ def main(argv: list[str] | None = None) -> int:
         "--redact-text-col", default=None, metavar="COL",
         help="run in-stream PII redaction on COL for clean rows",
     )
+    pst.add_argument(
+        "--strip-boilerplate", action="store_true",
+        help="also rewrite batch-repeated 5-gram spans out of the text "
+        "column on the clean side (requires --redact-text-col to name "
+        "the text column and an 'doc_id' id column in the stream)",
+    )
+    pst.add_argument(
+        "--id-col", default="doc_id",
+        help="id column for --strip-boilerplate span bookkeeping",
+    )
 
     pin = sub.add_parser(
         "ingest",
@@ -616,7 +626,11 @@ def main(argv: list[str] | None = None) -> int:
             args.quarantine,
             checkpoint=args.checkpoint,
             curate=(
-                streaming.curation_stage(text_col=args.redact_text_col)
+                streaming.curation_stage(
+                    text_col=args.redact_text_col,
+                    strip_boiler=args.strip_boilerplate,
+                    id_col=args.id_col,
+                )
                 if args.redact_text_col
                 else None
             ),

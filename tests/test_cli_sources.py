@@ -812,3 +812,47 @@ def test_cli_assemble_strip_boilerplate_shrinks_token_budget(spark, tmp_path):
     t_stripped = stripped.agg(F.sum("n_tokens")).first()[0]
     # every doc lost at least the 8-token header
     assert t_plain - t_stripped >= 8 * plain.count()
+
+
+def test_cli_stream_strip_boilerplate_cleans_clean_side(spark, tmp_path):
+    """stream --strip-boilerplate: the in-stream curation stage rewrites
+    batch-repeated spans out of the text column on the clean side."""
+    import os
+
+    from realtime_data_pipeline_spark import cli
+
+    hdr = "subscribe to our newsletter today unsubscribe anytime"
+    inbox = str(tmp_path / "sbx")
+    os.makedirs(inbox)
+    spark.createDataFrame(
+        [(i, f"{hdr} story{i}a story{i}b story{i}c", 1.0) for i in range(3)],
+        "doc_id long, text string, value double",
+    ).coalesce(1).write.parquet(os.path.join(inbox, "b0"))
+    # file-source inbox is a flat dir of files
+    import glob
+    import shutil
+
+    part = glob.glob(os.path.join(inbox, "b0", "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(inbox, "b0.parquet"))
+    shutil.rmtree(os.path.join(inbox, "b0"))
+
+    silver = str(tmp_path / "sbs")
+    rc = cli.main(
+        [
+            "stream",
+            "--inbox", inbox,
+            "--silver", silver,
+            "--quarantine", str(tmp_path / "sbq"),
+            "--checkpoint", str(tmp_path / "sbc"),
+            "--schema", "doc_id long, text string, value double",
+            "--format", "parquet",
+            "--rule", "neg:value < 0",
+            "--redact-text-col", "text",
+            "--strip-boilerplate",
+        ]
+    )
+    assert rc == 0
+    got = {r.doc_id: r.text for r in spark.read.parquet(silver).collect()}
+    assert got == {
+        i: f"story{i}a story{i}b story{i}c" for i in range(3)
+    }
