@@ -48,8 +48,12 @@ def _parse_rules(specs: list[str] | None) -> list[dq.Rule]:
 def _parse_where(specs: list[str]) -> list[tuple]:
     """``--where 'col<op>value'`` (op: = < <= > >=) -> (col, op, literal)
     tuples for versioned.prune_report / read_version_where; numeric
-    literals parse as numbers, everything else (incl. ISO dates)
-    compares as text, matching how the manifest stats are recorded."""
+    literals parse as numbers, everything else passes as text — date
+    literals compare as ISO strings and timestamp-shaped literals
+    (space- or T-separated, truncated forms included) are parsed and
+    compared CHRONOLOGICALLY against the recorded footer stats, so raw
+    CLI text can never mis-prune on separator or precision differences
+    (versioned._file_may_match's kind-aware comparison)."""
     import re as _re
 
     preds = []

@@ -570,10 +570,39 @@ def _merge_upsert_locked(
     parts = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
-    target_slice = spark.read.parquet(target_path).filter(
-        F.col(partition_col).isin(parts)
-    )
-    cols = spark.read.parquet(target_path).columns
+    # Read the affected partitions' DIRECTORIES directly when their
+    # hive names are unambiguous (same O(n_partitions)-listing kill as
+    # scd2_merge, which always qualifies because bucket ids are ints):
+    # spark.read.parquet(table_root) lists EVERY partition dir to build
+    # its file index before the isin filter prunes — a 3-date
+    # correction against a 100k-partition table pays 100k directory
+    # listings for a 3-dir read. Values whose str() form Hive would
+    # escape (or NULL, or non-int/str/date types) fall back to the
+    # listing path — a wrongly-guessed name would silently read "no
+    # history", so only provably-exact names take the fast path.
+    dirs = _hive_partition_dirs(target_path, partition_col, parts)
+    if dirs is not None:
+        part_type = updates.schema[partition_col].dataType
+        slices = [
+            spark.read.parquet(d).withColumn(
+                partition_col, F.lit(v).cast(part_type)
+            )
+            for v, d in dirs
+            if os.path.isdir(d)
+        ]
+        if slices:
+            target_slice = slices[0]
+            for s in slices[1:]:
+                target_slice = target_slice.unionByName(s)
+            cols = target_slice.columns
+        else:  # none of the affected partitions exist yet: pure insert
+            target_slice = updates.limit(0)
+            cols = updates.columns
+    else:
+        target_slice = spark.read.parquet(target_path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        cols = target_slice.columns
     # updates outrank target on ties: __src desc puts updates (1) first,
     # then order_by desc picks the newest within each source. The window
     # keys INCLUDE the partition column — see the semantic contract above
@@ -597,6 +626,34 @@ def _merge_upsert_locked(
         "affected_partitions": sorted(str(p) for p in parts),
         "rows_written": rows,
     }
+
+
+def _hive_partition_dirs(
+    target_path: str, partition_col: str, parts: list
+) -> list[tuple] | None:
+    """``(value, leaf_dir)`` pairs for partition values whose hive
+    directory name is PROVABLY ``{col}={str(value)}`` — ints, dates,
+    and strings made only of characters Hive never escapes. Returns
+    None (caller uses the full-listing path) the moment any value is
+    NULL, a float/timestamp/other type, or contains a character Hive's
+    escapePathName would transform: a wrongly-guessed name would
+    silently read an existing partition as empty history."""
+    import datetime
+    import re
+
+    out = []
+    for v in parts:
+        if v is None or isinstance(v, (bool, float, datetime.datetime)):
+            return None
+        if not isinstance(v, (int, str, datetime.date)):
+            return None
+        sv = str(v)
+        if not re.fullmatch(r"[0-9A-Za-z_.\-]+", sv):
+            return None
+        out.append(
+            (v, os.path.join(target_path, f"{partition_col}={sv}"))
+        )
+    return out
 
 
 SCD2_META = ("__bucket", "__valid_from", "__valid_to", "__is_current")

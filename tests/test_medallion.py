@@ -520,3 +520,64 @@ def test_merge_upsert_initial_load_reports_null_partition(spark, tmp_path):
     assert m["rows_written"] == 2
     assert sorted(m["affected_partitions"]) == ["2024-01-01", "None"]
     assert spark.read.parquet(target).count() == 2
+
+
+def test_merge_upsert_escaped_partition_values_use_safe_fallback(
+    spark, tmp_path
+):
+    """Partition values Hive would escape (here: spaces) must take the
+    full-listing path — _hive_partition_dirs refuses to guess their
+    directory names — and the merge still resolves correctly."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import medallion
+
+    assert medallion._hive_partition_dirs("/t", "p", ["a b"]) is None
+    assert medallion._hive_partition_dirs("/t", "p", [None]) is None
+    assert medallion._hive_partition_dirs("/t", "p", [1.5]) is None
+    ok = medallion._hive_partition_dirs("/t", "p", [7, "2024-01-01"])
+    assert [d for _, d in ok] == ["/t/p=7", "/t/p=2024-01-01"]
+
+    tgt = str(tmp_path / "esc")
+    init = spark.createDataFrame(
+        [(1, "v1-old", "region a"), (2, "v1-keep", "region b")],
+        "id long, v string, p string",
+    )
+    medallion.merge_upsert(
+        spark, tgt, init, keys=["id"], order_by=["v"], partition_col="p"
+    )
+    upd = spark.createDataFrame(  # v2 > v1: the update wins order_by desc
+        [(1, "v2-new", "region a")], "id long, v string, p string"
+    )
+    medallion.merge_upsert(
+        spark, tgt, upd, keys=["id"], order_by=["v"], partition_col="p"
+    )
+    got = {
+        (r.id, r.v, r.p) for r in spark.read.parquet(tgt).collect()
+    }
+    assert got == {(1, "v2-new", "region a"), (2, "v1-keep", "region b")}
+
+
+def test_merge_upsert_pure_insert_into_new_partition_dirs(spark, tmp_path):
+    """A batch whose affected partitions don't exist yet (all direct
+    dirs missing) inserts cleanly without touching stored partitions."""
+    from realtime_data_pipeline_spark import medallion
+
+    tgt = str(tmp_path / "pin")
+    init = spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "id long, v string, d string"
+    )
+    medallion.merge_upsert(
+        spark, tgt, init, keys=["id"], order_by=["v"], partition_col="d"
+    )
+    upd = spark.createDataFrame(
+        [(9, "z", "2024-02-02")], "id long, v string, d string"
+    )
+    m = medallion.merge_upsert(
+        spark, tgt, upd, keys=["id"], order_by=["v"], partition_col="d"
+    )
+    assert m["affected_partitions"] == ["2024-02-02"]
+    # str(): Spark's partition-column type inference reads the date-like
+    # directory names back as DATE regardless of merge path
+    got = {(r.id, r.v, str(r.d)) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, "a", "2024-01-01"), (9, "z", "2024-02-02")}
