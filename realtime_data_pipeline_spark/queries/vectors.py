@@ -243,6 +243,50 @@ def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_BITS = 8
+
+
+def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped embedding-space dedup (similarity.semantic_dedup):
+    orthant-bucketed within-bucket cosine, declarative keep-min-id
+    dominance rule. Oracle-checkable end to end because the coarse
+    quantizer is the deterministic sign-bit bucket; τ=0.35 yields
+    non-trivial drops at every SF on the synthetic corpus (5/7/93 at
+    sf0.001/0.01/0.1). The trained-k-means bucket variant is the
+    rows-only scale path (tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    marked = similarity.semantic_dedup(
+        emb, threshold=SEMDEDUP_TAU, n_bits=SEMDEDUP_BITS
+    )
+    return marked.select(
+        "vec_id", "bucket", F.col("is_kept").cast("int").alias("is_kept")
+    )
+
+
+_SEMDEDUP_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN e[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
+    for i in range(1, SEMDEDUP_BITS + 1)
+)
+
+EMBEDDINGS_SEMANTIC_DEDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (SELECT vec_id, e, {_SEMDEDUP_BUCKET_SQL} AS bucket FROM v),
+dropped AS (
+  SELECT DISTINCT b2.vec_id
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b2.e), 6) >= {SEMDEDUP_TAU}
+)
+SELECT b.vec_id,
+       CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_kept
+FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+"""
+
+
 def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the 4-8×
     storage/shuffle shrink for vector indexes. The oracle verifies the
@@ -295,10 +339,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_lsh": embedding_knn_lsh,
     "embedding_knn_ivf": embedding_knn_ivf,
     "embeddings_quantize_int8": embeddings_quantize_int8,
+    "embeddings_semantic_dedup": embeddings_semantic_dedup,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
+    "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

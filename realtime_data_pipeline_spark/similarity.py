@@ -46,6 +46,106 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def orthant_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+    """Deterministic coarse quantizer: bit ``i`` = ``[x_i >= 0]`` over the
+    first ``n_bits`` dimensions — axis-aligned hyperplane LSH. Every SQL
+    engine reproduces it exactly (it is a sum of sign CASEs), which is what
+    makes :func:`semantic_dedup` oracle-checkable; the trained-centroid
+    path is the data-adaptive variant for real corpora."""
+    v = as_double_array(vec_col)
+    bucket: Column = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(v, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    centroids=None,
+) -> DataFrame:
+    """Embedding-space (semantic) dedup, the SemDeDup shape (Abbas et al.
+    2023, arXiv:2303.09540): bucket the corpus with a coarse quantizer,
+    compare pairs ONLY within a bucket, and drop every vector that has a
+    smaller-id bucket-mate with round-6 cosine >= ``threshold``.
+
+    The drop rule is a declarative DOMINANCE rule, not union-find: a
+    vector is dropped iff ANY smaller-id bucket-mate is similar — even if
+    that mate is itself dropped (pinned in tests). That keeps the kept
+    set a single anti-join — deterministic across runs, engines and
+    partitionings — instead of an iterative connected-components pass;
+    for transitive-component semantics use ``neardup``'s component path.
+
+    Scale shape: the all-pairs product is confined to buckets — ONE
+    shuffle on the bucket key for the self-join (2^n_bits cells for the
+    orthant quantizer, ``len(centroids)`` for a trained one), then one
+    left join back on the id to mark drops; never an unbucketed cross
+    join (plan-gated). Hot buckets are AQE's skew-join case; raise
+    ``n_bits`` / ``n_centroids`` as the corpus grows so cells stay
+    bounded — recall is bounded by the quantizer (cross-bucket near-dups
+    are invisible, the SemDeDup trade by design).
+
+    With ``centroids`` (a ``(C, dim)`` ndarray from
+    :func:`train_centroids_kmeans`) the bucket is the nearest centroid —
+    rows-only (the assignment is a Pandas-UDF matmul, no SQL twin).
+
+    Returns ``(id_col, bucket int, is_kept boolean)`` over the full corpus.
+    """
+    if centroids is not None:
+        bucket = F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col)))
+    else:
+        bucket = orthant_bucket(F.col(vec_col), n_bits)
+    base = corpus.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("__v"),
+        bucket.alias("bucket"),
+    ).select(
+        id_col,
+        "__v",
+        "bucket",
+        # norms hoisted below the self-join: once per ROW, not per pair
+        l2_norm(F.col("__v")).alias("__n"),
+    )
+    a = base.select(
+        F.col(id_col).alias("__id_a"),
+        "bucket",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("__id_b"),
+        "bucket",
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select(
+            "__id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("__sim6"),
+        )
+        .filter(F.col("__sim6") >= F.lit(threshold))
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return base.join(dropped, id_col, "left").select(
+        id_col,
+        "bucket",
+        F.col("__dropped").isNull().alias("is_kept"),
+    )
+
+
 def quantize_int8(
     vec_col: Column, scale_col: Column | None = None
 ) -> tuple[Column, Column]:

@@ -332,3 +332,113 @@ def test_quantized_ivf_index_recall_and_size(spark, sf_dir, tmp_path):
     # and both clear the absolute floor
     assert recall_q >= recall_f - 0.05, (recall_q, recall_f)
     assert recall_q >= 0.85, f"quantized ivf recall {recall_q}"
+
+
+def _semdedup_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_dedup_drops_planted_neardup(spark):
+    """A same-orthant near-identical pair loses its larger id; the
+    cross-orthant and anti-parallel vectors survive untouched."""
+    df = _semdedup_frame(
+        spark,
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),     # bucket 3 (++)
+            (2, [0.9, 1.1, 0.0, 0.0]),     # bucket 3, cos≈0.995 → dropped
+            (3, [1.0, -1.0, 0.0, 0.0]),    # bucket 1 (+-)
+            (4, [-1.0, -1.0, 0.0, 0.0]),   # bucket 0 (--)
+        ],
+    )
+    got = {
+        r.vec_id: (r.bucket, r.is_kept)
+        for r in similarity.semantic_dedup(df, threshold=0.9, n_bits=2).collect()
+    }
+    assert got == {1: (3, True), 2: (3, False), 3: (1, True), 4: (0, True)}
+
+
+def test_semantic_dedup_dominance_rule_is_declarative(spark):
+    """The drop rule is 'ANY similar smaller-id bucket-mate', not
+    union-find: in the chain a~b, b~c, a≁c, BOTH b and c drop — c because
+    of b, even though b itself dropped. Pins the declarative semantic
+    the oracle SQL expresses."""
+    import math
+
+    def at(deg):  # unit vector in the ++ orthant plane
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0, 0.0]
+
+    df = _semdedup_frame(spark, [(1, at(10)), (2, at(45)), (3, at(80))])
+    # cos(35°)≈0.819 ≥ 0.8 for adjacent pairs; cos(70°)≈0.342 < 0.8
+    got = {
+        r.vec_id: r.is_kept
+        for r in similarity.semantic_dedup(df, threshold=0.8, n_bits=2).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_semantic_dedup_cross_bucket_dups_survive(spark):
+    """Recall boundary by design (the SemDeDup trade): near-identical
+    vectors straddling an orthant boundary land in different buckets and
+    are never compared."""
+    df = _semdedup_frame(
+        spark,
+        [(1, [1.0, 1e-9, 0.0, 0.0]), (2, [1.0, -1e-9, 0.0, 0.0])],
+    )
+    got = similarity.semantic_dedup(df, threshold=0.5, n_bits=2).collect()
+    assert all(r.is_kept for r in got)
+    assert len({r.bucket for r in got}) == 2
+
+
+def test_semantic_dedup_centroid_path_matches_planted(spark):
+    """With a trained/supplied quantizer the bucket is the nearest
+    centroid: the planted near-dup pair shares a cell and dedups even
+    though its orthant bits differ."""
+    import numpy as np
+
+    cents = np.array(
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]], dtype=float
+    )
+    df = _semdedup_frame(
+        spark,
+        [
+            (1, [1.0, 0.01, 0.0, 0.0]),
+            (2, [1.0, -0.01, 0.0, 0.0]),  # different orthant, same cell
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+    )
+    got = {
+        r.vec_id: r.is_kept
+        for r in similarity.semantic_dedup(
+            df, threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_semantic_dedup_is_partitioning_invariant(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = sorted(
+        (r.vec_id, r.bucket, r.is_kept)
+        for r in similarity.semantic_dedup(emb, threshold=0.35).collect()
+    )
+    resharded = sorted(
+        (r.vec_id, r.bucket, r.is_kept)
+        for r in similarity.semantic_dedup(
+            emb.repartition(7), threshold=0.35
+        ).collect()
+    )
+    assert base == resharded
+    assert any(not kept for _, _, kept in base)  # non-trivial at every SF
+
+
+def test_semantic_dedup_plan_is_bucketed_not_cartesian(spark, sf_dir):
+    """The within-bucket self-join must plan as an equi-join on the
+    bucket key — never an unbucketed cross product."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = similarity.semantic_dedup(
+        emb, threshold=0.35
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
