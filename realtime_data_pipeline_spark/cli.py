@@ -281,6 +281,27 @@ def main(argv: list[str] | None = None) -> int:
         help="a 5-gram is boilerplate when it appears in at least this "
         "many distinct documents",
     )
+    pas.add_argument(
+        "--embeddings", default=None,
+        help="parquet of (--vec-id-col, --vec-col) document embeddings; "
+        "when given, semantically-dominated documents (a similar "
+        "smaller-id bucket-mate at --semdedup-tau, SemDeDup shape) are "
+        "dropped before the split; docs without an embedding are kept",
+    )
+    pas.add_argument(
+        "--vec-id-col", default="vec_id",
+        help="--embeddings id column (joined to --id-col values)",
+    )
+    pas.add_argument("--vec-col", default="embedding")
+    pas.add_argument(
+        "--semdedup-tau", type=float, default=0.9,
+        help="within-bucket round-6 cosine at/above which the larger-id "
+        "document is a semantic duplicate",
+    )
+    pas.add_argument(
+        "--semdedup-bits", type=int, default=8,
+        help="orthant-quantizer sign bits (2^bits coarse cells)",
+    )
 
     psy = sub.add_parser(
         "synth",
@@ -525,6 +546,26 @@ def main(argv: list[str] | None = None) -> int:
         from realtime_data_pipeline_spark import packing, text
 
         docs = spark.read.parquet(args.docs)
+        if args.embeddings:
+            # semantic dedup first: it is the cheapest corpus reduction
+            # (bucketed pair volume, no text shuffle) and every later
+            # stage then works on fewer rows. Keep/drop is decided in
+            # embedding space; docs without an embedding row carry no
+            # similarity evidence and pass through (same contract as
+            # the link-rank cull below).
+            from realtime_data_pipeline_spark import similarity
+
+            marked = similarity.semantic_dedup(
+                spark.read.parquet(args.embeddings),
+                threshold=args.semdedup_tau,
+                id_col=args.vec_id_col,
+                vec_col=args.vec_col,
+                n_bits=args.semdedup_bits,
+            )
+            dropped = marked.filter(~F.col("is_kept")).select(
+                F.col(args.vec_id_col).alias(args.id_col)
+            )
+            docs = docs.join(dropped, args.id_col, "left_anti")
         if args.link_edges:
             # link-graph demotion: rank every node of the provided edge
             # list, find the percentile cutoff (bounded 1-row driver

@@ -254,7 +254,14 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer is the deterministic sign-bit bucket; τ=0.35 yields
     non-trivial drops at every SF on the synthetic corpus (5/7/93 at
     sf0.001/0.01/0.1). The trained-k-means bucket variant is the
-    rows-only scale path (tests/test_similarity.py)."""
+    rows-only scale path (tests/test_similarity.py).
+
+    Oracle boundary: the SQL twin uses list_cosine_similarity, which on
+    an all-zero vector yields NaN (DuckDB orders NaN largest → would
+    drop) where the Spark side's floored norm yields 0 (→ keeps). The
+    fixture has no zero vectors; the Spark-side behavior is the
+    deliberate production semantic (zero embedding = no similarity
+    evidence) and is pinned in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
     marked = similarity.semantic_dedup(
         emb, threshold=SEMDEDUP_TAU, n_bits=SEMDEDUP_BITS

@@ -108,8 +108,11 @@ def semantic_dedup(
         id_col,
         "__v",
         "bucket",
-        # norms hoisted below the self-join: once per ROW, not per pair
-        l2_norm(F.col("__v")).alias("__n"),
+        # norms hoisted below the self-join: once per ROW, not per pair.
+        # Floored at 1e-12 so an all-zero embedding (a real-corpus
+        # hazard) yields cosine 0 — similar to nothing, never dropped —
+        # instead of an ANSI divide-by-zero job failure (tested).
+        F.greatest(l2_norm(F.col("__v")), F.lit(1e-12)).alias("__n"),
     )
     a = base.select(
         F.col(id_col).alias("__id_a"),

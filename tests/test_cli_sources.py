@@ -814,6 +814,45 @@ def test_cli_assemble_strip_boilerplate_shrinks_token_budget(spark, tmp_path):
     assert t_plain - t_stripped >= 8 * plain.count()
 
 
+def test_cli_assemble_semantic_dedup_drops_dominated_docs(spark, tmp_path):
+    """assemble --embeddings: a document whose embedding has a similar
+    smaller-id bucket-mate is dropped before the split (SemDeDup);
+    dissimilar docs and docs WITHOUT an embedding row pass through."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import cli
+
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 30).write.parquet(docs)
+
+    # ids 0-9: mutually-orthogonal one-hots (all dims >= 0 → one orthant
+    # bucket, pairwise cosine 0 → all kept); id 25 is a near-copy of
+    # id 5's embedding → semantically dominated; ids 10-24 and 26-29
+    # have no embedding at all and must pass through
+    def onehot(i):
+        return [1.0 if d == i else 0.0 for d in range(8)]
+
+    emb = [(i, onehot(i)) for i in range(10)]
+    emb.append((25, [0.01 if d == 0 else (0.99 if d == 5 else 0.0)
+                     for d in range(8)]))
+    embeddings = str(tmp_path / "emb")
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<double>"
+    ).write.parquet(embeddings)
+
+    out = str(tmp_path / "dedup")
+    rc = cli.main(
+        ["assemble", "--docs", docs, "--out", out, "--shards", "2",
+         "--ctx-len", "256", "--split", "all",
+         "--embeddings", embeddings, "--semdedup-tau", "0.9"]
+    )
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == set(range(30)) - {25}
+
+
 def test_cli_stream_strip_boilerplate_cleans_clean_side(spark, tmp_path):
     """stream --strip-boilerplate: the in-stream curation stage rewrites
     batch-repeated spans out of the text column on the clean side."""

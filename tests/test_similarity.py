@@ -442,3 +442,22 @@ def test_semantic_dedup_plan_is_bucketed_not_cartesian(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_zero_vector_is_never_dropped(spark):
+    """An all-zero embedding (real-corpus hazard) must not crash the
+    ANSI-mode cosine with divide-by-zero NOR be treated as similar to
+    anything: the floored norm gives it cosine 0 everywhere."""
+    df = _semdedup_frame(
+        spark,
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # same bucket as id 1 (0 >= 0)
+            (3, [0.0, 0.0, 0.0, 0.0]),  # two zero vectors: cos = 0, both kept
+        ],
+    )
+    got = {
+        r.vec_id: r.is_kept
+        for r in similarity.semantic_dedup(df, threshold=0.1, n_bits=2).collect()
+    }
+    assert got == {1: True, 2: True, 3: True}
