@@ -662,6 +662,25 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Semantic-dedup leg (round-7 addition): the SemDeDup shape over the
+    # embeddings fixture — orthant bucketing, within-bucket cosine
+    # pairs, dominance anti-mark. Pair volume is sum(|cell|^2), so the
+    # number prices the bucketed product + the mark join, not an n^2
+    # cross product.
+    from realtime_data_pipeline_spark.queries import vectors as vq
+
+    def semdedup_leg():
+        return vq.embeddings_semantic_dedup(spark, sf_dir)
+
+    semdedup_leg().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        semdedup_leg().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["semantic_dedup"] = round(best, 3)
+    print(f"# semantic_dedup: {timings['semantic_dedup']}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
