@@ -219,9 +219,10 @@ def main(argv: list[str] | None = None) -> int:
         help="build/merge the persisted dedup and ANN indexes (daily-ingest path)",
     )
     pi.add_argument(
-        "--kind", required=True, choices=["fp", "neardup", "ivf"],
+        "--kind", required=True, choices=["fp", "neardup", "ivf", "semdedup"],
         help="fp = content-fingerprint dedup index; neardup = MinHash "
-        "signature+band index; ivf = cell-partitioned vector index",
+        "signature+band index; ivf = cell-partitioned vector index; "
+        "semdedup = kept-embedding semantic-dedup index (SemDeDup)",
     )
     pi.add_argument("--index", required=True, help="index root path")
     pi.add_argument(
@@ -234,7 +235,17 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--centroids", type=int, default=64, help="ivf cell count")
     pi.add_argument(
         "--fresh-out", default=None,
-        help="fp/neardup: write the batch rows that survived dedup here",
+        help="fp/neardup/semdedup: write the batch rows that survived "
+        "dedup here",
+    )
+    pi.add_argument(
+        "--tau", type=float, default=0.9,
+        help="semdedup: within-bucket round-6 cosine at/above which a "
+        "batch vector is a semantic duplicate",
+    )
+    pi.add_argument(
+        "--bits", type=int, default=8,
+        help="semdedup: orthant-quantizer sign bits (2^bits cells)",
     )
 
     pas = sub.add_parser(
@@ -969,6 +980,20 @@ def main(argv: list[str] | None = None) -> int:
                 f"({m['in_batch_dropped']} in-batch dups, "
                 f"{m['corpus_dups']} corpus dups) -> {args.index}"
             )
+        elif args.kind == "semdedup":
+            from realtime_data_pipeline_spark import similarity
+
+            fresh, m = similarity.incremental_semantic_dedup(
+                batch, args.index, threshold=args.tau,
+                id_col=args.id_col, vec_col=args.vec_col,
+                n_bits=args.bits,
+            )
+            print(
+                f"semdedup index: {m['fresh_rows']} fresh of "
+                f"{m['batch_rows']} batch rows "
+                f"({m['in_batch_dropped']} in-batch dups, "
+                f"{m['corpus_dups']} corpus dups) -> {args.index}"
+            )
         else:  # ivf
             from realtime_data_pipeline_spark import similarity
 
@@ -992,7 +1017,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
         if args.fresh_out is not None:
             if fresh is None:
-                raise SystemExit("--fresh-out applies to fp/neardup only")
+                raise SystemExit("--fresh-out applies to fp/neardup/semdedup only")
             medallion.write_parquet(fresh, args.fresh_out, mode="overwrite")
             print(f"fresh rows -> {args.fresh_out}")
         return 0

@@ -149,6 +149,160 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_dedup(
+    new_vectors: DataFrame,
+    index_path: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    centroids=None,
+) -> tuple[DataFrame, dict]:
+    """Cross-batch :func:`semantic_dedup` — the daily-ingest shape: dedup
+    the NEW batch against a persisted kept-vector index instead of
+    re-running the corpus-wide pass (mirrors
+    ``dedup.incremental_fingerprint_dedup`` /
+    ``neardup.incremental_neardup_minhash``).
+
+    Steps: (1) in-batch dominance dedup (smaller id wins, exactly the
+    one-shot rule); (2) probe the index — a batch vector with ANY
+    similar index mate in its bucket is a corpus duplicate (the index
+    side always wins regardless of id: those vectors are already kept);
+    (3) append the fresh survivors' (id, vec, norm) to the index,
+    hive-partitioned by bucket.
+
+    Scale shape: the index read prunes to the batch's buckets (a
+    bounded ≤ 2^n_bits / n_centroids bucket-id collect pushed as a
+    partition filter), and the slim batch side is BROADCAST into the
+    probe join, so the corpus-scale index streams map-side — no index
+    shuffle, ever. Replaying a batch finds every survivor in the index
+    at cosine 1.0, yields zero fresh rows and appends nothing —
+    idempotent with no bookkeeping column.
+
+    Cross-batch chain semantics differ from the one-shot rule by design:
+    the index holds KEPT vectors only, so a vector dropped in an earlier
+    batch never dominates a later one (greedy-kept — SemDeDup's actual
+    streaming semantics), while one-shot dominance lets dropped vectors
+    dominate (chain a~b, b~c, a≁c: one-shot drops c, incremental keeps
+    it). Pinned in tests.
+
+    Returns ``(fresh_batch_rows, metrics)`` with metrics
+    ``{batch_rows, in_batch_dropped, corpus_dups, fresh_rows}``.
+    """
+    import os
+
+    spark = new_vectors.sparkSession
+    if centroids is not None:
+        bucket = F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col)))
+    else:
+        bucket = orthant_bucket(F.col(vec_col), n_bits)
+    staged = new_vectors.select(
+        "*",
+        as_double_array(F.col(vec_col)).alias("__vec"),
+        bucket.alias("__bucket"),
+    ).select(
+        "*",
+        F.greatest(l2_norm(F.col("__vec")), F.lit(1e-12)).alias("__norm"),
+    )
+    slim = staged.select(
+        F.col(id_col).alias("__id"),
+        F.col("__bucket"),
+        F.col("__vec"),
+        F.col("__norm"),
+    )
+
+    def _similar_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        """ids of RIGHT rows with a bucket-mate in LEFT at >= threshold
+        (caller adds any id predicate via the frames it passes)."""
+        lt = left.select(
+            F.col("__id").alias("__id_a"),
+            F.col("__bucket"),
+            F.col("__vec").alias("__va"),
+            F.col("__norm").alias("__na"),
+        )
+        rt = right.select(
+            F.col("__id").alias("__id_b"),
+            F.col("__bucket"),
+            F.col("__vec").alias("__vb"),
+            F.col("__norm").alias("__nb"),
+        )
+        return (
+            lt.join(rt, "__bucket")
+            .select(
+                "__id_a",
+                "__id_b",
+                F.round(
+                    dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                ).alias("__sim6"),
+            )
+            .filter(F.col("__sim6") >= F.lit(threshold))
+        )
+
+    in_batch_dropped = (
+        _similar_pairs(slim, slim)
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_in_batch = in_batch_dropped.count()
+    batch_kept = staged.join(in_batch_dropped, id_col, "left_anti")
+
+    n_corpus_dups = 0
+    if os.path.exists(index_path):
+        batch_slim = slim.join(
+            in_batch_dropped.select(F.col(id_col).alias("__id")),
+            "__id",
+            "left_anti",
+        )
+        buckets = [
+            r["__bucket"]
+            for r in batch_slim.select("__bucket").distinct().collect()
+        ]
+        index = (
+            spark.read.parquet(index_path)
+            .filter(F.col("bucket").isin(buckets))
+            .select(
+                F.col(id_col).alias("__id"),
+                F.col("bucket").alias("__bucket"),
+                F.col("vec").alias("__vec"),
+                F.col("norm").alias("__norm"),
+            )
+        )
+        corpus_dups = (
+            _similar_pairs(index, F.broadcast(batch_slim))
+            .select(F.col("__id_b").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_corpus_dups = corpus_dups.count()
+        batch_kept = batch_kept.join(corpus_dups, id_col, "left_anti")
+
+    fresh = batch_kept.localCheckpoint(eager=True)
+    n_fresh = fresh.count()
+    if n_fresh:
+        (
+            fresh.select(
+                F.col(id_col),
+                F.col("__vec").alias("vec"),
+                F.col("__norm").alias("norm"),
+                F.col("__bucket").alias("bucket"),
+            )
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(index_path)
+        )
+    return fresh.drop("__vec", "__bucket", "__norm"), {
+        "batch_rows": n_fresh + n_in_batch + n_corpus_dups,
+        "in_batch_dropped": n_in_batch,
+        "corpus_dups": n_corpus_dups,
+        "fresh_rows": n_fresh,
+    }
+
+
 def quantize_int8(
     vec_col: Column, scale_col: Column | None = None
 ) -> tuple[Column, Column]:

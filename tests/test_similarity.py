@@ -461,3 +461,87 @@ def test_semantic_dedup_zero_vector_is_never_dropped(spark):
         for r in similarity.semantic_dedup(df, threshold=0.1, n_bits=2).collect()
     }
     assert got == {1: True, 2: True, 3: True}
+
+
+def test_incremental_semantic_dedup_probes_index_and_replays(spark, tmp_path):
+    """Daily-ingest shape: batch 1 seeds the kept-vector index (after
+    in-batch dominance dedup); batch 2's near-copy of an indexed vector
+    is a corpus dup, its novel vector is fresh; replaying batch 2 finds
+    every survivor in the index at cosine 1.0 and appends nothing."""
+    idx = str(tmp_path / "semdedup_idx")
+
+    b1 = _semdedup_frame(
+        spark,
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 1.01, 0.0, 0.0]),  # in-batch dup of id 1
+            (3, [1.0, 0.0, 0.0, 0.0]),    # cos with id 1 ≈ 0.707 < 0.9
+        ],
+    )
+    fresh1, m1 = similarity.incremental_semantic_dedup(
+        b1, idx, threshold=0.9, n_bits=2
+    )
+    assert m1 == {
+        "batch_rows": 3, "in_batch_dropped": 1,
+        "corpus_dups": 0, "fresh_rows": 2,
+    }
+    assert {r.vec_id for r in fresh1.collect()} == {1, 3}
+    assert spark.read.parquet(idx).count() == 2
+
+    b2 = _semdedup_frame(
+        spark,
+        [
+            (10, [1.01, 0.99, 0.0, 0.0]),  # corpus dup of indexed id 1
+            (11, [0.0, 1.0, 0.0, 0.0]),    # novel direction -> fresh
+        ],
+    )
+    fresh2, m2 = similarity.incremental_semantic_dedup(
+        b2, idx, threshold=0.9, n_bits=2
+    )
+    assert m2 == {
+        "batch_rows": 2, "in_batch_dropped": 0,
+        "corpus_dups": 1, "fresh_rows": 1,
+    }
+    assert {r.vec_id for r in fresh2.collect()} == {11}
+    assert spark.read.parquet(idx).count() == 3
+
+    fresh2r, m2r = similarity.incremental_semantic_dedup(
+        b2, idx, threshold=0.9, n_bits=2
+    )
+    assert m2r["fresh_rows"] == 0 and m2r["corpus_dups"] == 2
+    assert fresh2r.count() == 0
+    assert spark.read.parquet(idx).count() == 3  # replay appended nothing
+
+
+def test_incremental_semantic_dedup_greedy_kept_chain(spark, tmp_path):
+    """Cross-batch chains use greedy-KEPT semantics: a vector dropped in
+    an earlier batch never dominates a later one — unlike the one-shot
+    dominance rule, which would drop the chain tail too (both semantics
+    documented; this pins the divergence)."""
+    import math
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0, 0.0]
+
+    idx = str(tmp_path / "chain_idx")
+    # batch 1: a(10°) keeps, b(45°) drops (cos 35° ≈ 0.819 ≥ 0.8)
+    _, m1 = similarity.incremental_semantic_dedup(
+        _semdedup_frame(spark, [(1, at(10)), (2, at(45))]),
+        idx, threshold=0.8, n_bits=2,
+    )
+    assert m1["fresh_rows"] == 1 and m1["in_batch_dropped"] == 1
+    # batch 2: c(80°) is similar only to the DROPPED b — b is not in the
+    # index, so c survives (one-shot dominance on the union would drop it)
+    fresh2, m2 = similarity.incremental_semantic_dedup(
+        _semdedup_frame(spark, [(3, at(80))]), idx, threshold=0.8, n_bits=2
+    )
+    assert m2 == {
+        "batch_rows": 1, "in_batch_dropped": 0,
+        "corpus_dups": 0, "fresh_rows": 1,
+    }
+    assert {r.vec_id for r in fresh2.collect()} == {3}
+    one_shot = similarity.semantic_dedup(
+        _semdedup_frame(spark, [(1, at(10)), (2, at(45)), (3, at(80))]),
+        threshold=0.8, n_bits=2,
+    )
+    assert {r.vec_id: r.is_kept for r in one_shot.collect()}[3] is False
