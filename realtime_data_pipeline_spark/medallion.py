@@ -671,6 +671,27 @@ class ConcurrentMergeError(RuntimeError):
 import contextlib as _contextlib  # noqa: E402
 
 
+def _holder_is_dead(holder: str) -> bool:
+    """True only when the recorded holder pid PROVABLY no longer exists on
+    this host (``os.kill(pid, 0)`` → ``ProcessLookupError``). Unreadable /
+    unparsable content, a live pid, or a pid we lack permission to signal
+    (alive under another uid) all return False — when liveness can't be
+    determined the lock stays and the conflict stays loud."""
+    import json
+
+    try:
+        pid = int(json.loads(holder)["pid"])
+    except (ValueError, KeyError, TypeError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # exists, owned by someone else — alive
+    return False
+
+
 @_contextlib.contextmanager
 def _merge_lock(target_path: str, op: str = "merge"):
     """O_EXCL advisory lock file beside the table (``<table>._merge_lock``
@@ -680,28 +701,49 @@ def _merge_lock(target_path: str, op: str = "merge"):
     `merge_upsert` share the read-rebuild-overwrite shape and therefore
     the same silent-lost-write race). Raises
     :class:`ConcurrentMergeError` immediately on conflict (merges are
-    short; the caller retries). A crashed holder leaves the file behind
-    — the error message carries the recorded pid/timestamp so an
-    operator can verify the writer is gone and remove it; on a
-    single-writer schedule the lock is pure insurance."""
+    short; the caller retries).
+
+    Crashed holders are reclaimed: on conflict the recorded pid is probed
+    with ``os.kill(pid, 0)`` and a PROVABLY-dead same-host holder's file
+    is removed and the acquire retried once. The unlink re-reads the file
+    first and only removes it when the content still matches the dead
+    holder we validated — two waiters racing over the same stale lock
+    cannot unlink each other's fresh acquisition (the loser's retry sees
+    the winner's live pid and raises). Liveness that can't be determined
+    (unreadable file, foreign-uid pid) keeps the old loud behavior: the
+    error carries the holder record for a manual decision."""
     import json
     import time
 
     lock = target_path.rstrip("/") + "._merge_lock"
     os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    fd = None
+    for attempt in range(2):
         try:
-            with open(lock) as f:
-                holder = f.read()
-        except OSError:
-            holder = "<unreadable>"
-        raise ConcurrentMergeError(
-            f"{op}: {lock} exists — another merge is in flight "
-            f"(holder: {holder}). Retry after it finishes; if its "
-            "process is dead, remove the lock file."
-        ) from None
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = f.read()
+            except OSError:
+                holder = "<unreadable>"
+            if attempt == 0 and _holder_is_dead(holder):
+                # reclaim only if the file still holds the SAME dead
+                # record we just validated (a fresh writer may have
+                # replaced it between our read and now)
+                try:
+                    with open(lock) as f:
+                        if f.read() == holder:
+                            os.unlink(lock)
+                except OSError:
+                    pass
+                continue
+            raise ConcurrentMergeError(
+                f"{op}: {lock} exists — another merge is in flight "
+                f"(holder: {holder}). Retry after it finishes; if its "
+                "process is dead, remove the lock file."
+            ) from None
     try:
         os.write(
             fd,

@@ -667,3 +667,65 @@ def test_concurrent_merge_refused_then_succeeds_with_no_loss(spark, tmp_path):
                 spark, up_tgt, up, keys=["id"], order_by=["d"],
                 partition_col="d",
             )
+
+
+def test_crashed_holder_lock_is_reclaimed(spark, tmp_path):
+    """A merge lock left behind by a CRASHED process (its recorded pid no
+    longer exists on this host) is reclaimed automatically: the next merge
+    probes the pid with os.kill(pid, 0), removes the dead holder's file and
+    proceeds — no operator intervention. A live holder (this very process)
+    still refuses loudly, and an unparsable holder record is never
+    reclaimed (liveness unknown -> stay loud)."""
+    import json
+    import os
+
+    import pytest
+
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark, tgt,
+        obs_df(spark, [("c1", "bronze", "paris", ts(1))]),
+        keys=["cust_id"], effective_col="seen_at",
+    )
+    lock = tgt + "._merge_lock"
+
+    # forge a crashed holder: a pid that provably cannot exist. Linux pids
+    # are capped by /proc/sys/kernel/pid_max (<= 2^22 by default; the file
+    # gives this host's real cap), so cap+1 is never a live process.
+    with open("/proc/sys/kernel/pid_max") as f:
+        dead_pid = int(f.read().strip()) + 1
+    with open(lock, "w") as f:
+        json.dump({"pid": dead_pid, "ts": 0.0}, f)
+    medallion.scd2_merge(
+        spark, tgt,
+        obs_df(spark, [("c1", "gold", "paris", ts(5))]),
+        keys=["cust_id"], effective_col="seen_at",
+    )  # reclaimed + merged, no ConcurrentMergeError
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "paris", ts(1), ts(5), False),
+        ("gold", "paris", ts(5), None, True),
+    ]
+    assert not os.path.exists(lock)  # reclaim never leaks the lock
+
+    # live holder (our own pid) -> still refused
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0.0}, f)
+    with pytest.raises(medallion.ConcurrentMergeError, match="in flight"):
+        medallion.scd2_merge(
+            spark, tgt,
+            obs_df(spark, [("c1", "plat", "paris", ts(9))]),
+            keys=["cust_id"], effective_col="seen_at",
+        )
+    os.unlink(lock)
+
+    # unparsable holder -> liveness unknown -> refused, file kept
+    with open(lock, "w") as f:
+        f.write("not json")
+    with pytest.raises(medallion.ConcurrentMergeError, match="in flight"):
+        medallion.scd2_merge(
+            spark, tgt,
+            obs_df(spark, [("c1", "plat", "paris", ts(9))]),
+            keys=["cust_id"], effective_col="seen_at",
+        )
+    assert os.path.exists(lock)
+    os.unlink(lock)
