@@ -51,12 +51,21 @@ def orthant_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     first ``n_bits`` dimensions — axis-aligned hyperplane LSH. Every SQL
     engine reproduces it exactly (it is a sum of sign CASEs), which is what
     makes :func:`semantic_dedup` oracle-checkable; the trained-centroid
-    path is the data-adaptive variant for real corpora."""
+    path is the data-adaptive variant for real corpora.
+
+    Vectors SHORTER than ``n_bits`` dimensions degrade gracefully instead
+    of failing the job: ``try_element_at`` yields NULL past the end (where
+    ANSI ``element_at`` raises INVALID_ARRAY_INDEX), and a NULL element —
+    missing or genuinely null — maps to bit 0, the same bucket as a
+    non-negative coordinate. Short/ragged vectors therefore coarsen into
+    fewer effective buckets rather than erroring; corpora with meaningful
+    dimension variance should bucket on ``min(dim)`` bits or a trained
+    quantizer."""
     v = as_double_array(vec_col)
     bucket: Column = F.lit(0)
     for i in range(n_bits):
         bucket = bucket + F.when(
-            F.element_at(v, i + 1) >= 0, F.lit(1 << i)
+            F.try_element_at(v, F.lit(i + 1)) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return bucket.cast("int")
 
@@ -186,10 +195,20 @@ def incremental_semantic_dedup(
     dominate (chain a~b, b~c, a≁c: one-shot drops c, incremental keeps
     it). Pinned in tests.
 
+    Writer serialization: the probe-then-append span holds the same
+    O_EXCL lock ``medallion._merge_lock`` uses for SCD merges (file
+    beside ``index_path``) — two concurrent ingests would otherwise both
+    pass the probe before either appends, writing mutual near-dups as
+    'fresh' (the read-then-write race class). A second writer fails
+    loudly with :class:`~realtime_data_pipeline_spark.medallion.ConcurrentMergeError`
+    and retries; crashed holders are reclaimed by pid liveness probe.
+
     Returns ``(fresh_batch_rows, metrics)`` with metrics
     ``{batch_rows, in_batch_dropped, corpus_dups, fresh_rows}``.
     """
     import os
+
+    from realtime_data_pipeline_spark.medallion import _merge_lock
 
     spark = new_vectors.sparkSession
     if centroids is not None:
@@ -251,50 +270,51 @@ def incremental_semantic_dedup(
     batch_kept = staged.join(in_batch_dropped, id_col, "left_anti")
 
     n_corpus_dups = 0
-    if os.path.exists(index_path):
-        batch_slim = slim.join(
-            in_batch_dropped.select(F.col(id_col).alias("__id")),
-            "__id",
-            "left_anti",
-        )
-        buckets = [
-            r["__bucket"]
-            for r in batch_slim.select("__bucket").distinct().collect()
-        ]
-        index = (
-            spark.read.parquet(index_path)
-            .filter(F.col("bucket").isin(buckets))
-            .select(
-                F.col(id_col).alias("__id"),
-                F.col("bucket").alias("__bucket"),
-                F.col("vec").alias("__vec"),
-                F.col("norm").alias("__norm"),
+    with _merge_lock(index_path, op="semantic-dedup-ingest"):
+        if os.path.exists(index_path):
+            batch_slim = slim.join(
+                in_batch_dropped.select(F.col(id_col).alias("__id")),
+                "__id",
+                "left_anti",
             )
-        )
-        corpus_dups = (
-            _similar_pairs(index, F.broadcast(batch_slim))
-            .select(F.col("__id_b").alias(id_col))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_corpus_dups = corpus_dups.count()
-        batch_kept = batch_kept.join(corpus_dups, id_col, "left_anti")
+            buckets = [
+                r["__bucket"]
+                for r in batch_slim.select("__bucket").distinct().collect()
+            ]
+            index = (
+                spark.read.parquet(index_path)
+                .filter(F.col("bucket").isin(buckets))
+                .select(
+                    F.col(id_col).alias("__id"),
+                    F.col("bucket").alias("__bucket"),
+                    F.col("vec").alias("__vec"),
+                    F.col("norm").alias("__norm"),
+                )
+            )
+            corpus_dups = (
+                _similar_pairs(index, F.broadcast(batch_slim))
+                .select(F.col("__id_b").alias(id_col))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_corpus_dups = corpus_dups.count()
+            batch_kept = batch_kept.join(corpus_dups, id_col, "left_anti")
 
-    fresh = batch_kept.localCheckpoint(eager=True)
-    n_fresh = fresh.count()
-    if n_fresh:
-        (
-            fresh.select(
-                F.col(id_col),
-                F.col("__vec").alias("vec"),
-                F.col("__norm").alias("norm"),
-                F.col("__bucket").alias("bucket"),
+        fresh = batch_kept.localCheckpoint(eager=True)
+        n_fresh = fresh.count()
+        if n_fresh:
+            (
+                fresh.select(
+                    F.col(id_col),
+                    F.col("__vec").alias("vec"),
+                    F.col("__norm").alias("norm"),
+                    F.col("__bucket").alias("bucket"),
+                )
+                .repartition("bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(index_path)
             )
-            .repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(index_path)
-        )
     return fresh.drop("__vec", "__bucket", "__norm"), {
         "batch_rows": n_fresh + n_in_batch + n_corpus_dups,
         "in_batch_dropped": n_in_batch,

@@ -172,6 +172,22 @@ def strip_boilerplate(
       from the same tokens both engines split on, so the oracle twin
       reproduces it exactly).
 
+    Single-tokenization discipline: the tokenized + gram-hashed frame is
+    built ONCE and ``persist()``-ed, so the detect pass (explode →
+    doc-frequency groupBy) and the rebuild pass (span filter over the
+    token array) share one materialization of the corpus scan instead of
+    each re-splitting and re-hashing the text (round-7 finding: the two
+    independent passes made this the slowest oracle-backed bench leg).
+    Both subtrees land in the caller's single action, so the cache is
+    populated and reused within that very job; the cached partitions are
+    then LRU-managed (MEMORY_AND_DISK) like any persisted frame.
+
+    Contracts: ``id_col`` must be unique per document (duplicate ids
+    would union their flagged spans — same contract as the dedup /
+    neardup operators); working columns are derived from a prefix
+    checked against ``docs.columns``, so caller frames may carry any
+    names, including ``__``-prefixed ones.
+
     Cost note: coverage testing is ``array_contains`` per token over the
     doc's covered-index list — O(tokens × flagged_spans) per document,
     fine while flagged spans are boilerplate-sized; a fully-templated
@@ -179,50 +195,66 @@ def strip_boilerplate(
     (profile + cull) is the right tool anyway."""
     from pyspark.sql import DataFrame  # noqa: F401  (documented contract)
 
-    from realtime_data_pipeline_spark.neardup import word_shingles
+    p = "__sb_"
+    while any(c.startswith(p) for c in docs.columns):
+        p = "_" + p
+    TOKS, GRAMS = p + "toks", p + "grams"
+    POS, G, DF_, STARTS, COVERED = (
+        p + "pos", p + "g", p + "df", p + "starts", p + "covered",
+    )
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    gram_hashes = F.transform(
-        word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+    # positional gram hashes from the SAME token array the rebuild uses —
+    # hash-identical to xxhash64(word_shingles(text, n)): concat_ws over
+    # the n-token slice is exactly the shingle string (guard matters:
+    # sequence(1, 0) would count DOWN on <n-token docs)
+    grams = F.when(
+        F.size(F.col(TOKS)) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col(TOKS)) - n + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col(TOKS), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    staged = (
+        docs.select("*", toks.alias(TOKS))
+        .select("*", grams.alias(GRAMS))
+        .persist()
     )
-    base = docs.select(
-        F.col(id_col), gram_hashes.alias("__grams")
-    )
-    per_pos = base.select(
-        id_col, F.posexplode("__grams").alias("__pos", "__g")
+    per_pos = staged.select(
+        id_col, F.posexplode(GRAMS).alias(POS, G)
     )
     boiler = (
-        per_pos.select(id_col, "__g")
+        per_pos.select(id_col, G)
         .distinct()
-        .groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= min_df)
-        .select("__g")
+        .groupBy(G)
+        .agg(F.count(F.lit(1)).alias(DF_))
+        .filter(F.col(DF_) >= min_df)
+        .select(G)
     )
     starts = (
-        per_pos.join(boiler, "__g")
+        per_pos.join(boiler, G)
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("__pos")).alias("__starts"))
+        .agg(F.sort_array(F.collect_set(POS)).alias(STARTS))
     )
     covered = F.flatten(
         F.transform(
-            F.col("__starts"),
+            F.col(STARTS),
             lambda j: F.sequence(j, j + F.lit(n - 1)),
         )
     )
     kept = F.filter(
-        toks, lambda t, i: ~F.array_contains(F.col("__covered"), i)
+        F.col(TOKS), lambda t, i: ~F.array_contains(F.col(COVERED), i)
     )
     cleaned = F.when(
-        F.col("__starts").isNull(), F.col(text_col)
+        F.col(STARTS).isNull(), F.col(text_col)
     ).otherwise(F.array_join(kept, " "))
     out_cols = [
         cleaned.alias(c) if c == text_col else F.col(c)
         for c in docs.columns
     ]
     return (
-        docs.join(starts, id_col, "left")
-        .withColumn("__covered", covered)
+        staged.join(starts, id_col, "left")
+        .withColumn(COVERED, covered)
         .select(*out_cols)
     )
 

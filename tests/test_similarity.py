@@ -545,3 +545,53 @@ def test_incremental_semantic_dedup_greedy_kept_chain(spark, tmp_path):
         threshold=0.8, n_bits=2,
     )
     assert {r.vec_id: r.is_kept for r in one_shot.collect()}[3] is False
+
+
+def test_orthant_bucket_short_vectors_degrade_gracefully(spark):
+    """ADVICE r7: under ANSI mode, element_at past the array end fails the
+    whole job. try_element_at degrades instead: missing dims (and null
+    elements) map to bit 0, so short vectors coarsen into fewer effective
+    buckets rather than erroring — and an empty array lands in bucket 0."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 1.0]),   # full 4 dims -> bucket 0b1111
+            (2, [1.0, 1.0]),             # 2 dims -> bits 2,3 default 0
+            (3, []),                     # empty -> bucket 0
+            (4, [-1.0, None, 1.0, 1.0]), # null element -> bit 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            similarity.orthant_bucket(F.col("embedding"), n_bits=4).alias("b"),
+        ).collect()
+    }
+    assert got == {1: 0b1111, 2: 0b0011, 3: 0, 4: 0b1100}
+
+
+def test_incremental_semantic_dedup_refuses_concurrent_writer(spark, tmp_path):
+    """ADVICE r7: two concurrent ingests against the same index could both
+    pass the probe before either appends, writing mutual near-dups as
+    fresh. The probe+append span now holds medallion's merge lock — a
+    second writer fails loudly instead of racing."""
+    import pytest
+
+    from realtime_data_pipeline_spark import medallion
+
+    idx = str(tmp_path / "locked_idx")
+    b1 = _semdedup_frame(spark, [(1, [1.0, 1.0, 0.0, 0.0])])
+    with medallion._merge_lock(idx, op="semantic-dedup-ingest"):
+        with pytest.raises(medallion.ConcurrentMergeError, match="in flight"):
+            similarity.incremental_semantic_dedup(
+                b1, idx, threshold=0.9, n_bits=2
+            )
+    # lock released -> the ingest lands and never leaks its own lock
+    import os
+
+    _, m = similarity.incremental_semantic_dedup(
+        b1, idx, threshold=0.9, n_bits=2
+    )
+    assert m["fresh_rows"] == 1
+    assert not os.path.exists(idx + "._merge_lock")

@@ -86,3 +86,41 @@ def test_strip_boilerplate_keeps_schema_and_other_columns(spark):
     assert out.columns == ["doc_id", "text", "source"]
     got = {r.doc_id: (r.text, r.source) for r in out.collect()}
     assert got[1] == ("tail1x tail1y", "src1")
+
+
+def test_strip_boilerplate_survives_colliding_and_prefixed_columns(spark):
+    """Working columns are derived from a prefix checked against the
+    caller's frame: inputs already carrying __sb_-style or legacy __grams/
+    __starts/__covered names neither collide (ambiguous-column error) nor
+    corrupt spans."""
+    hdr = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (i, f"{hdr} tail{i}x tail{i}y", "x", [1], "y")
+            for i in range(3)
+        ],
+        "doc_id long, text string, __grams string, "
+        "__sb_toks array<int>, __starts string",
+    )
+    out = text.strip_boilerplate(df)
+    assert out.columns == ["doc_id", "text", "__grams", "__sb_toks", "__starts"]
+    got = {
+        r["doc_id"]: (r["text"], r["__grams"], r["__starts"])
+        for r in out.collect()
+    }
+    assert got[1] == ("tail1x tail1y", "x", "y")
+
+
+def test_strip_boilerplate_single_tokenization_plan(spark):
+    """The staged (tokens, gram-hashes) frame is persisted so detect and
+    rebuild share ONE corpus materialization — the physical plan must show
+    an InMemoryTableScan (cache reuse), and exactly one Project may carry
+    the split() tokenizer."""
+    hdr = "one two three four five six"
+    df = spark.createDataFrame(
+        [(i, f"{hdr} tail{i}x tail{i}y") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = text.strip_boilerplate(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
