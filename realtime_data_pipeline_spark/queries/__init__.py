@@ -181,7 +181,30 @@ _ROTATE_IN_R7 = [
 ]
 _ROTATE_OUT_R7 = list(_ROTATE_IN)  # all 21 round-6 entrants, now proven
 
-for _in, _out in ((_ROTATE_IN, _ROTATE_OUT), (_ROTATE_IN_R7, _ROTATE_OUT_R7)):
+# ROUND-8 ROTATION — the OPERATORS.md round-8 queue: the three operators
+# built late in round 7 (shelved-oracle, hash-equal locally at 3 SFs)
+# get driver-grade CORRECTNESS rows. Three long-green incumbents rotate
+# out in their place (each carries 7 consecutive green driver rounds and
+# keeps its pytest oracle hash check shelved). After this round the only
+# oracle-backed queries without a driver row are none — cumulative
+# driver-grade proof ≈95 of ~104 implemented queries; the remainder is
+# rows-only by nature (LSH/ANN recall-gated, codecs, sampling).
+_ROTATE_IN_R8 = [
+    "embeddings_semantic_dedup",  # SemDeDup orthant-bucketed dominance
+    "docs_domain_cap",            # per-source anti-domination cap
+    "docs_bigram_surprisal",      # conditional bigram-LM surprisal
+]
+_ROTATE_OUT_R8 = [
+    "forecast_revenue_q6",        # green r1-r7
+    "scalar_functions_showcase",  # green r1-r7
+    "events_tumbling_5min",       # green r1-r7
+]
+
+for _in, _out in (
+    (_ROTATE_IN, _ROTATE_OUT),
+    (_ROTATE_IN_R7, _ROTATE_OUT_R7),
+    (_ROTATE_IN_R8, _ROTATE_OUT_R8),
+):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)
         ORACLE_SQL[_name] = SHELVED_ORACLE_SQL.pop(_name)
