@@ -57,6 +57,95 @@ def _query_fn(q, name):
     return q.QUERIES.get(name) or q.SHELVED_QUERIES[name]
 
 
+# --- steal-robust timing (round-8 verdict #2) ----------------------------
+#
+# This box is a shared VM with documented 10× CPU-steal windows
+# (BASELINE.md); round 7's headline run caught one — three unchanged legs
+# read 2-3× slower while the same-round ramp artifact measured them at
+# r6-era times. min-of-2 was not surviving that. Every leg is now min-of-3
+# (min-of-5 when the leg is sub-second — short legs are the most
+# steal-distortable), and each timed pass records the /proc/stat steal
+# delta so a judge can attribute any residual outlier to the neighbor, not
+# the code, from the artifact alone.
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+_NCPU = os.cpu_count() or 1
+STEAL: dict[str, dict] = {}  # leg -> per-pass timing/steal evidence
+
+
+def _steal_ticks() -> int:
+    """Cumulative steal ticks from /proc/stat's aggregate cpu line
+    (field 8: user nice system idle iowait irq softirq STEAL); -1 when
+    unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
+def _record_leg(name: str, durations: list[float], steals: list[int]) -> float:
+    best_i = min(range(len(durations)), key=durations.__getitem__)
+    info: dict = {
+        "passes": len(durations),
+        "all_sec": [round(d, 3) for d in durations],
+        "steal_ticks": steals,
+        "best_pass_steal_ticks": steals[best_i],
+    }
+    if steals[best_i] >= 0 and durations[best_i] > 0:
+        # share of total cpu capacity stolen during the kept pass
+        info["best_pass_steal_pct"] = round(
+            100.0 * steals[best_i] / (durations[best_i] * _NCPU * _CLK_TCK),
+            1,
+        )
+    STEAL[name] = info
+    return durations[best_i]
+
+
+def _bench_leg(
+    name: str,
+    run_once,
+    warm: bool = True,
+    min_passes: int = 3,
+    sub_second_passes: int = 5,
+) -> float:
+    """Min-of-N wall time for ``run_once()`` (a no-return thunk executing
+    the leg to a sink), N = ``min_passes`` or ``sub_second_passes`` when
+    the first timed pass lands under 1s. Per-pass steal deltas recorded
+    into ``STEAL[name]``."""
+    if warm:
+        run_once()
+    durations: list[float] = []
+    steals: list[int] = []
+    passes = min_passes
+    while len(durations) < passes:
+        s0 = _steal_ticks()
+        t0 = time.perf_counter()
+        run_once()
+        dt = time.perf_counter() - t0
+        s1 = _steal_ticks()
+        durations.append(dt)
+        steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
+        if len(durations) == 1 and dt < 1.0:
+            passes = max(passes, sub_second_passes)
+    return round(_record_leg(name, durations, steals), 3)
+
+
+def _bench_timed(name: str, once, passes: int = 3) -> float:
+    """Min-of-N for legs that time THEMSELVES (``once() -> seconds``,
+    excluding per-pass fixture setup); the steal window brackets the whole
+    call, so recorded steal is an upper bound for the timed portion."""
+    durations: list[float] = []
+    steals: list[int] = []
+    for _ in range(passes):
+        s0 = _steal_ticks()
+        durations.append(once())
+        s1 = _steal_ticks()
+        steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
+    return round(_record_leg(name, durations, steals), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -102,17 +191,16 @@ def main() -> None:
         # eagerly-materializing operators (the MinHash signature
         # checkpoint) are inside the measurement, then executes to the
         # sink — steady state with no cached results carried over.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # best-of-2 timed passes: this box is a shared VM with visible CPU
-        # steal (/proc/stat col 8); a single pass can land in a steal spike
-        # and report 10× the true cost. Min-of-N measures the query, not
-        # the neighbor.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # warm pass compiles the codegen; timed passes RE-CONSTRUCT the
+        # query so eagerly-materializing operators (the MinHash signature
+        # checkpoint) stay inside the measurement
+        timings[name] = _bench_leg(
+            name,
+            lambda fn=fn: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     # Skewed-join leg: 80% of lineitem lands on ONE join key (the straggler
@@ -145,13 +233,10 @@ def main() -> None:
                 .agg(F.sum(F.col("l_extendedprice") * F.col("weight")).alias("wrev"))
             )
 
-        skew_leg().write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            skew_leg().write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings["skewed_join_salted"] = round(best, 3)
+        timings["skewed_join_salted"] = _bench_leg(
+            "skewed_join_salted",
+            lambda: skew_leg().write.format("noop").mode("overwrite").save(),
+        )
         print(
             f"# skewed_join_salted: {timings['skewed_join_salted']}s",
             file=sys.stderr,
@@ -199,13 +284,13 @@ def main() -> None:
             ("skewed_join_unsalted", unsalted_leg),
             ("skewed_join_auto", auto_leg),
         ):
-            leg().write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                leg().write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[leg_name] = round(best, 3)
+            timings[leg_name] = _bench_leg(
+                leg_name,
+                lambda leg=leg: leg()
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
             print(f"# {leg_name}: {timings[leg_name]}s", file=sys.stderr)
         if timings["skewed_join_auto"] >= timings["skewed_join_unsalted"]:
             print(
@@ -235,13 +320,10 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
         )
 
-    pysource_leg().write.format("noop").mode("overwrite").save()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        pysource_leg().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    timings["python_source_scan_2m"] = round(best, 3)
+    timings["python_source_scan_2m"] = _bench_leg(
+        "python_source_scan_2m",
+        lambda: pysource_leg().write.format("noop").mode("overwrite").save(),
+    )
     print(
         f"# python_source_scan_2m: {timings['python_source_scan_2m']}s",
         file=sys.stderr,
@@ -287,12 +369,10 @@ def main() -> None:
                 )
             return time.perf_counter() - t0
 
-    # best-of-2 like every other leg (round-3 verdict: this was the one
-    # single-pass-timed leg on a steal-prone shared VM, so its deltas were
-    # unattributable noise); the first pass also warms the streaming
-    # machinery (source listing, foreachBatch codegen)
-    timings["streaming_dq_gate"] = round(
-        min(stream_leg_once() for _ in range(2)), 3
+    # the first pass also warms the streaming machinery (source listing,
+    # foreachBatch codegen) — min-of-3 absorbs it
+    timings["streaming_dq_gate"] = _bench_timed(
+        "streaming_dq_gate", stream_leg_once
     )
     print(f"# streaming_dq_gate: {timings['streaming_dq_gate']}s", file=sys.stderr)
 
@@ -332,8 +412,8 @@ def main() -> None:
                 )
             return time.perf_counter() - t0
 
-    timings["streaming_curated_gate"] = round(
-        min(curated_leg_once() for _ in range(2)), 3
+    timings["streaming_curated_gate"] = _bench_timed(
+        "streaming_curated_gate", curated_leg_once
     )
     print(
         f"# streaming_curated_gate: {timings['streaming_curated_gate']}s",
@@ -380,8 +460,8 @@ def main() -> None:
                     )
                 return time.perf_counter() - t0
 
-        timings["streaming_dq_gate_multibatch"] = round(
-            min(multibatch_leg_once() for _ in range(2)), 3
+        timings["streaming_dq_gate_multibatch"] = _bench_timed(
+            "streaming_dq_gate_multibatch", multibatch_leg_once
         )
         print(
             f"# streaming_dq_gate_multibatch: "
@@ -423,8 +503,8 @@ def main() -> None:
                 )
             return time.perf_counter() - t0
 
-    timings["streaming_dedup_ingest"] = round(
-        min(dedup_ingest_leg_once() for _ in range(2)), 3
+    timings["streaming_dedup_ingest"] = _bench_timed(
+        "streaming_dedup_ingest", dedup_ingest_leg_once
     )
     print(
         f"# streaming_dedup_ingest: {timings['streaming_dedup_ingest']}s",
@@ -447,30 +527,30 @@ def main() -> None:
     def dedup_full():
         return dedup.fingerprint_dedup(docs, "text", tiebreak)
 
-    dedup_full().write.format("noop").mode("overwrite").save()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        dedup_full().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    timings["dedup_full_recompute"] = round(best, 3)
+    timings["dedup_full_recompute"] = _bench_leg(
+        "dedup_full_recompute",
+        lambda: dedup_full().write.format("noop").mode("overwrite").save(),
+    )
     print(f"# dedup_full_recompute: {timings['dedup_full_recompute']}s", file=sys.stderr)
 
     with tempfile.TemporaryDirectory() as td:
         fp_idx = os.path.join(td, "fp_index")
         dedup.incremental_fingerprint_dedup(corpus_docs, fp_idx, "text", tiebreak)
-        best = float("inf")
-        for i in range(3):  # pass 0 warms the path; fresh index copy per pass
-            idx_copy = os.path.join(td, f"fp_idx_{i}")
+        _fp_n = iter(range(100))
+
+        def fp_merge_once() -> float:  # fresh index copy per pass
+            idx_copy = os.path.join(td, f"fp_idx_{next(_fp_n)}")
             shutil.copytree(fp_idx, idx_copy)
             t0 = time.perf_counter()
             dedup.incremental_fingerprint_dedup(
                 batch_docs, idx_copy, "text", tiebreak
             )
-            dt = time.perf_counter() - t0
-            if i > 0:
-                best = min(best, dt)
-        timings["dedup_incremental_merge"] = round(best, 3)
+            return time.perf_counter() - t0
+
+        fp_merge_once()  # warm
+        timings["dedup_incremental_merge"] = _bench_timed(
+            "dedup_incremental_merge", fp_merge_once
+        )
     print(
         f"# dedup_incremental_merge: {timings['dedup_incremental_merge']}s",
         file=sys.stderr,
@@ -481,18 +561,21 @@ def main() -> None:
         neardup.incremental_neardup_minhash(
             corpus_docs, nd_idx, "doc_id", "text"
         )
-        best = float("inf")
-        for i in range(3):
-            idx_copy = os.path.join(td, f"nd_idx_{i}")
+        _nd_n = iter(range(100))
+
+        def nd_merge_once() -> float:
+            idx_copy = os.path.join(td, f"nd_idx_{next(_nd_n)}")
             shutil.copytree(nd_idx, idx_copy)
             t0 = time.perf_counter()
             neardup.incremental_neardup_minhash(
                 batch_docs, idx_copy, "doc_id", "text"
             )
-            dt = time.perf_counter() - t0
-            if i > 0:
-                best = min(best, dt)
-        timings["neardup_incremental_merge"] = round(best, 3)
+            return time.perf_counter() - t0
+
+        nd_merge_once()  # warm
+        timings["neardup_incremental_merge"] = _bench_timed(
+            "neardup_incremental_merge", nd_merge_once
+        )
     print(
         f"# neardup_incremental_merge: {timings['neardup_incremental_merge']}s",
         file=sys.stderr,
@@ -523,19 +606,22 @@ def main() -> None:
         medallion.scd2_merge(
             spark, dim0, ev_obs, keys=["user_id"], effective_col="ts",
         )
-        best = float("inf")
-        for i in range(3):
-            dim_copy = os.path.join(td, f"scd2_dim_{i}")
+        _scd_n = iter(range(100))
+
+        def scd2_merge_once() -> float:  # a merge mutates its target
+            dim_copy = os.path.join(td, f"scd2_dim_{next(_scd_n)}")
             shutil.copytree(dim0, dim_copy)
             t0 = time.perf_counter()
             medallion.scd2_merge(
                 spark, dim_copy, scd2_batch,
                 keys=["user_id"], effective_col="ts",
             )
-            dt = time.perf_counter() - t0
-            if i > 0:
-                best = min(best, dt)
-        timings["scd2_merge_batch"] = round(best, 3)
+            return time.perf_counter() - t0
+
+        scd2_merge_once()  # warm
+        timings["scd2_merge_batch"] = _bench_timed(
+            "scd2_merge_batch", scd2_merge_once
+        )
     print(
         f"# scd2_merge_batch: {timings['scd2_merge_batch']}s",
         file=sys.stderr,
@@ -545,15 +631,21 @@ def main() -> None:
     batch_emb = emb.filter(F.pmod("vec_id", F.lit(20)) == 0)
     corpus_emb = emb.filter(F.pmod("vec_id", F.lit(20)) != 0)
     with tempfile.TemporaryDirectory() as td:
-        best = float("inf")
-        for i in range(3):  # rebuild = train quantizer + full cell layout
+        _ivf_n = iter(range(100))
+
+        def ivf_rebuild_once() -> float:
+            # rebuild = train quantizer + full cell layout
             t0 = time.perf_counter()
             cents = similarity.train_centroids_kmeans(emb, 64)
-            similarity.build_ivf_index(emb, os.path.join(td, f"full_{i}"), cents)
-            dt = time.perf_counter() - t0
-            if i > 0:
-                best = min(best, dt)
-        timings["ivf_index_rebuild"] = round(best, 3)
+            similarity.build_ivf_index(
+                emb, os.path.join(td, f"full_{next(_ivf_n)}"), cents
+            )
+            return time.perf_counter() - t0
+
+        ivf_rebuild_once()  # warm (also leaves full_0 for the search leg)
+        timings["ivf_index_rebuild"] = _bench_timed(
+            "ivf_index_rebuild", ivf_rebuild_once
+        )
         print(
             f"# ivf_index_rebuild: {timings['ivf_index_rebuild']}s",
             file=sys.stderr,
@@ -562,16 +654,19 @@ def main() -> None:
         similarity.build_ivf_index(
             corpus_emb, ivf_idx, similarity.train_centroids_kmeans(corpus_emb, 64)
         )
-        best = float("inf")
-        for i in range(3):
-            idx_copy = os.path.join(td, f"ivf_idx_{i}")
+        _app_n = iter(range(100))
+
+        def ivf_append_once() -> float:
+            idx_copy = os.path.join(td, f"ivf_idx_{next(_app_n)}")
             shutil.copytree(ivf_idx, idx_copy)
             t0 = time.perf_counter()
             similarity.append_to_ivf_index(batch_emb, idx_copy)
-            dt = time.perf_counter() - t0
-            if i > 0:
-                best = min(best, dt)
-        timings["ivf_index_append"] = round(best, 3)
+            return time.perf_counter() - t0
+
+        ivf_append_once()  # warm
+        timings["ivf_index_append"] = _bench_timed(
+            "ivf_index_append", ivf_append_once
+        )
         print(
             f"# ivf_index_append: {timings['ivf_index_append']}s",
             file=sys.stderr,
@@ -583,7 +678,7 @@ def main() -> None:
         # rebuild pass. The partition-pruned scan touches ~nprobe/64 of
         # the index; compare with embedding_knn_bruteforce, which scans
         # the whole corpus per query batch.
-        full_idx = os.path.join(td, "full_2")
+        full_idx = os.path.join(td, "full_0")  # the warm pass's build
         ivf_queries = emb.filter(F.col("vec_id") < 50).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
@@ -594,13 +689,13 @@ def main() -> None:
                 spark, full_idx, ivf_queries, k=10, nprobe=4
             )
 
-        ivf_search_leg().write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            ivf_search_leg().write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings["ivf_index_search"] = round(best, 3)
+        timings["ivf_index_search"] = _bench_leg(
+            "ivf_index_search",
+            lambda: ivf_search_leg()
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     print(
         f"# ivf_index_search: {timings['ivf_index_search']}s",
         file=sys.stderr,
@@ -625,7 +720,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     pagerank_leg()  # warm
-    timings["pagerank"] = round(min(pagerank_leg() for _ in range(2)), 3)
+    timings["pagerank"] = _bench_timed("pagerank", pagerank_leg)
     print(f"# pagerank: {timings['pagerank']}s", file=sys.stderr)
 
     # Real-codec multimodal leg (round-6 verdict #7): 2000 docs get a
@@ -649,13 +744,13 @@ def main() -> None:
             "source_id", "format", "width", "height", "mean_intensity"
         )
 
-    real_decode_leg().write.format("noop").mode("overwrite").save()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        real_decode_leg().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    timings["multimodal_real_decode_2k"] = round(best, 3)
+    timings["multimodal_real_decode_2k"] = _bench_leg(
+        "multimodal_real_decode_2k",
+        lambda: real_decode_leg()
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     print(
         f"# multimodal_real_decode_2k: "
         f"{timings['multimodal_real_decode_2k']}s",
@@ -672,14 +767,42 @@ def main() -> None:
     def semdedup_leg():
         return vq.embeddings_semantic_dedup(spark, sf_dir)
 
-    semdedup_leg().write.format("noop").mode("overwrite").save()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        semdedup_leg().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    timings["semantic_dedup"] = round(best, 3)
+    timings["semantic_dedup"] = _bench_leg(
+        "semantic_dedup",
+        lambda: semdedup_leg().write.format("noop").mode("overwrite").save(),
+    )
     print(f"# semantic_dedup: {timings['semantic_dedup']}s", file=sys.stderr)
+
+    # Incremental semantic-dedup leg (round-8 verdict #3a): the daily-
+    # ingest shape — a 5% embedding batch probed against the persisted
+    # kept-vector index (bucket-pruned read, broadcast batch side). Like
+    # the fp/near-dup merge legs, the number to watch is flatness as the
+    # index grows (scale_ramp measures the slope; this prices the batch).
+    with tempfile.TemporaryDirectory() as td:
+        sem_idx = os.path.join(td, "sem_idx")
+        similarity.incremental_semantic_dedup(
+            corpus_emb, sem_idx, threshold=0.85
+        )
+        _sem_n = iter(range(100))
+
+        def sem_merge_once() -> float:
+            idx_copy = os.path.join(td, f"sem_idx_{next(_sem_n)}")
+            shutil.copytree(sem_idx, idx_copy)
+            t0 = time.perf_counter()
+            similarity.incremental_semantic_dedup(
+                batch_emb, idx_copy, threshold=0.85
+            )
+            return time.perf_counter() - t0
+
+        sem_merge_once()  # warm
+        timings["semantic_dedup_incremental"] = _bench_timed(
+            "semantic_dedup_incremental", sem_merge_once
+        )
+    print(
+        f"# semantic_dedup_incremental: "
+        f"{timings['semantic_dedup_incremental']}s",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -690,6 +813,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # per-leg pass/steal evidence (round-8 verdict #2): every
+                # reported number is min-of-N with the kept pass's
+                # /proc/stat steal delta recorded, so a cross-round delta
+                # can be attributed to code vs neighbor from artifacts
+                "timing_policy": "min_of_3__min_of_5_subsecond",
+                "ncpu": _NCPU,
+                "clk_tck": _CLK_TCK,
+                "steal": STEAL,
             }
         )
     )
@@ -771,13 +902,14 @@ def scale_ramp(factor: int = 10) -> None:
 
     def time_leg(name: str, sf_dir: str) -> float:
         fn = _query_fn(q, name)
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return best
+        label = "base" if sf_dir == base_dir else "ramp"
+        return _bench_leg(
+            f"{name}[{label}]",
+            lambda: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     with tempfile.TemporaryDirectory() as ramp_dir:
         t0 = time.perf_counter()
@@ -1092,6 +1224,139 @@ def scale_ramp(factor: int = 10) -> None:
             file=sys.stderr,
         )
 
+        # Semantic-dedup slope (round-8 verdict #3b): a verbatim-copy ramp
+        # would square within-cell pair volume by construction (every copy
+        # of v is an exact dup of every other), so the ramp table perturbs
+        # each copy with DETERMINISTIC hash noise — eps=0.02/coordinate on
+        # unit vectors keeps cosine(copy, source) ≈ 0.996 (still a dup at
+        # τ=0.85) while the corpus is no longer byte-degenerate. The
+        # quantizer follows the documented raise-n_bits-with-corpus
+        # policy: 8 bits at base, +ceil(log2 factor) at factor× — measured
+        # here instead of asserted in SCALE.md. Genuine dup clusters
+        # (factor members) share a cell no matter how many bits — the
+        # irreducible SemDeDup pair volume — so the expected slope is
+        # between flat and the cluster-pair growth, NOT the verbatim
+        # factor².
+        import math as _math
+
+        from realtime_data_pipeline_spark import similarity as _sim
+
+        nb_base = 8
+        nb_ramp = nb_base + _math.ceil(_math.log2(factor))
+        emb_base = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+        pert_path = os.path.join(ramp_dir, "embeddings_perturbed.parquet")
+
+        def _perturbed(df, copy_i: int):
+            return df.select(
+                (F.col("vec_id") + copy_i * RAMP_OFFSET).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: x.cast("double")
+                    + F.lit(0.02)
+                    * (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.lit(copy_i), j),
+                            F.lit(1000),
+                        ).cast("double")
+                        / F.lit(500.0)
+                        - F.lit(1.0)
+                    ),
+                ).alias("embedding"),
+            )
+
+        emb_slim = emb_base.select("vec_id", "embedding")
+        pert_u = emb_slim.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        for i in range(1, factor):
+            pert_u = pert_u.unionByName(_perturbed(emb_slim, i))
+        pert_u.write.mode("overwrite").parquet(pert_path)
+
+        sd_times = {}
+        for label, path, nb in (
+            ("base", f"{base_dir}/embeddings.parquet", nb_base),
+            ("ramp", pert_path, nb_ramp),
+        ):
+            frame = spark.read.parquet(path)
+            sd_times[label] = _bench_leg(
+                f"semantic_dedup[{label}]",
+                lambda frame=frame, nb=nb: _sim.semantic_dedup(
+                    frame, threshold=0.85, n_bits=nb
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        sd_slope = sd_times["ramp"] / sd_times["base"]
+        legs["semantic_dedup"] = {
+            "base_sec": sd_times["base"],
+            "ramp_sec": sd_times["ramp"],
+            "slope": round(sd_slope, 2),
+            "slope_vs_factor": round(sd_slope / factor, 2),
+            "n_bits": {"base": nb_base, "ramp": nb_ramp},
+        }
+        print(
+            f"# semantic_dedup slope {sd_slope:.2f}x at {factor}x vectors "
+            f"(n_bits {nb_base} -> {nb_ramp})",
+            file=sys.stderr,
+        )
+
+        # Incremental semantic-dedup slope (round-8 verdict #3a): a FIXED
+        # 5% batch probed against a factor× kept-vector index. The index
+        # read prunes to the batch's buckets and the batch side is
+        # broadcast, so like the fp/near-dup merges the slope should be
+        # ~flat — growth would mean bucket pruning stopped working.
+        import shutil as _sh2
+
+        sem_batch = emb_slim.filter(F.pmod("vec_id", F.lit(20)) == 0)
+        sdi_times = {}
+        for label, path, nb in (
+            ("base", f"{base_dir}/embeddings.parquet", nb_base),
+            ("ramp", pert_path, nb_ramp),
+        ):
+            corpus = (
+                spark.read.parquet(path)
+                .select("vec_id", "embedding")
+                .filter(F.pmod("vec_id", F.lit(20)) != 0)
+            )
+            sem_idx = os.path.join(ramp_dir, f"__sem_idx_{label}")
+            _sim.incremental_semantic_dedup(
+                corpus, sem_idx, threshold=0.85, n_bits=nb
+            )
+            _sem_n = iter(range(100))
+
+            def sem_once(label=label, sem_idx=sem_idx, nb=nb) -> float:
+                idx_copy = os.path.join(
+                    ramp_dir, f"__sem_idx_{label}_{next(_sem_n)}"
+                )
+                _sh2.copytree(sem_idx, idx_copy)
+                t0 = time.perf_counter()
+                _sim.incremental_semantic_dedup(
+                    sem_batch, idx_copy, threshold=0.85, n_bits=nb
+                )
+                return time.perf_counter() - t0
+
+            sem_once()  # warm
+            sdi_times[label] = _bench_timed(
+                f"semantic_dedup_incremental[{label}]", sem_once
+            )
+        sdi_slope = sdi_times["ramp"] / sdi_times["base"]
+        legs["semantic_dedup_incremental"] = {
+            "base_sec": sdi_times["base"],
+            "ramp_sec": sdi_times["ramp"],
+            "slope": round(sdi_slope, 2),
+            "slope_vs_factor": round(sdi_slope / factor, 2),
+            "n_bits": {"base": nb_base, "ramp": nb_ramp},
+        }
+        print(
+            f"# semantic_dedup_incremental slope {sdi_slope:.2f}x at "
+            f"{factor}x index",
+            file=sys.stderr,
+        )
+
         # recompute over the FULL leg dict: the incremental-maintenance
         # legs were appended after the headline pass, and the headline
         # metric must track the worst slope of everything it reports
@@ -1106,6 +1371,10 @@ def scale_ramp(factor: int = 10) -> None:
                     "ramp_build_sec": build_sec,
                     "legs": legs,
                     "sf": sf,
+                    "timing_policy": "min_of_3__min_of_5_subsecond",
+                    "ncpu": _NCPU,
+                    "clk_tck": _CLK_TCK,
+                    "steal": STEAL,
                 }
             )
         )
