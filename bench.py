@@ -187,13 +187,10 @@ def main() -> None:
         # noop sink: forces FULL computation of every output column —
         # count() would let Catalyst prune projected expressions and
         # under-measure per-row transform queries. The warm pass compiles
-        # the query's codegen; the timed pass RE-CONSTRUCTS the query so
+        # the query's codegen; each timed pass RE-CONSTRUCTS the query so
         # eagerly-materializing operators (the MinHash signature
-        # checkpoint) are inside the measurement, then executes to the
-        # sink — steady state with no cached results carried over.
-        # warm pass compiles the codegen; timed passes RE-CONSTRUCT the
-        # query so eagerly-materializing operators (the MinHash signature
-        # checkpoint) stay inside the measurement
+        # checkpoint) stay inside the measurement — steady state with no
+        # cached results carried over.
         timings[name] = _bench_leg(
             name,
             lambda fn=fn: fn(spark, sf_dir)
@@ -781,7 +778,7 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         sem_idx = os.path.join(td, "sem_idx")
         similarity.incremental_semantic_dedup(
-            corpus_emb, sem_idx, threshold=0.85
+            corpus_emb, sem_idx, threshold=0.35
         )
         _sem_n = iter(range(100))
 
@@ -790,7 +787,7 @@ def main() -> None:
             shutil.copytree(sem_idx, idx_copy)
             t0 = time.perf_counter()
             similarity.incremental_semantic_dedup(
-                batch_emb, idx_copy, threshold=0.85
+                batch_emb, idx_copy, threshold=0.35
             )
             return time.perf_counter() - t0
 
@@ -1284,7 +1281,7 @@ def scale_ramp(factor: int = 10) -> None:
             sd_times[label] = _bench_leg(
                 f"semantic_dedup[{label}]",
                 lambda frame=frame, nb=nb: _sim.semantic_dedup(
-                    frame, threshold=0.85, n_bits=nb
+                    frame, threshold=0.35, n_bits=nb
                 )
                 .write.format("noop")
                 .mode("overwrite")
@@ -1324,7 +1321,7 @@ def scale_ramp(factor: int = 10) -> None:
             )
             sem_idx = os.path.join(ramp_dir, f"__sem_idx_{label}")
             _sim.incremental_semantic_dedup(
-                corpus, sem_idx, threshold=0.85, n_bits=nb
+                corpus, sem_idx, threshold=0.35, n_bits=nb
             )
             _sem_n = iter(range(100))
 
@@ -1335,7 +1332,7 @@ def scale_ramp(factor: int = 10) -> None:
                 _sh2.copytree(sem_idx, idx_copy)
                 t0 = time.perf_counter()
                 _sim.incremental_semantic_dedup(
-                    sem_batch, idx_copy, threshold=0.85, n_bits=nb
+                    sem_batch, idx_copy, threshold=0.35, n_bits=nb
                 )
                 return time.perf_counter() - t0
 

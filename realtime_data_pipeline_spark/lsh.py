@@ -14,6 +14,20 @@ matmul per batch — the documented escape hatch for dense vector math, where
 a JVM higher-order-function expression tree (n_planes × dim element hops
 per row) interprets scalar-at-a-time and loses by ~10×. Hyperplanes are
 seeded literals, so signatures are deterministic across runs/engines.
+
+WHEN TO USE WHICH (measured, LSH_RECALL.json): hyperplane banding holds
+recall only in the HIGH-similarity regime — (32 planes, 8 bands) keeps
+1.0 recall at cos >= 0.9 — and degrades exactly where loose-similarity
+work lives: at τ≈0.35 on 64-dim vectors the sweep shows 0.21-0.93 recall
+at only 1.6-27× pruning (P[band collision] flattens as θ→π/2, so bands
+must get so short that everything collides). The DEFAULT scale path for
+τ < ~0.5 — ANN search and semantic dedup alike — is the trained-IVF
+coarse quantizer (``similarity.train_centroids_kmeans`` +
+``similarity.build_ivf_index`` / ``semantic_dedup(centroids=...)``):
+data-adaptive cells hold recall with real pruning at matched cell budget
+(``LSH_RECALL.json#semdedup_quantizer_recall``). Keep hyperplane LSH for
+near-duplicate regimes (cos >= ~0.8) where its zero-training determinism
+is the win.
 """
 
 from __future__ import annotations

@@ -102,6 +102,12 @@ def semantic_dedup(
     With ``centroids`` (a ``(C, dim)`` ndarray from
     :func:`train_centroids_kmeans`) the bucket is the nearest centroid —
     rows-only (the assignment is a Pandas-UDF matmul, no SQL twin).
+    ``centroids=`` is the DEFAULT production path for loose thresholds
+    (τ < ~0.5): data-adaptive cells hold recall with real pruning where
+    sign-bit bucketing (orthant here, hyperplane banding in ``lsh.py``)
+    measurably degrades — see LSH_RECALL.json#semdedup_quantizer_recall
+    for the matched-cell-budget comparison. The orthant quantizer remains
+    the oracle-checkable twin and is fine at dedup-tight thresholds.
 
     Returns ``(id_col, bucket int, is_kept boolean)`` over the full corpus.
     """

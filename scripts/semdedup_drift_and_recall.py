@@ -20,10 +20,11 @@ boundary is the coarse quantizer (cross-cell pairs are invisible). For
 the deterministic orthant quantizer (n_bits=8 → 256 cells) vs the
 trained k-means quantizer (256 centroids), report: recall of true pairs
 sharing a cell and the achieved pruning factor (all-pairs / Σ|cell|²),
-at τ=0.85 (dedup regime) and τ=0.35 (the loose-similarity regime where
-round-7's sweep showed hyperplane banding weak). This is the measured
-basis for promoting trained-IVF cells as the default quantizer for
-τ < 0.5.
+at τ=0.5 (the tightest populated regime — this fixture's max off-diagonal
+cosine is 0.60, so τ≥0.7 regimes are empty here) and τ=0.35 (the declared
+query's threshold, and the loose-similarity regime where round-7's sweep
+showed hyperplane banding weak). This is the measured basis for promoting
+trained-IVF cells as the default quantizer for τ < 0.5.
 
 Output: merges "semdedup_incremental_drift" and
 "semdedup_quantizer_recall" into LSH_RECALL.json.
@@ -50,7 +51,7 @@ import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 N_BATCHES = 10
-TAU = 0.85
+TAU = 0.35
 N_BITS = 8
 SEEDS = (7, 23)  # two batch splits -> ingestion-order drift
 
@@ -234,7 +235,7 @@ def main() -> None:
             similarity.ivf_cells_udf(cents, 1)(F.col("embedding")).alias("c"),
         ).collect()
     }
-    for tau in (0.85, 0.35):
+    for tau in (0.5, 0.35):
         quant[f"tau_{tau}"] = {
             "orthant_8bit": cell_stats(orthant_assign, tau),
             "kmeans_256": cell_stats(ivf_assign, tau),
