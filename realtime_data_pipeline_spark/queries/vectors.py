@@ -271,6 +271,29 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_semantic_dedup_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PROMOTED default quantizer path for loose thresholds (round-8
+    policy, LSH_RECALL.json#semdedup_quantizer_recall: trained k-means
+    cells hold ~9x the pair recall of orthant bits at the same 256-cell
+    budget with better pruning): `similarity.semantic_dedup` with
+    `centroids=` from `train_centroids_kmeans`. Rows-only by nature —
+    the cell assignment is a Pandas-UDF matmul with no SQL twin; the
+    pipeline's correctness is carried by the orthant twin
+    (`embeddings_semantic_dedup`, oracle) plus the recall/determinism
+    gates in tests/test_similarity.py. Uses 64 cells at fixture scale
+    (256 would leave ~8 vectors/cell at sf0.01 — training noise)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids_kmeans(emb, 64)
+    marked = similarity.semantic_dedup(
+        emb, threshold=SEMDEDUP_TAU, centroids=cents
+    )
+    return marked.select(
+        "vec_id", "bucket", F.col("is_kept").cast("int").alias("is_kept")
+    )
+
+
 _SEMDEDUP_BUCKET_SQL = " + ".join(
     f"(CASE WHEN e[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
     for i in range(1, SEMDEDUP_BITS + 1)
@@ -347,6 +370,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_ivf": embedding_knn_ivf,
     "embeddings_quantize_int8": embeddings_quantize_int8,
     "embeddings_semantic_dedup": embeddings_semantic_dedup,
+    "embeddings_semantic_dedup_ivf": embeddings_semantic_dedup_ivf,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {

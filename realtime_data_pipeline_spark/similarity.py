@@ -186,9 +186,16 @@ def incremental_semantic_dedup(
     (3) append the fresh survivors' (id, vec, norm) to the index,
     hive-partitioned by bucket.
 
-    Scale shape: the index read prunes to the batch's buckets (a
-    bounded ≤ 2^n_bits / n_centroids bucket-id collect pushed as a
-    partition filter), and the slim batch side is BROADCAST into the
+    Scale shape: the index read prunes to the batch's buckets by
+    constructing the affected ``bucket=N`` leaf DIRECTORIES directly
+    (bucket ids are ints — always hive-name-safe), so the probe never
+    lists the table's full partition tree: the round-8 ramp measured the
+    whole-listing spelling at 2.8× wall at a 10× index (the same
+    O(n_partitions) driver term the scd2 merge shed in round 7), while
+    the direct-dir read stays flat. Buckets whose dir does not exist
+    have no indexed neighbors and cost nothing; non-int bucket values
+    (impossible for both quantizers, kept as a guard) fall back to the
+    listed ``isin`` filter. The slim batch side is BROADCAST into the
     probe join, so the corpus-scale index streams map-side — no index
     shuffle, ever. Replaying a batch finds every survivor in the index
     at cosine 1.0, yields zero fresh rows and appends nothing —
@@ -287,24 +294,45 @@ def incremental_semantic_dedup(
                 r["__bucket"]
                 for r in batch_slim.select("__bucket").distinct().collect()
             ]
-            index = (
-                spark.read.parquet(index_path)
-                .filter(F.col("bucket").isin(buckets))
-                .select(
+            from realtime_data_pipeline_spark.medallion import (
+                _hive_partition_dirs,
+            )
+
+            index = None
+            dirs = _hive_partition_dirs(index_path, "bucket", buckets)
+            if dirs is not None:
+                # ONE multi-path read (not a per-dir union — its N-slice
+                # plan overhead measured 3× at small bucket counts):
+                # basePath keeps hive partition discovery so `bucket`
+                # comes back as the int the dir names carry, but only
+                # the affected leaf dirs are ever listed
+                existing = [d for _, d in dirs if os.path.isdir(d)]
+                if existing:
+                    index = (
+                        spark.read.option("basePath", index_path)
+                        .parquet(*existing)
+                    )
+            else:  # unprovable hive names — the listed-read fallback
+                index = spark.read.parquet(index_path).filter(
+                    F.col("bucket").isin(buckets)
+                )
+            if index is not None:
+                index = index.select(
                     F.col(id_col).alias("__id"),
                     F.col("bucket").alias("__bucket"),
                     F.col("vec").alias("__vec"),
                     F.col("norm").alias("__norm"),
                 )
-            )
-            corpus_dups = (
-                _similar_pairs(index, F.broadcast(batch_slim))
-                .select(F.col("__id_b").alias(id_col))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
-            n_corpus_dups = corpus_dups.count()
-            batch_kept = batch_kept.join(corpus_dups, id_col, "left_anti")
+                corpus_dups = (
+                    _similar_pairs(index, F.broadcast(batch_slim))
+                    .select(F.col("__id_b").alias(id_col))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_corpus_dups = corpus_dups.count()
+                batch_kept = batch_kept.join(
+                    corpus_dups, id_col, "left_anti"
+                )
 
         fresh = batch_kept.localCheckpoint(eager=True)
         n_fresh = fresh.count()
