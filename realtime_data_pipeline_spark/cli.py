@@ -179,6 +179,23 @@ def main(argv: list[str] | None = None) -> int:
         "--jaccard", type=float, default=0.5,
         help="near-dup verify threshold (with --near)",
     )
+    pin.add_argument(
+        "--semantic", action="store_true",
+        help="SEMANTIC (embedding-space) dedup vs the kept-vector index "
+        "instead of exact content fingerprints (SemDeDup shape)",
+    )
+    pin.add_argument(
+        "--vec-col", default="embedding",
+        help="embedding column (with --semantic)",
+    )
+    pin.add_argument(
+        "--tau", type=float, default=0.35,
+        help="within-bucket cosine threshold (with --semantic)",
+    )
+    pin.add_argument(
+        "--bits", type=int, default=8,
+        help="orthant-quantizer sign bits, 2^bits cells (with --semantic)",
+    )
 
     pru = sub.add_parser(
         "rollup",
@@ -712,7 +729,20 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.inbox, schema, fmt=args.format,
             max_files_per_trigger=args.max_files_per_trigger,
         )
-        if args.near:
+        if args.near and args.semantic:
+            raise SystemExit("ingest: --near and --semantic are exclusive")
+        if args.semantic:
+            sq = streaming.semdedup_ingest_stream(
+                src,
+                args.index,
+                args.silver,
+                checkpoint=args.checkpoint,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                threshold=args.tau,
+                n_bits=args.bits,
+            )
+        elif args.near:
             sq = streaming.neardup_ingest_stream(
                 src,
                 args.index,

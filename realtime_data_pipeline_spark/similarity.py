@@ -164,6 +164,59 @@ def semantic_dedup(
     )
 
 
+def _staged_vectors(df, vec_col: str, n_bits: int, centroids) -> DataFrame:
+    """Append the semantic-dedup working columns — ``__vec`` (double
+    array), ``__bucket`` (coarse-quantizer cell), ``__norm`` (floored L2)
+    — to ``df``. Shared by the batch incremental and the streaming
+    ingest."""
+    if centroids is not None:
+        bucket = F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col)))
+    else:
+        bucket = orthant_bucket(F.col(vec_col), n_bits)
+    return df.select(
+        "*",
+        as_double_array(F.col(vec_col)).alias("__vec"),
+        bucket.alias("__bucket"),
+    ).select(
+        "*",
+        F.greatest(l2_norm(F.col("__vec")), F.lit(1e-12)).alias("__norm"),
+    )
+
+
+def _similar_pairs(
+    left: DataFrame, right: DataFrame, threshold: float
+) -> DataFrame:
+    """``(__id_a, __id_b, __sim6)`` for RIGHT rows with a bucket-mate in
+    LEFT at round-6 cosine >= ``threshold`` (caller adds any id predicate
+    via the frames it passes). Inputs are slim
+    ``(__id, __bucket, __vec, __norm)`` frames."""
+    lt = left.select(
+        F.col("__id").alias("__id_a"),
+        F.col("__bucket"),
+        F.col("__vec").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    rt = right.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__bucket"),
+        F.col("__vec").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    return (
+        lt.join(rt, "__bucket")
+        .select(
+            "__id_a",
+            "__id_b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("__sim6"),
+        )
+        .filter(F.col("__sim6") >= F.lit(threshold))
+    )
+
+
 def incremental_semantic_dedup(
     new_vectors: DataFrame,
     index_path: str,
@@ -224,18 +277,7 @@ def incremental_semantic_dedup(
     from realtime_data_pipeline_spark.medallion import _merge_lock
 
     spark = new_vectors.sparkSession
-    if centroids is not None:
-        bucket = F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col)))
-    else:
-        bucket = orthant_bucket(F.col(vec_col), n_bits)
-    staged = new_vectors.select(
-        "*",
-        as_double_array(F.col(vec_col)).alias("__vec"),
-        bucket.alias("__bucket"),
-    ).select(
-        "*",
-        F.greatest(l2_norm(F.col("__vec")), F.lit(1e-12)).alias("__norm"),
-    )
+    staged = _staged_vectors(new_vectors, vec_col, n_bits, centroids)
     slim = staged.select(
         F.col(id_col).alias("__id"),
         F.col("__bucket"),
@@ -243,37 +285,8 @@ def incremental_semantic_dedup(
         F.col("__norm"),
     )
 
-    def _similar_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
-        """ids of RIGHT rows with a bucket-mate in LEFT at >= threshold
-        (caller adds any id predicate via the frames it passes)."""
-        lt = left.select(
-            F.col("__id").alias("__id_a"),
-            F.col("__bucket"),
-            F.col("__vec").alias("__va"),
-            F.col("__norm").alias("__na"),
-        )
-        rt = right.select(
-            F.col("__id").alias("__id_b"),
-            F.col("__bucket"),
-            F.col("__vec").alias("__vb"),
-            F.col("__norm").alias("__nb"),
-        )
-        return (
-            lt.join(rt, "__bucket")
-            .select(
-                "__id_a",
-                "__id_b",
-                F.round(
-                    dot(F.col("__va"), F.col("__vb"))
-                    / (F.col("__na") * F.col("__nb")),
-                    6,
-                ).alias("__sim6"),
-            )
-            .filter(F.col("__sim6") >= F.lit(threshold))
-        )
-
     in_batch_dropped = (
-        _similar_pairs(slim, slim)
+        _similar_pairs(slim, slim, threshold)
         .filter(F.col("__id_a") < F.col("__id_b"))
         .select(F.col("__id_b").alias(id_col))
         .distinct()
@@ -324,7 +337,7 @@ def incremental_semantic_dedup(
                     F.col("norm").alias("__norm"),
                 )
                 corpus_dups = (
-                    _similar_pairs(index, F.broadcast(batch_slim))
+                    _similar_pairs(index, F.broadcast(batch_slim), threshold)
                     .select(F.col("__id_b").alias(id_col))
                     .distinct()
                     .localCheckpoint(eager=True)

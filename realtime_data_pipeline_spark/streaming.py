@@ -864,6 +864,169 @@ def neardup_ingest_stream(
     return writer.start()
 
 
+def semdedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    silver_path: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_bits: int = 8,
+    centroids=None,
+) -> None:
+    """Route ONE micro-batch through SEMANTIC (embedding-space) dedup
+    against the persisted kept-vector index — the third member of the
+    streaming ingest trio (exact :func:`dedup_ingest_batch`, near-dup
+    :func:`neardup_ingest_batch`, semantic here; SemDeDup shape,
+    arXiv:2303.09540). In-batch dominance dedup (smaller id wins, the
+    one-shot rule), then a within-bucket cosine probe of all PRIOR
+    batches' kept vectors, then fresh rows + fresh vectors land under
+    dynamic-overwrite partitions.
+
+    Same exactly-once discipline as the siblings: the probe EXCLUDES the
+    batch's own partitions, so a crash between the index write and the
+    checkpoint commit replays into the identical fresh set instead of
+    dup-matching itself into an empty one. The index is laid out
+    ``bucket=M/batch_id=N`` — bucket FIRST, so the probe reads only the
+    batch's bucket directories (one multi-path basePath read, the
+    flat-at-10× spelling measured in BENCH_scale_r08.json) and the
+    replay exclusion rides the ``batch_id`` partition column underneath.
+    NULL-embedding rows can match nothing and pass through to silver
+    unindexed. ``centroids=`` swaps in the trained quantizer — the
+    documented default for τ < 0.5 (LSH_RECALL.json)."""
+    from realtime_data_pipeline_spark import similarity as _sim
+    from realtime_data_pipeline_spark.medallion import _hive_partition_dirs
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        null_vec = batch_df.filter(F.col(vec_col).isNull())
+        staged = _sim._staged_vectors(
+            batch_df.filter(F.col(vec_col).isNotNull()),
+            vec_col, n_bits, centroids,
+        )
+        slim = staged.select(
+            F.col(id_col).alias("__id"), "__bucket", "__vec", "__norm"
+        )
+        in_batch_dropped = (
+            _sim._similar_pairs(slim, slim, threshold)
+            .filter(F.col("__id_a") < F.col("__id_b"))
+            .select(F.col("__id_b").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        batch_kept = staged.join(in_batch_dropped, id_col, "left_anti")
+        kept_slim = slim.join(
+            in_batch_dropped.select(F.col(id_col).alias("__id")),
+            "__id",
+            "left_anti",
+        )
+        if os.path.exists(index_path):
+            buckets = [
+                r["__bucket"]
+                for r in kept_slim.select("__bucket").distinct().collect()
+            ]
+            index = None
+            dirs = _hive_partition_dirs(index_path, "bucket", buckets)
+            if dirs is not None:
+                existing = [d for _, d in dirs if os.path.isdir(d)]
+                if existing:
+                    index = (
+                        spark.read.option("basePath", index_path)
+                        .parquet(*existing)
+                    )
+            else:  # unprovable hive names (impossible for int buckets)
+                index = spark.read.parquet(index_path).filter(
+                    F.col("bucket").isin(buckets)
+                )
+            if index is not None:
+                index = index.filter(
+                    F.col("batch_id") != batch_id  # replay exclusion
+                ).select(
+                    F.col(id_col).alias("__id"),
+                    F.col("bucket").alias("__bucket"),
+                    F.col("vec").alias("__vec"),
+                    F.col("norm").alias("__norm"),
+                )
+                corpus_dups = (
+                    _sim._similar_pairs(
+                        index, F.broadcast(kept_slim), threshold
+                    )
+                    .select(F.col("__id_b").alias(id_col))
+                    .distinct()
+                )
+                batch_kept = batch_kept.join(
+                    corpus_dups, id_col, "left_anti"
+                )
+        fresh = batch_kept.localCheckpoint(eager=True)
+
+        def _bwrite(df: DataFrame, path: str, parts: list[str]) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*parts)
+                .parquet(path)
+            )
+
+        _bwrite(
+            fresh.drop("__vec", "__bucket", "__norm").unionByName(null_vec),
+            silver_path,
+            ["batch_id"],
+        )
+        _bwrite(
+            fresh.select(
+                F.col(id_col),
+                F.col("__vec").alias("vec"),
+                F.col("__norm").alias("norm"),
+                F.col("__bucket").alias("bucket"),
+            ),
+            index_path,
+            ["bucket", "batch_id"],
+        )
+    finally:
+        batch_df.unpersist()
+
+
+def semdedup_ingest_stream(
+    df: DataFrame,
+    index_path: str,
+    silver_path: str,
+    checkpoint: str,
+    id_col: str,
+    vec_col: str,
+    available_now: bool = True,
+    threshold: float = 0.35,
+    n_bits: int = 8,
+    centroids=None,
+) -> StreamingQuery:
+    """Streaming SEMANTIC dedup ingest: each micro-batch of embedded rows
+    is deduplicated in embedding space against every prior batch via the
+    persisted kept-vector index — only semantically novel rows land in
+    silver. Cross-batch cost is (in-batch bucketed pairs + bucket-pruned
+    index probe with the batch broadcast), never a corpus self-join;
+    exactly-once via batch-scoped partitions on both sinks
+    (:func:`semdedup_ingest_batch`). Greedy-kept chain semantics across
+    batches, like the batch incremental (drift measured in
+    LSH_RECALL.json#semdedup_incremental_drift)."""
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        semdedup_ingest_batch(
+            batch_df, batch_id, index_path, silver_path, id_col, vec_col,
+            threshold=threshold, n_bits=n_bits, centroids=centroids,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dq_gated_stream(
     df: DataFrame,
     rules: list[dq.Rule],

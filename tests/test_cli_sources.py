@@ -312,6 +312,57 @@ def test_cli_ingest_near_dedup(spark, tmp_path, capsys):
     assert {r.doc_id for r in spark.read.parquet(silver).collect()} == {1}
 
 
+def test_cli_ingest_semantic_dedup(spark, tmp_path, capsys):
+    """`ingest --semantic`: cross-batch embedding-space near-duplicates
+    are dropped against the persisted kept-vector index (SemDeDup shape);
+    novel directions land in silver."""
+    import glob
+    import os
+    import shutil
+
+    from realtime_data_pipeline_spark import cli
+
+    schema = "vec_id long, embedding array<double>"
+    inbox = str(tmp_path / "igs_inbox")
+    os.makedirs(inbox)
+    frames = [
+        spark.createDataFrame(
+            [(1, [1.0, 1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])], schema
+        ),
+        spark.createDataFrame(
+            [(10, [0.99, 1.01, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+            schema,
+        ),
+    ]
+    for i, frame in enumerate(frames):
+        stage = str(tmp_path / f"igs_stage_{i}")
+        frame.coalesce(1).write.parquet(stage)
+        dst = os.path.join(inbox, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        t = 1_700_000_000 + i * 10
+        os.utime(dst, (t, t))
+    silver = str(tmp_path / "igs_silver")
+    rc = cli.main([
+        "ingest", "--semantic",
+        "--inbox", inbox,
+        "--silver", silver,
+        "--index", str(tmp_path / "igs_index"),
+        "--checkpoint", str(tmp_path / "igs_ck"),
+        "--schema", schema,
+        "--format", "parquet",
+        "--id-col", "vec_id",
+        "--tau", "0.9",
+        "--bits", "2",
+        "--timeout-sec", "120",
+    ])
+    assert rc == 0
+    assert "3 unique docs" in capsys.readouterr().out
+    # vec 10 (corpus dup of 1) dropped; novel direction 11 kept
+    assert {
+        r["vec_id"] for r in spark.read.parquet(silver).collect()
+    } == {1, 2, 11}
+
+
 def test_cli_rollup_catchup_with_distinct(spark, tmp_path, capsys):
     """`rollup` subcommand: inbox catch-up -> per-window partials ->
     merged view with HLL approx-distinct; --compact folds partials."""

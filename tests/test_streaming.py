@@ -1273,3 +1273,83 @@ def test_running_stats_per_key_v2_state_accumulates_across_batches(
         final[r.user_id] = (r.n, r.total, r.mn, r.mx)
     assert final[1] == (3, 12.0, 2.0, 6.0)
     assert final[2] == (2, 9.0, 1.0, 8.0)
+
+
+def test_semdedup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
+    """Streaming SEMANTIC dedup ingest (the third streaming ingest
+    sibling): cross-batch near-identical embeddings are dropped against
+    the persisted kept-vector index; NULL embeddings pass through
+    unindexed; replaying a batch whose OWN vectors already sit in the
+    index (crash after index write, before checkpoint commit) reproduces
+    the identical silver partition instead of emptying it."""
+    import os
+
+    inbox = str(tmp_path / "sdi_inbox")
+    os.makedirs(inbox)
+    schema = "vec_id long, embedding array<double>"
+    # b0: two distinct directions + an in-batch near-dup of id 1
+    b0 = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 1.01, 0.0, 0.0]),   # in-batch dup of 1
+            (3, [1.0, 0.0, 0.0, 0.0]),     # cos to 1 ≈ 0.707 < 0.9
+        ],
+        schema,
+    )
+    # b1: a corpus dup of indexed id 1, a novel direction, a NULL vector
+    b1 = spark.createDataFrame(
+        [
+            (10, [1.01, 0.99, 0.0, 0.0]),  # corpus dup of 1
+            (11, [0.0, 1.0, 0.0, 0.0]),    # novel
+            (12, None),                    # NULL -> pass-through
+        ],
+        schema,
+    )
+    import glob
+    import shutil
+
+    for i, (name, frame) in enumerate([("b0", b0), ("b1", b1)]):
+        stage = str(tmp_path / f"sdi_stage_{name}")
+        frame.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(inbox, f"{name}.parquet")
+        shutil.copy(part, dst)
+        # pin strict file-source ordering (mtime ties are real)
+        t = 1_700_000_000 + i * 10
+        os.utime(dst, (t, t))
+
+    index = str(tmp_path / "sdi_index")
+    silver = str(tmp_path / "sdi_silver")
+    sq = streaming.semdedup_ingest_stream(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        ),
+        index, silver, str(tmp_path / "sdi_ck"),
+        id_col="vec_id", vec_col="embedding", threshold=0.9, n_bits=2,
+    )
+    assert sq.awaitTermination(120)
+
+    def silver_ids():
+        return {
+            (r["vec_id"], r["batch_id"])
+            for r in spark.read.parquet(silver).collect()
+        }
+
+    got = silver_ids()
+    assert {v for v, _ in got} == {1, 3, 11, 12}
+    # index holds kept VECTORS only (NULL row unindexed)
+    idx_rows = spark.read.parquet(index)
+    assert {r["vec_id"] for r in idx_rows.collect()} == {1, 3, 11}
+    assert set(idx_rows.columns) >= {"vec_id", "vec", "norm", "bucket", "batch_id"}
+
+    # poison replay: b1's survivors are ALREADY indexed — own-partition
+    # exclusion must recompute the same fresh set, not an empty one
+    batch_of_11 = next(b for v, b in got if v == 11)
+    streaming.semdedup_ingest_batch(
+        b1, batch_of_11, index, silver,
+        id_col="vec_id", vec_col="embedding", threshold=0.9, n_bits=2,
+    )
+    assert silver_ids() == got
+    assert {r["vec_id"] for r in spark.read.parquet(index).collect()} == {1, 3, 11}
