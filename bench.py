@@ -508,6 +508,49 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming SEMANTIC-dedup ingest leg (round-8): the embedding-space
+    # sibling of streaming_dedup_ingest — per-batch in-bucket dominance
+    # dedup + bucket-pruned kept-vector index probe, availableNow over
+    # the embeddings table. τ=0.35 (the fixture's populated regime).
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+
+    def semdedup_ingest_leg_once() -> float:
+        with tempfile.TemporaryDirectory() as td:
+            inbox = os.path.join(td, "inbox")
+            os.makedirs(inbox)
+            shutil.copy(
+                f"{sf_dir}/embeddings.parquet",
+                os.path.join(inbox, "emb.parquet"),
+            )
+            t0 = time.perf_counter()
+            sq = streaming.semdedup_ingest_stream(
+                streaming.read_file_stream(
+                    spark, inbox, emb_schema, fmt="parquet",
+                    max_files_per_trigger=1,
+                ),
+                os.path.join(td, "sem_index"),
+                os.path.join(td, "silver"),
+                checkpoint=os.path.join(td, "ckpt"),
+                id_col="vec_id",
+                vec_col="embedding",
+                threshold=0.35,
+            )
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError(
+                    "streaming semdedup ingest leg did not finish in 300s"
+                )
+            return time.perf_counter() - t0
+
+    timings["streaming_semdedup_ingest"] = _bench_timed(
+        "streaming_semdedup_ingest", semdedup_ingest_leg_once
+    )
+    print(
+        f"# streaming_semdedup_ingest: "
+        f"{timings['streaming_semdedup_ingest']}s",
+        file=sys.stderr,
+    )
+
     # Incremental-maintenance legs (round-4 verdict #3): the daily-ingest
     # path at 100 TB is "merge a batch against a persisted index", never
     # "recompute the corpus". Each pair times the incremental merge of a

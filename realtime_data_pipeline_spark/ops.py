@@ -240,6 +240,86 @@ def salted_join(
     return out.drop("__salt")
 
 
+def banded_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    band_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Scalable point-in-interval join (``start <= point <= end``,
+    inclusive): the 100 TB spelling of the range join. A naive non-equi
+    join between two LARGE frames plans BroadcastNestedLoopJoin — O(n·m)
+    comparisons and a broadcast of one whole side (fine only for the
+    literal-dim theta joins elsewhere in this repo). Here both sides are
+    BANDED on ``floor(epoch/band_seconds)`` and equi-joined on the band
+    key with the interval membership as a residual filter — a plain
+    hash/sort-merge join Catalyst and AQE can shuffle, broadcast, or
+    skew-split like any other (plan-gated: never a nested loop, never a
+    cartesian product). This is the bin-bucketing strategy behind
+    warehouse range-join hints, expressed with stock operators.
+
+    Each interval replicates into ``(len // band_seconds) + 1`` bands, a
+    point lands in exactly ONE band, and a qualifying (point, interval)
+    pair meets only in the point's band — no post-join dedup needed.
+    Pick ``band_seconds`` near the TYPICAL interval length: the
+    replication factor stays ~2× while a band holds ~one interval-length
+    of points. Degenerate inputs degrade loudly, not wrongly: a single
+    interval spanning the whole timeline replicates into every band
+    (cost, not correctness); NULL bounds or points match nothing (the
+    residual is three-valued), mirroring the non-equi spelling exactly.
+
+    ``how``: ``inner`` or ``left_semi`` (points that fall in ANY
+    interval — the membership filter). Timestamp/date columns of either
+    flavor are accepted (epoch via :func:`epoch_seconds`)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "banded_interval_join supports how='inner'|'left_semi' only"
+        )
+    if band_seconds <= 0:
+        raise ValueError("band_seconds must be positive")
+    band = "__band"
+    for side in (points, intervals):
+        if band in side.columns:
+            raise ValueError("inputs must not already carry '__band'")
+    p = points.withColumn(
+        band,
+        F.floor(epoch_seconds(F.col(point_col)) / F.lit(band_seconds)).cast(
+            "long"
+        ),
+    )
+    s_band = F.floor(
+        epoch_seconds(F.col(start_col)) / F.lit(band_seconds)
+    ).cast("long")
+    e_band = F.floor(
+        epoch_seconds(F.col(end_col)) / F.lit(band_seconds)
+    ).cast("long")
+    iv = intervals.withColumn(
+        band,
+        F.explode(
+            # NULL/inverted bounds -> empty sequence -> interval drops out
+            F.when(
+                F.col(start_col).isNotNull()
+                & F.col(end_col).isNotNull()
+                & (e_band >= s_band),
+                F.sequence(s_band, e_band),
+            ).otherwise(F.array().cast("array<long>"))
+        ),
+    )
+    residual = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) <= F.col(end_col)
+    )
+    if how == "left_semi":
+        # the residual must ride the join condition itself — a semi join
+        # returns no right columns to filter on afterwards
+        return p.join(
+            iv, (p[band] == iv[band]) & residual, "left_semi"
+        ).drop(band)
+    return p.join(iv, band).filter(residual).drop(band)
+
+
 def heavy_hitters(
     df: DataFrame,
     key: str,

@@ -709,3 +709,61 @@ ORACLE_SQL: dict[str, str] = {
     "forecast_revenue_q6": FORECAST_REVENUE_Q6_SQL,
     "customer_balance_window": CUSTOMER_BALANCE_WINDOW_SQL,
 }
+
+
+def shipments_in_order_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J4's 100 TB spelling: point-in-interval join between two FACT-sized
+    frames via `ops.banded_interval_join` — both sides banded on
+    floor(epoch/14d) and equi-joined on the band with the BETWEEN as a
+    residual, so the plan is a hash join Catalyst can shuffle/broadcast/
+    skew-split (plan-gated: no BroadcastNestedLoopJoin, no
+    CartesianProduct). The existing `orders_price_band` covers the
+    literal-small-dim theta join; this covers the case where neither side
+    is a literal. Every 1000th order opens a 14-day window from its order
+    date; shipments (l_shipdate) falling inside are counted per window.
+    The oracle spells the same join as a plain non-equi BETWEEN — band
+    mechanics must be invisible in the result."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    windows = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("w_end"),
+    )
+    joined = ops.banded_interval_join(
+        li.select("l_shipdate", "l_quantity"),
+        windows,
+        "l_shipdate",
+        "w_start",
+        "w_end",
+        band_seconds=14 * 86400,
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select("window_id", "n_shipments", "sum_qty")
+    )
+
+
+SHIPMENTS_IN_ORDER_WINDOWS_SQL = """
+SELECT o_orderkey AS window_id,
+       COUNT(*) AS n_shipments,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE)
+         AS sum_qty
+FROM orders
+JOIN lineitem
+  ON l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 14 DAY
+WHERE o_orderkey % 1000 = 0
+GROUP BY o_orderkey
+"""
+
+SHELVED_QUERIES["shipments_in_order_windows"] = shipments_in_order_windows
+SHELVED_ORACLE_SQL["shipments_in_order_windows"] = (
+    SHIPMENTS_IN_ORDER_WINDOWS_SQL
+)

@@ -297,3 +297,113 @@ def test_profile_table_tolerates_map_columns(spark):
     assert prof["attrs"].ndv is None
     assert prof["attrs"].min_value is None
     assert prof["id"].ndv == 2
+
+
+def test_banded_interval_join_matches_nonequi_spelling(spark):
+    """banded_interval_join must equal the naive non-equi join exactly:
+    inclusive endpoints, intervals spanning many bands, points on band
+    boundaries, NULL bounds/points matching nothing, inverted intervals
+    empty. Deterministic pseudo-random inputs."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # 200 points over ~60 days; 20 intervals of wildly varying length
+    points = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=(i * 7919) % 1440))
+            for i in range(200)
+        ]
+        + [(900, None)],
+        "pid long, ts timestamp",
+    )
+    ivs = []
+    for j in range(20):
+        s = base + dt.timedelta(hours=(j * 4271) % 1200)
+        ivs.append((j, s, s + dt.timedelta(hours=(j * 37) % 400)))
+    ivs += [(800, None, base), (801, base, None),
+            (802, base + dt.timedelta(days=9), base)]  # inverted
+    intervals = spark.createDataFrame(
+        ivs, "iid long, s timestamp, e timestamp"
+    )
+
+    got = ops.banded_interval_join(
+        points, intervals, "ts", "s", "e", band_seconds=86400
+    ).select("pid", "iid")
+    naive = points.join(
+        intervals,
+        (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")),
+    ).select("pid", "iid")
+    g = {(r.pid, r.iid) for r in got.collect()}
+    n = {(r.pid, r.iid) for r in naive.collect()}
+    assert g == n and len(g) > 0
+
+    # left_semi: points inside ANY interval, each once
+    semi = ops.banded_interval_join(
+        points, intervals, "ts", "s", "e", band_seconds=86400,
+        how="left_semi",
+    )
+    assert {r.pid for r in semi.collect()} == {p for p, _ in n}
+    assert semi.count() == len({p for p, _ in n})
+
+    # inclusive boundaries, interval spanning multiple narrow bands
+    pts2 = spark.createDataFrame(
+        [(1, base), (2, base + dt.timedelta(days=5))],
+        "pid long, ts timestamp",
+    )
+    iv2 = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(days=5))],
+        "iid long, s timestamp, e timestamp",
+    )
+    got2 = ops.banded_interval_join(
+        pts2, iv2, "ts", "s", "e", band_seconds=3600
+    )
+    assert got2.count() == 2  # both endpoints match despite 120 bands
+
+    import pytest
+
+    with pytest.raises(ValueError, match="__band"):
+        ops.banded_interval_join(
+            points.withColumn("__band", F.lit(1)), intervals,
+            "ts", "s", "e", band_seconds=60,
+        )
+    with pytest.raises(ValueError, match="positive"):
+        ops.banded_interval_join(
+            points, intervals, "ts", "s", "e", band_seconds=0
+        )
+
+
+def test_banded_interval_join_plans_hash_join_not_nested_loop(spark):
+    """The whole point of the banding: two large sides must plan an
+    EQUI join on the band key (hash or sort-merge), never a
+    BroadcastNestedLoopJoin or CartesianProduct."""
+    import datetime as dt
+
+    from tests.test_plans import plan_str
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i)) for i in range(100)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(minutes=3 * j),
+             base + dt.timedelta(minutes=3 * j + 10))
+            for j in range(50)
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    # disable auto-broadcast so the gate proves the SHUFFLED equi path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(
+            ops.banded_interval_join(
+                points, intervals, "ts", "s", "e", band_seconds=600
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)

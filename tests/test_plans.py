@@ -624,3 +624,13 @@ def test_strip_boilerplate_exchanges_never_carry_text(spark, sf_dir):
     assert real, plan  # the gram groupBy shuffle must exist
     offenders = [b for b in real if "text#" in b]
     assert not offenders, offenders
+
+
+def test_shipments_in_order_windows_bands_not_nested_loop(spark, sf_dir):
+    """The banded interval join's plan promise at the query level: the
+    point-in-interval join runs as an EQUI join on the band key (hash
+    join; broadcast is fine — it is the small side, not a nested loop),
+    never BroadcastNestedLoopJoin or CartesianProduct."""
+    plan = plan_str(qfn("shipments_in_order_windows")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
