@@ -320,6 +320,71 @@ def banded_interval_join(
     return p.join(iv, band).filter(residual).drop(band)
 
 
+def banded_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    band_seconds: int,
+) -> DataFrame:
+    """Scalable interval-OVERLAP join (``l_start <= r_end AND r_start <=
+    l_end``, inclusive) between two large interval frames — the
+    interval×interval companion of :func:`banded_interval_join`, same
+    banding strategy, same plan promise (equi join on the band key,
+    never a nested loop).
+
+    Both sides explode to the bands they cover, but an overlapping pair
+    shares EVERY band of its intersection — so each pair is anchored to
+    exactly one band: the band of the LATER start,
+    ``floor(epoch(greatest(l_start, r_start)) / band_seconds)``. If the
+    intervals overlap, the later start lies inside both, hence its band
+    is covered by both sides' explosions — the anchor filter keeps
+    precisely one copy per qualifying pair, no distinct over wide rows.
+    NULL/inverted intervals match nothing. The two frames must not share
+    column names (standard join-output contract)."""
+    if band_seconds <= 0:
+        raise ValueError("band_seconds must be positive")
+    band = "__band"
+    for side in (left, right):
+        if band in side.columns:
+            raise ValueError("inputs must not already carry '__band'")
+
+    def banded(df: DataFrame, s: str, e: str) -> DataFrame:
+        sb = F.floor(epoch_seconds(F.col(s)) / F.lit(band_seconds)).cast(
+            "long"
+        )
+        eb = F.floor(epoch_seconds(F.col(e)) / F.lit(band_seconds)).cast(
+            "long"
+        )
+        return df.withColumn(
+            band,
+            F.explode(
+                F.when(
+                    F.col(s).isNotNull()
+                    & F.col(e).isNotNull()
+                    & (eb >= sb),
+                    F.sequence(sb, eb),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    anchor = F.col(band) == F.floor(
+        epoch_seconds(F.greatest(F.col(l_start), F.col(r_start)))
+        / F.lit(band_seconds)
+    ).cast("long")
+    return (
+        banded(left, l_start, l_end)
+        .join(banded(right, r_start, r_end), band)
+        .filter(overlap & anchor)
+        .drop(band)
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key: str,

@@ -767,3 +767,58 @@ SHELVED_QUERIES["shipments_in_order_windows"] = shipments_in_order_windows
 SHELVED_ORACLE_SQL["shipments_in_order_windows"] = (
     SHIPMENTS_IN_ORDER_WINDOWS_SQL
 )
+
+
+def overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join at scale via
+    `ops.banded_overlap_join`: every 100th order opens a 60-day window;
+    report each overlapping window PAIR (smaller orderkey first) with its
+    overlap length in days. Each qualifying pair is anchored to the band
+    of the later start, so the banded plan emits it exactly once — the
+    oracle spells the same join as the plain overlap predicate, and the
+    band mechanics must be invisible in the result."""
+    orders = load(spark, sf_dir, "orders")
+    win = orders.filter(F.col("o_orderkey") % 100 == 0)
+    a = win.select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderdate").alias("a_s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("a_e"),
+    )
+    b = win.select(
+        F.col("o_orderkey").alias("b_id"),
+        F.col("o_orderdate").alias("b_s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("b_e"),
+    )
+    pairs = ops.banded_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", band_seconds=60 * 86400
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.datediff(
+            F.least(F.col("a_e"), F.col("b_e")).cast("date"),
+            F.greatest(F.col("a_s"), F.col("b_s")).cast("date"),
+        ).alias("overlap_days"),
+    )
+
+
+OVERLAPPING_ORDER_WINDOWS_SQL = """
+WITH w AS (
+  SELECT o_orderkey AS id,
+         o_orderdate AS s,
+         o_orderdate + INTERVAL 60 DAY AS e
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT a.id AS a_id,
+       b.id AS b_id,
+       CAST(datediff('day',
+            greatest(a.s, b.s), least(a.e, b.e)) AS INTEGER)
+         AS overlap_days
+FROM w a JOIN w b
+  ON a.s <= b.e AND b.s <= a.e AND a.id < b.id
+"""
+
+SHELVED_QUERIES["overlapping_order_windows"] = overlapping_order_windows
+SHELVED_ORACLE_SQL["overlapping_order_windows"] = (
+    OVERLAPPING_ORDER_WINDOWS_SQL
+)

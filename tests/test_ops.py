@@ -407,3 +407,57 @@ def test_banded_interval_join_plans_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_banded_overlap_join_matches_nonequi_spelling(spark):
+    """banded_overlap_join must equal the naive overlap join exactly,
+    with each qualifying pair emitted ONCE (the anchor-band rule) even
+    when the pair shares many bands; NULL/inverted intervals match
+    nothing."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    lft = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=(i * 311) % 700),
+             base + dt.timedelta(hours=(i * 311) % 700 + (i * 13) % 90))
+            for i in range(40)
+        ]
+        + [(900, None, base), (901, base + dt.timedelta(days=2), base)],
+        "lid long, ls timestamp, le timestamp",
+    )
+    rgt = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(hours=(j * 457) % 700),
+             base + dt.timedelta(hours=(j * 457) % 700 + (j * 29) % 120))
+            for j in range(40)
+        ],
+        "rid long, rs timestamp, re timestamp",
+    )
+    got = ops.banded_overlap_join(
+        lft, rgt, "ls", "le", "rs", "re", band_seconds=6 * 3600
+    ).select("lid", "rid")
+    naive = lft.join(
+        rgt,
+        (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+    ).select("lid", "rid")
+    g = [(r.lid, r.rid) for r in got.collect()]
+    n = {(r.lid, r.rid) for r in naive.collect()}
+    assert set(g) == n and len(g) > 0
+    assert len(g) == len(n)  # exactly-once per pair, no band duplicates
+
+    # long intervals sharing MANY narrow bands still emit one row
+    big_l = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(days=30))],
+        "lid long, ls timestamp, le timestamp",
+    )
+    big_r = spark.createDataFrame(
+        [(2, base + dt.timedelta(days=1), base + dt.timedelta(days=29))],
+        "rid long, rs timestamp, re timestamp",
+    )
+    assert (
+        ops.banded_overlap_join(
+            big_l, big_r, "ls", "le", "rs", "re", band_seconds=3600
+        ).count()
+        == 1
+    )
