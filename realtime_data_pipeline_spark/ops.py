@@ -342,8 +342,14 @@ def banded_overlap_join(
     intervals overlap, the later start lies inside both, hence its band
     is covered by both sides' explosions — the anchor filter keeps
     precisely one copy per qualifying pair, no distinct over wide rows.
-    NULL/inverted intervals match nothing. The two frames must not share
-    column names (standard join-output contract)."""
+
+    Contract: intervals are ``[start, end]`` with ``start <= end``;
+    NULL-bounded and INVERTED (``end < start``, i.e. empty) intervals
+    match nothing. Note this deliberately diverges from the raw
+    ``l_start <= r_end AND r_start <= l_end`` predicate, which matches
+    an inverted interval nested inside its partner — an artifact, not a
+    semantic (an empty interval overlaps nothing). The two frames must
+    not share column names (standard join-output contract)."""
     if band_seconds <= 0:
         raise ValueError("band_seconds must be positive")
     band = "__band"

@@ -564,3 +564,99 @@ def test_png_decode_inverts_any_per_row_filter_choice(h, w, ch, seed):
         + chunk(b"IEND", b"")
     )
     assert (multimodal.decode_png(data) == px).all()
+
+
+@given(
+    pts=st.lists(
+        st.one_of(st.none(), st.integers(0, 5000)), min_size=1, max_size=25
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5000)),
+            st.integers(-200, 3000),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    band=st.integers(25, 2000),
+)
+@settings(**{**SETTINGS, "max_examples": 5})
+def test_banded_joins_match_nonequi_for_any_band_width(
+    spark, pts, ivs, band
+):
+    """For ANY band width, banded_interval_join and banded_overlap_join
+    equal their naive non-equi spellings exactly — band geometry must be
+    invisible in results (NULLs, inverted intervals, boundary epochs
+    included). Intervals are (start, start+len) with len possibly
+    negative (inverted); everything in epoch seconds via timestamps."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return None if sec is None else base + dt.timedelta(seconds=sec)
+
+    points = spark.createDataFrame(
+        [(i, ts(p)) for i, p in enumerate(pts)], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, ts(s), None if s is None else ts(s + ln))
+            for j, (s, ln) in enumerate(ivs)
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in ops.banded_interval_join(
+            points, intervals, "ts", "s", "e", band_seconds=band
+        )
+        .select("pid", "iid")
+        .collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")),
+        )
+        .select("pid", "iid")
+        .collect()
+    }
+    assert got == naive
+
+    lft = intervals.select(
+        F.col("iid").alias("lid"),
+        F.col("s").alias("ls"),
+        F.col("e").alias("le"),
+    )
+    rgt = intervals.select(
+        F.col("iid").alias("rid"),
+        F.col("s").alias("rs"),
+        F.col("e").alias("re"),
+    )
+    ov = [
+        (r.lid, r.rid)
+        for r in ops.banded_overlap_join(
+            lft, rgt, "ls", "le", "rs", "re", band_seconds=band
+        )
+        .select("lid", "rid")
+        .collect()
+    ]
+    # reference restricted to VALID intervals: the raw overlap predicate
+    # matches an INVERTED (empty) interval nested inside its partner —
+    # an artifact the operator deliberately rejects (documented
+    # contract: empty intervals overlap nothing). Hypothesis found this
+    # divergence; the operator's semantic is the intended one.
+    ov_naive = {
+        (r.lid, r.rid)
+        for r in lft.filter(F.col("ls") <= F.col("le"))
+        .join(
+            rgt.filter(F.col("rs") <= F.col("re")),
+            (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+        )
+        .select("lid", "rid")
+        .collect()
+    }
+    assert set(ov) == ov_naive
+    assert len(ov) == len(ov_naive)  # anchor rule: exactly once per pair
