@@ -124,3 +124,28 @@ def test_strip_boilerplate_single_tokenization_plan(spark):
     out = text.strip_boilerplate(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_strip_boilerplate_as_exact_substring_dedup(spark):
+    """The Lee-et-al-2022 'deduplicating training data' shape — remove
+    EXACT substrings of >= N tokens repeated anywhere in the corpus — is
+    strip_boilerplate parametrically: n = the minimum run length,
+    min_df = 2 (repeated in any two docs). A 20-token passage pasted
+    into two otherwise-different documents is excised from BOTH (runs
+    of overlapping flagged n-grams merge via the covered-index union),
+    while each doc's unique prose survives and singleton docs stay
+    byte-identical."""
+    passage = " ".join(f"boiler{i}" for i in range(20))
+    rows = [
+        (1, f"alpha one two three {passage} tail1a tail1b"),
+        (2, f"{passage} beta four five six tail2a"),
+        (3, "gamma unique text with no repeated passage at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in text.strip_boilerplate(df, n=20, min_df=2).collect()
+    }
+    assert got[1] == "alpha one two three tail1a tail1b"
+    assert got[2] == "beta four five six tail2a"
+    assert got[3] == rows[2][1]
