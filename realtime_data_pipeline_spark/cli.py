@@ -211,6 +211,11 @@ def main(argv: list[str] | None = None) -> int:
         "--distinct-col", default=None,
         help="maintain approx distinct count of COL via mergeable HLL sketches",
     )
+    pru.add_argument(
+        "--histogram", default=None, metavar="LO:HI:BINS",
+        help="maintain approx per-window quantiles of --value-col via "
+        "mergeable fixed-bin histogram partials (error <= one bin width)",
+    )
     pru.add_argument("--schema", default=None)
     pru.add_argument("--schema-from", default=None)
     pru.add_argument("--format", default="csv", choices=["csv", "parquet", "json"])
@@ -778,6 +783,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.schema
             else spark.read.parquet(args.schema_from).schema
         )
+        hist = None
+        if args.histogram:
+            try:
+                lo_s, hi_s, bins_s = args.histogram.split(":")
+                hist = (float(lo_s), float(hi_s), int(bins_s))
+            except ValueError:
+                raise SystemExit(
+                    "rollup: --histogram must be LO:HI:BINS, e.g. 0:1000:256"
+                ) from None
         sq = streaming.continuous_rollup(
             streaming.read_file_stream(
                 spark, args.inbox, schema, fmt=args.format
@@ -788,6 +802,7 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             checkpoint=args.checkpoint,
             distinct_col=args.distinct_col,
+            histogram=hist,
         )
         if not sq.awaitTermination(args.timeout_sec):
             sq.stop()

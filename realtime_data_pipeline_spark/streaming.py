@@ -1286,6 +1286,7 @@ def rollup_batch_writer(
     value_col: str,
     distinct_col: str | None = None,
     lg_k: int = 12,
+    histogram: tuple[float, float, int] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The per-micro-batch step of :func:`continuous_rollup`, exposed so
     tests can drive it directly (including replaying a batch_id to prove
@@ -1301,9 +1302,34 @@ def rollup_batch_writer(
     sketches a distinct metric would force re-scanning raw events. HLL
     union is exact over sketches: union-of-partials == sketch-of-union,
     bit-for-bit estimate equality (tested), so replay/compaction algebra
-    is unchanged."""
+    is unchanged.
+
+    ``histogram=(lo, hi, bins)`` adds incrementally-maintained APPROX
+    QUANTILES: each batch's partial carries a per-window fixed-bin
+    histogram as a ``map<bin, n>`` column (``sketches.histogram_build``'s
+    binning — out-of-range clamps to edge bins, NULLs dropped) with the
+    geometry stamped beside it. Bin counts ADD, so the merge is exact
+    (merge-of-partials == histogram-of-union) and replay/compaction
+    algebra is unchanged — the mergeable quantile partial
+    ``percentile_approx`` never exposes, wired into the stream. The view
+    finalizes the merged map to per-window quantile estimates (error ≤
+    one bin width, same math as ``sketches.histogram_quantile``)."""
+    if histogram is not None:
+        h_lo, h_hi, h_bins = histogram
+        if h_hi <= h_lo:
+            raise ValueError(
+                f"histogram requires lo < hi, got [{h_lo}, {h_hi})"
+            )
+        if h_bins < 1:
+            raise ValueError(f"histogram requires bins >= 1, got {h_bins}")
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        if histogram is not None:
+            # the histogram needs a second aggregation pass (per-window
+            # per-bin, then per-window map) — persist so the micro-batch
+            # source is scanned once, not once per aggregation
+            batch_df = batch_df.persist()
+        win = F.window(ts_col, window_duration).alias("w")
         aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col(value_col).cast("double")).alias("sum_value"),
@@ -1319,7 +1345,7 @@ def rollup_batch_writer(
             )
             cols.append("distinct_sketch")
         partials = (
-            batch_df.groupBy(F.window(ts_col, window_duration).alias("w"))
+            batch_df.groupBy(win)
             .agg(*aggs)
             .select(
                 F.col("w.start").alias("window_start"),
@@ -1327,13 +1353,60 @@ def rollup_batch_writer(
                 *cols,
             )
         )
-        (
-            partials.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_path)
-        )
+        if histogram is not None:
+            w_width = (h_hi - h_lo) / h_bins
+            bin_ = F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col(value_col).cast("double") - F.lit(h_lo))
+                        / F.lit(w_width)
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(h_bins - 1),
+            )
+            hist = (
+                batch_df.filter(F.col(value_col).isNotNull())
+                .groupBy(win, bin_.alias("__bin"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .groupBy(
+                    F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                )
+                .agg(
+                    F.map_from_entries(
+                        F.array_sort(
+                            F.collect_list(F.struct("__bin", "__n"))
+                        )
+                    ).alias("hist_bins")
+                )
+            )
+            partials = (
+                partials.join(hist, ["window_start", "window_end"], "left")
+                .withColumn(
+                    "hist_bins",
+                    F.coalesce(
+                        F.col("hist_bins"),
+                        F.map_from_entries(
+                            F.array().cast("array<struct<k:int,v:bigint>>")
+                        ),
+                    ),
+                )
+                .withColumn("hist_lo", F.lit(float(h_lo)))
+                .withColumn("hist_hi", F.lit(float(h_hi)))
+                .withColumn("hist_nbins", F.lit(int(h_bins)))
+            )
+        try:
+            (
+                partials.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            if histogram is not None:
+                batch_df.unpersist()
 
     return write_partials
 
@@ -1347,6 +1420,7 @@ def continuous_rollup(
     checkpoint: str,
     available_now: bool = True,
     distinct_col: str | None = None,
+    histogram: tuple[float, float, int] | None = None,
 ) -> StreamingQuery:
     """Incremental materialized aggregate (continuous rollup): maintain a
     per-time-window summary table that stays current as micro-batches
@@ -1371,7 +1445,7 @@ def continuous_rollup(
         df.writeStream.foreachBatch(
             rollup_batch_writer(
                 out_path, ts_col, window_duration, value_col,
-                distinct_col=distinct_col,
+                distinct_col=distinct_col, histogram=histogram,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1382,12 +1456,60 @@ def continuous_rollup(
     return writer.start()
 
 
-def _merge_rollup_partials(partials: DataFrame, keep_sketch: bool) -> DataFrame:
+def _hist_quantile_from_entries(entries, lo, hi, nbins, q):
+    """Per-row quantile estimate from a sorted ``array<struct<bin, n>>``
+    histogram — the same math as ``sketches.histogram_quantile`` (landing
+    bin = first whose cumulative count reaches rank q·total; linear
+    interpolation inside it, clamped), spelled as one ``aggregate`` HOF
+    over the ≤bins-entry array so the rollup view computes per-window
+    quantiles with zero extra shuffle. ``lo``/``hi``/``nbins`` are
+    Columns (the stamped geometry); ``q`` is a Python float. NULL when
+    the window saw no non-null values."""
+    w = (hi - lo) / nbins.cast("double")
+    total = F.aggregate(
+        entries, F.lit(0).cast("long"), lambda a, x: a + x["__n"]
+    )
+    rank = F.lit(float(q)) * total.cast("double")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("est"),
+    )
+
+    def step(acc, x):
+        cum2 = acc["cum"] + x["__n"]
+        frac = (rank - acc["cum"].cast("double")) / F.greatest(
+            x["__n"].cast("double"), F.lit(1.0)
+        )
+        fr = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        est = F.when(acc["est"].isNotNull(), acc["est"]).otherwise(
+            F.when(
+                cum2.cast("double") >= rank,
+                lo + (x["__bin"].cast("double") + fr) * w,
+            )
+        )
+        return F.struct(cum2.alias("cum"), est.alias("est"))
+
+    return F.aggregate(entries, init, step, lambda acc: acc["est"])
+
+
+def _merge_rollup_partials(
+    partials: DataFrame,
+    keep_sketch: bool,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
     """The ONE set of merge expressions shared by :func:`rollup_view` and
     :func:`compact_rollup` (they must agree or compaction would change
-    the view). ``keep_sketch=True`` keeps the merged HLL as a SKETCH so
-    the result stays mergeable (compaction path); ``False`` finalizes it
-    to an ``approx_distinct`` estimate (reader path)."""
+    the view). ``keep_sketch=True`` keeps the merged HLL as a SKETCH and
+    the merged histogram as a MAP so the result stays mergeable
+    (compaction path); ``False`` finalizes them to ``approx_distinct`` /
+    ``approx_p{Q}`` estimates (reader path).
+
+    Histogram merge: bin counts add, so summing exploded map entries per
+    (window, bin) is EXACT — merge-of-partials == histogram-of-union.
+    Geometry columns ride the grouping key: partials written with
+    different (lo, hi, bins) would surface as duplicate window rows —
+    visible, never silently mixed (same discipline as
+    ``sketches.histogram_merge``)."""
     aggs = [
         F.sum("n_events").alias("n_events"),
         F.sum("sum_value").alias("sum_value"),
@@ -1401,17 +1523,71 @@ def _merge_rollup_partials(partials: DataFrame, keep_sketch: bool) -> DataFrame:
             if keep_sketch
             else F.hll_sketch_estimate(merged).alias("approx_distinct")
         )
-    return partials.groupBy("window_start", "window_end").agg(*aggs)
+    out = partials.groupBy("window_start", "window_end").agg(*aggs)
+    if "hist_bins" not in partials.columns:
+        return out
+    keys = ["window_start", "window_end"]
+    geo = ["hist_lo", "hist_hi", "hist_nbins"]
+    entries = (
+        partials.select(*keys, *geo, F.explode("hist_bins").alias("__bin", "__n"))
+        .groupBy(*keys, *geo, "__bin")
+        .agg(F.sum("__n").alias("__n"))
+        .groupBy(*keys, *geo)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__bin", "__n"))).alias(
+                "__entries"
+            )
+        )
+    )
+    if keep_sketch:
+        merged_hist = entries.select(
+            *keys,
+            F.map_from_entries("__entries").alias("hist_bins"),
+            *geo,
+        )
+        return out.join(merged_hist, keys, "left").withColumn(
+            "hist_bins",
+            F.coalesce(
+                F.col("hist_bins"),
+                F.map_from_entries(
+                    F.array().cast("array<struct<k:int,v:bigint>>")
+                ),
+            ),
+        )
+    # reader path: finalize to quantile estimate columns. The geometry is
+    # constant per rollup config, so reading it from the row keeps the
+    # expressions pure-column (no driver action); hypothetical mixed
+    # geometries yield per-geometry rows via the join key above.
+    qcols = [
+        _hist_quantile_from_entries(
+            F.col("__entries"),
+            F.col("hist_lo"),
+            F.col("hist_hi"),
+            F.col("hist_nbins"),
+            q,
+        ).alias(f"approx_p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    finalized = entries.select(*keys, *qcols)
+    return out.join(finalized, keys, "left")
 
 
-def rollup_view(spark: SparkSession, out_path: str) -> DataFrame:
+def rollup_view(
+    spark: SparkSession,
+    out_path: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
     """Merge-on-read over :func:`continuous_rollup` partials: one small
     groupBy on window bounds (partials are already window-grained, so this
     aggregates a table ~windows × batches rows, not events). If the
     rollup carries distinct sketches, the view exposes the finalized
-    ``approx_distinct`` estimate per window."""
+    ``approx_distinct`` estimate per window; if it carries histogram
+    partials, per-window ``approx_p{Q}`` quantile estimates for each
+    requested ``quantiles`` entry (error ≤ one bin width)."""
     partials = spark.read.parquet(out_path)
-    return _merge_rollup_partials(partials, keep_sketch=False)
+    return _merge_rollup_partials(
+        partials, keep_sketch=False, quantiles=quantiles
+    )
 
 
 def rollup_partition_count(out_path: str) -> int:

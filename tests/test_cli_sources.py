@@ -946,3 +946,39 @@ def test_cli_stream_strip_boilerplate_cleans_clean_side(spark, tmp_path):
     assert got == {
         i: f"story{i}a story{i}b story{i}c" for i in range(3)
     }
+
+
+def test_cli_rollup_histogram_quantiles(spark, tmp_path, capsys):
+    """`rollup --histogram LO:HI:BINS`: the catch-up run maintains
+    mergeable per-window histogram partials; the view exposes
+    approx_p50/approx_p95."""
+    import os
+
+    from realtime_data_pipeline_spark import cli, streaming
+
+    inbox = str(tmp_path / "ruh_inbox")
+    os.makedirs(inbox)
+    with open(os.path.join(inbox, "b0.csv"), "w") as f:
+        f.write("event_id,ts,user_id,value\n")
+        for i in range(20):
+            f.write(f"{i},2024-01-01 10:00:{i:02d},1,{float(i)}\n")
+    out = str(tmp_path / "ruh_out")
+    rc = cli.main([
+        "rollup",
+        "--inbox", inbox,
+        "--out", out,
+        "--checkpoint", str(tmp_path / "ruh_ck"),
+        "--ts-col", "ts",
+        "--value-col", "value",
+        "--window", "5 minutes",
+        "--histogram", "0:20:40",
+        "--schema", "event_id long, ts timestamp, user_id long, value double",
+        "--timeout-sec", "120",
+    ])
+    assert rc == 0
+    view = streaming.rollup_view(spark, out).collect()
+    assert len(view) == 1
+    row = view[0]
+    # 20 uniform values in [0,20): p50 within one bin width (0.5) of 9
+    assert abs(row["approx_p50"] - 9.0) <= 0.5 + 1e-9
+    assert row["approx_p95"] >= row["approx_p50"]

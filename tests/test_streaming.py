@@ -1353,3 +1353,97 @@ def test_semdedup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
     )
     assert silver_ids() == got
     assert {r["vec_id"] for r in spark.read.parquet(index).collect()} == {1, 3, 11}
+
+
+def test_rollup_histogram_quantiles_merge_exactly(spark, tmp_path):
+    """Incremental approx quantiles: per-batch fixed-bin histogram map
+    partials sum to EXACTLY the one-shot histogram over all events
+    (counts add — merge-of-partials == histogram-of-union), so the
+    view's per-window quantile estimates equal sketches'
+    histogram_build + histogram_quantile over the union; replaying a
+    batch changes nothing, and compaction keeps the map mergeable
+    (view identical before/after; a post-compaction batch shifts the
+    window's p50)."""
+    from realtime_data_pipeline_spark import sketches
+
+    # values 0..9 and 100..109 across two batches, same 5-min window
+    # bucket structure as the HLL test
+    batches = [
+        [(i, f"2024-01-01 10:{m:02d}:00", i % 10, float(m))
+         for i, m in enumerate(range(0, 10))],
+        [(100 + i, f"2024-01-01 10:{m:02d}:00", i % 15, float(m) + 100.0)
+         for i, m in enumerate(range(0, 10))],
+    ]
+    inbox = write_inbox(tmp_path, batches)
+    out = str(tmp_path / "rollup_hist")
+    geo = (0.0, 200.0, 100)
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    q = streaming.continuous_rollup(
+        stream, "ts", "5 minutes", "value", out,
+        checkpoint=str(tmp_path / "ckpt_hist"), histogram=geo,
+    )
+    assert q.awaitTermination(120)
+
+    def canon(df):
+        return {
+            (
+                r.window_start.isoformat(),
+                r.n_events,
+                round(r.approx_p50, 6) if r.approx_p50 is not None else None,
+                round(r.approx_p95, 6) if r.approx_p95 is not None else None,
+            )
+            for r in df.collect()
+        }
+
+    got = canon(streaming.rollup_view(spark, out))
+    assert len(got) > 0
+
+    # per-window ground truth via the sketches module over the UNION
+    batch_df = (
+        spark.read.schema(SCHEMA).option("header", "true").csv(inbox)
+        .withColumn("w", F.window("ts", "5 minutes"))
+    )
+    for win_iso, n_ev, p50, p95 in got:
+        wdf = batch_df.filter(
+            F.col("w.start") == F.lit(win_iso.replace("T", " "))
+        )
+        hist = sketches.histogram_build(wdf, "value", *geo[:2], bins=geo[2])
+        est = {
+            r["q"]: round(r["estimate"], 6)
+            for r in sketches.histogram_quantile(hist, [0.5, 0.95]).collect()
+        }
+        assert p50 == est[0.5] and p95 == est[0.95], win_iso
+        # one-bin-width error bound vs the exact ORDER STATISTIC (the
+        # histogram's quantile convention — SQL percentile() interpolates
+        # BETWEEN order stats, a different definition that diverges
+        # arbitrarily at bimodal splits, so it is not the reference)
+        import math
+
+        vals = sorted(r["value"] for r in wdf.select("value").collect())
+        order_stat = vals[max(0, math.ceil(0.5 * len(vals)) - 1)]
+        assert abs(p50 - order_stat) <= (geo[1] - geo[0]) / geo[2]
+
+    # replay batch 0 in place: view unchanged
+    writer = streaming.rollup_batch_writer(
+        out, "ts", "5 minutes", "value", histogram=geo
+    )
+    replay = spark.createDataFrame(
+        batches[0], "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    writer(replay, 0)
+    assert canon(streaming.rollup_view(spark, out)) == got
+
+    # compaction keeps the MAP (not the estimates): view identical, and a
+    # post-compaction batch still merges and moves the quantile
+    streaming.compact_rollup(spark, out)
+    assert canon(streaming.rollup_view(spark, out)) == got
+    extra = spark.createDataFrame(
+        [(300 + i, "2024-01-01 10:01:00", 7, 150.0) for i in range(40)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    writer(extra, 7)
+    after = canon(streaming.rollup_view(spark, out))
+    w0 = "2024-01-01T10:00:00"
+    p50_before = next(p for (w, _, p, _) in got if w.startswith(w0))
+    p50_after = next(p for (w, _, p, _) in after if w.startswith(w0))
+    assert p50_after > p50_before  # heavy 150.0 batch pulls p50 up
