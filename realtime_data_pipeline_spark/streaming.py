@@ -1027,6 +1027,67 @@ def semdedup_ingest_stream(
     return writer.start()
 
 
+def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance for the streaming semantic-dedup index
+    (:func:`semdedup_ingest_batch`'s ``bucket=M/batch_id=N`` layout): fold
+    every bucket's per-batch partitions into a single ``batch_id=-1``
+    partition. The probe lists the ``batch_id`` children of each touched
+    bucket dir, so after 10⁴ batches each bucket carries 10⁴ subdirs;
+    compaction bounds that to 1 (+1 per post-compaction batch) — the same
+    merge-on-read growth :func:`compact_rollup` bounds for rollups.
+
+    Kept-vector rows are immutable facts (no merge algebra — compaction
+    is a pure relayout), rewritten through a temp dir and a rename swap
+    (crash leaves old or new complete, never a mix). Run during a quiet
+    window AFTER the stream's checkpoint has committed the folded
+    batches; even a hypothetical replay of a folded batch stays safe —
+    its vectors now sit in ``batch_id=-1``, which the own-partition-
+    EXCLUDING probe treats as prior corpus, so the replay computes zero
+    fresh rows and its dynamic overwrites replace nothing.
+
+    Returns before/after per-bucket batch-partition counts and rows."""
+    import shutil
+
+    index_path = os.path.normpath(index_path)
+
+    def batch_dirs(root: str) -> int:
+        n = 0
+        for b in os.listdir(root):
+            bp = os.path.join(root, b)
+            if b.startswith("bucket=") and os.path.isdir(bp):
+                n += sum(
+                    1
+                    for d in os.listdir(bp)
+                    if d.startswith("batch_id=")
+                    and os.path.isdir(os.path.join(bp, d))
+                )
+        return n
+
+    before = batch_dirs(index_path)
+    folded = (
+        spark.read.parquet(index_path)
+        .drop("batch_id")
+        .withColumn("batch_id", F.lit(-1))
+        .repartition("bucket")
+    )
+    tmp = f"{index_path}__compact_tmp"
+    folded.write.mode("overwrite").partitionBy("bucket", "batch_id").parquet(
+        tmp
+    )
+    rows = spark.read.parquet(tmp).count()
+    old = f"{index_path}__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(index_path, old)
+    os.replace(tmp, index_path)
+    shutil.rmtree(old)
+    return {
+        "batch_partitions_before": before,
+        "batch_partitions_after": batch_dirs(index_path),
+        "rows": rows,
+    }
+
+
 def dq_gated_stream(
     df: DataFrame,
     rules: list[dq.Rule],

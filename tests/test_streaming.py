@@ -1447,3 +1447,71 @@ def test_rollup_histogram_quantiles_merge_exactly(spark, tmp_path):
     p50_before = next(p for (w, _, p, _) in got if w.startswith(w0))
     p50_after = next(p for (w, _, p, _) in after if w.startswith(w0))
     assert p50_after > p50_before  # heavy 150.0 batch pulls p50 up
+
+
+def test_compact_semdedup_index_preserves_dedup_and_replay_safety(
+    spark, tmp_path
+):
+    """compact_semdedup_index folds every bucket's batch partitions into
+    batch_id=-1: the index row set is unchanged, a replay of a FOLDED
+    batch is a no-op (its vectors read as prior corpus via the
+    own-partition exclusion — zero fresh rows, dynamic overwrite
+    replaces nothing), and a genuinely new batch still dedups against
+    the compacted index and keeps merging."""
+    schema = "vec_id long, embedding array<double>"
+    idx = str(tmp_path / "csi_index")
+    silver = str(tmp_path / "csi_silver")
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])], schema
+    )
+    b1 = spark.createDataFrame([(3, [0.0, 1.0, 0.0, 0.0])], schema)
+    streaming.semdedup_ingest_batch(
+        b0, 0, idx, silver, "vec_id", "embedding", threshold=0.9, n_bits=2
+    )
+    streaming.semdedup_ingest_batch(
+        b1, 1, idx, silver, "vec_id", "embedding", threshold=0.9, n_bits=2
+    )
+
+    def idx_ids():
+        return {r["vec_id"] for r in spark.read.parquet(idx).collect()}
+
+    def silver_ids():
+        return {
+            (r["vec_id"], r["batch_id"])
+            for r in spark.read.parquet(silver).collect()
+        }
+
+    ids0, sil0 = idx_ids(), silver_ids()
+    m = streaming.compact_semdedup_index(spark, idx)
+    assert m["batch_partitions_after"] <= m["batch_partitions_before"]
+    assert idx_ids() == ids0
+    # every bucket now holds exactly one batch partition (-1)
+    import os
+
+    for b in os.listdir(idx):
+        if b.startswith("bucket="):
+            subs = [
+                d for d in os.listdir(os.path.join(idx, b))
+                if d.startswith("batch_id=")
+            ]
+            assert subs == ["batch_id=-1"]
+
+    # replay a folded batch: no-op on index AND silver
+    streaming.semdedup_ingest_batch(
+        b1, 1, idx, silver, "vec_id", "embedding", threshold=0.9, n_bits=2
+    )
+    assert idx_ids() == ids0 and silver_ids() == sil0
+
+    # a new batch: near-dup of folded id 1 dropped, novel vector indexed
+    b2 = spark.createDataFrame(
+        [(10, [1.01, 0.99, 0.0, 0.0]), (11, [-1.0, 0.0, 0.0, 0.0])],
+        schema,
+    )
+    streaming.semdedup_ingest_batch(
+        b2, 2, idx, silver, "vec_id", "embedding", threshold=0.9, n_bits=2
+    )
+    assert idx_ids() == ids0 | {11}
+    assert {v for v, _ in silver_ids()} == {1, 2, 3, 11}
+    # compacting twice composes
+    streaming.compact_semdedup_index(spark, idx)
+    assert idx_ids() == ids0 | {11}
