@@ -652,10 +652,14 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
                 # become partitions (absent stats keep the file — the
                 # row filter in read() remains the correctness path)
                 stats = man.get("file_stats", {})
+                blooms = man.get("file_blooms", {})
                 added = [
                     p
                     for p in added
                     if versioned._file_may_match(stats.get(p), self.where)
+                    and versioned._bloom_may_match(
+                        blooms.get(p), self.where
+                    )
                 ]
             out.extend(
                 _ZoneFilePartition(os.path.join(self.root, p), v)

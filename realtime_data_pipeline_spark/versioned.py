@@ -223,6 +223,144 @@ def _collect_file_stats(root: str, rel_paths: list[str]) -> dict:
     return out
 
 
+def _bloom_positions(data: bytes, m: int, k: int) -> list[int]:
+    """k bit positions for a value's canonical bytes via double hashing
+    (Kirsch–Mitzenmacher: ``h1 + i*h2``) over one blake2b digest — pure
+    Python/stdlib so the COMMIT-side bitmap builder (executor pandas
+    batches) and the READ-side probe (driver, manifest only) are the
+    same function, with no dependence on Spark's hash implementations
+    staying stable across versions. ``h2`` is forced odd so for
+    power-of-two ``m`` the stride cycles every residue."""
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_encode(kind: str, v) -> bytes:
+    """Canonical type-tagged bytes for a bloom member/probe. The tag
+    keeps an int's bytes from ever colliding with a string's; the kind
+    is taken from the COLUMN (recorded in the manifest entry), so an
+    equality literal of the other Python type is simply not probed
+    (see :func:`_bloom_may_match`) rather than mis-encoded."""
+    if kind == "n":
+        return b"i:%d" % int(v)
+    return b"s:" + str(v).encode("utf-8")
+
+
+def _bloom_kind(dtype) -> str | None:
+    """Spark column type → bloom kind marker: integral → ``n``, string
+    → ``s``, anything else → None (unsupported — equality point-lookups
+    on floats/timestamps go through the min/max stats path instead)."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return "n"
+    if isinstance(dtype, T.StringType):
+        return "s"
+    return None
+
+
+def _collect_file_blooms(
+    spark: SparkSession,
+    commit_abs_dir: str,
+    schema,
+    bloom_cols: list[str],
+    m: int,
+    k: int,
+) -> dict:
+    """Per-file bloom bitmaps for ``bloom_cols``, computed DISTRIBUTED:
+    a column-pruned re-read of only the commit's just-written files
+    (``_metadata.file_path`` tags rows with their file), partial
+    bitmaps OR-accumulated per input partition in Arrow-batched pandas
+    (``mapInPandas`` — no shuffle: partition-local partials, the final
+    OR-merge is driver-side over ``O(partitions × cols)`` 1 KiB rows).
+    Returns ``{file_basename: {col: bitmap bytes}}``.
+
+    This is the complement to :func:`_collect_file_stats`: min/max
+    footer stats prune RANGE predicates but are useless for equality
+    point-lookups on a high-cardinality column that is not sorted into
+    the file layout (every file's [min, max] spans the whole domain);
+    a 1 KiB-per-file bloom answers ``col = v`` with ~2% false
+    positives at 1k distinct values/file, so a 100 TB snapshot's point
+    lookup reads only the files that can hold the key. Cost is one
+    extra scan of the indexed columns at commit time — O(commit), never
+    O(table)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    kinds = {}
+    for c in bloom_cols:
+        field = {f.name: f for f in schema.fields}.get(c)
+        if field is None:
+            raise ValueError(
+                f"bloom_cols: {c!r} is not a column of the commit "
+                f"(columns: {[f.name for f in schema.fields]})"
+            )
+        kind = _bloom_kind(field.dataType)
+        if kind is None:
+            raise ValueError(
+                f"bloom_cols: {c!r} has type {field.dataType.simpleString()}"
+                " — bloom indexing supports integral and string columns"
+                " (point-lookup keys); use footer stats for the rest"
+            )
+        kinds[c] = kind
+
+    cols = list(bloom_cols)
+    nbytes = m // 8
+
+    def _partial(batches):
+        acc: dict = {}
+        for pdf in batches:
+            files = pdf["__bloom_file"]
+            for c in cols:
+                kind = kinds[c]
+                for f, v in zip(files, pdf[c]):
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    ba = acc.get((f, c))
+                    if ba is None:
+                        ba = acc[(f, c)] = bytearray(nbytes)
+                    for pos in _bloom_positions(
+                        _bloom_encode(kind, v), m, k
+                    ):
+                        ba[pos >> 3] |= 1 << (pos & 7)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "file": [f for f, _ in acc],
+                    "col": [c for _, c in acc],
+                    "bits": [bytes(b) for b in acc.values()],
+                }
+            )
+
+    partials = (
+        spark.read.parquet(commit_abs_dir)
+        .select(
+            *[F.col(c) for c in cols],
+            F.col("_metadata.file_path").alias("__bloom_file"),
+        )
+        .mapInPandas(_partial, "file string, col string, bits binary")
+        .collect()
+    )
+    out: dict = {}
+    for r in partials:
+        base = os.path.basename(r["file"])
+        ent = out.setdefault(base, {})
+        prev = ent.get(r["col"])
+        ent[r["col"]] = (
+            r["bits"]
+            if prev is None
+            else bytes(a | b for a, b in zip(prev, r["bits"]))
+        )
+    return out
+
+
 def commit_version(
     df: DataFrame,
     root: str,
@@ -231,6 +369,9 @@ def commit_version(
     batch_tag: str | None = None,
     expected_latest: int | None = None,
     collect_stats: bool = True,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_hashes: int = 6,
 ) -> dict:
     """Write ``df`` as a new snapshot of the zone.
 
@@ -249,6 +390,15 @@ def commit_version(
     never saw; raises ``ConcurrentCommitError`` on conflict. Returns
     {version, files_added, rows} (or {skipped_replay: True, ...} for a
     deduplicated replay).
+
+    ``bloom_cols`` additionally records a per-file BLOOM bitmap for the
+    named integral/string columns (``bloom_bits`` bits, ``bloom_hashes``
+    probes — defaults: 1 KiB/file/column, ~2% FP at 1k distinct
+    values/file), built distributed from the just-written files (see
+    :func:`_collect_file_blooms`) and carried forward on append exactly
+    like ``file_stats``. ``read_version_where`` / ``prune_report`` /
+    the ``zone_changes`` stream probe it on ``=`` predicates — the
+    point-lookup complement to min/max range skipping.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -296,6 +446,37 @@ def commit_version(
     added_stats = (
         _collect_file_stats(root, added) if collect_stats else {}
     )
+    added_blooms: dict = {}
+    if bloom_cols:
+        if bloom_bits % 8 or bloom_bits <= 0 or bloom_hashes <= 0:
+            raise ValueError(
+                "bloom_bits must be a positive multiple of 8 and "
+                f"bloom_hashes positive, got {bloom_bits}/{bloom_hashes}"
+            )
+        by_base = _collect_file_blooms(
+            df.sparkSession,
+            os.path.join(root, _DATA, commit_dir),
+            df.schema,
+            list(bloom_cols),
+            bloom_bits,
+            bloom_hashes,
+        )
+        import base64
+
+        for rel in added:
+            ent = by_base.get(os.path.basename(rel))
+            if ent:  # a file of all-NULL key values has nothing to index
+                added_blooms[rel] = {
+                    c: {
+                        "m": bloom_bits,
+                        "k": bloom_hashes,
+                        "kind": _bloom_kind(
+                            df.schema[c].dataType
+                        ),
+                        "b64": base64.b64encode(bits).decode("ascii"),
+                    }
+                    for c, bits in ent.items()
+                }
 
     for _ in range(max_retries):
         known = versions(root)
@@ -310,6 +491,7 @@ def commit_version(
         new_version = (known[-1] + 1) if known else 0
         files = list(added)
         file_stats = dict(added_stats)
+        file_blooms = dict(added_blooms)
         if mode == "append" and known:
             _check_append_schema(known[-1])
             prev_man = _read_manifest(root, known[-1])
@@ -324,16 +506,25 @@ def commit_version(
                     if f in prev_stats
                 }
             )
-        body = json.dumps(
-            {
-                "version": new_version,
-                "mode": mode,
-                "files": files,
-                "rows_added": rows,
-                "schema": cur_schema,
-                "file_stats": file_stats,
-            }
-        )
+            prev_blooms = prev_man.get("file_blooms", {})
+            file_blooms.update(
+                {
+                    f: prev_blooms[f]
+                    for f in prev_man["files"]
+                    if f in prev_blooms
+                }
+            )
+        body_dict = {
+            "version": new_version,
+            "mode": mode,
+            "files": files,
+            "rows_added": rows,
+            "schema": cur_schema,
+            "file_stats": file_stats,
+        }
+        if file_blooms:
+            body_dict["file_blooms"] = file_blooms
+        body = json.dumps(body_dict)
         # exactly one writer claims v<N> — the loser re-reads the NEW
         # latest and retries on top of it
         if not _atomic_claim(_manifest_path(root, new_version), body):
@@ -352,7 +543,9 @@ def commit_version(
     )
 
 
-def versioned_batch_writer(root: str, mode: str = "append"):
+def versioned_batch_writer(
+    root: str, mode: str = "append", bloom_cols: list[str] | None = None
+):
     """``foreachBatch`` hook committing every micro-batch as one zone
     version, exactly-once under streaming replay: the batch id is the
     commit's ``batch_tag``, so a restarted query re-delivering the last
@@ -371,7 +564,11 @@ def versioned_batch_writer(root: str, mode: str = "append"):
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         commit_version(
-            batch_df, root, mode=mode, batch_tag=f"stream-{batch_id}"
+            batch_df,
+            root,
+            mode=mode,
+            batch_tag=f"stream-{batch_id}",
+            bloom_cols=bloom_cols,
         )
 
     return _write
@@ -474,6 +671,43 @@ def _file_may_match(stats: dict | None, preds: list[tuple]) -> bool:
     return True
 
 
+def _bloom_may_match(blooms: dict | None, preds: list[tuple]) -> bool:
+    """False only when a file's recorded bloom bitmap PROVES an
+    equality predicate's key is absent (a bloom has no false
+    negatives). Non-equality ops, columns without a bloom, and
+    literals whose Python type does not match the recorded column
+    kind (int↔string — Spark would cast, the bitmap was built from the
+    column's own values) all keep the file: like the min/max path,
+    skipping is an optimization, never a correctness decision."""
+    if not blooms:
+        return True
+    import base64
+
+    for col, op, val in preds:
+        if op != "=":
+            continue
+        ent = blooms.get(col)
+        if not ent:
+            continue
+        if isinstance(val, bool):
+            continue
+        kind = ent.get("kind")
+        if kind == "n" and not isinstance(val, int):
+            continue
+        if kind == "s" and not isinstance(val, str):
+            continue
+        if kind not in ("n", "s"):
+            continue
+        bits = base64.b64decode(ent["b64"])
+        m, k = int(ent["m"]), int(ent["k"])
+        if len(bits) * 8 != m:
+            continue  # torn/foreign entry proves nothing
+        for pos in _bloom_positions(_bloom_encode(kind, val), m, k):
+            if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+    return True
+
+
 def _check_preds(predicates: list[tuple]) -> None:
     for p in predicates:
         if len(p) != 3 or p[1] not in _PRUNE_OPS:
@@ -499,10 +733,12 @@ def prune_report(
         raise ValueError(f"version {v} not in {known}")
     man = _read_manifest(root, v)
     stats = man.get("file_stats", {})
+    blooms = man.get("file_blooms", {})
     kept = [
         f
         for f in man["files"]
         if _file_may_match(stats.get(f), predicates)
+        and _bloom_may_match(blooms.get(f), predicates)
     ]
     return {
         "version": v,
@@ -533,7 +769,11 @@ def read_version_where(
     isoformat the stats were recorded in; float columns never prune on
     ``>``/``>=`` because Spark orders NaN above every recorded max).
     Comparison predicates never match NULL rows on either path, so
-    null-heavy files prune soundly too."""
+    null-heavy files prune soundly too. Files committed with
+    ``bloom_cols=`` are additionally probed on ``=`` predicates via
+    their recorded bloom bitmaps — the high-cardinality point-lookup
+    case where every file's [min, max] spans the whole domain and range
+    stats prune nothing."""
     from pyspark.sql import functions as F
 
     _check_preds(predicates)
@@ -545,10 +785,12 @@ def read_version_where(
         raise ValueError(f"version {v} not in {known}")
     man = _read_manifest(root, v)
     stats = man.get("file_stats", {})
+    blooms = man.get("file_blooms", {})
     kept = [
         f
         for f in man["files"]
         if _file_may_match(stats.get(f), predicates)
+        and _bloom_may_match(blooms.get(f), predicates)
     ]
     if not kept:
         df = _typed_empty(spark, man)

@@ -768,3 +768,56 @@ def test_zone_changes_where_nan_rows_match_spark_semantics(spark, tmp_path):
         r.x for r in spark.read.parquet(out).filter("k = 2").collect()
     ]
     assert len(nan_x) == 1 and math.isnan(nan_x[0])
+
+
+def test_zone_changes_bloom_prunes_point_lookup_files(spark, tmp_path):
+    """zone_changes consults the manifest's bloom sidecars too: on a
+    high-cardinality column whose per-file [min, max] all overlap (so
+    footer stats prove nothing), an equality `where` must still skip
+    the files that cannot hold the key. Proven the same way as the
+    stats test: CORRUPT every no-match file — if the bloom probe works
+    the stream never opens them."""
+    import json
+    import os
+
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone")
+    # file i holds ids ≡ i (mod 3): ranges all span ~[0, 300)
+    for i in range(3):
+        versioned.commit_version(
+            spark.range(i, 300, 3).toDF("k").coalesce(1),
+            root,
+            mode="append",
+            bloom_cols=["k"],
+        )
+
+    # k = 37 ≡ 1 (mod 3) lives only in commit 1's file — garble the rest
+    for v in (0, 2):
+        rel = [
+            f
+            for f in versioned._read_manifest(root, v)["files"]
+            if f not in (
+                versioned._read_manifest(root, v - 1)["files"] if v else []
+            )
+        ][0]
+        with open(os.path.join(root, rel), "wb") as f:
+            f.write(b"not parquet anymore")
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .option("where", json.dumps([["k", "=", 37]]))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r.k for r in spark.read.parquet(out).collect()] == [37]

@@ -677,3 +677,109 @@ def test_file_stats_survive_rollback_and_overwrite(spark, tmp_path):
     ] == [(0, 49)]
     rep = versioned.prune_report(root, [("id", ">=", 10)])
     assert rep["kept_files"] == 1
+
+
+def test_bloom_sidecar_prunes_point_lookups_stats_cannot(spark, tmp_path):
+    """Per-file bloom bitmaps (commit_version(bloom_cols=...)): on a
+    high-cardinality column NOT sorted into the file layout, every
+    file's [min, max] spans the whole domain — range stats prune
+    nothing — but the bloom proves which files can hold an equality
+    key. Pruned reads must equal the unpruned filter exactly."""
+    root = str(tmp_path / "zone_bloom")
+    # file i holds ids ≡ i (mod 4): min/max ranges all span ~[0, 400)
+    for i in range(4):
+        df = spark.range(i, 400, 4).select(
+            F.col("id"),
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            (F.col("id") % 7).cast("double").alias("v"),
+        )
+        versioned.commit_version(
+            df.coalesce(1), root, mode="append", bloom_cols=["id", "key"]
+        )
+
+    man = versioned._read_manifest(root, 3)
+    assert len(man["files"]) == 4
+    # every file (including carried-over ones) has both columns' blooms
+    for f in man["files"]:
+        ent = man["file_blooms"][f]
+        assert set(ent) == {"id", "key"}
+        assert ent["id"]["kind"] == "n" and ent["key"]["kind"] == "s"
+
+    # min/max alone keeps all 4 files for an interior key
+    stats_only = [
+        f
+        for f in man["files"]
+        if versioned._file_may_match(
+            man["file_stats"].get(f), [("id", "=", 37)]
+        )
+    ]
+    assert len(stats_only) == 4
+
+    # the bloom pins the one file whose residue class holds the key
+    rep = versioned.prune_report(root, [("id", "=", 37)])
+    assert rep["kept_files"] == 1 and rep["skipped_files"] == 3
+    got = versioned.read_version_where(spark, root, [("id", "=", 37)])
+    want = versioned.read_version(spark, root).filter(F.col("id") == 37)
+    assert sorted(r["key"] for r in got.collect()) == sorted(
+        r["key"] for r in want.collect()
+    ) == ["k37"]
+
+    # string column probe
+    rep = versioned.prune_report(root, [("key", "=", "k38")])
+    assert rep["kept_files"] == 1
+    got = versioned.read_version_where(spark, root, [("key", "=", "k38")])
+    assert [r["id"] for r in got.collect()] == [38]
+
+    # absent key: every file provably dead -> typed-empty zero-file read
+    rep = versioned.prune_report(root, [("id", "=", 123456)])
+    assert rep["kept_files"] == 0
+    empty = versioned.read_version_where(spark, root, [("id", "=", 123456)])
+    assert empty.count() == 0 and "key" in empty.columns
+
+    # a type-mismatched literal (string probe of the int column) proves
+    # nothing on either path — Spark would cast, the bitmap would not
+    rep = versioned.prune_report(root, [("id", "=", "37")])
+    assert rep["kept_files"] == 4
+
+    # non-equality ops never consult the bloom (range stats own those)
+    rep = versioned.prune_report(root, [("id", "<", 100)])
+    assert rep["kept_files"] == 4
+
+    # conjunction: bloom equality + range stat compose (AND of proofs)
+    rep = versioned.prune_report(root, [("id", "=", 37), ("v", "<=", 10.0)])
+    assert rep["kept_files"] == 1
+
+
+def test_bloom_cols_validation_and_null_keys(spark, tmp_path):
+    root = str(tmp_path / "zone_bloom_val")
+    df = _df(spark, 0, 10)
+    # unsupported dtype (double) and unknown column both refuse loudly
+    with pytest.raises(ValueError, match="integral and string"):
+        versioned.commit_version(
+            df.select(F.col("id"), F.col("v").cast("double").alias("v")),
+            root,
+            bloom_cols=["v"],
+        )
+    with pytest.raises(ValueError, match="not a column"):
+        versioned.commit_version(df, root, bloom_cols=["nope"])
+    with pytest.raises(ValueError, match="bloom_bits"):
+        versioned.commit_version(df, root, bloom_cols=["id"], bloom_bits=12)
+
+    # an all-NULL key file records no bitmap and is never pruned
+    # (absence keeps the file — skipping stays an optimization)
+    null_df = spark.range(5).select(
+        F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("string").alias("key"),
+    )
+    versioned.commit_version(
+        null_df.coalesce(1), root, mode="overwrite", bloom_cols=["id", "key"]
+    )
+    man = versioned._read_manifest(root, versioned.versions(root)[-1])
+    assert not man.get("file_blooms")
+    rep = versioned.prune_report(root, [("id", "=", 3)])
+    assert rep["kept_files"] == rep["total_files"] == 1
+    # equality never matches NULL rows, so the kept file yields nothing
+    assert (
+        versioned.read_version_where(spark, root, [("id", "=", 3)]).count()
+        == 0
+    )
