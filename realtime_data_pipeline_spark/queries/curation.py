@@ -277,6 +277,84 @@ WHERE g.split = 'eval'
 """
 
 
+def docs_contamination_check_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`docs_contamination_check` with the 100 TB join shape: the
+    TRAIN side (the corpus — the side that is huge in production) is
+    bloom-prefiltered against the eval split's gram set BEFORE its
+    distinct/join shuffles (`sketches.bloom_build`/`bloom_prefilter` —
+    1-row broadcast bitmap, k JVM-side bit tests inside the scan
+    stage), so the exchanges carry only candidate grams ≈ eval-sized
+    instead of the whole corpus vocabulary. A bloom has no false
+    negatives and the exact equi-join still follows, so the output is
+    IDENTICAL to the exact check — same oracle SQL, and the driver
+    hash-compares both. ``expected_items`` is a sizing knob, not a
+    correctness input: undersizing only raises the fp rate (fewer rows
+    dropped early)."""
+    from realtime_data_pipeline_spark import sketches
+
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    split = F.when(
+        F.substring(F.md5(F.col("text")), 1, 1) <= "c", F.lit("train")
+    ).otherwise(F.lit("eval"))
+    base = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("text"), 5), lambda g: F.xxhash64(g)
+            )
+        ).alias("grams"),
+    )
+    eval_grams = (
+        base.filter(F.col("split") == "eval")
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
+    bloom = sketches.bloom_build(
+        eval_grams, "g", expected_items=200_000, fpp=0.01
+    )
+    train_grams = (
+        sketches.bloom_prefilter(
+            base.filter(F.col("split") == "train").select(
+                F.explode("grams").alias("g")
+            ),
+            "g",
+            bloom,
+        )
+        .distinct()
+    )
+    hits = (
+        eval_grams.join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    eval_docs = base.filter(F.col("split") == "eval").select(
+        "doc_id", F.size("grams").alias("n_grams")
+    )
+    joined = eval_docs.join(hits, "doc_id", "left")
+    n_cont = F.coalesce(
+        F.col("n_contaminated_grams"), F.lit(0).cast("bigint")
+    )
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        n_cont.alias("n_contaminated_grams"),
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                n_cont / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("contamination"),
+    )
+
+
+# identical output by construction (the bloom is a conservative
+# pre-filter ahead of the same exact join) — same oracle
+DOCS_CONTAMINATION_CHECK_BLOOM_SQL = DOCS_CONTAMINATION_CHECK_SQL
+
+
 BOILER_N = 5
 BOILER_MIN_DF = 3
 
@@ -789,6 +867,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_strip_boilerplate": docs_strip_boilerplate,
     "docs_domain_cap": docs_domain_cap,
     "docs_bigram_surprisal": docs_bigram_surprisal,
+    "docs_contamination_check_bloom": docs_contamination_check_bloom,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
@@ -799,4 +878,5 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_strip_boilerplate": DOCS_STRIP_BOILERPLATE_SQL,
     "docs_domain_cap": DOCS_DOMAIN_CAP_SQL,
     "docs_bigram_surprisal": DOCS_BIGRAM_SURPRISAL_SQL,
+    "docs_contamination_check_bloom": DOCS_CONTAMINATION_CHECK_BLOOM_SQL,
 }

@@ -231,3 +231,156 @@ def histogram_quantile(hist: DataFrame, qs: list[float]) -> DataFrame:
             * F.lit(w)
         ).alias("estimate"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a plain DataFrame — a mergeable MEMBERSHIP sketch with
+# the same contract as the count-min above: no UDFs, no driver state in
+# the build, union+re-aggregate merge. The sketch IS a sparse
+# ``(word, bits)`` bitmap table: row ``(w, b)`` says "64-bit word w of
+# the bitmap has bits b set", with ``bit(key, i) = pmod(xxhash64(key,
+# seed=i), m)`` for i in 0..k-1. Its job is the scan-side JOIN
+# PRE-FILTER: when the probe side of an equi-join is too large to
+# broadcast-join outright but the BITMAP of its key set fits in a
+# broadcast (1 KiB per ~1k keys at 1% fp), :func:`bloom_prefilter`
+# drops non-candidate rows of the 100 TB side BEFORE any exchange —
+# no false negatives, so ``prefilter ∘ join ≡ join`` exactly while the
+# shuffle carries only candidates. The same trick Spark's internal
+# InjectRuntimeFilter plays for joins inside ONE query, made available
+# across pipeline stages (build once, persist the ≤ m/64-row table,
+# prefilter many later scans).
+# ---------------------------------------------------------------------------
+
+
+def _bloom_geometry(expected_items: int, fpp: float, max_bits: int):
+    """Standard sizing: ``m = -n ln p / (ln 2)^2``, ``k = (m/n) ln 2``,
+    m rounded up to a multiple of 64 and clamped to ``max_bits`` (the
+    prefilter materializes m/64 longs driver-side — the clamp bounds
+    that; past it the fp rate degrades but membership stays
+    conservative, never lossy)."""
+    import math
+
+    if expected_items <= 0:
+        raise ValueError("bloom_build: expected_items must be positive")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("bloom_build: fpp must be in (0, 1)")
+    m = int(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+    m = min(max(((m + 63) // 64) * 64, 64), max_bits)
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, min(k, 16)
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    max_bits: int = 1 << 26,
+) -> DataFrame:
+    """Membership sketch of ``col``'s value set: the sparse
+    ``(__word, __bits)`` bitmap table with the geometry stamped on
+    every row (``__m`` bits / ``__k`` probes), like the count-min's
+    depth/width. ``expected_items`` is an explicit sizing input (the
+    caller knows its key-set scale; no hidden counting job), ``fpp``
+    the target false-positive rate at that load.
+
+    Build shape: k-way seed explode → pmod(xxhash64(key, seed), m) →
+    one groupBy over (word = pos div 64) with a map-side-combined
+    ``bit_or`` — the shuffle carries at most m/64 rows per map
+    partition regardless of input cardinality. NULL keys are skipped:
+    equality never matches NULL, so a membership bit for one could only
+    manufacture false positives. Type discipline matches a join's: probe
+    with the SAME column type the sketch was built from (xxhash64 is
+    type-sensitive — a long and its string form hash differently)."""
+    m, k = _bloom_geometry(expected_items, fpp, max_bits)
+    pos = F.pmod(F.xxhash64(F.col("__key"), F.col("__seed")), F.lit(m))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(col).alias("__key"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(k)])
+            ).alias("__seed"),
+        )
+        .select(
+            F.floor(pos / F.lit(64)).alias("__word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(pos, F.lit(64)).cast("int"),
+            ).alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+        .select(
+            "__word",
+            "__bits",
+            F.lit(m).alias("__m"),
+            F.lit(k).alias("__k"),
+        )
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union + re-aggregate: bits OR, so ``bloom(A ∪ B) ==
+    merge(bloom(A), bloom(B))`` EXACTLY (tested) — the partial-merge
+    contract that lets per-day/per-stream sketches roll up. Geometry
+    rides the groupBy; mixed-geometry merges surface as mixed ``__m``
+    rows, which :func:`bloom_prefilter` rejects."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("__word", "__m", "__k").agg(
+        F.bit_or("__bits").alias("__bits")
+    )
+
+
+def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
+    """Rows of ``df`` whose ``col`` MAY be in the sketched set — the
+    scan-side pre-filter for a later equi-join/semi-join on ``col``:
+    no false negatives, so following it with the exact join returns
+    exactly the plain join's rows, while everything provably absent
+    (and every NULL key, which equality can never match) is dropped
+    before the first exchange.
+
+    Probe shape: the sparse table densifies into one ``array<long>``
+    row (bounded by m/64 — the build's ``max_bits`` cap exists for
+    this) attached via a 1-row broadcast; the k bit-tests are plain
+    ``xxhash64``/``getbit`` column expressions, JVM-side inside the
+    scan's codegen stage — no Python in the hot path. An EMPTY sketch
+    (built from an empty frame) proves every key absent and returns no
+    rows."""
+    geo = bloom.agg(
+        F.first("__m").alias("m"),
+        F.first("__k").alias("k"),
+        F.count_distinct("__m", "__k").alias("geoms"),
+    ).first()
+    if geo["geoms"] > 1:
+        raise ValueError(
+            "bloom_prefilter: sketch mixes geometries — it was merged "
+            "from sketches built with different m/k"
+        )
+    if geo["m"] is None:  # empty sketch: nothing can be a member
+        return df.filter(F.lit(False))
+    m, k = int(geo["m"]), int(geo["k"])
+    words = [0] * (m // 64)
+    for r in bloom.select("__word", "__bits").collect():
+        words[int(r["__word"])] = int(r["__bits"])
+    dense = df.sparkSession.createDataFrame(
+        [(words,)], "__bloom_words array<bigint>"
+    )
+    cond = F.col(col).isNotNull()
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m))
+        word = F.element_at(
+            F.col("__bloom_words"),
+            (F.floor(pos / F.lit(64)) + F.lit(1)).cast("int"),
+        )
+        cond = cond & (
+            F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
+        )
+    return (
+        df.crossJoin(F.broadcast(dense))
+        .filter(cond)
+        .drop("__bloom_words")
+    )

@@ -189,3 +189,93 @@ def test_sketch_partials_stream_and_merge_on_read(spark, tmp_path):
         for r in sketches.countmin_query(merged, probes, "key").collect()
     }
     assert est == {"a": 3, "c": 1, "z": 0}
+
+
+# --- bloom filter sketch ---------------------------------------------------
+
+
+def _keys(spark, vals, typ="long"):
+    return spark.createDataFrame([(v,) for v in vals], f"k {typ}")
+
+
+def test_bloom_merge_equals_bloom_of_union_exactly(spark):
+    a = _keys(spark, range(0, 500))
+    b = _keys(spark, range(300, 900))
+    merged = sketches.bloom_merge(
+        sketches.bloom_build(a, "k", expected_items=1000),
+        sketches.bloom_build(b, "k", expected_items=1000),
+    )
+    union = sketches.bloom_build(
+        a.unionByName(b), "k", expected_items=1000
+    )
+    rows = lambda df: sorted(
+        (r["__word"], r["__bits"], r["__m"], r["__k"])
+        for r in df.collect()
+    )
+    assert rows(merged) == rows(union)
+
+
+def test_bloom_prefilter_join_equivalence_and_pruning(spark):
+    # big side: 5000 keys; small side: 100 of them plus 50 foreign keys
+    big = _keys(spark, range(5000)).withColumn("v", F.col("k") * 2)
+    small = _keys(spark, list(range(0, 1000, 10)) + list(range(9000, 9050)))
+    bloom = sketches.bloom_build(small, "k", expected_items=200)
+    pre = sketches.bloom_prefilter(big, "k", bloom)
+    # no false negatives: prefilter + exact join == plain join
+    exact = sorted(
+        (r.k, r.v) for r in big.join(small.distinct(), "k").collect()
+    )
+    via_pre = sorted(
+        (r.k, r.v) for r in pre.join(small.distinct(), "k").collect()
+    )
+    assert via_pre == exact and len(exact) == 100
+    # and it actually prunes: kept ~ matches + fp, far below the 5000
+    kept = pre.count()
+    assert 100 <= kept < 500, kept
+
+
+def test_bloom_prefilter_string_keys_and_nulls(spark):
+    big = spark.createDataFrame(
+        [("a",), ("b",), ("zz",), (None,)], "k string"
+    )
+    small = spark.createDataFrame([("a",), (None,)], "k string")
+    bloom = sketches.bloom_build(small, "k", expected_items=10)
+    kept = {r.k for r in sketches.bloom_prefilter(big, "k", bloom).collect()}
+    # NULL keys never survive (equality can't match them) on either side
+    assert "a" in kept and None not in kept
+
+
+def test_bloom_prefilter_empty_sketch_and_geometry_guards(spark):
+    import pytest
+
+    big = _keys(spark, range(100))
+    empty = sketches.bloom_build(
+        big.filter(F.lit(False)), "k", expected_items=10
+    )
+    assert sketches.bloom_prefilter(big, "k", empty).count() == 0
+    mixed = sketches.bloom_merge(
+        sketches.bloom_build(big, "k", expected_items=10),
+        sketches.bloom_build(big, "k", expected_items=100000),
+    )
+    with pytest.raises(ValueError, match="mixes geometries"):
+        sketches.bloom_prefilter(big, "k", mixed)
+    with pytest.raises(ValueError, match="expected_items"):
+        sketches.bloom_build(big, "k", expected_items=0)
+    with pytest.raises(ValueError, match="fpp"):
+        sketches.bloom_build(big, "k", expected_items=10, fpp=1.5)
+
+
+def test_bloom_probe_is_jvm_side_broadcast(spark):
+    """The prefilter's hot path must be column expressions inside the
+    scan stage: a 1-row broadcast carrying the bitmap, xxhash64/getbit
+    bit tests, and NO Python evaluation node."""
+    big = _keys(spark, range(2000))
+    bloom = sketches.bloom_build(
+        _keys(spark, range(0, 100)), "k", expected_items=100
+    )
+    plan = (
+        sketches.bloom_prefilter(big, "k", bloom)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan, plan
+    assert "Broadcast" in plan, plan
