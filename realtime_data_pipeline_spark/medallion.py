@@ -692,6 +692,42 @@ def _holder_is_dead(holder: str) -> bool:
     return False
 
 
+def _reclaim_stale(lock: str, holder: str) -> None:
+    """Remove a provably-dead holder's lock file, serialized under a
+    persistent ``flock`` sidecar (``<lock>.reclaim``) so the
+    validate-then-unlink can never interleave between two waiters.
+
+    Without the guard there is a TOCTOU: waiter B re-reads the dead
+    record, waiter A unlinks the stale file and O_EXCL-acquires a fresh
+    lock, then B's unlink removes A's LIVE lock — two concurrent merge
+    holders, the exact lost-write race the lock exists to prevent. With
+    the guard, only one waiter at a time runs the re-read+unlink, and a
+    fresh acquirer cannot appear mid-section because O_EXCL acquisition
+    requires the stale file to be gone — which only happens inside the
+    guarded section. The sidecar is deliberately never unlinked: removing
+    a flock file reintroduces the race through inode aliasing (two
+    waiters flocking different inodes of the same path). It is a
+    zero-byte file beside the lock; harmless.
+    """
+    import fcntl
+
+    guard = lock + ".reclaim"
+    gfd = os.open(guard, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(gfd, fcntl.LOCK_EX)  # blocking: the section is tiny
+        try:
+            with open(lock) as f:
+                if f.read() == holder:
+                    os.unlink(lock)
+            # content mismatch -> a fresh holder replaced the file after
+            # we validated; leave it alone (the caller's retry will see
+            # the live pid and raise)
+        except FileNotFoundError:
+            pass  # another waiter already reclaimed it
+    finally:
+        os.close(gfd)  # releases the flock; the guard file persists
+
+
 @_contextlib.contextmanager
 def _merge_lock(target_path: str, op: str = "merge"):
     """O_EXCL advisory lock file beside the table (``<table>._merge_lock``
@@ -705,13 +741,13 @@ def _merge_lock(target_path: str, op: str = "merge"):
 
     Crashed holders are reclaimed: on conflict the recorded pid is probed
     with ``os.kill(pid, 0)`` and a PROVABLY-dead same-host holder's file
-    is removed and the acquire retried once. The unlink re-reads the file
-    first and only removes it when the content still matches the dead
-    holder we validated — two waiters racing over the same stale lock
-    cannot unlink each other's fresh acquisition (the loser's retry sees
-    the winner's live pid and raises). Liveness that can't be determined
-    (unreadable file, foreign-uid pid) keeps the old loud behavior: the
-    error carries the holder record for a manual decision."""
+    is removed and the acquire retried once. The removal runs through
+    :func:`_reclaim_stale` — a flock-serialized re-read+compare+unlink —
+    so two waiters racing over the same stale lock can never interleave
+    the check with the unlink and remove each other's fresh acquisition
+    (the round-8 TOCTOU). Liveness that can't be determined (unreadable
+    file, foreign-uid pid) keeps the old loud behavior: the error carries
+    the holder record for a manual decision."""
     import json
     import time
 
@@ -729,15 +765,7 @@ def _merge_lock(target_path: str, op: str = "merge"):
             except OSError:
                 holder = "<unreadable>"
             if attempt == 0 and _holder_is_dead(holder):
-                # reclaim only if the file still holds the SAME dead
-                # record we just validated (a fresh writer may have
-                # replaced it between our read and now)
-                try:
-                    with open(lock) as f:
-                        if f.read() == holder:
-                            os.unlink(lock)
-                except OSError:
-                    pass
+                _reclaim_stale(lock, holder)
                 continue
             raise ConcurrentMergeError(
                 f"{op}: {lock} exists — another merge is in flight "

@@ -200,10 +200,31 @@ _ROTATE_OUT_R8 = [
     "events_tumbling_5min",       # green r1-r7
 ]
 
+# ROUND-9 ROTATION — the OPERATORS.md round-9 queue: the banded
+# interval-join pair built late in round 8 (the large-large range-join
+# shape: order windows banded into fixed-width buckets so the join is an
+# equi-join on (band, key) with a residual range predicate — never a
+# broadcast theta product) and the bloom-prefiltered contamination twin
+# (identical output to the long-proven exact check, so its driver row
+# proves the bloom pre-filter operator end-to-end). Three incumbents
+# with 7+ consecutive green driver rounds rotate out, keeping their
+# pytest oracle hash checks shelved.
+_ROTATE_IN_R9 = [
+    "shipments_in_order_windows",      # banded interval×point join
+    "overlapping_order_windows",       # banded interval×interval join
+    "docs_contamination_check_bloom",  # bloom-prefiltered anti-join
+]
+_ROTATE_OUT_R9 = [
+    "dq_violation_counts",         # green r2-r8
+    "embedding_dims_norms",        # green r2-r8
+    "orders_status_priority_cube", # green r2-r8
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
     (_ROTATE_IN_R8, _ROTATE_OUT_R8),
+    (_ROTATE_IN_R9, _ROTATE_OUT_R9),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)

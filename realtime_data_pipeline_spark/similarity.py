@@ -56,8 +56,9 @@ def orthant_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     Vectors SHORTER than ``n_bits`` dimensions degrade gracefully instead
     of failing the job: ``try_element_at`` yields NULL past the end (where
     ANSI ``element_at`` raises INVALID_ARRAY_INDEX), and a NULL element —
-    missing or genuinely null — maps to bit 0, the same bucket as a
-    non-negative coordinate. Short/ragged vectors therefore coarsen into
+    missing or genuinely null — leaves bit ``i`` CLEARED (the ``>= 0``
+    CASE is not-true for NULL), the same bucket as a NEGATIVE
+    coordinate. Short/ragged vectors therefore coarsen into
     fewer effective buckets rather than erroring; corpora with meaningful
     dimension variance should bucket on ``min(dim)`` bits or a trained
     quantizer."""

@@ -894,9 +894,22 @@ def semdedup_ingest_batch(
     replay exclusion rides the ``batch_id`` partition column underneath.
     NULL-embedding rows can match nothing and pass through to silver
     unindexed. ``centroids=`` swaps in the trained quantizer — the
-    documented default for τ < 0.5 (LSH_RECALL.json)."""
+    documented default for τ < 0.5 (LSH_RECALL.json).
+
+    The corpus probe and the index write run under
+    :func:`medallion._merge_lock` on the index path — the lock
+    :func:`compact_semdedup_index` holds for its rename swap — so a
+    batch can never observe the compactor's between-renames window where
+    the index is briefly absent (which would silently skip corpus dedup
+    and admit duplicates); a compaction that crashed in that window is
+    repaired first via :func:`_recover_semdedup_swap`. A LIVE concurrent
+    compaction fails the batch loudly (``ConcurrentMergeError`` → the
+    stream retries the batch) instead of corrupting it."""
     from realtime_data_pipeline_spark import similarity as _sim
-    from realtime_data_pipeline_spark.medallion import _hive_partition_dirs
+    from realtime_data_pipeline_spark.medallion import (
+        _hive_partition_dirs,
+        _merge_lock,
+    )
 
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
@@ -922,69 +935,77 @@ def semdedup_ingest_batch(
             "__id",
             "left_anti",
         )
-        if os.path.exists(index_path):
-            buckets = [
-                r["__bucket"]
-                for r in kept_slim.select("__bucket").distinct().collect()
-            ]
-            index = None
-            dirs = _hive_partition_dirs(index_path, "bucket", buckets)
-            if dirs is not None:
-                existing = [d for _, d in dirs if os.path.isdir(d)]
-                if existing:
-                    index = (
-                        spark.read.option("basePath", index_path)
-                        .parquet(*existing)
-                    )
-            else:  # unprovable hive names (impossible for int buckets)
-                index = spark.read.parquet(index_path).filter(
-                    F.col("bucket").isin(buckets)
-                )
-            if index is not None:
-                index = index.filter(
-                    F.col("batch_id") != batch_id  # replay exclusion
-                ).select(
-                    F.col(id_col).alias("__id"),
-                    F.col("bucket").alias("__bucket"),
-                    F.col("vec").alias("__vec"),
-                    F.col("norm").alias("__norm"),
-                )
-                corpus_dups = (
-                    _sim._similar_pairs(
-                        index, F.broadcast(kept_slim), threshold
-                    )
-                    .select(F.col("__id_b").alias(id_col))
+        with _merge_lock(index_path, op="semdedup-ingest"):
+            _recover_semdedup_swap(index_path)
+            if os.path.exists(index_path):
+                buckets = [
+                    r["__bucket"]
+                    for r in kept_slim.select("__bucket")
                     .distinct()
-                )
-                batch_kept = batch_kept.join(
-                    corpus_dups, id_col, "left_anti"
-                )
-        fresh = batch_kept.localCheckpoint(eager=True)
+                    .collect()
+                ]
+                index = None
+                dirs = _hive_partition_dirs(index_path, "bucket", buckets)
+                if dirs is not None:
+                    existing = [d for _, d in dirs if os.path.isdir(d)]
+                    if existing:
+                        index = (
+                            spark.read.option("basePath", index_path)
+                            .parquet(*existing)
+                        )
+                else:  # unprovable hive names (impossible for int buckets)
+                    index = spark.read.parquet(index_path).filter(
+                        F.col("bucket").isin(buckets)
+                    )
+                if index is not None:
+                    index = index.filter(
+                        F.col("batch_id") != batch_id  # replay exclusion
+                    ).select(
+                        F.col(id_col).alias("__id"),
+                        F.col("bucket").alias("__bucket"),
+                        F.col("vec").alias("__vec"),
+                        F.col("norm").alias("__norm"),
+                    )
+                    corpus_dups = (
+                        _sim._similar_pairs(
+                            index, F.broadcast(kept_slim), threshold
+                        )
+                        .select(F.col("__id_b").alias(id_col))
+                        .distinct()
+                    )
+                    batch_kept = batch_kept.join(
+                        corpus_dups, id_col, "left_anti"
+                    )
+            fresh = batch_kept.localCheckpoint(eager=True)
 
-        def _bwrite(df: DataFrame, path: str, parts: list[str]) -> None:
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*parts)
-                .parquet(path)
+            def _bwrite(
+                df: DataFrame, path: str, parts: list[str]
+            ) -> None:
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*parts)
+                    .parquet(path)
+                )
+
+            _bwrite(
+                fresh.drop("__vec", "__bucket", "__norm").unionByName(
+                    null_vec
+                ),
+                silver_path,
+                ["batch_id"],
             )
-
-        _bwrite(
-            fresh.drop("__vec", "__bucket", "__norm").unionByName(null_vec),
-            silver_path,
-            ["batch_id"],
-        )
-        _bwrite(
-            fresh.select(
-                F.col(id_col),
-                F.col("__vec").alias("vec"),
-                F.col("__norm").alias("norm"),
-                F.col("__bucket").alias("bucket"),
-            ),
-            index_path,
-            ["bucket", "batch_id"],
-        )
+            _bwrite(
+                fresh.select(
+                    F.col(id_col),
+                    F.col("__vec").alias("vec"),
+                    F.col("__norm").alias("norm"),
+                    F.col("__bucket").alias("bucket"),
+                ),
+                index_path,
+                ["bucket", "batch_id"],
+            )
     finally:
         batch_df.unpersist()
 
@@ -1027,6 +1048,40 @@ def semdedup_ingest_stream(
     return writer.start()
 
 
+def _recover_semdedup_swap(index_path: str) -> None:
+    """Finish (or undo) a :func:`compact_semdedup_index` swap that
+    crashed between its two renames. The swap is index→old then
+    tmp→index; a crash in the gap leaves NO directory at ``index_path``
+    — and a stream batch that ran in that window would see the index as
+    absent and skip corpus dedup entirely, silently admitting
+    duplicates. Called under :func:`medallion._merge_lock` by both the
+    compactor and :func:`semdedup_ingest_batch`, so the index a batch
+    probes is always a complete snapshot: roll FORWARD when the
+    compacted tmp is complete (Spark's ``_SUCCESS`` marker), roll BACK
+    to the old layout otherwise, and clear dead leftovers once
+    ``index_path`` exists."""
+    import shutil
+
+    index_path = os.path.normpath(index_path)
+    tmp = f"{index_path}__compact_tmp"
+    old = f"{index_path}__compact_old"
+    if os.path.exists(index_path):
+        # normal state, or crash before the first rename / after the
+        # second: any leftover staging dirs are dead weight
+        for p in (tmp, old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        return
+    if os.path.exists(old):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, index_path)  # roll forward
+            shutil.rmtree(old)
+        else:
+            os.replace(old, index_path)  # roll back
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+
+
 def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
     """Maintenance for the streaming semantic-dedup index
     (:func:`semdedup_ingest_batch`'s ``bucket=M/batch_id=N`` layout): fold
@@ -1037,9 +1092,16 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
     merge-on-read growth :func:`compact_rollup` bounds for rollups.
 
     Kept-vector rows are immutable facts (no merge algebra — compaction
-    is a pure relayout), rewritten through a temp dir and a rename swap
-    (crash leaves old or new complete, never a mix). Run during a quiet
-    window AFTER the stream's checkpoint has committed the folded
+    is a pure relayout), rewritten through a temp dir and a rename swap.
+    The swap runs under :func:`medallion._merge_lock` on the index path
+    — the same lock :func:`semdedup_ingest_batch` takes around its probe
+    — so a stream batch can never observe the between-renames window
+    where ``index_path`` is briefly absent (it would have skipped corpus
+    dedup and admitted duplicates); and a crash inside the window is
+    repaired by :func:`_recover_semdedup_swap` (roll forward when the
+    compacted tmp carries ``_SUCCESS``, roll back otherwise) before the
+    next compaction or ingest batch touches the index. Run during a
+    quiet window AFTER the stream's checkpoint has committed the folded
     batches; even a hypothetical replay of a folded batch stays safe —
     its vectors now sit in ``batch_id=-1``, which the own-partition-
     EXCLUDING probe treats as prior corpus, so the replay computes zero
@@ -1047,6 +1109,8 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
 
     Returns before/after per-bucket batch-partition counts and rows."""
     import shutil
+
+    from realtime_data_pipeline_spark.medallion import _merge_lock
 
     index_path = os.path.normpath(index_path)
 
@@ -1063,29 +1127,29 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
                 )
         return n
 
-    before = batch_dirs(index_path)
-    folded = (
-        spark.read.parquet(index_path)
-        .drop("batch_id")
-        .withColumn("batch_id", F.lit(-1))
-        .repartition("bucket")
-    )
-    tmp = f"{index_path}__compact_tmp"
-    folded.write.mode("overwrite").partitionBy("bucket", "batch_id").parquet(
-        tmp
-    )
-    rows = spark.read.parquet(tmp).count()
-    old = f"{index_path}__compact_old"
-    if os.path.exists(old):
+    with _merge_lock(index_path, op="semdedup-compact"):
+        _recover_semdedup_swap(index_path)
+        before = batch_dirs(index_path)
+        folded = (
+            spark.read.parquet(index_path)
+            .drop("batch_id")
+            .withColumn("batch_id", F.lit(-1))
+            .repartition("bucket")
+        )
+        tmp = f"{index_path}__compact_tmp"
+        folded.write.mode("overwrite").partitionBy(
+            "bucket", "batch_id"
+        ).parquet(tmp)
+        rows = spark.read.parquet(tmp).count()
+        old = f"{index_path}__compact_old"
+        os.replace(index_path, old)
+        os.replace(tmp, index_path)
         shutil.rmtree(old)
-    os.replace(index_path, old)
-    os.replace(tmp, index_path)
-    shutil.rmtree(old)
-    return {
-        "batch_partitions_before": before,
-        "batch_partitions_after": batch_dirs(index_path),
-        "rows": rows,
-    }
+        return {
+            "batch_partitions_before": before,
+            "batch_partitions_after": batch_dirs(index_path),
+            "rows": rows,
+        }
 
 
 def dq_gated_stream(

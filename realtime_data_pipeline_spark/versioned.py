@@ -313,21 +313,27 @@ def _collect_file_blooms(
 
     cols = list(bloom_cols)
     nbytes = m // 8
+    tags = {c: (b"i:" if kinds[c] == "n" else b"s:") for c in cols}
 
     def _partial(batches):
         acc: dict = {}
         for pdf in batches:
             files = pdf["__bloom_file"]
             for c in cols:
-                kind = kinds[c]
+                tag = tags[c]
                 for f, v in zip(files, pdf[c]):
                     if v is None or (isinstance(v, float) and v != v):
                         continue
                     ba = acc.get((f, c))
                     if ba is None:
                         ba = acc[(f, c)] = bytearray(nbytes)
+                    # v is the SPARK-side string cast of the value —
+                    # `b"i:" + digits` is byte-identical to
+                    # _bloom_encode("n", int_literal)'s `b"i:%d"`, and
+                    # the probe side encodes through _bloom_encode, so
+                    # member and probe bytes agree exactly
                     for pos in _bloom_positions(
-                        _bloom_encode(kind, v), m, k
+                        tag + v.encode("utf-8"), m, k
                     ):
                         ba[pos >> 3] |= 1 << (pos & 7)
         if acc:
@@ -339,10 +345,18 @@ def _collect_file_blooms(
                 }
             )
 
+    # every bloom column travels to pandas as a STRING: an integral
+    # Arrow column that contains a NULL lands in pandas as float64, and
+    # float64 rounds int values above 2^53 before the encode sets bits —
+    # a later probe of the exact literal then finds its bits unset and
+    # the file is WRONGLY pruned (silent missing rows; the 'no false
+    # negatives' contract breaks). Spark's bigint→string cast is exact
+    # for the full int64 range and NULLs stay None in object arrays, so
+    # the member bytes match the probe's %d formatting digit-for-digit.
     partials = (
         spark.read.parquet(commit_abs_dir)
         .select(
-            *[F.col(c) for c in cols],
+            *[F.col(c).cast("string").alias(c) for c in cols],
             F.col("_metadata.file_path").alias("__bloom_file"),
         )
         .mapInPandas(_partial, "file string, col string, bits binary")

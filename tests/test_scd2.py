@@ -729,3 +729,65 @@ def test_crashed_holder_lock_is_reclaimed(spark, tmp_path):
         )
     assert os.path.exists(lock)
     os.unlink(lock)
+
+
+def test_reclaim_never_unlinks_a_fresh_live_lock(tmp_path):
+    """The round-8 TOCTOU regression: a waiter that validated a DEAD
+    holder must not unlink the lock if a fresh holder replaced the file
+    between the validation and the reclaim (the old check-then-unlink
+    let the stale re-read and the unlink interleave with a concurrent
+    reclaim + reacquire). _reclaim_stale re-checks content inside a
+    flock-serialized section and leaves a mismatching (live) record
+    untouched; concurrent reclaimers of the SAME stale record remove it
+    exactly once and never touch a successor."""
+    import json
+    import os
+    import threading
+
+    lock = str(tmp_path / "tbl") + "._merge_lock"
+    stale = json.dumps({"pid": 99999999, "ts": 0.0})
+    fresh = json.dumps({"pid": os.getpid(), "ts": 1.0})
+
+    # fresh holder replaced the file after validation -> must survive
+    with open(lock, "w") as f:
+        f.write(fresh)
+    medallion._reclaim_stale(lock, stale)
+    with open(lock) as f:
+        assert f.read() == fresh
+
+    # already reclaimed by someone else -> no error
+    os.unlink(lock)
+    medallion._reclaim_stale(lock, stale)
+    assert not os.path.exists(lock)
+
+    # N concurrent reclaimers of the same stale record: the file is
+    # removed exactly once; a successor written by the "winner" (the
+    # interleaving the old code corrupted) is never unlinked
+    with open(lock, "w") as f:
+        f.write(stale)
+    barrier = threading.Barrier(8)
+    reacquired = threading.Event()
+
+    def reclaim_then_acquire():
+        barrier.wait()
+        medallion._reclaim_stale(lock, stale)
+        # first thread to notice the gap plays the fresh acquirer
+        if not reacquired.is_set() and not os.path.exists(lock):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return
+            os.write(fd, fresh.encode())
+            os.close(fd)
+            reacquired.set()
+
+    threads = [
+        threading.Thread(target=reclaim_then_acquire) for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if reacquired.is_set():  # the fresh lock must have survived the pack
+        with open(lock) as f:
+            assert f.read() == fresh

@@ -1515,3 +1515,78 @@ def test_compact_semdedup_index_preserves_dedup_and_replay_safety(
     # compacting twice composes
     streaming.compact_semdedup_index(spark, idx)
     assert idx_ids() == ids0 | {11}
+
+
+def test_semdedup_compaction_crash_window_is_repaired_and_locked(
+    spark, tmp_path
+):
+    """Round-8 ADVICE regression: a crash between compact_semdedup_index's
+    two renames used to leave NO index at index_path (it sat at
+    __compact_old), and a stream batch running in that window saw the
+    index as absent and skipped corpus dedup — silently admitting
+    duplicates. Now (a) the swap and the ingest probe share
+    medallion._merge_lock so the window is unobservable, and (b)
+    _recover_semdedup_swap repairs a crashed swap — roll FORWARD when
+    the compacted tmp is complete (_SUCCESS), roll BACK otherwise —
+    before the next ingest batch probes."""
+    import os
+    import shutil
+
+    import pytest
+
+    from realtime_data_pipeline_spark import medallion
+
+    schema = "vec_id long, embedding array<double>"
+    idx = str(tmp_path / "crash_idx")
+    silver = str(tmp_path / "crash_silver")
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 1.0, 0.0, 0.0]), (2, [-1.0, 0.0, 0.0, 0.0])], schema
+    )
+    streaming.semdedup_ingest_batch(
+        b0, 0, idx, silver, "vec_id", "embedding", threshold=0.9, n_bits=2
+    )
+
+    def idx_ids():
+        return {r["vec_id"] for r in spark.read.parquet(idx).collect()}
+
+    ids0 = idx_ids()
+
+    # simulate a crash BETWEEN the two renames: tmp complete, index gone
+    tmp, old = idx + "__compact_tmp", idx + "__compact_old"
+    shutil.copytree(idx, tmp)  # compacted-enough stand-in
+    # compact's plain overwrite write emits _SUCCESS (the ingest path's
+    # dynamic overwrite does not) — stamp it as that writer would
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    os.replace(idx, old)
+    assert not os.path.exists(idx)
+
+    # an ingest batch in the crash window must NOT skip corpus dedup:
+    # recovery rolls the swap forward, so the near-dup of id 1 drops
+    dup = spark.createDataFrame([(10, [1.01, 0.99, 0.0, 0.0])], schema)
+    streaming.semdedup_ingest_batch(
+        dup, 1, idx, silver, "vec_id", "embedding", threshold=0.9, n_bits=2
+    )
+    assert idx_ids() == ids0  # 10 was a corpus dup — not admitted
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+
+    # crash with an INCOMPLETE tmp (no _SUCCESS): recovery rolls back
+    shutil.copytree(idx, tmp)
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.remove(os.path.join(tmp, "_SUCCESS"))
+    os.replace(idx, old)
+    streaming._recover_semdedup_swap(idx)
+    assert idx_ids() == ids0 and not os.path.exists(tmp)
+
+    # a LIVE concurrent compaction makes the batch fail loudly instead
+    # of proceeding unprotected
+    with medallion._merge_lock(idx, op="semdedup-compact"):
+        with pytest.raises(medallion.ConcurrentMergeError, match="in flight"):
+            streaming.semdedup_ingest_batch(
+                dup, 2, idx, silver, "vec_id", "embedding",
+                threshold=0.9, n_bits=2,
+            )
+
+    # and compaction still composes end-to-end under its lock
+    m = streaming.compact_semdedup_index(spark, idx)
+    assert m["batch_partitions_after"] <= m["batch_partitions_before"]
+    assert idx_ids() == ids0

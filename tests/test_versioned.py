@@ -783,3 +783,48 @@ def test_bloom_cols_validation_and_null_keys(spark, tmp_path):
         versioned.read_version_where(spark, root, [("id", "=", 3)]).count()
         == 0
     )
+
+
+def test_bloom_int64_above_2p53_with_nulls_not_falsely_pruned(
+    spark, tmp_path
+):
+    """Round-8 ADVICE regression: an integral bloom column that contains
+    a NULL used to reach the pandas encoder as float64, rounding values
+    above 2^53 before their bits were set — a probe of the exact int
+    literal then found the bits UNSET and wrongly pruned the file
+    (silent missing rows). The builder now casts to string Spark-side
+    (exact across the full int64 range), so the no-false-negatives
+    contract holds: every present key is found, file-skipping included.
+    """
+    root = str(tmp_path / "zone_bloom_i64")
+    # 2^53 + 1 is the first int float64 cannot represent; also test the
+    # int64 extremes and a neighbor pair that float64 collapses
+    big = [
+        2**53 + 1,
+        2**53 + 3,
+        2**62 + 12345,
+        -(2**61 + 7),
+        2**63 - 1,
+        -(2**63),
+    ]
+    rows = [(v, f"k{i}") for i, v in enumerate(big)] + [(None, "knull")]
+    df = spark.createDataFrame(rows, "id long, key string")
+    # several files so pruning is actually exercised
+    versioned.commit_version(
+        df.repartition(4), root, mode="overwrite", bloom_cols=["id"]
+    )
+    man = versioned._read_manifest(root, versioned.versions(root)[-1])
+    assert man.get("file_blooms")  # bitmaps recorded despite the NULL
+    for v in big:
+        got = versioned.read_version_where(
+            spark, root, [("id", "=", v)]
+        ).collect()
+        assert [r["id"] for r in got] == [v], f"lost key {v}"
+    # the float64-collapsed neighbor must NOT alias: 2^53+2 is absent
+    # and distinct from both present neighbors
+    assert (
+        versioned.read_version_where(
+            spark, root, [("id", "=", 2**53 + 2)]
+        ).count()
+        == 0
+    )
