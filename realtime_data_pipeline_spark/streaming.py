@@ -463,15 +463,35 @@ def interval_join_stream(
     right_ts: str,
     max_delay: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval
+    """Stream-stream join bounded by an event-time interval
     (``left_ts - max_delay <= right_ts <= left_ts``) — the streaming
     counterpart of the batch as-of/interval join (J5). Both watermarks plus
     the time-bound condition let Spark evict join state: right rows older
     than ``watermark + max_delay`` below the left watermark can never match
     again and are dropped. Column names must be disjoint apart from the
     keys (rename upstream). Works identically on batch frames (watermarks
-    skipped) — that twin is what tests compare against."""
+    skipped) — that twin is what tests compare against.
+
+    ``how`` extends the inner default to the watermarked OUTER family
+    (``left_outer`` / ``right_outer`` / ``full_outer``) and ``left_semi``
+    — the same state-eviction bound makes the null-padded rows emittable:
+    an unmatched left row is released (padded with right-side NULLs) once
+    the watermark has passed the last event time that could still match
+    it, i.e. on a LATER trigger, never within the row's own micro-batch.
+    Batch twins are exact: the same join type over the same files (with
+    watermarks skipped) yields the same row set — only the streaming
+    emission TIME differs, which is the contract tests pin by driving a
+    final watermark-advancing batch through the source."""
+    allowed = {
+        "inner", "left_outer", "right_outer", "full_outer", "left_semi"
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"interval_join_stream: how={how!r} — supported stream-stream "
+            f"join types: {sorted(allowed)}"
+        )
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
@@ -481,7 +501,7 @@ def interval_join_stream(
         & (right[right_ts] <= left[left_ts])
         & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {max_delay}"))
     )
-    return left.join(right, cond, "inner")
+    return left.join(right, cond, how)
 
 
 def curation_stage(

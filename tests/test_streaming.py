@@ -1590,3 +1590,84 @@ def test_semdedup_compaction_crash_window_is_repaired_and_locked(
     m = streaming.compact_semdedup_index(spark, idx)
     assert m["batch_partitions_after"] <= m["batch_partitions_before"]
     assert idx_ids() == ids0
+
+
+def test_stream_stream_outer_interval_join_emits_unmatched(
+    spark, tmp_path
+):
+    """Watermarked stream-stream LEFT OUTER interval join: matched pairs
+    emit like the inner join; an unmatched left row is released with
+    right-side NULLs only after the watermark passes its last possible
+    match time (driven here by a far-future flush batch). The row SET
+    equals the batch twin's on the same files; full_outer additionally
+    releases the unmatched right rows; an unsupported join type refuses
+    loudly."""
+    import pytest
+
+    clicks = [
+        [(1, "2024-01-01 10:00:00", 1, 0.0),
+         (2, "2024-01-01 10:08:00", 1, 0.0),
+         (3, "2024-01-01 10:30:00", 2, 0.0)],
+        # flush: advances the clicks watermark far past every join window
+        [(99, "2024-01-02 00:00:00", 9, 0.0)],
+    ]
+    purchases = [
+        [(101, "2024-01-01 09:55:00", 1, 50.0),
+         (102, "2024-01-01 10:29:00", 2, 70.0),
+         (103, "2024-01-01 11:00:00", 2, 90.0)],
+        [(199, "2024-01-02 00:00:00", 9, 0.0)],
+    ]
+    c_inbox = write_inbox(tmp_path / "c", clicks)
+    p_inbox = write_inbox(tmp_path / "p", purchases)
+
+    def prep(cdf, pdf_, how):
+        c = cdf.select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("cuser"),
+        )
+        p = pdf_.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("puser"),
+        )
+        return streaming.interval_join_stream(
+            c, p, "cuser", "puser", "click_ts", "purchase_ts",
+            "10 minutes", how=how,
+        ).select("click_id", "purchase_id")
+
+    read = lambda path: (
+        spark.read.schema(SCHEMA).option("header", "true").csv(path)
+    )
+
+    for how, extra in (
+        ("left_outer", set()),
+        ("full_outer", {(None, 103)}),
+    ):
+        got_stream = prep(
+            streaming.read_file_stream(spark, c_inbox, SCHEMA),
+            streaming.read_file_stream(spark, p_inbox, SCHEMA),
+            how,
+        )
+        name = f"ssoj_{how}"
+        q = streaming.memory_sink(got_stream, name, output_mode="append")
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.table(name).collect()
+        }
+        want = {
+            (r.click_id, r.purchase_id)
+            for r in prep(read(c_inbox), read(p_inbox), how).collect()
+        }
+        assert got == want
+        # click 2 (no purchase within 10min) surfaces with a NULL right
+        assert {(1, 101), (3, 102), (2, None), (99, 199)} <= got, how
+        assert extra <= got, how
+
+    with pytest.raises(ValueError, match="join types"):
+        streaming.interval_join_stream(
+            read(c_inbox), read(p_inbox), "user_id", "user_id",
+            "ts", "ts", how="cross",
+        )
