@@ -351,14 +351,14 @@ def main(argv: list[str] | None = None) -> int:
 
     ptt = sub.add_parser(
         "timetravel",
-        help="versioned-zone maintenance: log / show / changes / compact "
-        "/ rollback / vacuum / prune",
+        help="versioned-zone maintenance: log / show / changes / diff "
+        "/ compact / rollback / vacuum / prune",
     )
     ptt.add_argument(
         "action",
         choices=[
-            "log", "show", "changes", "compact", "rollback", "vacuum",
-            "prune",
+            "log", "show", "changes", "diff", "compact", "rollback",
+            "vacuum", "prune",
         ],
     )
     ptt.add_argument("--root", required=True, help="versioned zone root")
@@ -370,7 +370,14 @@ def main(argv: list[str] | None = None) -> int:
         "--minimal", action="store_true",
         help="changes: row-level delta for overwrite commits",
     )
-    ptt.add_argument("--to", type=int, default=None, help="rollback target version")
+    ptt.add_argument(
+        "--to", type=int, default=None,
+        help="rollback target version; diff: the span's right endpoint",
+    )
+    ptt.add_argument(
+        "--from", dest="from_version", type=int, default=None,
+        help="diff: the span's left endpoint",
+    )
     ptt.add_argument("--keep-last", type=int, default=2, help="vacuum retention")
     ptt.add_argument(
         "--min-age-sec", type=float, default=600.0,
@@ -461,7 +468,7 @@ def main(argv: list[str] | None = None) -> int:
     # skip the multi-second JVM/session startup for them (show/changes/
     # compact run queries and fall through to the session path)
     if args.cmd == "timetravel" and args.action not in (
-        "show", "changes", "compact"
+        "show", "changes", "diff", "compact"
     ):
         import json as _json
 
@@ -560,6 +567,14 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("timetravel changes: --version is required")
             versioned.changes(
                 spark, args.root, args.version, minimal=args.minimal
+            ).show(args.limit, truncate=False)
+        elif args.action == "diff":
+            if args.from_version is None or args.to is None:
+                raise SystemExit(
+                    "timetravel diff: --from and --to are required"
+                )
+            versioned.diff_versions(
+                spark, args.root, args.from_version, args.to
             ).show(args.limit, truncate=False)
         else:
             if args.where:

@@ -897,6 +897,68 @@ def changes(
     )
 
 
+def diff_versions(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Row-level MULTISET diff between two snapshots of the zone, any
+    span apart: the rows to apply to move ``v_from``'s snapshot to
+    ``v_to``'s, tagged ``_change_type`` (insert | delete). The
+    audit/reconciliation complement to :func:`changes` /
+    :func:`changes_since` — those replay every commit in the range
+    (delete+insert pairs for each intermediate overwrite), this answers
+    "what is the NET difference between Monday and Friday" in one step.
+
+    Scale shape — shared files cancel BEFORE any read: a file present in
+    both manifests contributes identical rows to both sides of the
+    multiset difference, so the diff only ever reads and shuffles the
+    files unique to each side. On an append-only history that is exactly
+    the appended files (and the delete side is empty, so the insert side
+    returns with ZERO shuffle — no ``exceptAll`` is even planned); after
+    a pure re-layout compaction both sides still cancel row-for-row and
+    the result is empty without scanning untouched data. Only rewritten
+    files pay the two ``exceptAll`` shuffles, and only over their own
+    rows — never O(zone).
+
+    A schema change between the versions makes row-level diffing
+    meaningless (every row differs); like :func:`changes`, the result is
+    the full logical swap — ``v_to`` rows as inserts, ``v_from`` rows as
+    deletes, NULL-padded to the union schema. Raises if either manifest
+    was vacuumed (the diff vs a destroyed snapshot is unknowable)."""
+    from pyspark.sql import functions as F
+
+    known = versions(root)
+    for v in (v_from, v_to):
+        if v not in known:
+            raise ValueError(f"version {v} not in {known}")
+    man_from = _read_manifest(root, v_from)
+    man_to = _read_manifest(root, v_to)
+
+    def _read(paths: list[str], manifest: dict) -> DataFrame:
+        if not paths:
+            return _typed_empty(spark, manifest)
+        return spark.read.parquet(*[os.path.join(root, p) for p in paths])
+
+    def _tag(df: DataFrame, kind: str) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind))
+
+    if man_from.get("schema") != man_to.get("schema"):
+        ins = _tag(_read(man_to["files"], man_to), "insert")
+        del_ = _tag(_read(man_from["files"], man_from), "delete")
+        return ins.unionByName(del_, allowMissingColumns=True)
+
+    from_files, to_files = set(man_from["files"]), set(man_to["files"])
+    only_to = [p for p in man_to["files"] if p not in from_files]
+    only_from = [p for p in man_from["files"] if p not in to_files]
+    ins = _read(only_to, man_to)
+    del_ = _read(only_from, man_from)
+    if only_to and only_from:
+        return _tag(ins.exceptAll(del_), "insert").unionByName(
+            _tag(del_.exceptAll(ins), "delete")
+        )
+    # one side empty: nothing can cancel — emit directly, zero shuffle
+    return _tag(ins, "insert").unionByName(_tag(del_, "delete"))
+
+
 def changes_since(
     spark: SparkSession, root: str, after_version: int
 ) -> DataFrame:

@@ -982,3 +982,29 @@ def test_cli_rollup_histogram_quantiles(spark, tmp_path, capsys):
     # 20 uniform values in [0,20): p50 within one bin width (0.5) of 9
     assert abs(row["approx_p50"] - 9.0) <= 0.5 + 1e-9
     assert row["approx_p95"] >= row["approx_p50"]
+
+
+def test_cli_timetravel_diff_prints_net_delta(spark, tmp_path, capsys):
+    """`timetravel diff --from A --to B` prints the net row-level delta
+    between two snapshots (versioned.diff_versions through the CLI)."""
+    from realtime_data_pipeline_spark import cli, versioned
+
+    root = str(tmp_path / "zone")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    versioned.commit_version(d([(1, "a")]), root)                 # v0
+    versioned.commit_version(d([(2, "b")]), root, mode="append")  # v1
+    assert (
+        cli.main(
+            ["timetravel", "diff", "--root", root, "--from", "0",
+             "--to", "1"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "insert" in out and "2" in out and "delete" not in out.split(
+        "_change_type"
+    )[-1].replace("insert", "")
+    import pytest
+
+    with pytest.raises(SystemExit, match="--from and --to"):
+        cli.main(["timetravel", "diff", "--root", root])

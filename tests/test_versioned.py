@@ -828,3 +828,71 @@ def test_bloom_int64_above_2p53_with_nulls_not_falsely_pruned(
         ).count()
         == 0
     )
+
+
+def test_diff_versions_net_delta_with_shared_file_cancellation(
+    spark, tmp_path
+):
+    """diff_versions answers the NET cross-span question in one step:
+    appends surface as inserts only, an overwrite surfaces the true
+    row-level delta, a pure re-layout compaction diffs EMPTY, shared
+    files cancel at the manifest (file) level before any read, a
+    schema-evolving span falls back to the full NULL-padded swap, and
+    the identity diff is empty."""
+    root = str(tmp_path / "zone_diff")
+    d = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+
+    versioned.commit_version(d([(1, "a"), (2, "b")]), root)           # v0
+    versioned.commit_version(d([(3, "c")]), root, mode="append")      # v1
+    versioned.commit_version(d([(4, "d")]), root, mode="append")      # v2
+
+    def delta(vf, vt):
+        return {
+            (r.k, r.v, r._change_type)
+            for r in versioned.diff_versions(spark, root, vf, vt).collect()
+        }
+
+    # append-only span: net inserts, no deletes
+    assert delta(0, 2) == {(3, "c", "insert"), (4, "d", "insert")}
+    # reverse span: the same rows as deletes
+    assert delta(2, 0) == {(3, "c", "delete"), (4, "d", "delete")}
+    # identity: empty
+    assert delta(1, 1) == set()
+
+    # zero-shuffle contract on the append-only span: no exceptAll planned
+    plan = versioned.diff_versions(
+        spark, root, 0, 2
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Except" not in plan
+
+    # overwrite replacing part of the zone: net row-level delta
+    versioned.commit_version(
+        d([(1, "a"), (3, "c"), (9, "z")]), root, mode="overwrite"
+    )                                                                  # v3
+    assert delta(2, 3) == {
+        (9, "z", "insert"),
+        (2, "b", "delete"),
+        (4, "d", "delete"),
+    }
+
+    # pure re-layout (compaction): all rows rewritten into new files,
+    # yet the multiset diff is empty
+    versioned.compact_snapshot(spark, root, target_partitions=1)           # v4
+    assert delta(3, 4) == set()
+
+    # schema change across the span: full swap, NULL-padded
+    versioned.commit_version(
+        spark.createDataFrame([(7, "q", 1.5)], "k long, v string, w double"),
+        root,
+        mode="overwrite",
+    )                                                                  # v5
+    rows = versioned.diff_versions(spark, root, 4, 5).collect()
+    ins = {(r.k, r.v, r.w) for r in rows if r._change_type == "insert"}
+    dels = {(r.k, r.v, r.w) for r in rows if r._change_type == "delete"}
+    assert ins == {(7, "q", 1.5)}
+    assert dels == {(1, "a", None), (3, "c", None), (9, "z", None)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in"):
+        versioned.diff_versions(spark, root, 0, 99)
