@@ -685,6 +685,76 @@ ORDER BY shard, shard_pos
 """
 
 
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for a training run: every document gets a
+    ``stage`` (0 = high quality first, 2 = low last — the
+    easy-clean-data-first schedule), a deterministic ``shard`` within
+    its stage, and a within-shard position, so a trainer consumes
+    stages in order and shards in parallel while the whole ordering
+    stays a pure function of the corpus (re-runs, engines, and
+    partition layouts all agree — same discipline as
+    :func:`docs_shuffle_shards`, which this composes with the
+    quality-band gate of ``docs_curated_trainset``).
+
+    Scale shape: NO global sort anywhere — the only exchange is the
+    window shuffle on (stage, shard), 48 bounded partitions whose
+    sizes are ~corpus/48; the final orderBy is presentation-only
+    (TakeOrderedAndProject under a driver collect, range-partitioned
+    write in production). Quality banding is per-row JVM expressions
+    (one scan, no join)."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    t = F.col("text")
+    band = text.quality_band(t)
+    stage = (
+        F.when(band == "high", 0).when(band == "medium", 1).otherwise(2)
+    )
+    h = F.md5(
+        F.concat_ws("\x1f", F.lit("cur7"), F.col("doc_id").cast("string"))
+    )
+    staged = docs.select(
+        "doc_id",
+        stage.cast("int").alias("stage"),
+        F.substring(h, 1, 1).alias("shard"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("__h", "doc_id")
+    return (
+        staged.withColumn(
+            "shard_pos", F.row_number().over(w).cast("bigint")
+        )
+        .select("doc_id", "stage", "shard", "shard_pos")
+        .orderBy("stage", "shard", "shard_pos")
+    )
+
+
+DOCS_CURRICULUM_ORDER_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         md5('cur7' || chr(31) || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), s AS (
+  SELECT doc_id, hh,
+         CASE
+           WHEN len(toks) >= 50
+                AND len(list_distinct(toks)) / len(toks) > 0.3 THEN 0
+           WHEN len(toks) >= 10
+                AND len(list_distinct(toks)) / len(toks) > 0.15 THEN 1
+           ELSE 2
+         END AS stage
+  FROM f
+)
+SELECT doc_id, CAST(stage AS INTEGER) AS stage,
+       substr(hh, 1, 1) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY stage, substr(hh, 1, 1) ORDER BY hh, doc_id
+       ) AS BIGINT) AS shard_pos
+FROM s
+ORDER BY stage, shard, shard_pos
+"""
+
+
 BATCH_SIZE = 32
 
 
@@ -801,6 +871,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_rag_chunks": docs_rag_chunks,
     "docs_shuffle_shards": docs_shuffle_shards,
     "docs_length_batches": docs_length_batches,
+    "docs_curriculum_order": docs_curriculum_order,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
@@ -813,6 +884,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_rag_chunks": DOCS_RAG_CHUNKS_SQL,
     "docs_shuffle_shards": DOCS_SHUFFLE_SHARDS_SQL,
     "docs_length_batches": DOCS_LENGTH_BATCHES_SQL,
+    "docs_curriculum_order": DOCS_CURRICULUM_ORDER_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
