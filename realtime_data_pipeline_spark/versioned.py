@@ -999,6 +999,47 @@ def changes_since(
     return out
 
 
+def external_reader_sql(
+    root: str, version: int | None = None, table_alias: str | None = None
+) -> str:
+    """SQL that any parquet-reading engine (DuckDB, Trino, ...) can run
+    to read one pinned snapshot of the zone — the open-format proof: a
+    versioned zone is plain parquet files plus JSON manifests, so an
+    external reader resolves the manifest exactly like
+    :func:`read_version` does and gets the same snapshot ISOLATION for
+    free (the emitted file list is pinned; commits that land later
+    cannot change what the statement reads, and ``vacuum`` never deletes
+    files a kept manifest references).
+
+    Returns ``SELECT * FROM read_parquet([...])`` (DuckDB's list form,
+    also valid Trino/Athena with minor dialect changes); with
+    ``table_alias`` the statement becomes a CREATE VIEW. Empty snapshots
+    (an empty micro-batch commit) have no files to read — refused with
+    the schema in the message, since ``read_parquet([])`` cannot be
+    typed externally."""
+    known = versions(root)
+    if not known:
+        raise ValueError(f"no committed versions under {root!r}")
+    v = known[-1] if version is None else version
+    if v not in known:
+        raise ValueError(f"version {v} not in {known}")
+    man = _read_manifest(root, v)
+    if not man["files"]:
+        raise ValueError(
+            f"version {v} is an empty snapshot (schema "
+            f"{man.get('schema')!r}) — nothing for an external reader "
+            "to open; materialize an empty frame from the schema instead"
+        )
+    paths = ", ".join(
+        "'" + os.path.abspath(os.path.join(root, p)).replace("'", "''") + "'"
+        for p in man["files"]
+    )
+    select = f"SELECT * FROM read_parquet([{paths}])"
+    if table_alias:
+        return f"CREATE OR REPLACE VIEW {table_alias} AS {select}"
+    return select
+
+
 def rollback(root: str, to_version: int, max_retries: int = 10) -> dict:
     """Publish ``to_version``'s exact file list (and schema — keeping
     the append guard armed) as a NEW version — non-destructive undo: the
