@@ -38,6 +38,8 @@ HEADLINE = [
     # joins (broadcast-dim chain over the fact table)
     "revenue_per_nation",
     "shipping_priority_q3",
+    # banded interval join — the large-large range join, declared r9
+    "shipments_in_order_windows",
     # windows / dedup
     "events_keep_latest_per_user",
     "events_tumbling_5min",
