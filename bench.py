@@ -1296,6 +1296,72 @@ def scale_ramp(factor: int = 10) -> None:
             file=sys.stderr,
         )
 
+        # Banded interval join (declared r9): shipments side ramps,
+        # windows side stays fixed — the dim-like shape. Ramping BOTH
+        # sides would square the match count by fixture construction
+        # (every key-offset copy shares the same 7-year date span, so
+        # copy i's windows match copy j's shipments for all i,j) — a
+        # structural artifact of the ramp, not a property of the
+        # operator; at 100 TB windows are per-entity-scoped and the
+        # match volume is bounded by band fan-out, not corpus².
+        from realtime_data_pipeline_spark import ops as _ops
+
+        bij_times = {}
+        base_orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+        bij_windows = (
+            base_orders.filter(F.col("o_orderkey") % 1000 == 0)
+            .select(
+                F.col("o_orderkey").alias("window_id"),
+                F.col("o_orderdate").alias("w_start"),
+                (
+                    F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")
+                ).alias("w_end"),
+            )
+            .persist()
+        )
+        bij_windows.count()
+        for label, d in (("base", base_dir), ("ramp", ramp_dir)):
+            li_side = spark.read.parquet(f"{d}/lineitem.parquet").select(
+                "l_shipdate", "l_quantity"
+            )
+
+            def bij_once(li_side=li_side) -> float:
+                t0 = time.perf_counter()
+                (
+                    _ops.banded_interval_join(
+                        li_side,
+                        bij_windows,
+                        "l_shipdate",
+                        "w_start",
+                        "w_end",
+                        band_seconds=14 * 86400,
+                    )
+                    .groupBy("window_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                return time.perf_counter() - t0
+
+            bij_once()  # warm
+            bij_times[label] = _bench_timed(
+                f"banded_interval_join[{label}]", bij_once
+            )
+        bij_windows.unpersist()
+        bij_slope = bij_times["ramp"] / bij_times["base"]
+        legs["banded_interval_join"] = {
+            "base_sec": bij_times["base"],
+            "ramp_sec": bij_times["ramp"],
+            "slope": round(bij_slope, 2),
+            "slope_vs_factor": round(bij_slope / factor, 2),
+        }
+        print(
+            f"# banded_interval_join slope {bij_slope:.2f}x at "
+            f"{factor}x shipments (windows fixed)",
+            file=sys.stderr,
+        )
+
         # Semantic-dedup slope (round-8 verdict #3b): a verbatim-copy ramp
         # would square within-cell pair volume by construction (every copy
         # of v is an exact dup of every other), so the ramp table perturbs

@@ -364,13 +364,17 @@ def banded_overlap_join(
         eb = F.floor(epoch_seconds(F.col(e)) / F.lit(band_seconds)).cast(
             "long"
         )
+        # validity gate is the BOUNDS (s <= e), not the bands (eb >= sb):
+        # an INVERTED interval whose start and end fall inside the same
+        # band has eb == sb, would explode anyway, and the overlap
+        # residual below does not imply validity — hypothesis found the
+        # escape (an inverted interval nested in a partner matched for
+        # band widths wider than the inversion)
         return df.withColumn(
             band,
             F.explode(
                 F.when(
-                    F.col(s).isNotNull()
-                    & F.col(e).isNotNull()
-                    & (eb >= sb),
+                    F.col(s) <= F.col(e),  # NULL-safe: NULL -> otherwise
                     F.sequence(sb, eb),
                 ).otherwise(F.array().cast("array<long>"))
             ),

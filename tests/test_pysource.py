@@ -855,7 +855,10 @@ def test_zone_changes_drives_continuous_rollup(spark, tmp_path):
         q = streaming.continuous_rollup(
             stream, "ts", "5 minutes", "value", out, ckpt
         )
-        q.awaitTermination(120)
+        # availableNow terminates on its own; a fixed 120s bound proved
+        # flaky under a loaded box (full-suite run at loadavg ~20), and
+        # a silent timeout makes view() compare a half-ingested rollup
+        assert q.awaitTermination(600), "rollup catch-up did not finish"
 
     def view():
         return {
