@@ -1671,3 +1671,58 @@ def test_stream_stream_outer_interval_join_emits_unmatched(
             read(c_inbox), read(p_inbox), "user_id", "user_id",
             "ts", "ts", how="cross",
         )
+
+
+def test_stream_stream_left_semi_interval_join(spark, tmp_path):
+    """how='left_semi' on the watermarked stream-stream interval join:
+    each left row with at least one in-window partner emits ONCE, with
+    only the left schema; set equals the batch twin."""
+    clicks = [
+        [(1, "2024-01-01 10:00:00", 1, 0.0),
+         (2, "2024-01-01 10:08:00", 1, 0.0),
+         (3, "2024-01-01 10:30:00", 2, 0.0)],
+        [(99, "2024-01-02 00:00:00", 9, 0.0)],
+    ]
+    purchases = [
+        [(101, "2024-01-01 09:55:00", 1, 50.0),
+         (102, "2024-01-01 10:29:00", 2, 70.0),
+         (104, "2024-01-01 10:25:00", 2, 80.0)],  # 3 matches TWICE
+        [(199, "2024-01-02 00:00:00", 9, 0.0)],
+    ]
+    c_inbox = write_inbox(tmp_path / "c", clicks)
+    p_inbox = write_inbox(tmp_path / "p", purchases)
+
+    def prep(cdf, pdf_):
+        c = cdf.select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("cuser"),
+        )
+        p = pdf_.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("puser"),
+        )
+        return streaming.interval_join_stream(
+            c, p, "cuser", "puser", "click_ts", "purchase_ts",
+            "10 minutes", how="left_semi",
+        )
+
+    got_stream = prep(
+        streaming.read_file_stream(spark, c_inbox, SCHEMA),
+        streaming.read_file_stream(spark, p_inbox, SCHEMA),
+    )
+    assert got_stream.columns == ["click_id", "click_ts", "cuser"]
+    q = streaming.memory_sink(got_stream, "sslsj", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = [r.click_id for r in spark.table("sslsj").collect()]
+    assert sorted(got) == [1, 3, 99]  # 3 emitted once despite 2 partners
+
+    read = lambda path: (
+        spark.read.schema(SCHEMA).option("header", "true").csv(path)
+    )
+    want = sorted(
+        r.click_id for r in prep(read(c_inbox), read(p_inbox)).collect()
+    )
+    assert sorted(got) == want
