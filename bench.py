@@ -1499,10 +1499,13 @@ def scale_ramp(factor: int = 10) -> None:
         # legs were appended after the headline pass, and the headline
         # metric must track the worst slope of everything it reports
         worst = max(v["slope_vs_factor"] for v in legs.values())
-        # steal evidence to the sidecar, same policy as main(): the stdout
-        # line must stay small enough to survive a bounded tail capture
+        # steal evidence to a RAMP-specific sidecar (same policy as
+        # main(): the stdout line must stay small enough to survive a
+        # bounded tail capture) — a ramp run must not clobber the
+        # headline run's BENCH_STEAL.json
         steal_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_STEAL.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_STEAL_ramp.json",
         )
         try:
             with open(steal_path, "w") as fh:

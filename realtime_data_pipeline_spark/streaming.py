@@ -619,8 +619,17 @@ def dedup_ingest_batch(
     loss. Excluding ``batch_id=N`` from the freshness check makes the
     replay recompute the identical fresh set and overwrite BOTH
     partitions deterministically (regression-tested with a forced
-    replay). Cost shape: the anti-join moves 32-char digests only."""
+    replay). Cost shape: the anti-join moves 32-char digests only.
+
+    The index probe and the index write run under
+    :func:`medallion._merge_lock` — the lock :func:`compact_dedup_index`
+    holds for its rename swap — so a batch can never observe the
+    compactor's between-renames window where the index is briefly absent
+    (it would have admitted every duplicate as fresh); a compaction that
+    crashed in that window is repaired first via
+    :func:`_recover_index_swap`."""
     from realtime_data_pipeline_spark import dedup as _dedup
+    from realtime_data_pipeline_spark.medallion import _merge_lock
 
     spark = batch_df.sparkSession
     # NULL content has no fingerprint: md5(NULL) is NULL, so the
@@ -642,41 +651,43 @@ def dedup_ingest_batch(
         batch_unique = _dedup.keep_latest(
             staged, ["__fp"], [F.col(id_col).asc()]
         )
-        if os.path.exists(index_path):
-            idx = spark.read.parquet(index_path).filter(
-                F.col("batch_id") != batch_id
+        with _merge_lock(index_path, op="dedup-ingest"):
+            _recover_index_swap(index_path)
+            if os.path.exists(index_path):
+                idx = spark.read.parquet(index_path).filter(
+                    F.col("batch_id") != batch_id
+                )
+                fresh = batch_unique.join(
+                    idx.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+                )
+            else:
+                fresh = batch_unique
+            # one materialization feeds both writes (and survives the silver
+            # overwrite that would otherwise race the index read)
+            fresh = fresh.localCheckpoint(eager=True)
+            out = fresh.drop("__fp").unionByName(null_content)
+            if curate is not None:
+                # curation (PII redaction, quality gates) runs AFTER the
+                # fingerprint was taken: the index remembers the ORIGINAL
+                # content, so a redacted doc's raw twin arriving later is
+                # still a duplicate — and curation stays a projection on
+                # fresh rows
+                out = curate(out)
+            (
+                out.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(silver_path)
             )
-            fresh = batch_unique.join(
-                idx.select(F.col("fp").alias("__fp")), "__fp", "left_anti"
+            (
+                fresh.select(F.col("__fp").alias("fp"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_path)
             )
-        else:
-            fresh = batch_unique
-        # one materialization feeds both writes (and survives the silver
-        # overwrite that would otherwise race the index read)
-        fresh = fresh.localCheckpoint(eager=True)
-        out = fresh.drop("__fp").unionByName(null_content)
-        if curate is not None:
-            # curation (PII redaction, quality gates) runs AFTER the
-            # fingerprint was taken: the index remembers the ORIGINAL
-            # content, so a redacted doc's raw twin arriving later is
-            # still a duplicate — and curation stays a projection on
-            # fresh rows
-            out = curate(out)
-        (
-            out.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(silver_path)
-        )
-        (
-            fresh.select(F.col("__fp").alias("fp"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_path)
-        )
     finally:
         batch_df.unpersist()
 
@@ -738,9 +749,17 @@ def neardup_ingest_batch(
     partitions, so a replay after a crash between the index write and
     the checkpoint commit recomputes the identical fresh set instead of
     near-dup-matching itself into an empty one. Docs too short to
-    shingle pass through fresh and unindexed (they can never match)."""
+    shingle pass through fresh and unindexed (they can never match).
+
+    The index probe and writes run under :func:`medallion._merge_lock`
+    — the lock :func:`compact_neardup_index` holds for its rename swaps
+    — so a batch can never observe a compaction's between-renames window
+    where a subtree is briefly absent (it would have admitted every
+    near-dup as fresh); a crashed swap is repaired first via
+    :func:`_recover_index_swap` on both subtrees."""
     from realtime_data_pipeline_spark import dedup as _dedup
     from realtime_data_pipeline_spark import neardup as _nd
+    from realtime_data_pipeline_spark.medallion import _merge_lock
 
     spark = batch_df.sparkSession
     r = k // n_bands
@@ -774,80 +793,83 @@ def neardup_ingest_batch(
     bands_new = _nd._banded(sigs, id_col, n_bands, r)
 
     sig_dir, band_dir = f"{index_path}/sigs", f"{index_path}/bands"
-    if os.path.exists(sig_dir):
-        # exclude own batch partition: replay safety (see docstring)
-        idx_sigs = spark.read.parquet(sig_dir).filter(
-            F.col("batch_id") != batch_id
-        )
-        idx_bands = spark.read.parquet(band_dir).filter(
-            F.col("batch_id") != batch_id
-        )
-        cand = (
-            idx_bands.join(
-                F.broadcast(
-                    bands_new.select(
-                        F.col(id_col).alias("new_id"), "band_id", "band_key"
-                    )
-                ),
-                ["band_id", "band_key"],
+    with _merge_lock(index_path, op="neardup-ingest"):
+        _recover_index_swap(sig_dir)
+        _recover_index_swap(band_dir)
+        if os.path.exists(sig_dir):
+            # exclude own batch partition: replay safety (see docstring)
+            idx_sigs = spark.read.parquet(sig_dir).filter(
+                F.col("batch_id") != batch_id
             )
-            .select(F.col(id_col).alias("old_id"), "new_id")
-            .distinct()
-        )
-        corpus_dups = (
-            idx_sigs.select(
-                F.col(id_col).alias("old_id"), F.col("sh").alias("__sh_old")
+            idx_bands = spark.read.parquet(band_dir).filter(
+                F.col("batch_id") != batch_id
             )
-            .join(F.broadcast(cand), "old_id")
-            .join(
-                F.broadcast(
-                    sigs.select(
-                        F.col(id_col).alias("new_id"),
-                        F.col("__sh").alias("__sh_new"),
-                    )
-                ),
-                "new_id",
+            cand = (
+                idx_bands.join(
+                    F.broadcast(
+                        bands_new.select(
+                            F.col(id_col).alias("new_id"), "band_id", "band_key"
+                        )
+                    ),
+                    ["band_id", "band_key"],
+                )
+                .select(F.col(id_col).alias("old_id"), "new_id")
+                .distinct()
             )
-            .filter(
-                _nd.exact_jaccard(F.col("__sh_old"), F.col("__sh_new"))
-                >= threshold
+            corpus_dups = (
+                idx_sigs.select(
+                    F.col(id_col).alias("old_id"), F.col("sh").alias("__sh_old")
+                )
+                .join(F.broadcast(cand), "old_id")
+                .join(
+                    F.broadcast(
+                        sigs.select(
+                            F.col(id_col).alias("new_id"),
+                            F.col("__sh").alias("__sh_new"),
+                        )
+                    ),
+                    "new_id",
+                )
+                .filter(
+                    _nd.exact_jaccard(F.col("__sh_old"), F.col("__sh_new"))
+                    >= threshold
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
             )
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-        fresh_core = batch_kept.join(corpus_dups, id_col, "left_anti")
-    else:
-        fresh_core = batch_kept
-    fresh_core = fresh_core.localCheckpoint(eager=True)
-    fresh_ids = fresh_core.select(id_col)
+            fresh_core = batch_kept.join(corpus_dups, id_col, "left_anti")
+        else:
+            fresh_core = batch_kept
+        fresh_core = fresh_core.localCheckpoint(eager=True)
+        fresh_ids = fresh_core.select(id_col)
 
-    def _bwrite(df: DataFrame, path: str) -> None:
-        (
-            df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(path)
-        )
+        def _bwrite(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
 
-    _bwrite(fresh_core.unionByName(short_docs), silver_path)
-    fresh_sigs = sigs.join(F.broadcast(fresh_ids), id_col).select(
-        id_col, F.col("__sh").alias("sh"), F.col("__sig").alias("sig")
-    )
-    _bwrite(fresh_sigs, sig_dir)
-    _bwrite(
-        _nd._banded(
-            fresh_sigs.select(
+        _bwrite(fresh_core.unionByName(short_docs), silver_path)
+        fresh_sigs = sigs.join(F.broadcast(fresh_ids), id_col).select(
+            id_col, F.col("__sh").alias("sh"), F.col("__sig").alias("sig")
+        )
+        _bwrite(fresh_sigs, sig_dir)
+        _bwrite(
+            _nd._banded(
+                fresh_sigs.select(
+                    id_col,
+                    F.col("sh").alias("__sh"),
+                    F.col("sig").alias("__sig"),
+                ),
                 id_col,
-                F.col("sh").alias("__sh"),
-                F.col("sig").alias("__sig"),
+                n_bands,
+                r,
             ),
-            id_col,
-            n_bands,
-            r,
-        ),
-        band_dir,
-    )
+            band_dir,
+        )
     batch_df.unpersist()
 
 
@@ -1068,18 +1090,19 @@ def semdedup_ingest_stream(
     return writer.start()
 
 
-def _recover_semdedup_swap(index_path: str) -> None:
-    """Finish (or undo) a :func:`compact_semdedup_index` swap that
-    crashed between its two renames. The swap is index→old then
+def _recover_index_swap(index_path: str) -> None:
+    """Finish (or undo) a compaction swap that crashed between its two
+    renames (shared by all three streaming ingest indexes — exact
+    fingerprint, MinHash near-dup, semantic). The swap is index→old then
     tmp→index; a crash in the gap leaves NO directory at ``index_path``
     — and a stream batch that ran in that window would see the index as
     absent and skip corpus dedup entirely, silently admitting
     duplicates. Called under :func:`medallion._merge_lock` by both the
-    compactor and :func:`semdedup_ingest_batch`, so the index a batch
-    probes is always a complete snapshot: roll FORWARD when the
-    compacted tmp is complete (Spark's ``_SUCCESS`` marker), roll BACK
-    to the old layout otherwise, and clear dead leftovers once
-    ``index_path`` exists."""
+    compactors and the ingest-batch probes, so the index a batch probes
+    is always a complete snapshot: roll FORWARD when the compacted tmp
+    is complete (Spark's ``_SUCCESS`` marker), roll BACK to the old
+    layout otherwise, and clear dead leftovers once ``index_path``
+    exists."""
     import shutil
 
     index_path = os.path.normpath(index_path)
@@ -1102,6 +1125,63 @@ def _recover_semdedup_swap(index_path: str) -> None:
                 shutil.rmtree(tmp)
 
 
+# the semdedup-specific name the round-9 swap work introduced; kept as an
+# alias now that the recovery is shared by all three ingest indexes
+_recover_semdedup_swap = _recover_index_swap
+
+
+def _count_batch_dirs(root: str) -> int:
+    """``batch_id=N`` partition-dir count under ``root``, descending one
+    level into any hive-style parent dirs (``bucket=M/...``) — the
+    quantity the index compactors bound."""
+    if not os.path.isdir(root):
+        return 0
+    n = 0
+    for b in os.listdir(root):
+        bp = os.path.join(root, b)
+        if not os.path.isdir(bp):
+            continue
+        if b.startswith("batch_id="):
+            n += 1
+        elif "=" in b:
+            n += sum(
+                1
+                for d in os.listdir(bp)
+                if d.startswith("batch_id=")
+                and os.path.isdir(os.path.join(bp, d))
+            )
+    return n
+
+
+def _fold_batch_partitions(
+    spark: SparkSession, data_dir: str, partition_cols: list[str]
+) -> int:
+    """Fold every ``batch_id=N`` partition under ``data_dir`` into a
+    single ``batch_id=-1`` (rows are immutable facts — a pure relayout,
+    no merge algebra), written through a temp dir and swapped in with
+    two renames. The caller holds :func:`medallion._merge_lock` and has
+    run :func:`_recover_index_swap`. Returns the folded row count."""
+    import shutil
+
+    data_dir = os.path.normpath(data_dir)
+    folded = (
+        spark.read.parquet(data_dir)
+        .drop("batch_id")
+        .withColumn("batch_id", F.lit(-1))
+    )
+    non_batch = [c for c in partition_cols if c != "batch_id"]
+    if non_batch:
+        folded = folded.repartition(*non_batch)
+    tmp = f"{data_dir}__compact_tmp"
+    folded.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    old = f"{data_dir}__compact_old"
+    os.replace(data_dir, old)
+    os.replace(tmp, data_dir)
+    shutil.rmtree(old)
+    return rows
+
+
 def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
     """Maintenance for the streaming semantic-dedup index
     (:func:`semdedup_ingest_batch`'s ``bucket=M/batch_id=N`` layout): fold
@@ -1111,14 +1191,12 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
     compaction bounds that to 1 (+1 per post-compaction batch) — the same
     merge-on-read growth :func:`compact_rollup` bounds for rollups.
 
-    Kept-vector rows are immutable facts (no merge algebra — compaction
-    is a pure relayout), rewritten through a temp dir and a rename swap.
     The swap runs under :func:`medallion._merge_lock` on the index path
     — the same lock :func:`semdedup_ingest_batch` takes around its probe
     — so a stream batch can never observe the between-renames window
     where ``index_path`` is briefly absent (it would have skipped corpus
     dedup and admitted duplicates); and a crash inside the window is
-    repaired by :func:`_recover_semdedup_swap` (roll forward when the
+    repaired by :func:`_recover_index_swap` (roll forward when the
     compacted tmp carries ``_SUCCESS``, roll back otherwise) before the
     next compaction or ingest batch touches the index. Run during a
     quiet window AFTER the stream's checkpoint has committed the folded
@@ -1128,48 +1206,76 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
     fresh rows and its dynamic overwrites replace nothing.
 
     Returns before/after per-bucket batch-partition counts and rows."""
-    import shutil
-
     from realtime_data_pipeline_spark.medallion import _merge_lock
 
     index_path = os.path.normpath(index_path)
-
-    def batch_dirs(root: str) -> int:
-        n = 0
-        for b in os.listdir(root):
-            bp = os.path.join(root, b)
-            if b.startswith("bucket=") and os.path.isdir(bp):
-                n += sum(
-                    1
-                    for d in os.listdir(bp)
-                    if d.startswith("batch_id=")
-                    and os.path.isdir(os.path.join(bp, d))
-                )
-        return n
-
     with _merge_lock(index_path, op="semdedup-compact"):
-        _recover_semdedup_swap(index_path)
-        before = batch_dirs(index_path)
-        folded = (
-            spark.read.parquet(index_path)
-            .drop("batch_id")
-            .withColumn("batch_id", F.lit(-1))
-            .repartition("bucket")
+        _recover_index_swap(index_path)
+        before = _count_batch_dirs(index_path)
+        rows = _fold_batch_partitions(
+            spark, index_path, ["bucket", "batch_id"]
         )
-        tmp = f"{index_path}__compact_tmp"
-        folded.write.mode("overwrite").partitionBy(
-            "bucket", "batch_id"
-        ).parquet(tmp)
-        rows = spark.read.parquet(tmp).count()
-        old = f"{index_path}__compact_old"
-        os.replace(index_path, old)
-        os.replace(tmp, index_path)
-        shutil.rmtree(old)
         return {
             "batch_partitions_before": before,
-            "batch_partitions_after": batch_dirs(index_path),
+            "batch_partitions_after": _count_batch_dirs(index_path),
             "rows": rows,
         }
+
+
+def compact_dedup_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance for the streaming exact-dedup fingerprint index
+    (:func:`dedup_ingest_batch`'s flat ``batch_id=N`` layout): fold all
+    per-batch partitions into ``batch_id=-1``, bounding the probe's
+    partition listing after 10⁴ batches exactly like
+    :func:`compact_semdedup_index` does for the semantic index. Same
+    lock (shared with the ingest probe), same crash-repaired rename
+    swap, same replay-safety argument: folded fingerprints read as
+    prior corpus under the own-partition exclusion, so a hypothetical
+    folded-batch replay computes zero fresh rows and overwrites
+    nothing."""
+    from realtime_data_pipeline_spark.medallion import _merge_lock
+
+    index_path = os.path.normpath(index_path)
+    with _merge_lock(index_path, op="dedup-compact"):
+        _recover_index_swap(index_path)
+        before = _count_batch_dirs(index_path)
+        rows = _fold_batch_partitions(spark, index_path, ["batch_id"])
+        return {
+            "batch_partitions_before": before,
+            "batch_partitions_after": _count_batch_dirs(index_path),
+            "rows": rows,
+        }
+
+
+def compact_neardup_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance for the streaming near-dup MinHash index
+    (:func:`neardup_ingest_batch`'s ``sigs/`` + ``bands/`` subtrees,
+    each ``batch_id=N``-partitioned): fold both subtrees' per-batch
+    partitions into ``batch_id=-1`` under ONE lock hold, so a reader
+    never sees one subtree folded and the other mid-swap. Each subtree
+    swap is individually crash-repaired (:func:`_recover_index_swap` on
+    sigs first, then bands — a crash between the two folds leaves both
+    complete, just one still unfolded). Replay safety as the siblings:
+    folded rows read as prior corpus under the own-partition
+    exclusion."""
+    from realtime_data_pipeline_spark.medallion import _merge_lock
+
+    index_path = os.path.normpath(index_path)
+    sig_dir = os.path.join(index_path, "sigs")
+    band_dir = os.path.join(index_path, "bands")
+    with _merge_lock(index_path, op="neardup-compact"):
+        out = {"rows": 0}
+        before = after = 0
+        for d in (sig_dir, band_dir):
+            _recover_index_swap(d)
+            if not os.path.isdir(d):
+                continue  # index half never written (e.g. no eligible docs)
+            before += _count_batch_dirs(d)
+            out["rows"] += _fold_batch_partitions(spark, d, ["batch_id"])
+            after += _count_batch_dirs(d)
+        out["batch_partitions_before"] = before
+        out["batch_partitions_after"] = after
+        return out
 
 
 def dq_gated_stream(

@@ -1726,3 +1726,119 @@ def test_stream_stream_left_semi_interval_join(spark, tmp_path):
         r.click_id for r in prep(read(c_inbox), read(p_inbox)).collect()
     )
     assert sorted(got) == want
+
+
+def test_compact_dedup_index_bounds_partitions_replay_safe(
+    spark, tmp_path
+):
+    """compact_dedup_index folds the exact-fingerprint index's batch
+    partitions into batch_id=-1: the fingerprint set is unchanged, a
+    replay of a FOLDED batch is a no-op, a later duplicate still drops
+    against the compacted index, and a crash between the swap renames is
+    repaired by the next ingest batch (which also must not skip corpus
+    dedup in that window)."""
+    import os
+    import shutil
+
+    schema = "doc_id long, body string"
+    idx = str(tmp_path / "cdi_index")
+    silver = str(tmp_path / "cdi_silver")
+
+    def ingest(rows, bid):
+        streaming.dedup_ingest_batch(
+            spark.createDataFrame(rows, schema), bid, idx, silver,
+            "body", "doc_id",
+        )
+
+    ingest([(1, "alpha"), (2, "beta")], 0)
+    ingest([(3, "gamma")], 1)
+
+    def fps():
+        return {r["fp"] for r in spark.read.parquet(idx).collect()}
+
+    def silver_ids():
+        return {
+            (r.doc_id, r.batch_id)
+            for r in spark.read.parquet(silver).collect()
+        }
+
+    f0, s0 = fps(), silver_ids()
+    m = streaming.compact_dedup_index(spark, idx)
+    assert m["batch_partitions_before"] == 2
+    assert m["batch_partitions_after"] == 1
+    assert fps() == f0
+    assert [
+        d for d in os.listdir(idx) if d.startswith("batch_id=")
+    ] == ["batch_id=-1"]
+
+    # replay of a folded batch: no-op on both sinks
+    ingest([(3, "gamma")], 1)
+    assert fps() == f0 and silver_ids() == s0
+
+    # duplicate of folded content drops; novel content lands
+    ingest([(10, "alpha"), (11, "delta")], 2)
+    assert {v for v, _ in silver_ids()} == {1, 2, 3, 11}
+
+    # crash window between the two renames: next ingest repairs (rolls
+    # forward the complete tmp) and still dedups against the corpus
+    tmp, old = idx + "__compact_tmp", idx + "__compact_old"
+    shutil.copytree(idx, tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    os.replace(idx, old)
+    ingest([(20, "beta")], 3)  # dup of folded content
+    assert {v for v, _ in silver_ids()} == {1, 2, 3, 11}  # 20 dropped
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+    # compaction composes after recovery
+    streaming.compact_dedup_index(spark, idx)
+    assert fps() == {r["fp"] for r in spark.read.parquet(idx).collect()}
+
+
+def test_compact_neardup_index_folds_both_subtrees(spark, tmp_path):
+    """compact_neardup_index folds sigs/ AND bands/ into batch_id=-1
+    under one lock hold: the signature set is unchanged, a later
+    near-duplicate still drops against the compacted index, and a novel
+    doc keeps merging."""
+    import os
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the watchful cat naps in the warm afternoon sun nearby"
+    )
+    schema = "doc_id long, body string"
+    idx = str(tmp_path / "cni_index")
+    silver = str(tmp_path / "cni_silver")
+
+    def ingest(rows, bid):
+        streaming.neardup_ingest_batch(
+            spark.createDataFrame(rows, schema), bid, idx, silver,
+            "doc_id", "body",
+        )
+
+    ingest([(1, base), (2, "completely different words entirely "
+                           "unrelated to anything prior here today")], 0)
+    ingest([(3, "yet another third document with its own fresh "
+                "vocabulary and no overlap at all anywhere")], 1)
+
+    def sig_ids():
+        return {
+            r["doc_id"] for r in spark.read.parquet(idx + "/sigs").collect()
+        }
+
+    ids0 = sig_ids()
+    m = streaming.compact_neardup_index(spark, idx)
+    assert m["batch_partitions_before"] == 4  # 2 batches x 2 subtrees
+    assert m["batch_partitions_after"] == 2
+    for sub in ("sigs", "bands"):
+        assert [
+            d
+            for d in os.listdir(os.path.join(idx, sub))
+            if d.startswith("batch_id=")
+        ] == ["batch_id=-1"]
+    assert sig_ids() == ids0
+
+    # near-dup of folded doc 1 drops; novel doc lands
+    ingest([(10, base + " extra"), (11, "novel closing phrase with "
+            "distinct tokens nothing shares by design whatsoever")], 2)
+    assert sig_ids() == ids0 | {11}
+    sdocs = {r.doc_id for r in spark.read.parquet(silver).collect()}
+    assert sdocs == {1, 2, 3, 11}
