@@ -235,6 +235,13 @@ def main(argv: list[str] | None = None) -> int:
         "--retain-from", default=None, metavar="CUTOFF",
         help="drop partitions of --partition-by sorting below CUTOFF (ISO date)",
     )
+    pm.add_argument(
+        "--compact-stream-index", default=None,
+        choices=["fp", "neardup", "semdedup"],
+        help="fold a streaming ingest index's per-batch partitions into "
+        "batch_id=-1 (--path is the index root; run in a quiet window "
+        "after the stream's checkpoint committed)",
+    )
 
     pi = sub.add_parser(
         "index",
@@ -842,8 +849,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     if args.cmd == "maintain":
-        if not args.compact and not args.retain_from:
-            raise SystemExit("maintain: pass --compact and/or --retain-from")
+        if not (args.compact or args.retain_from or args.compact_stream_index):
+            raise SystemExit(
+                "maintain: pass --compact, --retain-from and/or "
+                "--compact-stream-index"
+            )
+        if args.compact_stream_index:
+            import json as _json
+
+            from realtime_data_pipeline_spark import streaming as _streaming
+
+            fold = {
+                "fp": _streaming.compact_dedup_index,
+                "neardup": _streaming.compact_neardup_index,
+                "semdedup": _streaming.compact_semdedup_index,
+            }[args.compact_stream_index]
+            print(_json.dumps(fold(spark, args.path)))
+            if not (args.compact or args.retain_from):
+                return 0
         # retention BEFORE compaction: no point rewriting files that are
         # about to be expired
         if args.retain_from:

@@ -1008,3 +1008,34 @@ def test_cli_timetravel_diff_prints_net_delta(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="--from and --to"):
         cli.main(["timetravel", "diff", "--root", root])
+
+
+def test_cli_maintain_compact_stream_index(spark, tmp_path, capsys):
+    """`maintain --compact-stream-index fp --path <index>` folds a
+    streaming fingerprint index's batch partitions through the CLI."""
+    import json
+    import os
+
+    from realtime_data_pipeline_spark import cli, streaming
+
+    idx = str(tmp_path / "idx")
+    silver = str(tmp_path / "silver")
+    for bid, rows in enumerate(
+        [[(1, "aaa"), (2, "bbb")], [(3, "ccc")]]
+    ):
+        streaming.dedup_ingest_batch(
+            spark.createDataFrame(rows, "doc_id long, body string"),
+            bid, idx, silver, "body", "doc_id",
+        )
+    assert (
+        cli.main(
+            ["maintain", "--path", idx, "--compact-stream-index", "fp"]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batch_partitions_before"] == 2
+    assert out["batch_partitions_after"] == 1
+    assert [
+        d for d in os.listdir(idx) if d.startswith("batch_id=")
+    ] == ["batch_id=-1"]
