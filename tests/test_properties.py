@@ -660,3 +660,63 @@ def test_banded_joins_match_nonequi_for_any_band_width(
     }
     assert set(ov) == ov_naive
     assert len(ov) == len(ov_naive)  # anchor rule: exactly once per pair
+
+
+@given(
+    history=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "overwrite"]),
+            st.lists(
+                st.tuples(st.integers(0, 6), st.sampled_from("abc")),
+                min_size=0,
+                max_size=5,
+            ),
+        ),
+        min_size=2,
+        max_size=5,
+    ),
+    data=st.data(),
+)
+@settings(**{**SETTINGS, "max_examples": 6})
+def test_diff_versions_equals_snapshot_multiset_difference(
+    spark, tmp_path_factory, history, data
+):
+    """For ANY commit history (appends and overwrites, duplicate rows
+    included) and ANY version span, diff_versions equals the brute-force
+    MULTISET difference of the two snapshots — the manifest-level shared
+    -file cancellation must be invisible in the result; and applying the
+    diff to the from-snapshot reproduces the to-snapshot exactly."""
+    from collections import Counter
+
+    from realtime_data_pipeline_spark import versioned
+
+    root = str(tmp_path_factory.mktemp("dv") / "zone")
+    # the first commit establishes the zone (mode of v0 is irrelevant)
+    for mode, rows in history:
+        df = spark.createDataFrame(
+            rows, "k long, v string"
+        ) if rows else spark.createDataFrame([], "k long, v string")
+        versioned.commit_version(df.coalesce(1), root, mode=mode)
+
+    known = versioned.versions(root)
+    v_from = data.draw(st.sampled_from(known), label="v_from")
+    v_to = data.draw(st.sampled_from(known), label="v_to")
+
+    def snapshot(v):
+        return Counter(
+            (r.k, r.v)
+            for r in versioned.read_version(spark, root, v).collect()
+        )
+
+    s_from, s_to = snapshot(v_from), snapshot(v_to)
+    diff = versioned.diff_versions(spark, root, v_from, v_to).collect()
+    ins = Counter(
+        (r.k, r.v) for r in diff if r._change_type == "insert"
+    )
+    dels = Counter(
+        (r.k, r.v) for r in diff if r._change_type == "delete"
+    )
+    assert ins == s_to - s_from
+    assert dels == s_from - s_to
+    # applying the diff moves from -> to exactly
+    assert s_from + ins - dels == s_to
