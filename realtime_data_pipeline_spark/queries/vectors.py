@@ -363,6 +363,117 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Implemented + recall@10-gated in tests/test_similarity.py, but not declared
 # to the 50-slot external driver: embeddings_neardup_lsh already exercises
+
+def embeddings_label_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Centroid-classifier confusion matrix over the labeled embedding
+    fixture — the eval-style workload a curation pipeline runs to check
+    whether a labeling (cluster assignment, topic tag, source class)
+    is separable in embedding space: per-label mean vector, then every
+    vector assigned to its nearest centroid by cosine, counted as
+    (label, assigned_label) cells.
+
+    Scale shape: the element-wise centroid aggregation is ONE shuffle of
+    (label, dim) pairs — rows × dims exploded positionally, decimal-sum
+    averaged (order-independent, engine-identical), reassembled with a
+    sort-by-dim collect per label (bounded: labels × dims rows). The
+    assignment is a BROADCAST of the tiny centroid table against the
+    full corpus (rows × labels comparisons, labels ≪ rows), ranked with
+    one per-vector window. No corpus self-join anywhere. Centroid
+    components and similarities round (6 then 4 decimals) before
+    ranking/output — the cross-engine float discipline every vector
+    oracle here uses."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = similarity.as_double_array(F.col("embedding"))
+    exploded = emb.select(
+        "label", F.posexplode(vec).alias("dim", "val")
+    )
+    centroids = (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x.c,
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("centroid_label"), "cvec")
+    )
+    sims = emb.select("vec_id", "label", vec.alias("__v")).join(
+        F.broadcast(centroids)
+    ).select(
+        "vec_id",
+        "label",
+        "centroid_label",
+        F.round(similarity.cosine(F.col("__v"), F.col("cvec")), 6).alias(
+            "sim6"
+        ),
+    )
+    assigned = topk_per_group(
+        sims,
+        ["vec_id"],
+        [F.col("sim6").desc(), F.col("centroid_label").asc()],
+        k=1,
+    )
+    return (
+        assigned.groupBy("label", F.col("centroid_label").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned")
+        .select(
+            "label", "assigned", F.col("n").cast("bigint").alias("n")
+        )
+    )
+
+
+EMBEDDINGS_LABEL_CENTROID_CONFUSION_SQL = """
+WITH pairs AS (
+  SELECT label,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                (x, i) -> struct_pack(dim := i - 1, val := x))) AS u
+  FROM embeddings
+),
+exploded AS (
+  SELECT label, u.dim AS dim, u.val AS val FROM pairs
+),
+comp AS (
+  SELECT label, dim,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(38,10))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM exploded GROUP BY label, dim
+),
+centroids AS (
+  SELECT label AS centroid_label,
+         list(c ORDER BY dim) AS cvec
+  FROM comp GROUP BY label
+),
+sims AS (
+  SELECT e.vec_id, e.label, c.centroid_label,
+         ROUND(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS sim6
+  FROM embeddings e CROSS JOIN centroids c
+),
+ranked AS (
+  SELECT vec_id, label, centroid_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY sim6 DESC, centroid_label ASC
+         ) AS rn
+  FROM sims
+)
+SELECT label, centroid_label AS assigned, CAST(COUNT(*) AS BIGINT) AS n
+FROM ranked WHERE rn = 1
+GROUP BY label, centroid_label
+ORDER BY label, assigned
+"""
+
+
 # the hyperplane-LSH path driver-side; the kNN-flavored LSH/IVF variants keep
 # their pytest gates and stay out of the scarce driver rows.
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -371,11 +482,14 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embeddings_quantize_int8": embeddings_quantize_int8,
     "embeddings_semantic_dedup": embeddings_semantic_dedup,
     "embeddings_semantic_dedup_ivf": embeddings_semantic_dedup_ivf,
+    "embeddings_label_centroid_confusion": embeddings_label_centroid_confusion,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,
+    "embeddings_label_centroid_confusion":
+        EMBEDDINGS_LABEL_CENTROID_CONFUSION_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {
