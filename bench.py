@@ -846,6 +846,47 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # End-to-end assemble leg (round 9): the flagship train-data pipeline
+    # as ONE number — semantic dedup (SemDeDup vs the embeddings fixture)
+    # → corpus boilerplate strip → content-hash split → reproducible
+    # shard shuffle → context-block packing manifest, through the same
+    # CLI entry a scheduler calls. Prices the composition, not just the
+    # stages the per-operator legs already price.
+    from realtime_data_pipeline_spark import cli as _cli
+
+    _asm_n = iter(range(100))
+
+    def assemble_once() -> float:
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"rdp_asm_{os.getpid()}_{next(_asm_n)}"
+        )
+        t0 = time.perf_counter()
+        rc = _cli.main(
+            [
+                "assemble",
+                "--docs", f"{sf_dir}/documents.parquet",
+                "--out", out_dir,
+                "--strip-boilerplate",
+                "--embeddings", f"{sf_dir}/embeddings.parquet",
+                "--vec-id-col", "vec_id",
+                "--semdedup-tau", "0.35",
+                "--shards", "8",
+            ]
+        )
+        dt = time.perf_counter() - t0
+        assert rc == 0, f"assemble exited {rc}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return dt
+
+    assemble_once()  # warm
+    timings["assemble_end_to_end"] = _bench_timed(
+        "assemble_end_to_end", assemble_once
+    )
+    print(
+        f"# assemble_end_to_end: {timings['assemble_end_to_end']}s",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     # Per-leg pass/steal evidence (round-8 verdict #2) goes to a SIDECAR
     # file, not the stdout line: the driver captures only a bounded tail
