@@ -518,6 +518,75 @@ LIMIT 20
 """
 
 
+def parts_supplier_breadth_q16(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 ANALOG (parts/supplier relationship breadth). The real
+    Q16 counts distinct suppliers per (brand, type, size) from PARTSUPP
+    with a complaints-supplier exclusion subquery; this fixture carries
+    no partsupp table and no s_comment, so the same SHAPE is re-based on
+    observed supply relationships (lineitem part-supplier pairs) with
+    negative-balance suppliers excluded — multi-attribute grouped
+    COUNT(DISTINCT) over a join, minus an exclusion subquery, which is
+    the operator content Q16 exercises.
+
+    Scale shape: the filtered part side and the tiny excluded-supplier
+    set both BROADCAST; the count-distinct is one shuffle with map-side
+    partial distinct on (brand, type, size, suppkey). The exclusion is
+    a left_anti (= NOT EXISTS; the oracle spells NOT EXISTS too — exact
+    under NULLs, unlike NOT IN)."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand",
+            "p_type",
+            "p_size",
+        )
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("supplier_cnt").cast("bigint").alias("supplier_cnt"),
+        )
+    )
+
+
+PARTS_SUPPLIER_BREADTH_Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier
+    WHERE s_suppkey = l_suppkey AND s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -530,6 +599,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_distribution_q13": customer_order_distribution_q13,
     "top_supplier_q15": top_supplier_q15,
     "waiting_suppliers_q21": waiting_suppliers_q21,
+    "parts_supplier_breadth_q16": parts_supplier_breadth_q16,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
@@ -541,4 +611,5 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "customer_order_distribution_q13": CUSTOMER_ORDER_DISTRIBUTION_Q13_SQL,
     "top_supplier_q15": TOP_SUPPLIER_Q15_SQL,
     "waiting_suppliers_q21": WAITING_SUPPLIERS_Q21_SQL,
+    "parts_supplier_breadth_q16": PARTS_SUPPLIER_BREADTH_Q16_SQL,
 }
