@@ -381,9 +381,9 @@ def embeddings_label_centroid_confusion(
     assignment is a BROADCAST of the tiny centroid table against the
     full corpus (rows × labels comparisons, labels ≪ rows), ranked with
     one per-vector window. No corpus self-join anywhere. Centroid
-    components and similarities round (6 then 4 decimals) before
+    components and similarities BOTH round to 6 decimals before
     ranking/output — the cross-engine float discipline every vector
-    oracle here uses."""
+    oracle here uses (and what the DuckDB twin mirrors)."""
     emb = load(spark, sf_dir, "embeddings")
     vec = similarity.as_double_array(F.col("embedding"))
     exploded = emb.select(

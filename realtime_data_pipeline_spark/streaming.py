@@ -1211,6 +1211,16 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
     index_path = os.path.normpath(index_path)
     with _merge_lock(index_path, op="semdedup-compact"):
         _recover_index_swap(index_path)
+        if not os.path.isdir(index_path):
+            # index never created (no ingest batch yet) — a clean no-op,
+            # mirroring compact_neardup_index's per-subtree guard, so the
+            # CLI maintain path reports zero counts instead of a JVM
+            # PATH_NOT_FOUND traceback.
+            return {
+                "batch_partitions_before": 0,
+                "batch_partitions_after": 0,
+                "rows": 0,
+            }
         before = _count_batch_dirs(index_path)
         rows = _fold_batch_partitions(
             spark, index_path, ["bucket", "batch_id"]
@@ -1238,6 +1248,14 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict:
     index_path = os.path.normpath(index_path)
     with _merge_lock(index_path, op="dedup-compact"):
         _recover_index_swap(index_path)
+        if not os.path.isdir(index_path):
+            # same clean no-op as compact_semdedup_index: absent index
+            # (no ingest batch yet) returns zero counts, no JVM error.
+            return {
+                "batch_partitions_before": 0,
+                "batch_partitions_after": 0,
+                "rows": 0,
+            }
         before = _count_batch_dirs(index_path)
         rows = _fold_batch_partitions(spark, index_path, ["batch_id"])
         return {

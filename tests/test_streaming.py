@@ -1842,3 +1842,19 @@ def test_compact_neardup_index_folds_both_subtrees(spark, tmp_path):
     assert sig_ids() == ids0 | {11}
     sdocs = {r.doc_id for r in spark.read.parquet(silver).collect()}
     assert sdocs == {1, 2, 3, 11}
+
+
+def test_compact_absent_index_is_clean_noop(spark, tmp_path):
+    """Round-9 ADVICE regression: `maintain --compact-stream-index` on
+    an index path that no ingest batch has created yet must return zero
+    counts (like compact_neardup_index always did) instead of dying with
+    a raw Spark PATH_NOT_FOUND AnalysisException."""
+    for fn in (
+        streaming.compact_dedup_index,
+        streaming.compact_semdedup_index,
+        streaming.compact_neardup_index,
+    ):
+        m = fn(spark, str(tmp_path / "never_created"))
+        assert m["batch_partitions_before"] == 0
+        assert m["batch_partitions_after"] == 0
+        assert m["rows"] == 0
