@@ -220,11 +220,33 @@ _ROTATE_OUT_R9 = [
     "orders_status_priority_cube", # green r2-r8
 ]
 
+# ROUND-10 ROTATION — the OPERATORS.md round-10 queue, all built round 9
+# (shelved-oracle, hash-equal locally at 3 SFs): the curriculum ordering
+# stage ((stage, shard)-windowed, no global sort), the centroid-
+# classifier confusion matrix (one (label, dim) shuffle + broadcast
+# assignment), and the Q16 supplier-breadth analog (count-distinct with
+# a NOT-IN exclusion subquery re-based onto available fixtures). Three
+# incumbents with 8 consecutive green driver rounds rotate out, keeping
+# their pytest oracle hash checks shelved; family coverage in the
+# declared 50 is preserved (J1 keeps q3/q7/q18, J3 keeps q21/q22 + the
+# contamination anti-joins, A6 keeps orders_price_histogram).
+_ROTATE_IN_R10 = [
+    "docs_curriculum_order",                # curriculum stage ordering
+    "embeddings_label_centroid_confusion",  # centroid-classifier eval
+    "parts_supplier_breadth_q16",           # Q16 analog count-distinct
+]
+_ROTATE_OUT_R10 = [
+    "revenue_per_nation",           # green r2-r9
+    "customers_without_big_orders", # green r2-r9
+    "quantity_quantiles_by_flag",   # green r2-r9
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
     (_ROTATE_IN_R8, _ROTATE_OUT_R8),
     (_ROTATE_IN_R9, _ROTATE_OUT_R9),
+    (_ROTATE_IN_R10, _ROTATE_OUT_R10),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)
