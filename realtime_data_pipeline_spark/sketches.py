@@ -238,17 +238,21 @@ def histogram_quantile(hist: DataFrame, qs: list[float]) -> DataFrame:
 # the same contract as the count-min above: no UDFs, no driver state in
 # the build, union+re-aggregate merge. The sketch IS a sparse
 # ``(word, bits)`` bitmap table: row ``(w, b)`` says "64-bit word w of
-# the bitmap has bits b set", with ``bit(key, i) = pmod(xxhash64(key,
-# seed=i), m)`` for i in 0..k-1. Its job is the scan-side JOIN
-# PRE-FILTER: when the probe side of an equi-join is too large to
-# broadcast-join outright but the BITMAP of its key set fits in a
-# broadcast (1 KiB per ~1k keys at 1% fp), :func:`bloom_prefilter`
+# the bitmap has bits b set", with the k positions double-hashed
+# (format v2, Kirsch–Mitzenmacher): ``bit(key, i) = pmod(a + i·b, m)``
+# where ``a = pmod(xxhash64(key, 0), m)``, ``b = pmod(xxhash64(key,
+# 1), m)`` — 2 hash evaluations per probed row, not k. Its job is the
+# scan-side JOIN PRE-FILTER: when the probe side of an equi-join is too
+# large to broadcast-join outright but the BITMAP of its key set fits
+# in a broadcast (1 KiB per ~1k keys at 1% fp), :func:`bloom_prefilter`
 # drops non-candidate rows of the 100 TB side BEFORE any exchange —
 # no false negatives, so ``prefilter ∘ join ≡ join`` exactly while the
-# shuffle carries only candidates. The same trick Spark's internal
-# InjectRuntimeFilter plays for joins inside ONE query, made available
-# across pipeline stages (build once, persist the ≤ m/64-row table,
-# prefilter many later scans).
+# shuffle carries only candidates. It pays when the bytes kept out of
+# the exchange beat the per-row probe cost (wide-row probes, small
+# match fraction — see :func:`bloom_prefilter` for the measured rule);
+# the cross-stage reuse (build once, persist the ≤ m/64-row table,
+# prefilter many later scans) is what Spark's internal
+# InjectRuntimeFilter — same trick, single-query scope — cannot do.
 # ---------------------------------------------------------------------------
 
 
@@ -284,31 +288,61 @@ def bloom_build(
     caller knows its key-set scale; no hidden counting job), ``fpp``
     the target false-positive rate at that load.
 
-    Build shape: k-way seed explode → pmod(xxhash64(key, seed), m) →
-    one groupBy over (word = pos div 64) with a map-side-combined
-    ``bit_or`` — the shuffle carries at most m/64 rows per map
-    partition regardless of input cardinality. NULL keys are skipped:
-    equality never matches NULL, so a membership bit for one could only
-    manufacture false positives. Type discipline matches a join's: probe
-    with the SAME column type the sketch was built from (xxhash64 is
-    type-sensitive — a long and its string form hash differently)."""
+    Build shape (format v2, Kirsch–Mitzenmacher double hashing): TWO
+    tuple-hashes per row — ``a = pmod(xxhash64(key, 0), m)``,
+    ``b = pmod(xxhash64(key, 1), m)`` — and the k bit positions derived
+    arithmetically as ``pos_i = pmod(a + i·b, m)`` (reducing mod m
+    BEFORE the multiply keeps ``a + i·b ≤ 17·m``, so the arithmetic
+    never overflows a long under Spark 4's default ANSI mode; the
+    identity ``(h1 + i·h2) mod m = ((h1 mod m) + i·(h2 mod m)) mod m``
+    preserves the classic double-hashing FP bound). That makes the
+    probe side O(2 hashes + k adds) per row instead of O(k hashes) —
+    the round-9 fix for the prefilter losing wall-time to its own hash
+    cost. Then one groupBy over (word = pos div 64) with a
+    map-side-combined ``bit_or`` — the shuffle carries at most m/64
+    rows per map partition regardless of input cardinality. NULL keys
+    are skipped: equality never matches NULL, so a membership bit for
+    one could only manufacture false positives. Type discipline matches
+    a join's: probe with the SAME column type the sketch was built from
+    (xxhash64 is type-sensitive — a long and its string form hash
+    differently). Rows carry ``__v = 2``; :func:`bloom_prefilter`
+    refuses sketches without it (a v1 sketch's bits sit at different
+    positions — probing it would silently break the no-false-negative
+    contract, so persisted v1 sketches must be rebuilt)."""
     m, k = _bloom_geometry(expected_items, fpp, max_bits)
-    pos = F.pmod(F.xxhash64(F.col("__key"), F.col("__seed")), F.lit(m))
+    pos_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(F.col("__a") + i * F.col("__b"), F.lit(m)),
+    )
     return (
         df.filter(F.col(col).isNotNull())
         .select(
-            F.col(col).alias("__key"),
-            F.explode(
-                F.array(*[F.lit(i) for i in range(k)])
-            ).alias("__seed"),
+            F.pmod(F.xxhash64(F.col(col), F.lit(0)), F.lit(m)).alias(
+                "__a"
+            ),
+            F.pmod(F.xxhash64(F.col(col), F.lit(1)), F.lit(m)).alias(
+                "__b"
+            ),
         )
+        .select(F.explode(pos_arr).alias("__pos"))
         .select(
-            F.floor(pos / F.lit(64)).alias("__word"),
+            F.floor(F.col("__pos") / F.lit(64)).alias("__word"),
             F.call_function(
                 "shiftleft",
                 F.lit(1).cast("long"),
-                F.pmod(pos, F.lit(64)).cast("int"),
+                F.pmod(F.col("__pos"), F.lit(64)).cast("int"),
             ).alias("__bit"),
+        )
+        # DENSE table: an all-zero row per word rides the build's own
+        # groupBy (m/64 extra input rows, no extra shuffle), so the
+        # sketch always has exactly m/64 rows and the probe's densify
+        # is a single sort-collect with no zero-fill join. bit_or with
+        # 0 is the identity, so merge/build semantics are unchanged.
+        .unionByName(
+            df.sparkSession.range(m // 64).select(
+                F.col("id").alias("__word"),
+                F.lit(0).cast("long").alias("__bit"),
+            )
         )
         .groupBy("__word")
         .agg(F.bit_or("__bit").alias("__bits"))
@@ -317,6 +351,7 @@ def bloom_build(
             "__bits",
             F.lit(m).alias("__m"),
             F.lit(k).alias("__k"),
+            F.lit(2).alias("__v"),
         )
     )
 
@@ -326,11 +361,13 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     merge(bloom(A), bloom(B))`` EXACTLY (tested) — the partial-merge
     contract that lets per-day/per-stream sketches roll up. Geometry
     rides the groupBy; mixed-geometry merges surface as mixed ``__m``
-    rows, which :func:`bloom_prefilter` rejects."""
+    rows, which :func:`bloom_prefilter` rejects. A v1 sketch (no
+    ``__v`` column) fails the unionByName loudly — v1 bits sit at
+    different positions and must be rebuilt, never merged in."""
     out = blooms[0]
     for b in blooms[1:]:
         out = out.unionByName(b)
-    return out.groupBy("__word", "__m", "__k").agg(
+    return out.groupBy("__word", "__m", "__k", "__v").agg(
         F.bit_or("__bits").alias("__bits")
     )
 
@@ -345,15 +382,44 @@ def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
 
     Probe shape: the sparse table densifies into one ``array<long>``
     row (bounded by m/64 — the build's ``max_bits`` cap exists for
-    this) attached via a 1-row broadcast; the k bit-tests are plain
+    this) attached via a 1-row broadcast; the probe computes TWO
+    tuple-hashes per row (``a``/``b``, reduced mod m) and derives the k
+    bit positions arithmetically (``pmod(a + i·b, m)``) — all plain
     ``xxhash64``/``getbit`` column expressions, JVM-side inside the
-    scan's codegen stage — no Python in the hot path. An EMPTY sketch
+    scan's codegen stage, no Python in the hot path. An EMPTY sketch
     (built from an empty frame) proves every key absent and returns no
-    rows."""
+    rows. Refuses a sketch without the ``__v = 2`` stamp: v1 bits sit
+    at different positions, and probing them here would silently drop
+    true members.
+
+    WHEN IT PAYS (measured, BLOOM_PRUNE.json): the probe costs ~2
+    hashes + k bit-tests per row plus a fixed densify+broadcast of the
+    m/64-word bitmap; it wins when the bytes it keeps out of the
+    exchange outweigh that — i.e. when
+    ``(1 − candidate_fraction) × row_bytes`` is large. On local[32],
+    where shuffle is memory-speed, NARROW rows (≤ ~16 bytes: the
+    isolated 50M×5M long-key leg, 0.5× — i.e. 2× slower) lose even
+    with the v2 probe; WIDE rows WIN (40M × ~400 B payload vs 5M keys:
+    1.24× with ~98% of shuffle rows dropped) — and a real network-
+    bound cluster shuffle only shifts the trade further toward the
+    bloom. Rule of thumb: apply to joins whose probe side carries
+    payload columns and whose match fraction is ≪ 1; skip for
+    key-only/narrow shuffles. The cross-STAGE reuse (build once,
+    prefilter many later scans) is the part Spark's own
+    InjectRuntimeFilter cannot do."""
+    if "__v" not in bloom.columns:
+        raise ValueError(
+            "bloom_prefilter: sketch predates format v2 (double-"
+            "hashed positions) — rebuild it with bloom_build; probing "
+            "v1 bits here would silently break the no-false-negative "
+            "contract"
+        )
     geo = bloom.agg(
         F.first("__m").alias("m"),
         F.first("__k").alias("k"),
-        F.count_distinct("__m", "__k").alias("geoms"),
+        F.first("__v").alias("v"),
+        F.count_distinct("__m", "__k", "__v").alias("geoms"),
+        F.count(F.lit(1)).alias("nrows"),
     ).first()
     if geo["geoms"] > 1:
         raise ValueError(
@@ -362,16 +428,67 @@ def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
         )
     if geo["m"] is None:  # empty sketch: nothing can be a member
         return df.filter(F.lit(False))
+    if int(geo["v"]) != 2:
+        raise ValueError(
+            f"bloom_prefilter: unsupported sketch format v{geo['v']}"
+        )
     m, k = int(geo["m"]), int(geo["k"])
-    words = [0] * (m // 64)
-    for r in bloom.select("__word", "__bits").collect():
-        words[int(r["__word"])] = int(r["__bits"])
-    dense = df.sparkSession.createDataFrame(
-        [(words,)], "__bloom_words array<bigint>"
+    # densify JVM-side into ONE array<long> row of length m/64. The
+    # sketch never visits the driver (the old collect + createDataFrame
+    # round-trip cost seconds per call at m = 2^26 and dominated the
+    # probe). v2 builds are already dense (exactly m/64 rows), so the
+    # common path is a single sort-collect; a sparse v2 table (e.g. a
+    # hand-filtered sketch) falls back to a zero-fill union + bit_or
+    # first. (A map_from_arrays + per-slot element_at spelling is
+    # O((m/64)²) — Catalyst map lookup is a linear scan — so the dense
+    # array is assembled by SORTING, never by probing.)
+    sparse = bloom.select("__word", "__bits")
+    if int(geo["nrows"]) != m // 64:
+        sparse = (
+            sparse.unionByName(
+                bloom.sparkSession.range(m // 64).select(
+                    F.col("id").alias("__word"),
+                    F.lit(0).cast("long").alias("__bits"),
+                )
+            )
+            .groupBy("__word")
+            .agg(F.bit_or("__bits").alias("__bits"))
+        )
+    dense = (
+        sparse.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__word", "__bits"))
+            ).alias("__s")
+        )
+        .select(
+            F.transform(F.col("__s"), lambda x: x["__bits"]).alias(
+                "__bloom_words"
+            )
+        )
+    )
+    # coalesce makes __a/__b provably non-nullable (non-ANSI pmod is
+    # nullable to Spark even with a positive literal divisor), so the
+    # join condition's inferred isnotnull(__a/__b) constraints prune
+    # instead of re-evaluating both hashes in an extra Filter
+    a = F.coalesce(
+        F.pmod(F.xxhash64(F.col(col), F.lit(0)), F.lit(m)), F.lit(0)
+    )
+    b = F.coalesce(
+        F.pmod(F.xxhash64(F.col(col), F.lit(1)), F.lit(m)), F.lit(0)
+    )
+    # hashes are projected BELOW the broadcast join on purpose: the
+    # k bit-tests land in the join condition, and predicate pushdown
+    # would inline a withColumns placed above the join back into each
+    # of the k tests (k re-evaluations per row — the exact cost this
+    # v2 probe removes). A projection under the join is not inlined;
+    # the plan gate test asserts exactly 2 xxhash64 calls survive.
+    probed = df.withColumns({"__a": a, "__b": b}).crossJoin(
+        F.broadcast(dense)
     )
     cond = F.col(col).isNotNull()
     for i in range(k):
-        pos = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m))
+        pos = F.pmod(F.col("__a") + i * F.col("__b"), F.lit(m))
         word = F.element_at(
             F.col("__bloom_words"),
             (F.floor(pos / F.lit(64)) + F.lit(1)).cast("int"),
@@ -379,8 +496,4 @@ def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
         cond = cond & (
             F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
         )
-    return (
-        df.crossJoin(F.broadcast(dense))
-        .filter(cond)
-        .drop("__bloom_words")
-    )
+    return probed.filter(cond).drop("__bloom_words", "__a", "__b")

@@ -279,3 +279,44 @@ def test_bloom_probe_is_jvm_side_broadcast(spark):
     )
     assert "Python" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_bloom_prefilter_refuses_v1_sketch(spark):
+    """A persisted pre-v2 sketch (k independent hash positions, no __v
+    column) must be REJECTED loudly: its bits sit at different
+    positions than the v2 double-hashed probe computes, so probing it
+    would silently drop true members — the one failure mode a bloom
+    prefilter must never have."""
+    import pytest
+
+    big = _keys(spark, range(100))
+    v1 = sketches.bloom_build(big, "k", expected_items=100).drop("__v")
+    with pytest.raises(ValueError, match="format v2"):
+        sketches.bloom_prefilter(big, "k", v1)
+
+
+def test_bloom_probe_plan_has_two_hashes_not_k(spark):
+    """The v2 probe's plan must contain exactly the 2 xxhash64 calls of
+    double hashing (k derived positions are add/mod arithmetic) — the
+    round-9 fix for the probe costing more than the shuffle it saves.
+    k > 2 for this geometry, so a regression to per-seed hashing would
+    reintroduce k calls."""
+    big = _keys(spark, range(1000))
+    bloom = sketches.bloom_build(big, "k", expected_items=1000, fpp=0.01)
+    geo = bloom.select("__k").first()
+    assert int(geo["__k"]) > 2  # the assertion below is vacuous otherwise
+    plan = (
+        sketches.bloom_prefilter(big, "k", bloom)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the k bit-tests live in the join condition; they must reference
+    # the __a/__b attributes, never re-evaluate the hash (AQE's
+    # toString may print the plan twice, so assert per line)
+    for line in plan.splitlines():
+        if "xxhash64" in line:
+            assert "Project" in line, line
+            assert line.count("xxhash64") == 2, line
+        if "Join" in line:
+            assert "xxhash64" not in line, line
