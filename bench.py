@@ -75,6 +75,21 @@ _NCPU = os.cpu_count() or 1
 STEAL: dict[str, dict] = {}  # leg -> per-pass timing/steal evidence
 
 
+def _calibration_token() -> float:
+    """Fixed-work CPU token (round-9 verdict #3): seconds for a pure-
+    Python spin of 500k iterations, measured immediately after every
+    timed pass. The work is constant across eras, so when two rounds'
+    leg times diverge, their tokens say whether the ENVIRONMENT moved
+    (tokens shifted with the legs: contention/frequency/steal the
+    /proc/stat counter missed) or the CODE did (tokens flat, legs
+    moved). ~40 ms on this box — cheap enough to run per pass."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(500_000):
+        x += i ^ (x >> 3)
+    return round(time.perf_counter() - t0, 4)
+
+
 def _steal_ticks() -> int:
     """Cumulative steal ticks from /proc/stat's aggregate cpu line
     (field 8: user nice system idle iowait irq softirq STEAL); -1 when
@@ -87,7 +102,12 @@ def _steal_ticks() -> int:
         return -1
 
 
-def _record_leg(name: str, durations: list[float], steals: list[int]) -> float:
+def _record_leg(
+    name: str,
+    durations: list[float],
+    steals: list[int],
+    calibrations: list[float] | None = None,
+) -> float:
     best_i = min(range(len(durations)), key=durations.__getitem__)
     info: dict = {
         "passes": len(durations),
@@ -95,6 +115,9 @@ def _record_leg(name: str, durations: list[float], steals: list[int]) -> float:
         "steal_ticks": steals,
         "best_pass_steal_ticks": steals[best_i],
     }
+    if calibrations:
+        info["calibration_sec"] = calibrations
+        info["best_pass_calibration_sec"] = calibrations[best_i]
     if steals[best_i] >= 0 and durations[best_i] > 0:
         # share of total cpu capacity stolen during the kept pass
         info["best_pass_steal_pct"] = round(
@@ -120,6 +143,7 @@ def _bench_leg(
         run_once()
     durations: list[float] = []
     steals: list[int] = []
+    calibrations: list[float] = []
     passes = min_passes
     while len(durations) < passes:
         s0 = _steal_ticks()
@@ -129,9 +153,10 @@ def _bench_leg(
         s1 = _steal_ticks()
         durations.append(dt)
         steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
+        calibrations.append(_calibration_token())
         if len(durations) == 1 and dt < 1.0:
             passes = max(passes, sub_second_passes)
-    return round(_record_leg(name, durations, steals), 3)
+    return round(_record_leg(name, durations, steals, calibrations), 3)
 
 
 def _bench_timed(name: str, once, passes: int = 3) -> float:
@@ -140,12 +165,14 @@ def _bench_timed(name: str, once, passes: int = 3) -> float:
     call, so recorded steal is an upper bound for the timed portion."""
     durations: list[float] = []
     steals: list[int] = []
+    calibrations: list[float] = []
     for _ in range(passes):
         s0 = _steal_ticks()
         durations.append(once())
         s1 = _steal_ticks()
         steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
-    return round(_record_leg(name, durations, steals), 3)
+        calibrations.append(_calibration_token())
+    return round(_record_leg(name, durations, steals, calibrations), 3)
 
 
 def main() -> None:
@@ -553,6 +580,119 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Stream-stream OUTER interval join leg (round-9 surface, priced
+    # round 10): clicks FULL OUTER purchases on user_id within a 10-min
+    # event-time window, both sides watermarked file streams — the
+    # attribution-join shape with unmatched rows released by watermark
+    # passage. availableNow over the events table split by type; wall
+    # time covers both source listings, the state-store build/evict, and
+    # the parquet sink. Same min-of-N policy as the other streaming legs.
+    def ssoj_leg_once() -> float:
+        with tempfile.TemporaryDirectory() as td:
+            inbox = os.path.join(td, "inbox")
+            os.makedirs(inbox)
+            shutil.copy(
+                f"{sf_dir}/events.parquet",
+                os.path.join(inbox, "events.parquet"),
+            )
+            t0 = time.perf_counter()
+            src = streaming.read_file_stream(
+                spark, inbox, ev_schema, fmt="parquet",
+                max_files_per_trigger=1,
+            )
+            clicks = src.filter(F.col("event_type") == "click").select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").cast("timestamp").alias("click_ts"),
+                F.col("user_id").alias("cuser"),
+            )
+            purchases = src.filter(
+                F.col("event_type") == "purchase"
+            ).select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").cast("timestamp").alias("purchase_ts"),
+                F.col("user_id").alias("puser"),
+            )
+            joined = streaming.interval_join_stream(
+                clicks, purchases, "cuser", "puser",
+                "click_ts", "purchase_ts", "10 minutes",
+                how="full_outer",
+            ).select("click_id", "purchase_id")
+            sq = (
+                joined.writeStream.format("parquet")
+                .option("path", os.path.join(td, "out"))
+                .option("checkpointLocation", os.path.join(td, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError(
+                    "stream-stream outer interval join leg did not "
+                    "finish in 300s"
+                )
+            return time.perf_counter() - t0
+
+    timings["streaming_interval_join_outer"] = _bench_timed(
+        "streaming_interval_join_outer", ssoj_leg_once
+    )
+    print(
+        f"# streaming_interval_join_outer: "
+        f"{timings['streaming_interval_join_outer']}s",
+        file=sys.stderr,
+    )
+
+    # CDC rollup composition leg (round-9 surface, priced round 10):
+    # zone_changes (versioned-zone commit stream, custom Python source)
+    # feeding continuous_rollup — 10 append commits of the events table
+    # replayed as micro-batches into per-window partial aggregates. The
+    # zone is built ONCE outside the timed region (commit cost is the
+    # scd2/versioned legs' story); each pass streams all commits from a
+    # fresh checkpoint, so the number prices the source listing + decode
+    # + per-batch rollup write end-to-end.
+    from realtime_data_pipeline_spark import pysource, versioned
+
+    pysource.register(spark)
+    cdc_td = tempfile.mkdtemp(prefix="bench_cdc_")
+    cdc_zone = os.path.join(cdc_td, "zone")
+    ev_full = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(10):
+        versioned.commit_version(
+            ev_full.filter(F.pmod("event_id", F.lit(10)) == i).coalesce(4),
+            cdc_zone,
+            mode="overwrite" if i == 0 else "append",
+        )
+
+    def cdc_rollup_leg_once() -> float:
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            sq = streaming.continuous_rollup(
+                spark.readStream.format("zone_changes")
+                .option("root", cdc_zone)
+                .load()
+                .drop("_commit_version"),
+                "ts",
+                "1 hour",
+                "value",
+                os.path.join(td, "rollup"),
+                os.path.join(td, "ckpt"),
+            )
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError(
+                    "CDC rollup composition leg did not finish in 300s"
+                )
+            return time.perf_counter() - t0
+
+    timings["cdc_rollup_composition"] = _bench_timed(
+        "cdc_rollup_composition", cdc_rollup_leg_once
+    )
+    shutil.rmtree(cdc_td, ignore_errors=True)
+    print(
+        f"# cdc_rollup_composition: "
+        f"{timings['cdc_rollup_composition']}s",
+        file=sys.stderr,
+    )
+
     # Incremental-maintenance legs (round-4 verdict #3): the daily-ingest
     # path at 100 TB is "merge a batch against a persisted index", never
     # "recompute the corpus". Each pair times the incremental merge of a
@@ -846,11 +986,13 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # End-to-end assemble leg (round 9): the flagship train-data pipeline
-    # as ONE number — semantic dedup (SemDeDup vs the embeddings fixture)
-    # → corpus boilerplate strip → content-hash split → reproducible
-    # shard shuffle → context-block packing manifest, through the same
-    # CLI entry a scheduler calls. Prices the composition, not just the
+    # End-to-end assemble leg (round 9, extended round 10 to the FULL
+    # declared curation chain): semantic dedup (SemDeDup vs the
+    # embeddings fixture) → corpus boilerplate strip → per-domain
+    # anti-domination cap → content-hash split → curriculum staging →
+    # reproducible shard shuffle (positions dense per (stage, shard)) →
+    # stage-major context-block packing manifest, through the same CLI
+    # entry a scheduler calls. Prices the composition, not just the
     # stages the per-operator legs already price.
     from realtime_data_pipeline_spark import cli as _cli
 
@@ -871,6 +1013,10 @@ def main() -> None:
                 "--vec-id-col", "vec_id",
                 "--semdedup-tau", "0.35",
                 "--shards", "8",
+                "--curriculum",
+                # sf0.1 has 250 docs/source — 200 makes the cap do real
+                # work (drops 20% of each domain) instead of no-op'ing
+                "--domain-cap", "200",
             ]
         )
         dt = time.perf_counter() - t0
@@ -1575,7 +1721,7 @@ def scale_ramp(factor: int = 10) -> None:
                     "legs": legs,
                     "sf": sf,
                     "timing_policy": "min_of_3__min_of_5_subsecond",
-                    "steal_evidence": "BENCH_STEAL.json",
+                    "steal_evidence": "BENCH_STEAL_ramp.json",
                 }
             )
         )
