@@ -334,6 +334,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     pas.add_argument("--vec-col", default="embedding")
     pas.add_argument(
+        "--domain-cap", type=int, default=None,
+        help="keep at most this many documents per --domain-col value "
+        "(deterministic md5-rank selection — the anti-domination pass); "
+        "applied before the split so one mega-domain cannot swamp the "
+        "shards",
+    )
+    pas.add_argument(
+        "--domain-col", default="source",
+        help="column holding the domain/source key for --domain-cap",
+    )
+    pas.add_argument(
+        "--curriculum", action="store_true",
+        help="curriculum ordering: band documents by quality "
+        "(high=stage 0 first, low=stage 2 last), keep shard positions "
+        "dense per (stage, shard), and pack stage-major — the manifest "
+        "carries stage AND shard columns",
+    )
+    pas.add_argument(
         "--semdedup-tau", type=float, default=0.9,
         help="within-bucket round-6 cosine at/above which the larger-id "
         "document is a semantic duplicate",
@@ -656,23 +674,61 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 min_df=args.boiler_min_df,
             )
+        if args.domain_cap is not None:
+            # anti-domination cap BEFORE the split: at most N docs per
+            # domain, selected by deterministic content-hash rank (the
+            # docs_domain_cap query's construction) so the kept subset
+            # is a pure function of the corpus, not arrival order. One
+            # shuffle on the domain key; WindowGroupLimit keeps map
+            # tasks from forwarding more than N rows per domain.
+            from pyspark.sql import Window as _W
+
+            dw = _W.partitionBy(args.domain_col).orderBy(
+                F.md5(F.col(args.text_col)).asc(),
+                F.col(args.id_col).asc(),
+            )
+            docs = (
+                docs.withColumn("__drank", F.row_number().over(dw))
+                .filter(F.col("__drank") <= args.domain_cap)
+                .drop("__drank")
+            )
         if args.split != "all":
             side = F.when(
                 F.substring(F.md5(F.col(args.text_col)), 1, 1) <= "c",
                 "train",
             ).otherwise("eval")
             docs = docs.filter(side == args.split)
+        if args.curriculum:
+            # curriculum staging (docs_curriculum_order's banding):
+            # quality decides the stage, per-row JVM expressions only;
+            # the stage joins the shard window's partition key so
+            # positions stay dense per (stage, shard)
+            band = text.quality_band(F.col(args.text_col))
+            docs = docs.withColumn(
+                "stage",
+                F.when(band == "high", 0)
+                .when(band == "medium", 1)
+                .otherwise(2)
+                .cast("int"),
+            )
         shuffled = packing.shuffle_shards(
-            docs, args.id_col, n_shards=args.shards, seed=args.seed
+            docs, args.id_col, n_shards=args.shards, seed=args.seed,
+            stage_col="stage" if args.curriculum else None,
         )
+        order = F.col("shard").cast("long") * F.lit(1_000_000_000) + F.col(
+            "shard_pos"
+        )
+        if args.curriculum:
+            # stage-major total order: a trainer drains stage 0's
+            # shards before stage 1 ever starts
+            order = (
+                F.col("stage").cast("long") * F.lit(1_000_000_000_000)
+                + order
+            )
         weighted = shuffled.withColumn(
             "n_tokens",
             text.token_count_re(F.col(args.text_col)).cast("long"),
-        ).withColumn(
-            "__order",
-            F.col("shard").cast("long") * F.lit(1_000_000_000)
-            + F.col("shard_pos"),
-        )
+        ).withColumn("__order", order)
         packed = packing.pack_concat_chunks(
             weighted, "__order", "n_tokens", ctx_len=args.ctx_len
         ).drop("__order")

@@ -300,6 +300,7 @@ def shuffle_shards(
     seed: int = 42,
     order_alias: str = "shard_pos",
     shard_alias: str = "shard",
+    stage_col: str | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle for training-data assembly: assign
     every row a shard and a dense within-shard position that together
@@ -323,6 +324,13 @@ def shuffle_shards(
     (``docs_shuffle_shards``) spells the same construction over md5 hex
     (cross-engine stable); this library version uses xxhash64 (JVM
     codegen, no string materialization) — same contract, faster hash.
+
+    ``stage_col`` (curriculum mode, same construction as the
+    ``docs_curriculum_order`` query): the within-shard positions
+    restart per (stage, shard) instead of per shard, so a stage-major
+    consumption order (stage asc, then shard-parallel) is still dense
+    per shard file — the window partition count becomes
+    stages × n_shards, still bounded and corpus-size-independent.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -330,7 +338,8 @@ def shuffle_shards(
         F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards)
     ).cast("int")
     order_h = F.xxhash64(F.col(id_col), F.lit(seed + 1))
-    w = Window.partitionBy(shard_alias).orderBy(
+    parts = ([stage_col] if stage_col else []) + [shard_alias]
+    w = Window.partitionBy(*parts).orderBy(
         order_h, F.col(id_col)
     )
     return (

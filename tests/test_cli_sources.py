@@ -1039,3 +1039,57 @@ def test_cli_maintain_compact_stream_index(spark, tmp_path, capsys):
     assert [
         d for d in os.listdir(idx) if d.startswith("batch_id=")
     ] == ["batch_id=-1"]
+
+
+def test_cli_assemble_curriculum_and_domain_cap(spark, tmp_path):
+    """assemble --curriculum --domain-cap: the full curation chain in
+    one invocation — at most N docs survive per source (deterministic
+    md5-rank cap), every manifest row carries stage AND shard, shard
+    positions are dense per (stage, shard), the packed token stream is
+    stage-major (every stage-0 offset precedes every stage-1 offset),
+    and the whole manifest is replay-deterministic."""
+    import collections
+
+    from realtime_data_pipeline_spark import cli
+
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).write.parquet(docs)
+    cap = 5
+
+    def run(out):
+        rc = cli.main(
+            ["assemble", "--docs", docs, "--out", out, "--shards", "4",
+             "--ctx-len", "256", "--curriculum",
+             "--domain-cap", str(cap), "--split", "all"]
+        )
+        assert rc == 0
+        return sorted(
+            map(tuple, spark.read.parquet(out)
+                .select("doc_id", "stage", "shard", "shard_pos",
+                        "offset", "source")
+                .collect())
+        )
+
+    a = run(str(tmp_path / "o1"))
+    assert a == run(str(tmp_path / "o2")) and len(a) > 0
+
+    per_source = collections.Counter(r[5] for r in a)
+    assert max(per_source.values()) <= cap
+    assert {r[1] for r in a} <= {0, 1, 2}
+
+    # dense positions per (stage, shard)
+    groups = collections.defaultdict(list)
+    for _, stage, shard, pos, _, _ in a:
+        groups[(stage, shard)].append(pos)
+    for g, positions in groups.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), g
+
+    # stage-major packing: all of stage s's tokens precede stage s+1's
+    stage_offsets = collections.defaultdict(list)
+    for _, stage, _, _, offset, _ in a:
+        stage_offsets[stage].append(offset)
+    stages = sorted(stage_offsets)
+    for lo, hi in zip(stages, stages[1:]):
+        assert max(stage_offsets[lo]) < min(stage_offsets[hi])
