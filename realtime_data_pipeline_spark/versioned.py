@@ -386,6 +386,9 @@ def commit_version(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
     bloom_hashes: int = 6,
+    zorder_cols: list[str] | None = None,
+    zorder_files: int = 16,
+    zorder_bits: int = 8,
 ) -> dict:
     """Write ``df`` as a new snapshot of the zone.
 
@@ -413,9 +416,31 @@ def commit_version(
     like ``file_stats``. ``read_version_where`` / ``prune_report`` /
     the ``zone_changes`` stream probe it on ``=`` predicates — the
     point-lookup complement to min/max range skipping.
-    """
+
+    ``zorder_cols`` Z-order-clusters THIS COMMIT's files before the
+    write (``medallion.zorder_frame``: Morton code over quantile-
+    bucketed ranks, ``zorder_files`` output files, ``zorder_bits`` bits
+    per column), so each file covers a small hyper-cube of the clustered
+    value space and the manifest's per-file min/max ``file_stats`` —
+    collected from exactly these files — let ``read_version_where`` /
+    ``prune_report`` skip on ANY clustered column through the manifest
+    alone (no footer reads). The two features compose per commit:
+    earlier commits' files keep their own stats/layout, so a daily
+    append pipeline gets clustering commit-by-commit without a table
+    rewrite; run :func:`compact_snapshot` through a z-ordered re-commit
+    to recluster history. Requires ``collect_stats`` (the clustering
+    is pointless without the stats that exploit it — raises)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if zorder_cols:
+        if not collect_stats:
+            raise ValueError(
+                "zorder_cols requires collect_stats=True — clustered "
+                "files prune through the manifest's per-file stats"
+            )
+        from realtime_data_pipeline_spark.medallion import zorder_frame
+
+        df = zorder_frame(df, zorder_cols, zorder_files, zorder_bits)
     if batch_tag is not None:
         marker = os.path.join(root, "_commits_by_tag", batch_tag)
         if os.path.exists(marker):

@@ -952,3 +952,69 @@ def test_external_reader_sql_duckdb_reads_pinned_snapshots(
     with pytest.raises(ValueError, match="empty snapshot"):
         versioned.external_reader_sql(root, 4)
     _os.unlink(versioned._manifest_path(root, 4))
+
+
+def test_zordered_commit_prunes_on_both_clustered_columns(
+    spark, tmp_path
+):
+    """commit_version(zorder_cols=[a, b]) — the round-9 verdict
+    composition: the commit's files are Morton-clustered, so the
+    manifest's per-file min/max stats skip files for selective
+    predicates on EITHER clustered column, and the pruned read equals
+    the full-scan filter exactly. An unclustered twin commit of the
+    same data keeps (nearly) all files for the same predicates — the
+    skipping comes from the layout, not the predicate."""
+    # anti-correlated columns: a hash layout gives every file the full
+    # range of both; z-order gives each file a small hyper-cube
+    df = spark.range(20_000).select(
+        F.col("id").alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(20_000)).alias("b"),
+    )
+
+    flat = str(tmp_path / "flat")
+    versioned.commit_version(
+        df.repartition(16), flat, mode="overwrite"
+    )
+    zord = str(tmp_path / "zord")
+    out = versioned.commit_version(
+        df, zord, mode="overwrite", zorder_cols=["a", "b"],
+        zorder_files=16,
+    )
+    assert out["files_added"] == 16
+
+    for col in ("a", "b"):
+        preds = [(col, ">=", 1000), (col, "<", 2000)]
+        rep_flat = versioned.prune_report(flat, preds)
+        rep_z = versioned.prune_report(zord, preds)
+        # the hash layout cannot skip; the z-ordered commit must skip
+        # more than half the files on BOTH columns
+        assert rep_flat["kept_files"] == rep_flat["total_files"], col
+        assert rep_z["kept_files"] <= rep_z["total_files"] // 2, (
+            col, rep_z,
+        )
+        got = versioned.read_version_where(spark, zord, preds)
+        want = versioned.read_version(spark, zord).filter(
+            (F.col(col) >= 1000) & (F.col(col) < 2000)
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    # composes with append history: a second z-ordered commit keeps
+    # pruning through the union manifest
+    versioned.commit_version(
+        spark.range(20_000, 40_000).select(
+            F.col("id").alias("a"),
+            F.pmod(F.xxhash64("id"), F.lit(20_000)).alias("b"),
+        ),
+        zord, mode="append", zorder_cols=["a", "b"], zorder_files=16,
+    )
+    rep = versioned.prune_report(zord, [("a", "<", 1000)])
+    assert rep["total_files"] == 32 and rep["kept_files"] <= 8
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collect_stats"):
+        versioned.commit_version(
+            df, str(tmp_path / "bad"), zorder_cols=["a"],
+            collect_stats=False,
+        )
