@@ -224,6 +224,67 @@ def isolated_prefilter_join(spark) -> dict:
     }
 
 
+def isolated_prefilter_join_wide(spark) -> dict:
+    """The regime where the prefilter PAYS (the round-9 decision-rule
+    leg): same key distribution as :func:`isolated_prefilter_join` but
+    the fact rows carry a ~200-byte payload — the realistic shape of a
+    document/event table, where the exchange moves row BYTES, not just
+    keys. The plain join shuffles every payload byte; the prefilter
+    drops ~98.5% of rows (matches + ~1% fp survive) before the
+    exchange for 2 hashes + k bit-tests per row. Narrow-key result
+    stays in the sibling leg as the honest counter-regime: on
+    local[32]'s memory-speed shuffle, key-only rows don't repay even
+    the cheap probe."""
+    from realtime_data_pipeline_spark import sketches
+
+    n_big, n_small = 40_000_000, 5_000_000
+    big = spark.range(n_big).select(
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).alias("k"),
+        F.concat(
+            F.lit("payload-"), F.lpad(F.col("id").cast("string"), 12, "0"),
+            F.repeat(F.lit("x"), 380),
+        ).alias("payload"),
+    )
+    small = spark.range(n_small).select(
+        (F.col("id") + F.lit(10_000_000)).alias("k")
+    )
+
+    def plain():
+        big.join(small, "k").agg(
+            F.count(F.lit(1)), F.max(F.length("payload"))
+        ).collect()
+
+    n_match = big.join(small, "k").count()
+    bloom = sketches.bloom_build(
+        small, "k", expected_items=n_small, fpp=0.01
+    ).persist()
+
+    def pre():
+        sketches.bloom_prefilter(big, "k", bloom).join(small, "k").agg(
+            F.count(F.lit(1)), F.max(F.length("payload"))
+        ).collect()
+
+    n_candidates = sketches.bloom_prefilter(big, "k", bloom).count()
+    assert (
+        sketches.bloom_prefilter(big, "k", bloom).join(small, "k").count()
+        == n_match
+    )
+    t_plain = bench._bench_leg("isolated_wide_join_plain", plain)
+    t_pre = bench._bench_leg("isolated_wide_join_bloom_prefiltered", pre)
+    bloom.unpersist()
+    return {
+        "big_rows": n_big,
+        "payload_bytes_per_row": 400,
+        "reference_keys": n_small,
+        "match_rows": n_match,
+        "candidate_rows_after_prefilter": n_candidates,
+        "shuffle_reduction": round(n_big / max(n_candidates, 1), 2),
+        "t_plain_join_sec": round(t_plain, 3),
+        "t_prefiltered_join_sec": round(t_pre, 3),
+        "speedup": round(t_plain / t_pre, 2) if t_pre else None,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from realtime_data_pipeline_spark.session import get_spark
@@ -238,6 +299,9 @@ def main() -> None:
             ),
             "join_prefilter": contamination_prefilter(spark, sf_dir),
             "isolated_prefilter_join": isolated_prefilter_join(spark),
+            "isolated_prefilter_join_wide": isolated_prefilter_join_wide(
+                spark
+            ),
             "steal": bench.STEAL,
         }
     finally:
