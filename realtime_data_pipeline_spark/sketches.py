@@ -398,9 +398,9 @@ def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
     exchange outweigh that — i.e. when
     ``(1 − candidate_fraction) × row_bytes`` is large. On local[32],
     where shuffle is memory-speed, NARROW rows (≤ ~16 bytes: the
-    isolated 50M×5M long-key leg, 0.5× — i.e. 2× slower) lose even
+    isolated 50M×5M long-key leg, 0.48× — i.e. 2× slower) lose even
     with the v2 probe; WIDE rows WIN (40M × ~400 B payload vs 5M keys:
-    1.24× with ~98% of shuffle rows dropped) — and a real network-
+    1.46× with ~98.5% of shuffle rows dropped) — and a real network-
     bound cluster shuffle only shifts the trade further toward the
     bloom. Rule of thumb: apply to joins whose probe side carries
     payload columns and whose match fraction is ≪ 1; skip for
