@@ -693,6 +693,26 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Fuzzy entity-matching leg (round 10): symmetric-delete-blocked
+    # Levenshtein self-pairs over the 15k customer names at d=1 —
+    # complete candidate generation (no cross product), variants
+    # shuffled as 8-byte hashes, exact verify per candidate. The
+    # record-linkage shape entity keys need where shingles fail.
+    from realtime_data_pipeline_spark import fuzzy
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    timings["fuzzy_name_pairs"] = _bench_leg(
+        "fuzzy_name_pairs",
+        lambda: fuzzy.fuzzy_self_pairs(
+            cust, "c_custkey", "c_name", max_dist=1
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    print(
+        f"# fuzzy_name_pairs: {timings['fuzzy_name_pairs']}s",
+        file=sys.stderr,
+    )
+
     # Incremental-maintenance legs (round-4 verdict #3): the daily-ingest
     # path at 100 TB is "merge a batch against a persisted index", never
     # "recompute the corpus". Each pair times the incremental merge of a

@@ -1,0 +1,189 @@
+"""Fuzzy (edit-distance) entity matching — record-linkage joins with
+COMPLETE candidate generation, no cross product.
+
+The missing piece between exact dedup (`dedup.py`, byte-identical keys)
+and text near-dup (`neardup.py`, token-shingle Jaccard): ENTITY keys —
+names, titles, SKUs, addresses — where duplicates differ by a typo or
+two and token shingles are useless (a one-char edit rewrites every
+q-gram around it, and short strings have few shingles to begin with).
+Reference pipelines run this as the cross-source entity-resolution pass
+before building dimension tables.
+
+Candidate generation is the symmetric-delete scheme (the SymSpell
+family: Garbe's symmetric delete algorithm, itself the d-deletion
+neighborhood construction from Mor & Fraenkel 1982): two strings within
+Levenshtein distance d ≤ 2 ALWAYS share at least one string obtainable
+by deleting ≤ d characters from each —
+
+* substitution at position i: delete i from both sides;
+* insertion/deletion: the shorter string is itself a deletion variant
+  of the longer;
+* any combination of two such edits: delete the two touched positions
+  from each side (the standard SymSpell completeness argument).
+
+So blocking on the deletion-variant set has NO false negatives for
+``max_dist <= 2``, and every candidate pair is verified with an exact
+``levenshtein`` before it is emitted: the same
+generate-complete-candidates-then-verify-exactly discipline as the
+MinHash-LSH + exact-Jaccard pipeline in `neardup.py`.
+
+Scale shape: a string of length L contributes 1 + L variants at d=1
+(1 + L + L·(L−1)/2 at d=2) — bounded by the ENTITY-KEY length, not the
+corpus; variants shuffle as 8-byte ``xxhash64`` keys, never as strings
+(a hash collision only creates an extra candidate, and the exact verify
+kills it). The candidate join is a plain equi-join AQE can skew-split;
+a pathologically repeated key (thousands of literally-equal names)
+concentrates |block|² candidates exactly like any equi-join hot key —
+pre-aggregate exact duplicates first (`dedup.exact_dedup`) if the
+corpus has them, which also shrinks the input. This is not for prose
+columns: bound the input to key-length strings (≲ 100 chars) or the
+variant count per row grows quadratically at d=2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: F.Column, max_dist: int) -> F.Column:
+    """``array<string>`` of every string reachable from ``col`` by
+    deleting up to ``max_dist`` characters (including ``col`` itself),
+    duplicates removed. Pure column HOFs — no UDF, whole-stage codegen.
+    ``max_dist`` must be 1 or 2 (the range the symmetric-delete
+    completeness argument covers; d=0 is exact dedup's job)."""
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"deletion_variants: max_dist must be 1 or 2, got {max_dist}"
+        )
+    n = F.length(col)
+
+    def delete1(i):
+        # drop 0-based position i (substring is 1-based)
+        return F.concat(
+            F.substring(col, F.lit(1), i),
+            F.substring(col, i + F.lit(2), n),
+        )
+
+    # sequence(0, -1) would generate a DESCENDING range, not an empty
+    # array — guard short strings explicitly
+    d1 = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(0), n - 1), delete1),
+    ).otherwise(F.array().cast("array<string>"))
+    out = F.array_union(F.array(col), d1)
+    if max_dist == 2:
+
+        def delete2(i, j):
+            # drop 0-based positions i < j in one pass
+            return F.concat(
+                F.substring(col, F.lit(1), i),
+                F.substring(col, i + F.lit(2), j - i - F.lit(1)),
+                F.substring(col, j + F.lit(2), n),
+            )
+
+        d2 = F.when(
+            n >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + F.lit(1), n - 1),
+                        lambda j: delete2(i, j),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = F.array_union(out, d2)
+    return F.array_distinct(out)
+
+
+def _exploded_variants(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int
+) -> DataFrame:
+    return (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            text_col,
+            F.explode(
+                deletion_variants(F.col(text_col), max_dist)
+            ).alias("__var"),
+        )
+        # variants shuffle as 8-byte hashes, never strings; a collision
+        # only manufactures a candidate the exact verify rejects
+        .select(id_col, text_col, F.xxhash64("__var").alias("__vh"))
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Record linkage across two tables: every (left, right) pair whose
+    texts are within Levenshtein distance ``max_dist`` (≤ 2), as
+    ``(left_id, right_id, left_text, right_text, dist)`` — EXACT by the
+    generate-complete/verify-exact argument in the module docstring.
+    One equi-join on hashed deletion variants + a distinct on candidate
+    pairs; never a cross product (plan contains no BNLJ for
+    non-broadcastable inputs)."""
+    lv = _exploded_variants(left, left_id, left_text, max_dist)
+    rv = _exploded_variants(right, right_id, right_text, max_dist)
+    if left_id == right_id:
+        rv = rv.withColumnRenamed(left_id, f"__r_{right_id}")
+        right_id = f"__r_{right_id}"
+    if left_text == right_text:
+        rv = rv.withColumnRenamed(left_text, f"__r_{right_text}")
+        right_text = f"__r_{right_text}"
+    cand = (
+        lv.join(rv, "__vh")
+        .select(left_id, right_id, left_text, right_text)
+        .distinct()
+    )
+    dist = F.levenshtein(F.col(left_text), F.col(right_text))
+    return cand.withColumn("dist", dist.cast("int")).filter(
+        F.col("dist") <= max_dist
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All unordered pairs within ``df`` whose ``text_col`` values are
+    within Levenshtein distance ``max_dist`` (≤ 2):
+    ``(id_a, id_b, text_a, text_b, dist)`` with ``id_a < id_b`` — the
+    entity-dedup shape (feed the pairs to
+    ``dedup.connected_components`` to get merge groups). Same complete
+    blocking + exact verify as :func:`fuzzy_join`, with the triangle
+    cut (``id_a < id_b``) applied at the candidate join so each pair is
+    verified once."""
+    ex = _exploded_variants(df, id_col, text_col, max_dist)
+    a = ex.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        "__vh",
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        "__vh",
+    )
+    cand = (
+        a.join(b, "__vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    return cand.withColumn("dist", dist.cast("int")).filter(
+        F.col("dist") <= max_dist
+    )

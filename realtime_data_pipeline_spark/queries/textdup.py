@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_data_pipeline_spark import neardup
+from realtime_data_pipeline_spark import fuzzy, neardup
 from realtime_data_pipeline_spark.queries.core import load
 
 N_DOCS = 100
@@ -189,6 +189,42 @@ GROUP BY id
 """
 
 
+def suppliers_fuzzy_name_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entity-resolution fuzzy match (`fuzzy.fuzzy_self_pairs`): every
+    supplier pair whose names are within Levenshtein distance 1 — the
+    typo-tolerant record-linkage pass entity keys need where token
+    shingles fail (one edit rewrites every shingle around it). The
+    oracle is the brute-force cross-join ground truth; the Spark side
+    must reproduce it through symmetric-delete blocking (complete for
+    d ≤ 2 by the SymSpell pigeonhole argument — see ``fuzzy.py``) plus
+    an exact per-candidate verify. Scale shape: variants shuffle as
+    8-byte xxhash64 keys (never strings), one equi-join + distinct, no
+    cross product anywhere — candidate volume is rows × name-length,
+    not rows²."""
+    sup = load(spark, sf_dir, "supplier")
+    return fuzzy.fuzzy_self_pairs(
+        sup, "s_suppkey", "s_name", max_dist=1
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("text_a").alias("name_a"),
+        F.col("text_b").alias("name_b"),
+        "dist",
+    ).orderBy("id_a", "id_b")
+
+
+SUPPLIERS_FUZZY_NAME_PAIRS_SQL = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
     "docs_neardup_minhash": docs_neardup_minhash,
@@ -205,9 +241,15 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_simhash": docs_neardup_simhash,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_neardup_dedup": docs_neardup_dedup,
+    # round-10 build, round-11 rotation queue: fuzzy entity matching
+    "suppliers_fuzzy_name_pairs": suppliers_fuzzy_name_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "docs_jaccard_top_pairs": DOCS_JACCARD_TOP_PAIRS_SQL,
     "docs_dup_components": DOCS_DUP_COMPONENTS_SQL,
+}
+
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "suppliers_fuzzy_name_pairs": SUPPLIERS_FUZZY_NAME_PAIRS_SQL,
 }
