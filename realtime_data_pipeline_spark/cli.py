@@ -237,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     pm.add_argument(
         "--compact-stream-index", default=None,
-        choices=["fp", "neardup", "semdedup"],
+        choices=["fp", "neardup", "semdedup", "fuzzy"],
         help="fold a streaming ingest index's per-batch partitions into "
         "batch_id=-1 (--path is the index root; run in a quiet window "
         "after the stream's checkpoint committed)",
@@ -919,6 +919,7 @@ def main(argv: list[str] | None = None) -> int:
                 "fp": _streaming.compact_dedup_index,
                 "neardup": _streaming.compact_neardup_index,
                 "semdedup": _streaming.compact_semdedup_index,
+                "fuzzy": _streaming.compact_fuzzy_index,
             }[args.compact_stream_index]
             print(_json.dumps(fold(spark, args.path)))
             if not (args.compact or args.retain_from):

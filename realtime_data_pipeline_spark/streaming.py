@@ -906,6 +906,168 @@ def neardup_ingest_stream(
     return writer.start()
 
 
+def fuzzy_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    silver_path: str,
+    id_col: str,
+    key_col: str,
+    max_dist: int = 1,
+) -> None:
+    """Route ONE micro-batch through FUZZY entity resolution against the
+    persisted deletion-variant index: in-batch fuzzy dedup
+    (:func:`fuzzy.fuzzy_self_pairs`, smaller id wins), then a
+    variant-hash probe + exact-Levenshtein verify against all PRIOR
+    batches' entities, then write fresh rows + their variant hashes +
+    their keys under ``batch_id=N`` dynamic-overwrite partitions. The
+    record-linkage front door as a stream: a re-registration whose name
+    differs by ≤ ``max_dist`` edits from an already-ingested entity is
+    dropped as a duplicate.
+
+    Index layout mirrors :func:`neardup_ingest_batch`'s two subtrees:
+    ``vars/`` (vh, id) — the blocking structure, 8-byte hashes only —
+    and ``keys/`` (id, key) — the verify strings, one row per entity
+    (never per variant). Candidate = index variant-hash ∩ batch
+    variant-hash (complete for d ≤ 2 by the symmetric-delete pigeonhole
+    argument, `fuzzy.py`); verify joins the ≤candidate-bounded key
+    strings back and keeps only pairs with exact
+    ``levenshtein ≤ max_dist``. NULL keys can never match — they pass
+    through fresh and unindexed.
+
+    Same exactly-once discipline as the sibling ingests: the probe
+    EXCLUDES the batch's own partitions, so a replay after a crash
+    between the index write and the checkpoint commit recomputes the
+    identical fresh set; probe + writes hold the medallion merge lock
+    shared with :func:`compact_fuzzy_index`, with crashed compaction
+    swaps repaired first."""
+    from realtime_data_pipeline_spark import dedup as _dedup
+    from realtime_data_pipeline_spark import fuzzy as _fz
+    from realtime_data_pipeline_spark.medallion import _merge_lock
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        null_keys = batch_df.filter(F.col(key_col).isNull())
+        eligible = batch_df.filter(F.col(key_col).isNotNull())
+
+        in_batch_pairs = _fz.fuzzy_self_pairs(
+            eligible, id_col, key_col, max_dist=max_dist
+        )
+        batch_kept = _dedup.drop_neardups(eligible, in_batch_pairs, id_col)
+        new_vars = _fz._exploded_variants(
+            batch_kept, id_col, key_col, max_dist
+        ).localCheckpoint(eager=True)
+
+        var_dir = f"{index_path}/vars"
+        key_dir = f"{index_path}/keys"
+        with _merge_lock(index_path, op="fuzzy-ingest"):
+            _recover_index_swap(var_dir)
+            _recover_index_swap(key_dir)
+            if os.path.exists(var_dir):
+                idx_vars = spark.read.parquet(var_dir).filter(
+                    F.col("batch_id") != batch_id
+                )
+                idx_keys = spark.read.parquet(key_dir).filter(
+                    F.col("batch_id") != batch_id
+                )
+                cand = (
+                    idx_vars.join(
+                        F.broadcast(
+                            new_vars.select(
+                                F.col(id_col).alias("new_id"), "__vh"
+                            )
+                        ),
+                        "__vh",
+                    )
+                    .select(F.col(id_col).alias("old_id"), "new_id")
+                    .distinct()
+                )
+                dup_new = (
+                    idx_keys.select(
+                        F.col(id_col).alias("old_id"),
+                        F.col(key_col).alias("__key_old"),
+                    )
+                    .join(F.broadcast(cand), "old_id")
+                    .join(
+                        F.broadcast(
+                            batch_kept.select(
+                                F.col(id_col).alias("new_id"),
+                                F.col(key_col).alias("__key_new"),
+                            )
+                        ),
+                        "new_id",
+                    )
+                    .filter(
+                        F.levenshtein(
+                            F.col("__key_old"), F.col("__key_new")
+                        )
+                        <= max_dist
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                fresh = batch_kept.join(dup_new, id_col, "left_anti")
+            else:
+                fresh = batch_kept
+            fresh = fresh.localCheckpoint(eager=True)
+            fresh_ids = fresh.select(id_col)
+
+            def _bwrite(df: DataFrame, path: str) -> None:
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(path)
+                )
+
+            _bwrite(fresh.unionByName(null_keys), silver_path)
+            _bwrite(
+                new_vars.join(F.broadcast(fresh_ids), id_col).select(
+                    id_col, "__vh"
+                ),
+                var_dir,
+            )
+            _bwrite(fresh.select(id_col, key_col), key_dir)
+    finally:
+        batch_df.unpersist()
+
+
+def fuzzy_ingest_stream(
+    df: DataFrame,
+    index_path: str,
+    silver_path: str,
+    checkpoint: str,
+    id_col: str,
+    key_col: str,
+    max_dist: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming fuzzy entity-resolution ingest: each micro-batch is
+    matched (symmetric-delete blocking + exact Levenshtein verify)
+    against every prior batch via the persisted variant index — only
+    novel entities land in silver. Cross-batch cost is (batch variants ×
+    index probe), never a corpus self-join; exactly-once via
+    batch-scoped partitions on all three sinks
+    (:func:`fuzzy_ingest_batch`)."""
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        fuzzy_ingest_batch(
+            batch_df, batch_id, index_path, silver_path, id_col, key_col,
+            max_dist=max_dist,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def semdedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -1288,6 +1450,36 @@ def compact_neardup_index(spark: SparkSession, index_path: str) -> dict:
             _recover_index_swap(d)
             if not os.path.isdir(d):
                 continue  # index half never written (e.g. no eligible docs)
+            before += _count_batch_dirs(d)
+            out["rows"] += _fold_batch_partitions(spark, d, ["batch_id"])
+            after += _count_batch_dirs(d)
+        out["batch_partitions_before"] = before
+        out["batch_partitions_after"] = after
+        return out
+
+
+def compact_fuzzy_index(spark: SparkSession, index_path: str) -> dict:
+    """Maintenance for the streaming fuzzy entity-resolution index
+    (:func:`fuzzy_ingest_batch`'s ``vars/`` + ``keys/`` subtrees, each
+    ``batch_id=N``-partitioned): fold both subtrees' per-batch
+    partitions into ``batch_id=-1`` under ONE lock hold — the exact
+    discipline of :func:`compact_neardup_index` (per-subtree
+    crash-repaired rename swaps; folded rows read as prior corpus under
+    the own-partition exclusion, so a folded-batch replay computes zero
+    fresh rows and overwrites nothing). A not-yet-created index is a
+    clean zero-count no-op."""
+    from realtime_data_pipeline_spark.medallion import _merge_lock
+
+    index_path = os.path.normpath(index_path)
+    var_dir = os.path.join(index_path, "vars")
+    key_dir = os.path.join(index_path, "keys")
+    with _merge_lock(index_path, op="fuzzy-compact"):
+        out = {"rows": 0}
+        before = after = 0
+        for d in (var_dir, key_dir):
+            _recover_index_swap(d)
+            if not os.path.isdir(d):
+                continue  # index half never written (e.g. all-NULL keys)
             before += _count_batch_dirs(d)
             out["rows"] += _fold_batch_partitions(spark, d, ["batch_id"])
             after += _count_batch_dirs(d)

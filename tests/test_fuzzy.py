@@ -104,3 +104,103 @@ def test_plan_has_no_cross_product(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_ingest_batches_dedup_across_batches_and_compact(
+    spark, tmp_path
+):
+    """fuzzy_ingest_batch: in-batch fuzzy dedup, cross-batch drop via the
+    persisted variant index (exact Levenshtein verify), NULL keys pass
+    through unindexed, replay of a committed batch is a no-op, and
+    compaction folds both subtrees without changing probe behavior."""
+    import os
+
+    from realtime_data_pipeline_spark import streaming
+
+    schema = "id long, name string"
+    idx = str(tmp_path / "fuzzy_index")
+    silver = str(tmp_path / "fuzzy_silver")
+
+    def ingest(rows, bid):
+        streaming.fuzzy_ingest_batch(
+            spark.createDataFrame(rows, schema), bid, idx, silver,
+            "id", "name", max_dist=1,
+        )
+
+    def silver_ids():
+        return {r.id for r in spark.read.parquet(silver).collect()}
+
+    # batch 0: in-batch pair (10, 11) one edit apart -> smaller id wins
+    ingest([(10, "acme ltd"), (11, "acme ltd."), (12, "zeta co")], 0)
+    assert silver_ids() == {10, 12}
+
+    # batch 1: 13 is 1 edit from indexed "acme ltd" -> dup; 14 novel;
+    # 15 NULL key passes through
+    ingest([(13, "acme ltd"), (14, "omega inc"), (15, None)], 1)
+    assert silver_ids() == {10, 12, 14, 15}
+
+    # replay of batch 1: identical fresh set, no double-ingest
+    ingest([(13, "acme ltd"), (14, "omega inc"), (15, None)], 1)
+    assert silver_ids() == {10, 12, 14, 15}
+
+    # compaction folds vars/ and keys/ into batch_id=-1
+    m = streaming.compact_fuzzy_index(spark, idx)
+    assert m["batch_partitions_after"] == 2  # one per subtree
+    for sub in ("vars", "keys"):
+        assert [
+            d
+            for d in os.listdir(os.path.join(idx, sub))
+            if d.startswith("batch_id=")
+        ] == ["batch_id=-1"]
+
+    # post-compaction probe still drops a near-match of folded content
+    # and admits a novel entity
+    ingest([(16, "zeta com"), (17, "brand new name")], 2)
+    assert silver_ids() == {10, 12, 14, 15, 17}
+
+
+def test_fuzzy_ingest_stream_end_to_end(spark, tmp_path):
+    """fuzzy_ingest_stream: the foreachBatch wrapper routes file-stream
+    micro-batches through the same exactly-once entity resolution."""
+    from realtime_data_pipeline_spark import streaming
+
+    schema = "id long, name string"
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    spark.createDataFrame(
+        [(1, "acme ltd"), (2, "zeta co")], schema
+    ).coalesce(1).write.parquet(str(inbox / "b0"))
+    spark.createDataFrame(
+        [(3, "acme ltd."), (4, "omega inc")], schema
+    ).coalesce(1).write.parquet(str(inbox / "b1"))
+
+    # file streams list files, not directories — feed the parquet files
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(
+        sorted(glob.glob(str(inbox / "b*" / "*.parquet")))
+    ):
+        shutil.copy(f, str(flat / f"{i}.parquet"))
+
+    q = streaming.fuzzy_ingest_stream(
+        streaming.read_file_stream(
+            spark, str(flat), schema, fmt="parquet",
+            max_files_per_trigger=1,
+        ),
+        str(tmp_path / "idx"),
+        str(tmp_path / "silver"),
+        checkpoint=str(tmp_path / "ckpt"),
+        id_col="id",
+        key_col="name",
+        max_dist=1,
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.id for r in spark.read.parquet(str(tmp_path / "silver")).collect()
+    }
+    # 3 is one edit from 1's name (dropped if batches arrive in order;
+    # in-batch-dropped if they arrive together) — either way never kept
+    assert 3 not in got and {1, 2, 4} <= got

@@ -1853,6 +1853,7 @@ def test_compact_absent_index_is_clean_noop(spark, tmp_path):
         streaming.compact_dedup_index,
         streaming.compact_semdedup_index,
         streaming.compact_neardup_index,
+        streaming.compact_fuzzy_index,
     ):
         m = fn(spark, str(tmp_path / "never_created"))
         assert m["batch_partitions_before"] == 0
