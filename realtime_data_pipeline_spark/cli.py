@@ -277,6 +277,27 @@ def main(argv: list[str] | None = None) -> int:
         help="semdedup: orthant-quantizer sign bits (2^bits cells)",
     )
 
+    pl = sub.add_parser(
+        "link",
+        help="fuzzy entity matching (record linkage): Levenshtein-bounded "
+        "pairs via complete symmetric-delete blocking + exact verify",
+    )
+    pl.add_argument("--left", required=True, help="left table parquet")
+    pl.add_argument(
+        "--right", default=None,
+        help="right table parquet; omit for self-pairs within --left",
+    )
+    pl.add_argument("--out", required=True, help="pairs output parquet")
+    pl.add_argument("--left-id", default="id")
+    pl.add_argument("--right-id", default="id")
+    pl.add_argument("--left-key", default="name")
+    pl.add_argument("--right-key", default="name")
+    pl.add_argument(
+        "--dist", type=int, default=1,
+        help="max Levenshtein distance (1 or 2 — the range the "
+        "symmetric-delete completeness argument covers)",
+    )
+
     pas = sub.add_parser(
         "assemble",
         help="assemble training shards: hash split -> reproducible "
@@ -612,6 +633,28 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 view = versioned.read_version(spark, args.root, args.version)
             view.show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "link":
+        from realtime_data_pipeline_spark import fuzzy
+
+        left = spark.read.parquet(args.left)
+        if args.right is None:
+            pairs = fuzzy.fuzzy_self_pairs(
+                left, args.left_id, args.left_key, max_dist=args.dist
+            )
+        else:
+            pairs = fuzzy.fuzzy_join(
+                left,
+                spark.read.parquet(args.right),
+                args.left_id,
+                args.right_id,
+                args.left_key,
+                args.right_key,
+                max_dist=args.dist,
+            )
+        pairs.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"link: {n} pairs within dist {args.dist} -> {args.out}")
         return 0
     if args.cmd == "assemble":
         from pyspark.sql import functions as F

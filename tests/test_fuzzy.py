@@ -204,3 +204,33 @@ def test_fuzzy_ingest_stream_end_to_end(spark, tmp_path):
     # 3 is one edit from 1's name (dropped if batches arrive in order;
     # in-batch-dropped if they arrive together) — either way never kept
     assert 3 not in got and {1, 2, 4} <= got
+
+
+def test_cli_link_self_and_cross(spark, tmp_path, capsys):
+    """cli link: self-pairs by default, cross-table with --right; output
+    parquet holds the verified pairs with distances."""
+    from realtime_data_pipeline_spark import cli
+
+    left = str(tmp_path / "left")
+    spark.createDataFrame(
+        [(1, "jon smith"), (2, "mary jones")], "id long, name string"
+    ).write.parquet(left)
+    right = str(tmp_path / "right")
+    spark.createDataFrame(
+        [(10, "john smith"), (11, "bob stone")], "id long, name string"
+    ).write.parquet(right)
+
+    out = str(tmp_path / "self_out")
+    assert cli.main(["link", "--left", left, "--out", out]) == 0
+    assert spark.read.parquet(out).count() == 0  # no self near-pairs
+
+    out2 = str(tmp_path / "cross_out")
+    assert cli.main(
+        ["link", "--left", left, "--right", right, "--out", out2,
+         "--dist", "1"]
+    ) == 0
+    got = {
+        (r["id"], r["__r_id"], r["dist"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got == {(1, 10, 1)}
