@@ -82,11 +82,14 @@ def _calibration_token() -> float:
     leg times diverge, their tokens say whether the ENVIRONMENT moved
     (tokens shifted with the legs: contention/frequency/steal the
     /proc/stat counter missed) or the CODE did (tokens flat, legs
-    moved). ~40 ms on this box — cheap enough to run per pass."""
+    moved). ~60 ms on this box — cheap enough to run per pass. The
+    64-bit mask keeps x a machine word; without it the accumulator
+    grows into an ever-larger bignum and the \"fixed\" work inflates
+    with iteration count."""
     t0 = time.perf_counter()
     x = 0
     for i in range(500_000):
-        x += i ^ (x >> 3)
+        x = (x + (i ^ (x >> 3))) & 0xFFFFFFFFFFFFFFFF
     return round(time.perf_counter() - t0, 4)
 
 
