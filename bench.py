@@ -591,49 +591,64 @@ def main() -> None:
     # time covers both source listings, the state-store build/evict, and
     # the parquet sink. Same min-of-N policy as the other streaming legs.
     def ssoj_leg_once() -> float:
-        with tempfile.TemporaryDirectory() as td:
-            inbox = os.path.join(td, "inbox")
-            os.makedirs(inbox)
-            shutil.copy(
-                f"{sf_dir}/events.parquet",
-                os.path.join(inbox, "events.parquet"),
-            )
-            t0 = time.perf_counter()
-            src = streaming.read_file_stream(
-                spark, inbox, ev_schema, fmt="parquet",
-                max_files_per_trigger=1,
-            )
-            clicks = src.filter(F.col("event_type") == "click").select(
-                F.col("event_id").alias("click_id"),
-                F.col("ts").cast("timestamp").alias("click_ts"),
-                F.col("user_id").alias("cuser"),
-            )
-            purchases = src.filter(
-                F.col("event_type") == "purchase"
-            ).select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").cast("timestamp").alias("purchase_ts"),
-                F.col("user_id").alias("puser"),
-            )
-            joined = streaming.interval_join_stream(
-                clicks, purchases, "cuser", "puser",
-                "click_ts", "purchase_ts", "10 minutes",
-                how="full_outer",
-            ).select("click_id", "purchase_id")
-            sq = (
-                joined.writeStream.format("parquet")
-                .option("path", os.path.join(td, "out"))
-                .option("checkpointLocation", os.path.join(td, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not sq.awaitTermination(300):
-                sq.stop()
-                raise RuntimeError(
-                    "stream-stream outer interval join leg did not "
-                    "finish in 300s"
+        # state-partition sizing (measured: 32 partitions -> 8.6s, 8 ->
+        # 3.4s, identical output): a stream-stream join materializes
+        # FOUR state-store instances per shuffle partition, so the
+        # partition count must follow STREAM volume, not the batch
+        # shuffle default — at 100k events/batch, 8 partitions; a 100TB
+        # stream raises it with volume. Conf is read at query start and
+        # restored after the leg.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                inbox = os.path.join(td, "inbox")
+                os.makedirs(inbox)
+                shutil.copy(
+                    f"{sf_dir}/events.parquet",
+                    os.path.join(inbox, "events.parquet"),
                 )
-            return time.perf_counter() - t0
+                t0 = time.perf_counter()
+                src = streaming.read_file_stream(
+                    spark, inbox, ev_schema, fmt="parquet",
+                    max_files_per_trigger=1,
+                )
+                clicks = src.filter(
+                    F.col("event_type") == "click"
+                ).select(
+                    F.col("event_id").alias("click_id"),
+                    F.col("ts").cast("timestamp").alias("click_ts"),
+                    F.col("user_id").alias("cuser"),
+                )
+                purchases = src.filter(
+                    F.col("event_type") == "purchase"
+                ).select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").cast("timestamp").alias("purchase_ts"),
+                    F.col("user_id").alias("puser"),
+                )
+                joined = streaming.interval_join_stream(
+                    clicks, purchases, "cuser", "puser",
+                    "click_ts", "purchase_ts", "10 minutes",
+                    how="full_outer",
+                ).select("click_id", "purchase_id")
+                sq = (
+                    joined.writeStream.format("parquet")
+                    .option("path", os.path.join(td, "out"))
+                    .option(
+                        "checkpointLocation", os.path.join(td, "ckpt")
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not sq.awaitTermination(300):
+                    sq.stop()
+                    raise RuntimeError(
+                        "stream-stream outer interval join leg did not "
+                        "finish in 300s"
+                    )
+                return time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     timings["streaming_interval_join_outer"] = _bench_timed(
         "streaming_interval_join_outer", ssoj_leg_once
