@@ -176,6 +176,7 @@ def test_fuzzy_ingest_stream_end_to_end(spark, tmp_path):
 
     # file streams list files, not directories — feed the parquet files
     import glob
+    import os
     import shutil
 
     flat = tmp_path / "flat"
@@ -183,7 +184,11 @@ def test_fuzzy_ingest_stream_end_to_end(spark, tmp_path):
     for i, f in enumerate(
         sorted(glob.glob(str(inbox / "b*" / "*.parquet")))
     ):
-        shutil.copy(f, str(flat / f"{i}.parquet"))
+        dst = str(flat / f"{i}.parquet")
+        shutil.copy(f, dst)
+        # the file source orders micro-batches by mtime; copies land
+        # with near-identical timestamps, so pin the intended order
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
     q = streaming.fuzzy_ingest_stream(
         streaming.read_file_stream(
@@ -201,9 +206,11 @@ def test_fuzzy_ingest_stream_end_to_end(spark, tmp_path):
     got = {
         r.id for r in spark.read.parquet(str(tmp_path / "silver")).collect()
     }
-    # 3 is one edit from 1's name (dropped if batches arrive in order;
-    # in-batch-dropped if they arrive together) — either way never kept
-    assert 3 not in got and {1, 2, 4} <= got
+    # "acme ltd" (1) and "acme ltd." (3) are 1 edit apart: whichever
+    # batch lands second loses to the index (or the in-batch dedup if
+    # they arrive together) — exactly one of the pair survives, and the
+    # two unrelated names always do
+    assert {2, 4} <= got and len(got & {1, 3}) == 1 and len(got) == 3
 
 
 def test_cli_link_self_and_cross(spark, tmp_path, capsys):
@@ -234,3 +241,66 @@ def test_cli_link_self_and_cross(spark, tmp_path, capsys):
         for r in spark.read.parquet(out2).collect()
     }
     assert got == {(1, 10, 1)}
+
+
+def test_randomized_edit_completeness(spark):
+    """Property check of the completeness claim: for 150 seeded random
+    (base, mutated) pairs with 0-4 random character edits
+    (insert/delete/substitute), fuzzy_self_pairs at d=2 finds a pair
+    exactly when true Levenshtein <= 2 — no false negatives from the
+    blocking, no false positives from hash collisions."""
+    import random
+
+    rng = random.Random(20260815)
+    alpha = "abcdefghij"
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[-1] + 1,
+                    prev[j - 1] + (ca != cb),
+                ))
+            prev = cur
+        return prev[-1]
+
+    rows = []
+    truth = set()
+    for case in range(150):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 14)))
+        s = base
+        for _ in range(rng.randint(0, 4)):
+            op = rng.choice("ids")
+            pos = rng.randint(0, max(len(s) - 1, 0))
+            if op == "i":
+                s = s[:pos] + rng.choice(alpha) + s[pos:]
+            elif op == "d" and s:
+                s = s[:pos] + s[pos + 1:]
+            else:
+                s = s[:pos] + rng.choice(alpha) + s[pos + 1:] if s else s
+        tag = f"{case:03d}x"
+        a_id, b_id = 2 * case, 2 * case + 1
+        rows += [(a_id, tag + base), (b_id, tag + s)]
+
+    # ground truth by FULL brute force over all 300 strings — random
+    # cases can land within distance 2 of each other across case
+    # boundaries too, and those pairs are just as real
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if lev(rows[i][1], rows[j][1]) <= 2:
+                truth.add((rows[i][0], rows[j][0]))
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy.fuzzy_self_pairs(
+            spark.createDataFrame(rows, "id long, name string"),
+            "id",
+            "name",
+            max_dist=2,
+        ).collect()
+    }
+    assert got == truth, (
+        f"missing={sorted(truth - got)[:5]} extra={sorted(got - truth)[:5]}"
+    )
