@@ -254,6 +254,124 @@ ORDER BY user_id
 """
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic lifecycle scoring every commerce
+    warehouse runs: per customer, Recency (days since last order,
+    relative to the corpus's latest order date), Frequency (order
+    count), Monetary (decimal-exact spend), each scored 1-4 by which
+    exact quartile of the customer population it falls in, concatenated
+    into the segment label ("444" = best).
+
+    Scale shape: NO global ranking window (an ntile over all customers
+    funnels the dimension through one task) — the three quartile
+    boundary triples come from ONE exact-percentile aggregate (1 row,
+    9 values, broadcast back), and scoring is per-row comparisons
+    against them, fully distributed. Boundary determinism: monetary
+    sums in decimal (order-independent), percentiles are the linear-
+    interpolation definition both engines share, and scores use
+    half-open `(lo, hi]` bins via strict `>` comparisons so a value
+    exactly ON a boundary bins identically in both engines."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("__ref"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("__ref"), F.col("__last")).cast("int"),
+        )
+        .drop("__last", "__ref")
+    )
+    q = cust.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(p)).alias(
+                f"__{c}_{int(p * 100)}"
+            )
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        v = F.col(c).cast("double")
+        raw = (
+            F.lit(1)
+            + F.when(v > F.col(f"__{c}_25"), 1).otherwise(0)
+            + F.when(v > F.col(f"__{c}_50"), 1).otherwise(0)
+            + F.when(v > F.col(f"__{c}_75"), 1).otherwise(0)
+        )
+        return (F.lit(5) - raw if invert else raw).cast("int")
+
+    scored = cust.crossJoin(F.broadcast(q)).select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        score("recency_days", invert=True).alias("r_score"),
+        score("frequency", invert=False).alias("f_score"),
+        score("monetary", invert=False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    ).orderBy("custkey")
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(DATE_DIFF('day', MAX(o_orderdate),
+              (SELECT MAX(o_orderdate) FROM orders)) AS INT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+), q AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r25,
+         quantile_cont(recency_days, 0.50) AS r50,
+         quantile_cont(recency_days, 0.75) AS r75,
+         quantile_cont(frequency, 0.25) AS f25,
+         quantile_cont(frequency, 0.50) AS f50,
+         quantile_cont(frequency, 0.75) AS f75,
+         quantile_cont(monetary, 0.25) AS m25,
+         quantile_cont(monetary, 0.50) AS m50,
+         quantile_cont(monetary, 0.75) AS m75
+  FROM cust
+), scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         CAST(5 - (1 + CASE WHEN recency_days > r25 THEN 1 ELSE 0 END
+                     + CASE WHEN recency_days > r50 THEN 1 ELSE 0 END
+                     + CASE WHEN recency_days > r75 THEN 1 ELSE 0 END)
+              AS INT) AS r_score,
+         CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+                + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+                + CASE WHEN frequency > f75 THEN 1 ELSE 0 END
+              AS INT) AS f_score,
+         CAST(1 + CASE WHEN monetary > m25 THEN 1 ELSE 0 END
+                + CASE WHEN monetary > m50 THEN 1 ELSE 0 END
+                + CASE WHEN monetary > m75 THEN 1 ELSE 0 END
+              AS INT) AS m_score
+  FROM cust CROSS JOIN q
+)
+SELECT custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+ORDER BY custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -261,10 +379,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_anomalies_zscore": orders_price_anomalies_zscore,
     "customer_spend_anomalies_zscore": customer_spend_anomalies_zscore,
     "events_recency_weighted_value": events_recency_weighted_value,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "orders_price_anomalies_zscore": ORDERS_PRICE_ANOMALIES_ZSCORE_SQL,
     "customer_spend_anomalies_zscore": CUSTOMER_SPEND_ANOMALIES_ZSCORE_SQL,
     "events_recency_weighted_value": EVENTS_RECENCY_WEIGHTED_VALUE_SQL,
+    "customer_rfm_segments": CUSTOMER_RFM_SEGMENTS_SQL,
 }

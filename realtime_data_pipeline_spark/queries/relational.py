@@ -822,3 +822,74 @@ SHELVED_QUERIES["overlapping_order_windows"] = overlapping_order_windows
 SHELVED_ORACLE_SQL["overlapping_order_windows"] = (
     OVERLAPPING_ORDER_WINDOWS_SQL
 )
+
+
+def parts_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (frequent-itemset lite): the 20 part
+    pairs most often ordered together, with co-order counts — the
+    recommender/affinity workload every warehouse runs over its order
+    lines.
+
+    Scale shape: the pair explosion is WITHIN-order only — distinct
+    (order, part) first, then a self-equi-join on the order key with
+    the triangle cut in the join condition, so pair volume is bounded
+    by Σ(items-per-order choose 2), never corpus²; both sides shuffle
+    on the same order key (one co-partitioned exchange, AQE-skew-
+    splittable for a pathological mega-order). The pair count is a
+    map-side-combined groupBy, and the top-20 is TakeOrderedAndProject
+    (count desc, pair asc tiebreak = deterministic under ties); only
+    the 20 survivors enter the bounded rank window."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = lp.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a["__ok"] == b["__ok"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    from pyspark.sql import Window
+
+    top = pairs.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return top.select(
+        F.col("part_a").cast("bigint").alias("part_a"),
+        F.col("part_b").cast("bigint").alias("part_b"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+PARTS_COPURCHASE_PAIRS_SQL = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_orders
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT CAST(part_a AS BIGINT) AS part_a,
+       CAST(part_b AS BIGINT) AS part_b,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY n_orders DESC, part_a ASC, part_b ASC) AS INT) AS rank
+FROM p
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+SHELVED_QUERIES["parts_copurchase_pairs"] = parts_copurchase_pairs
+SHELVED_ORACLE_SQL["parts_copurchase_pairs"] = PARTS_COPURCHASE_PAIRS_SQL
