@@ -634,3 +634,24 @@ def test_shipments_in_order_windows_bands_not_nested_loop(spark, sf_dir):
     plan = plan_str(qfn("shipments_in_order_windows")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_copurchase_pairs_equi_join_and_bounded_topk(spark, sf_dir):
+    """Market-basket pairs: the within-order pair explosion must be an
+    EQUI self-join on the order key (the triangle cut rides the join
+    condition, never a cartesian/nested-loop), and the top-20 must be
+    the distributed TakeOrderedAndProject, not a global sort."""
+    plan = plan_str(qfn("parts_copurchase_pairs")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_segments_no_global_ranking_window(spark, sf_dir):
+    """RFM scoring must have NO Window operator at all: quartile scores
+    come from a broadcast 1-row percentile aggregate + per-row
+    comparisons — an ntile/rank spelling would funnel the whole
+    customer dimension through one task."""
+    plan = plan_str(qfn("customer_rfm_segments")(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan  # 1-row joins broadcast fine
