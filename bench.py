@@ -1157,6 +1157,7 @@ RAMP_LEGS = [
     "embedding_knn_bruteforce",  # fixed 50 queries x 10x corpus
     "docs_pack_chunks",          # distributed prefix sum, 10x docs
     "local_supplier_volume_q5",  # 6-table star join, facts 10x / dims 1x
+    "parts_copurchase_pairs",    # within-order pair self-join, 10x orders
 ]
 
 
