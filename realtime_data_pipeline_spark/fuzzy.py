@@ -138,22 +138,38 @@ def fuzzy_join(
     One equi-join on hashed deletion variants + a distinct on candidate
     pairs; never a cross product (plan contains no BNLJ for
     non-broadcastable inputs)."""
-    lv = _exploded_variants(left, left_id, left_text, max_dist)
-    rv = _exploded_variants(right, right_id, right_text, max_dist)
+    lv = _exploded_variants(left, left_id, left_text, max_dist).drop(
+        left_text
+    )
+    rv = _exploded_variants(right, right_id, right_text, max_dist).drop(
+        right_text
+    )
     if left_id == right_id:
         rv = rv.withColumnRenamed(left_id, f"__r_{right_id}")
         right_id = f"__r_{right_id}"
     if left_text == right_text:
-        rv = rv.withColumnRenamed(left_text, f"__r_{right_text}")
-        right_text = f"__r_{right_text}"
-    cand = (
-        lv.join(rv, "__vh")
-        .select(left_id, right_id, left_text, right_text)
-        .distinct()
+        right_text_out = f"__r_{right_text}"
+    else:
+        right_text_out = right_text
+    # candidate dedup carries ONLY the two ids (16 bytes/row) — each
+    # true pair appears once per shared variant, so deduping before the
+    # strings rejoin keeps key strings out of the widest shuffle; the
+    # name lookup joins are against the (dim-sized) entity tables
+    cand = lv.join(rv, "__vh").select(left_id, right_id).distinct()
+    pairs = cand.join(
+        left.select(left_id, left_text), left_id
+    ).join(
+        right.select(
+            F.col(right_id.removeprefix("__r_")).alias(right_id),
+            F.col(right_text).alias(right_text_out),
+        ),
+        right_id,
     )
-    dist = F.levenshtein(F.col(left_text), F.col(right_text))
-    return cand.withColumn("dist", dist.cast("int")).filter(
-        F.col("dist") <= max_dist
+    dist = F.levenshtein(F.col(left_text), F.col(right_text_out))
+    return (
+        pairs.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select(left_id, right_id, left_text, right_text_out, "dist")
     )
 
 
@@ -171,24 +187,33 @@ def fuzzy_self_pairs(
     blocking + exact verify as :func:`fuzzy_join`, with the triangle
     cut (``id_a < id_b``) applied at the candidate join so each pair is
     verified once."""
-    ex = _exploded_variants(df, id_col, text_col, max_dist)
-    a = ex.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("text_a"),
-        "__vh",
-    )
-    b = ex.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("text_b"),
-        "__vh",
-    )
+    ex = _exploded_variants(df, id_col, text_col, max_dist).drop(text_col)
+    a = ex.select(F.col(id_col).alias("id_a"), "__vh")
+    b = ex.select(F.col(id_col).alias("id_b"), "__vh")
+    # ids-only candidate dedup (16 bytes/row through the widest
+    # shuffle), then the key strings rejoin from the entity table —
+    # same discipline as :func:`fuzzy_join`
     cand = (
         a.join(b, "__vh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    names = df.select(id_col, text_col)
+    pairs = cand.join(
+        names.select(
+            F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+        ),
+        "id_a",
+    ).join(
+        names.select(
+            F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
+        ),
+        "id_b",
+    )
     dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
-    return cand.withColumn("dist", dist.cast("int")).filter(
-        F.col("dist") <= max_dist
+    return (
+        pairs.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "text_a", "text_b", "dist")
     )
