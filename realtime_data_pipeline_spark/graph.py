@@ -141,3 +141,145 @@ def pagerank(
     nodes.unpersist()
     out_deg.unpersist()
     return final
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED edge
+    list; returns ``(node, n_triangles)`` for every node in at least
+    one triangle. Parallel edges and self-loops are removed first.
+
+    Scale shape — degree orientation, the standard trick that makes
+    distributed triangle listing survive skew: every edge is oriented
+    from its lower-``(degree, id)`` endpoint to the higher one, so a
+    node's out-degree in the oriented graph is bounded by O(sqrt(|E|))
+    regardless of how hot it is in the raw graph (a celebrity node with
+    10^6 neighbors generates wedges only from the few neighbors that
+    out-rank it, not choose(10^6, 2)). Wedges are a self-equi-join of
+    the oriented edges on the source; each wedge then probes the
+    oriented edge set once (a second equi-join) — two shuffles total,
+    never an all-pairs product, and each triangle is found exactly once
+    (at its lowest-ranked apex). The final explode is 3 rows per
+    triangle, bounded by the triangle count itself."""
+    e = (
+        edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .filter(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & (F.col("__a") != F.col("__b"))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__a").alias("node"))
+        .unionByName(e.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("__a"), F.col("__deg").alias("__deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("__b"), F.col("__deg").alias("__deg_b")
+    )
+    ranked = e.join(da, "__a").join(db, "__b")
+    a_first = (F.col("__deg_a") < F.col("__deg_b")) | (
+        (F.col("__deg_a") == F.col("__deg_b"))
+        & (F.col("__a") < F.col("__b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("__u"),
+        F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("__v"),
+        F.when(a_first, F.col("__deg_b"))
+        .otherwise(F.col("__deg_a"))
+        .alias("__dv"),
+    ).persist()
+    e1 = oriented.select("__u", F.col("__v").alias("__x"), F.col("__dv").alias("__dx"))
+    e2 = oriented.select("__u", F.col("__v").alias("__y"), F.col("__dv").alias("__dy"))
+    x_first = (F.col("__dx") < F.col("__dy")) | (
+        (F.col("__dx") == F.col("__dy")) & (F.col("__x") < F.col("__y"))
+    )
+    wedges = e1.join(e2, "__u").filter(x_first)
+    probe = oriented.select(
+        F.col("__u").alias("__x"), F.col("__v").alias("__y")
+    )
+    tri = wedges.join(probe, ["__x", "__y"]).select("__u", "__x", "__y")
+    out = (
+        tri.select(
+            F.explode(F.array("__u", "__x", "__y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Unweighted shortest-path hop distances from ``source`` over an
+    UNDIRECTED edge list, bounded at ``max_hops``; returns
+    ``(node, hops)`` for every reached node (the source itself at 0).
+    Exact and deterministic — BFS level sets don't depend on partition
+    or iteration order, so this IS oracle-checkable (a bounded
+    recursive CTE computes the same distances).
+
+    Scale shape: classic frontier iteration. Each hop is ONE join
+    (frontier ⋈ edges on the source endpoint) + ONE anti-join against
+    the visited set + a distinct — all equi-joins on node ids; the
+    edge table is symmetrized once, repartitioned on the join key once
+    and persisted, so every hop reuses that layout and only the
+    frontier (≤ |V| rows) moves. Lineage is truncated per hop via the
+    persisted visited frame and a localCheckpoint, the same iterative
+    discipline as :func:`pagerank` — N hops cost N bounded jobs, not
+    one job with an N-deep plan."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    half = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    sym = (
+        half.unionByName(
+            half.select(
+                F.col("__d").alias("__s"), F.col("__s").alias("__d")
+            )
+        )
+        .distinct()
+        .repartition("__s")
+        .persist()
+    )
+    sym.count()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], schema="node: bigint, hops: int"
+    ).persist()
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # localCheckpoint materialized the union; count the frontier off
+        # the checkpointed frame so the hop costs exactly one extra
+        # bounded action on cached data
+        n_new = new_visited.filter(F.col("hops") == hop).count()
+        visited.unpersist()
+        visited = new_visited
+        if n_new == 0:
+            break
+        frontier = visited.filter(F.col("hops") == hop).select("node")
+    sym.unpersist()
+    return visited

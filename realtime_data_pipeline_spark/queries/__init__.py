@@ -27,6 +27,7 @@ from realtime_data_pipeline_spark.queries import (
     asof,
     core,
     curation,
+    graphq,
     llm,
     mlfeat,
     relational,
@@ -64,6 +65,7 @@ for _mod in (
     timeseries,
     vectors,
     textdup,
+    graphq,
 ):
     _MERGED.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)

@@ -210,6 +210,58 @@ LIMIT 20
 """
 
 
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (from_type, to_type) adjacent pair, the transition count
+    and the row-normalized probability — the clickstream 'what happens
+    next' model every product-analytics stack ships.
+
+    One shuffle on user_id for the lead() window (ts, event_id
+    tie-break = deterministic); the transition table it feeds is
+    bounded at n_types² rows, so the normalizing sum-over-from_type
+    window runs on that tiny aggregate, never on the events."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    row_total = F.sum("n_trans").over(W.partitionBy("from_type"))
+    return (
+        trans.select(
+            "from_type",
+            "to_type",
+            F.col("n_trans").cast("bigint").alias("n_trans"),
+            F.round(
+                F.col("n_trans").cast("double") / row_total, 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_trans,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_5min": events_tumbling_5min,
     "events_sliding_10m_5m": events_sliding_10m_5m,
@@ -219,10 +271,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_paths": events_top_paths,
+    "events_type_transitions": events_type_transitions,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
+    "events_type_transitions": EVENTS_TYPE_TRANSITIONS_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

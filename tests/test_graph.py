@@ -74,3 +74,91 @@ def test_pagerank_dedupes_parallel_edges_and_validates(spark):
         graph.pagerank(df, damping=1.5)
     with pytest.raises(ValueError, match="iterations"):
         graph.pagerank(df, iterations=0)
+
+
+def _brute_triangles(edges):
+    """Node -> triangle count by brute-force enumeration."""
+    import itertools
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        es.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if (
+            (a, b) in es and (a, c) in es and (b, c) in es
+        ):
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # two overlapping triangles + a pendant + a square (no triangle)
+    edges = [
+        (0, 1), (1, 2), (0, 2),           # triangle 0-1-2
+        (1, 3), (2, 3),                   # triangle 1-2-3 (shares edge 1-2)
+        (3, 4),                           # pendant
+        (5, 6), (6, 7), (7, 8), (5, 8),   # 4-cycle, no triangle
+        (2, 1),                           # parallel (reversed) duplicate
+        (4, 4),                           # self-loop, ignored
+    ]
+    want = _brute_triangles(edges)
+    got = {
+        r.node: r.n_triangles
+        for r in graph.triangle_count(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_triangle_count_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            (rng.randrange(12), rng.randrange(12))
+            for _ in range(40)
+        }
+    )
+    want = _brute_triangles(edges)
+    got = {
+        r.node: r.n_triangles
+        for r in graph.triangle_count(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bfs_hops_levels_and_unreachable(spark):
+    # chain 0-1-2-3, branch 1-4, isolated component 5-6
+    edges = [(0, 1), (1, 2), (2, 3), (1, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.hops for r in graph.bfs_hops(df, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3}  # 5, 6 unreachable
+    # max_hops truncates: only levels <= 1 present
+    got1 = {r.node: r.hops for r in graph.bfs_hops(df, 0, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1}
+    # direction-agnostic: edges are undirected, so BFS from the chain
+    # tail walks the same distances mirrored
+    got_rev = {r.node: r.hops for r in graph.bfs_hops(df, 3).collect()}
+    assert got_rev == {3: 0, 2: 1, 1: 2, 0: 3, 4: 3}
+
+
+def test_bfs_hops_early_exit_and_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    # frontier drains at hop 1; further hops are a no-op (early break)
+    got = {r.node: r.hops for r in graph.bfs_hops(df, 0, max_hops=6).collect()}
+    assert got == {0: 0, 1: 1}
+    with _pytest.raises(ValueError):
+        graph.bfs_hops(df, 0, max_hops=-1)

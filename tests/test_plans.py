@@ -655,3 +655,38 @@ def test_rfm_segments_no_global_ranking_window(spark, sf_dir):
     plan = plan_str(qfn("customer_rfm_segments")(spark, sf_dir))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan  # 1-row joins broadcast fine
+
+
+def test_copurchase_triangles_equi_joins_and_bounded_topk(spark, sf_dir):
+    """Triangle listing must stay equi-join shaped end to end: the
+    degree orientation, wedge self-join, and closing-edge probe are all
+    hash joins (never cartesian/nested-loop — the classic naive
+    triangle query degenerates into one), and the top-20 is the
+    distributed TakeOrderedAndProject, not a global sort."""
+    plan = plan_str(qfn("copurchase_triangles")(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the 3-rows-per-triangle explode is a Generate, not a Python UDF
+    assert "Generate" in plan and "explode(array" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_events_type_transitions_bounded_normalizer_window(spark, sf_dir):
+    """The lead() window shuffles events once on user_id; the
+    row-normalizing sum window must run on the bounded n_types² count
+    table AFTER the aggregate — i.e. the plan's second Window sits
+    above a HashAggregate, and nothing nested-loops."""
+    df = qfn("events_type_transitions")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    simple = plan_str(df, mode="simple")
+    # exactly two Window operators: per-user lead, per-from_type sum
+    assert simple.count("Window") == 2
+    # the normalizer window reads the aggregate's output, not events:
+    # a HashAggregate appears between the two windows in the tree
+    lead_pos = simple.rfind("Window")
+    agg_pos = simple.rfind("HashAggregate", 0, lead_pos)
+    norm_pos = simple.find("Window")
+    assert norm_pos < agg_pos < lead_pos
