@@ -161,7 +161,14 @@ def triangle_count(
     oriented edge set once (a second equi-join) — two shuffles total,
     never an all-pairs product, and each triangle is found exactly once
     (at its lowest-ranked apex). The final explode is 3 rows per
-    triangle, bounded by the triangle count itself."""
+    triangle, bounded by the triangle count itself.
+
+    Lazy by design (the full plan stays visible to EXPLAIN and the
+    optimizer; plan-gated no-cartesian in tests): the edge input is
+    referenced from several plan branches (degree union, orientation,
+    closing-edge probe). Catalyst's exchange reuse dedupes the repeated
+    shuffle subtrees at runtime; if the edge input is an expensive
+    derivation, ``persist()`` it before calling."""
     e = (
         edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
         .filter(
@@ -198,7 +205,7 @@ def triangle_count(
         F.when(a_first, F.col("__deg_b"))
         .otherwise(F.col("__deg_a"))
         .alias("__dv"),
-    ).persist()
+    )
     e1 = oriented.select("__u", F.col("__v").alias("__x"), F.col("__dv").alias("__dx"))
     e2 = oriented.select("__u", F.col("__v").alias("__y"), F.col("__dv").alias("__dy"))
     x_first = (F.col("__dx") < F.col("__dy")) | (

@@ -71,9 +71,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts each pairwise co-ordered). Degree-oriented listing via
     :func:`graph.triangle_count`; only the bounded per-node counts are
     sorted."""
-    tri = graph.triangle_count(
-        _copurchase_edges(spark, sf_dir), src="pa", dst="pb"
-    )
+    # persist: triangle_count reads its edge input from three plan
+    # branches whose differing column pruning defeats exchange reuse —
+    # uncached, the (self-join + groupBy) edge build runs 3x. The cache
+    # is bounded (the sparsified edge list, thousands of rows at sf0.1,
+    # LRU-evictable); the result stays lazy so the full plan remains
+    # EXPLAIN- and gate-visible.
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    tri = graph.triangle_count(edges, src="pa", dst="pb")
     return (
         tri.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
         .limit(20)
