@@ -517,6 +517,60 @@ SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM base
 """
 
 
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority — the trend
+    report shape: aggregate to (year, priority) grain first (one
+    shuffle over orders, decimal-exact revenue), THEN lag() across
+    years. The window runs on the bounded years × priorities aggregate
+    — never on raw orders — and the growth ratio divides two
+    already-rounded doubles, so it is engine-exact. First year per
+    priority has NULL growth (nothing to compare against)."""
+    from pyspark.sql.window import Window as W
+
+    from realtime_data_pipeline_spark.queries.util import dsum
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    yearly = orders.groupBy("year", "o_orderpriority").agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("year")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.select(
+            F.col("year").cast("int").alias("year"),
+            F.col("o_orderpriority").alias("priority"),
+            "revenue",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(
+                (F.col("revenue") - prev) * 100.0 / prev, 4
+            ).alias("yoy_pct"),
+        )
+        .orderBy("year", "priority")
+    )
+
+
+ORDERS_YOY_GROWTH_SQL = """
+WITH yearly AS (
+  SELECT YEAR(o_orderdate) AS year, o_orderpriority AS priority,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE)
+           AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(year AS INT) AS year, priority, revenue, n_orders,
+       ROUND((revenue - LAG(revenue) OVER w) * 100.0
+             / LAG(revenue) OVER w, 4) AS yoy_pct
+FROM yearly
+WINDOW w AS (PARTITION BY priority ORDER BY year)
+ORDER BY year, priority
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -539,9 +593,11 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_variant": events_props_variant,
     "orders_pivot_status_by_year": orders_pivot_status_by_year,
     "lineitem_unpivot_measures": lineitem_unpivot_measures,
+    "orders_yoy_growth": orders_yoy_growth,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,
     "orders_pivot_status_by_year": ORDERS_PIVOT_STATUS_BY_YEAR_SQL,
     "lineitem_unpivot_measures": LINEITEM_UNPIVOT_MEASURES_SQL,
     "events_hot_user_share": EVENTS_HOT_USER_SHARE_SQL,

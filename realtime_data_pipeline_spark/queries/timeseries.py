@@ -167,15 +167,81 @@ ORDER BY user_id, event_id
 """
 
 
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily active users, trailing-7-day
+    active users, and their ratio — the engagement metric every product
+    dashboard leads with, and a shape engines get wrong at scale
+    because COUNT(DISTINCT) over a sliding RANGE window is either
+    unsupported or a per-row set rebuild.
+
+    Scale spelling: dedup to (day, user) pairs first (one shuffle,
+    map-side combined), then each pair CONTRIBUTES FORWARD to the 7
+    target days it covers via a constant-factor ``sequence()`` explode
+    — the sliding distinct becomes a plain groupBy count-distinct over
+    7×|day-user pairs| rows, no window at all (plan-gated). Cost is
+    linear in active pairs, never days × full-history rescan."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("__off"),
+        "day",
+        "user_id",
+    ).select(
+        F.date_add(F.col("day"), F.col("__off")).alias("day"), "user_id"
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")  # inner: keep only observed days
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+), contrib AS (
+  SELECT du.day + g.off * INTERVAL 1 DAY AS day, du.user_id
+  FROM du, generate_series(0, 6) g(off)
+), wau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_ffill": events_hourly_ffill,
     "events_rolling_1h_stats": events_rolling_1h_stats,
+    "events_dau_wau": events_dau_wau,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "events_hourly_ffill": EVENTS_HOURLY_FFILL_SQL,
     "events_rolling_1h_stats": EVENTS_ROLLING_1H_STATS_SQL,
+    "events_dau_wau": EVENTS_DAU_WAU_SQL,
 }

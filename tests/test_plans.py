@@ -690,3 +690,30 @@ def test_events_type_transitions_bounded_normalizer_window(spark, sf_dir):
     agg_pos = simple.rfind("HashAggregate", 0, lead_pos)
     norm_pos = simple.find("Window")
     assert norm_pos < agg_pos < lead_pos
+
+
+def test_dau_wau_no_window_constant_explode(spark, sf_dir):
+    """The sliding 7-day distinct must be the contribute-forward
+    explode spelling: NO Window operator anywhere (a per-day RANGE
+    rescan is the quadratic trap), the constant-factor sequence()
+    explode as a Generate node, and plain shuffled aggregates."""
+    df = qfn("events_dau_wau")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "Window" not in plan
+    # the constant sequence(0,6) folds to a literal array at planning —
+    # what must remain is the Generate explode, not a Python path
+    assert "Generate" in plan and "explode(" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_yoy_growth_window_on_bounded_aggregate(spark, sf_dir):
+    """The lag() window must run on the years × priorities aggregate,
+    not raw orders: exactly one Window, with a HashAggregate strictly
+    below it in the tree."""
+    df = qfn("orders_yoy_growth")(spark, sf_dir)
+    simple = plan_str(df, mode="simple")
+    assert simple.count("Window") == 1
+    w_pos = simple.find("Window")
+    assert "HashAggregate" in simple[w_pos:]
+    assert "CartesianProduct" not in simple
