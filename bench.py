@@ -43,6 +43,8 @@ HEADLINE = [
     # windows / dedup
     "events_keep_latest_per_user",
     "events_tumbling_5min",
+    # sliding 7-day distinct via contribute-forward explode (r10)
+    "events_dau_wau",
     # LLM-data operators
     "doc_quality_profile",
     "embedding_knn_bruteforce",
