@@ -195,6 +195,45 @@ def stream_dedup(
     return with_watermark(df, ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def sliding_distinct_users(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """W3+: EXACT sliding-window distinct count over a stream (the
+    DAU/WAU shape; batch twin `queries.timeseries.events_dau_wau`) —
+    the operator Structured Streaming refuses to spell directly
+    (``COUNT(DISTINCT)`` is not a streaming aggregate) and engines
+    that allow it execute as a per-emit set rebuild.
+
+    Spelling: CHAINED time-window aggregations, the Spark-3.5+
+    multiple-stateful-operator path. Stage 1 groups by
+    ``(window(ts), key)`` — its state holds one counter per (window,
+    key) pair, and the emitted row per pair IS the distinct-presence
+    bit. Stage 2 groups the finalized stage-1 rows by the window
+    struct itself (event-time semantics carry through the window
+    column) and counts rows = distinct keys. Both stages are
+    incremental hash aggregates with watermark-bounded state; nothing
+    ever rebuilds a set. Works identically on a batch DataFrame (no
+    watermark), which is what the parity test compares against.
+
+    Append-mode consequence: a window's count emits once, when the
+    watermark passes its end — the streaming output is the FINALIZED
+    windows only (the batch twin on the same data agrees on exactly
+    those windows)."""
+    if df.isStreaming:
+        df = with_watermark(df, ts_col, watermark)
+    per_key = df.groupBy(
+        F.window(ts_col, window, slide).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+
+
 def running_count_per_key(
     df: DataFrame,
     keys: list[str],

@@ -1859,3 +1859,51 @@ def test_compact_absent_index_is_clean_noop(spark, tmp_path):
         assert m["batch_partitions_before"] == 0
         assert m["batch_partitions_after"] == 0
         assert m["rows"] == 0
+
+
+def test_sliding_distinct_users_stream_matches_batch(spark, tmp_path):
+    """W3+: chained windowed aggregations compute an EXACT sliding
+    distinct (DAU/WAU shape). Streamed with availableNow + append, only
+    watermark-finalized windows emit; the batch twin on the same files
+    must agree on exactly those windows."""
+    # 3 users over 4 days; user 2 active on two days of the same window
+    rows = [
+        (1, "2024-01-01 08:00:00", 0, 1.0),
+        (2, "2024-01-01 09:00:00", 1, 1.0),
+        (3, "2024-01-02 10:00:00", 1, 1.0),  # dup presence of user 1
+        (4, "2024-01-02 11:00:00", 2, 1.0),
+        (5, "2024-01-03 12:00:00", 0, 1.0),
+        (6, "2024-01-04 13:00:00", 2, 1.0),
+        # sentinel far ahead so the watermark passes the windows above
+        (7, "2024-01-20 00:00:00", 0, 1.0),
+    ]
+    inbox = write_inbox(tmp_path, [rows[:4], rows[4:]])
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    got_q = streaming.sliding_distinct_users(
+        stream, "ts", "user_id", window="2 days", slide="1 day",
+        watermark="0 seconds",
+    )
+    q = streaming.memory_sink(got_q, "dauwau_t", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.w.start.isoformat(), r.n_distinct)
+        for r in spark.table("dauwau_t").collect()
+    }
+    batch_df = spark.read.schema(SCHEMA).option("header", "true").csv(inbox)
+    want_all = {
+        (r.w.start.isoformat(), r.n_distinct)
+        for r in streaming.sliding_distinct_users(
+            batch_df, "ts", "user_id", window="2 days", slide="1 day"
+        ).collect()
+    }
+    # append emits only finalized windows: got is the batch result minus
+    # windows still open past the final watermark (the sentinel's own)
+    assert got <= want_all
+    finalized = {w for w in want_all if w[0] < "2024-01-19"}
+    assert got >= finalized
+    # spot values: window [01-01, 01-03) saw users {0,1,2};
+    # [01-03, 01-05) saw {0,2}
+    by_start = dict(want_all)
+    assert by_start["2024-01-01T00:00:00"] == 3
+    assert by_start["2024-01-03T00:00:00"] == 2
