@@ -162,3 +162,42 @@ def test_bfs_hops_early_exit_and_validation(spark):
     assert got == {0: 0, 1: 1}
     with _pytest.raises(ValueError):
         graph.bfs_hops(df, 0, max_hops=-1)
+
+
+def test_bfs_hops_randomized_vs_python_bfs(spark):
+    import collections
+    import random
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(45)})
+
+    def py_bfs(src, max_hops):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        dist = {src: 0}
+        frontier = [src]
+        for hop in range(1, max_hops + 1):
+            nxt = {
+                v
+                for u in frontier
+                for v in adj[u]
+                if v not in dist
+            }
+            for v in nxt:
+                dist[v] = hop
+            frontier = list(nxt)
+            if not frontier:
+                break
+        return dist
+
+    # int32 ids exercise the union's type path alongside the bigint tests
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for max_hops in (2, 6):
+        want = py_bfs(edges[0][0], max_hops)
+        got = {
+            r.node: r.hops
+            for r in graph.bfs_hops(df, edges[0][0], max_hops=max_hops).collect()
+        }
+        assert got == want, (max_hops, got, want)
