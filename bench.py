@@ -1160,6 +1160,7 @@ RAMP_LEGS = [
     "docs_pack_chunks",          # distributed prefix sum, 10x docs
     "local_supplier_volume_q5",  # 6-table star join, facts 10x / dims 1x
     "parts_copurchase_pairs",    # within-order pair self-join, 10x orders
+    "events_dau_wau",            # sliding distinct via explode, 10x events
 ]
 
 
