@@ -234,6 +234,30 @@ def sliding_distinct_users(
     )
 
 
+def sliding_distinct_users_approx(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Scale-path twin of :func:`sliding_distinct_users` for UNBOUNDED
+    key cardinality: `approx_count_distinct` (HLL++) IS a legal
+    streaming aggregate, so one windowed aggregation suffices and state
+    per window is a fixed-size sketch (~kilobytes at rsd=0.02) instead
+    of one row per distinct key. Use when keys don't fit stage-1 state
+    (billions of users at 100 TB); the exact chained spelling remains
+    the default where they do. Approximate by nature — rows-only, no
+    SQL oracle; the test bounds its error against the exact twin."""
+    if df.isStreaming:
+        df = with_watermark(df, ts_col, watermark)
+    return df.groupBy(F.window(ts_col, window, slide).alias("w")).agg(
+        F.approx_count_distinct(key_col, rsd).alias("n_distinct_approx")
+    )
+
+
 def running_count_per_key(
     df: DataFrame,
     keys: list[str],

@@ -1907,3 +1907,40 @@ def test_sliding_distinct_users_stream_matches_batch(spark, tmp_path):
     by_start = dict(want_all)
     assert by_start["2024-01-01T00:00:00"] == 3
     assert by_start["2024-01-03T00:00:00"] == 2
+
+
+def test_sliding_distinct_users_approx_bounds_error(spark, tmp_path):
+    """The HLL++ scale-path twin: streams with ONE windowed aggregation
+    (sketch state, not per-key rows) and lands within rsd-bounds of the
+    exact chained spelling on the same files."""
+    rows = [
+        (i, f"2024-01-0{1 + i % 3} 0{i % 9}:00:00", i % 40, 1.0)
+        for i in range(120)
+    ] + [(999, "2024-01-20 00:00:00", 0, 1.0)]
+    inbox = write_inbox(tmp_path, [rows[:60], rows[60:]])
+    stream = streaming.read_file_stream(spark, inbox, SCHEMA)
+    q = streaming.memory_sink(
+        streaming.sliding_distinct_users_approx(
+            stream, "ts", "user_id", window="2 days", slide="1 day",
+            watermark="0 seconds",
+        ),
+        "dauwau_approx_t",
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.w.start.isoformat(): r.n_distinct_approx
+        for r in spark.table("dauwau_approx_t").collect()
+    }
+    assert got, "no finalized windows emitted"
+    batch_df = spark.read.schema(SCHEMA).option("header", "true").csv(inbox)
+    want = {
+        r.w.start.isoformat(): r.n_distinct
+        for r in streaming.sliding_distinct_users(
+            batch_df, "ts", "user_id", window="2 days", slide="1 day"
+        ).collect()
+    }
+    for start, approx in got.items():
+        exact = want[start]
+        assert abs(approx - exact) <= max(2, 0.1 * exact), (start, approx, exact)
