@@ -1022,3 +1022,111 @@ def pq_knn(
         F.round(F.col("sim6"), 4).alias("sim"),
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+def ivf_pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks,
+    centroids,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """X3 scale path #4: IVF × PQ — the FAISS-shaped index for extreme
+    scale. The coarse quantizer (trained cells) prunes WHICH codes are
+    scanned (each query reads ~nprobe/n_cells of the corpus); PQ prunes
+    WHAT a scanned row costs (m byte-gathers against a per-task LUT
+    instead of a dim-wide dot product on a decoded vector). Corpus rows
+    carry (cell, pq_code) only — at 100 TB the index is cell-partitioned
+    code files, and this function's cell filter becomes partition
+    pruning exactly as in :func:`ivf_index_search`.
+
+    Spelling: encode once (shuffle-free projection), semi-filter codes
+    to the union of all probed cells (scan-side IN filter on the cell
+    id), then the same partition-local ADC as :func:`pq_knn` with each
+    query masked to its own probed cells. Deterministic for the same
+    reasons as pq_knn; approximate on BOTH axes (probe coverage ×
+    quantization error) — rows-only, recall-gated in tests."""
+    books = np.asarray(codebooks)
+    m, n_codes, dsub = books.shape
+    cents = np.asarray(centroids)
+    q_rows = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(query_vec_col)).alias("__qv"),
+    ).collect()  # bounded broadcast-queries contract
+    qids = np.array([r[query_id_col] for r in q_rows])
+    qmat = np.vstack([r["__qv"] for r in q_rows])
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+    ip_lut = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qmat), m, dsub), books
+    )
+    n2_lut = (books**2).sum(axis=2)
+    # probed cells per query: top-nprobe by dot with the unit centroids
+    scores = qmat @ cents.T
+    probe = np.argsort(-scores, axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_union = sorted({int(c) for row in probe for c in row})
+    probe_mask = {int(qid): frozenset(int(c) for c in row)
+                  for qid, row in zip(qids, probe)}
+
+    enc = pq_encode(ops.spread(corpus, id_col), books, id_col, vec_col)
+    cells = corpus.select(
+        F.col(id_col),
+        F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+    )
+    codes = (
+        enc.join(cells, id_col)
+        # scan-side prune: only codes in somebody's probed cells survive
+        .filter(F.col("cell").isin(probed_union))
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, sim6 double"
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            code = np.vstack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            rows_j = np.arange(m)
+            ip = ip_lut[:, rows_j, code].sum(axis=2)
+            vnorm = np.sqrt(
+                np.maximum(n2_lut[rows_j, code].sum(axis=1), 1e-24)
+            )
+            sims = ip / (qnorm[:, None] * vnorm[None, :])
+            kk = min(k + 1, len(ids))
+            for qi, qid in enumerate(qids):
+                mask = np.fromiter(
+                    (c in probe_mask[int(qid)] for c in cell),
+                    dtype=bool,
+                    count=len(cell),
+                )
+                if not mask.any():
+                    continue
+                s = np.where(mask, sims[qi], -np.inf)
+                order = np.lexsort((ids, -s))[:kk]
+                order = order[np.isfinite(s[order])]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: int(qid),
+                        id_col: ids[order],
+                        "sim6": np.round(s[order], 6),
+                    }
+                )
+
+    partial = codes.mapInPandas(adc, schema=out_schema)
+    cand = partial.filter(F.col(id_col) != F.col(query_id_col))
+    top = topk_per_group(
+        cand, [query_id_col], [F.col("sim6").desc(), F.col(id_col).asc()], k=k
+    )
+    return top.select(
+        query_id_col,
+        id_col,
+        F.round(F.col("sim6"), 4).alias("sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )

@@ -648,3 +648,48 @@ def test_pq_knn_recall_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert again == got
+
+
+def test_ivf_pq_knn_recall_and_probe_pruning(spark, sf_dir):
+    """IVF×PQ composition: recall@10 within quantization+probe bounds of
+    exact, and probing MORE cells never lowers it (probe-coverage
+    monotonicity on the same codebooks)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_knn(emb, queries, k=10).collect()
+    }
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=256)
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=16)
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ivf_pq_knn(
+                emb, queries, k=10, codebooks=books, centroids=cents,
+                nprobe=nprobe,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r4, r16 = recall(4), recall(16)
+    assert r16 >= r4 - 1e-9, (r4, r16)
+    # full probe == plain PQ recall (coarse stage adds no loss at 100%)
+    pq_full = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_knn(
+            emb, queries, k=10, codebooks=books
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_pq_knn(
+            emb, queries, k=10, codebooks=books, centroids=cents, nprobe=16,
+        ).collect()
+    }
+    assert full == pq_full
+    assert r4 >= 0.3, f"IVF-PQ recall@10 {r4:.3f} below gate at nprobe=4/16"
