@@ -893,3 +893,110 @@ LIMIT 20
 
 SHELVED_QUERIES["parts_copurchase_pairs"] = parts_copurchase_pairs
 SHELVED_ORACLE_SQL["parts_copurchase_pairs"] = PARTS_COPURCHASE_PAIRS_SQL
+
+
+def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (support / confidence /
+    lift): the statistical completion of the market-basket family —
+    `parts_copurchase_pairs` counts co-occurrence, this scores it. Top
+    20 directed rules a→b by lift (co-order count ≥ 3 support floor).
+
+    Scale shape: same bounded within-order pair explosion as the pair
+    query (never corpus²); the per-item counts table is part-dimension
+    sized and joins on the part key (broadcast here, shuffled hash join
+    at catalog scale); the 1-row basket total broadcasts. Lift divides
+    exact integer products, so rounding is engine-identical; only the
+    ≤ 2×pairs rule table is ever sorted."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = lp.select(
+        F.countDistinct("l_orderkey").alias("__n_orders")
+    )  # 1 row — broadcast below
+    item = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = lp.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("pa")
+    )
+    b = lp.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (a["__ok"] == b["__ok"]) & (a["pa"] < b["pb"]))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_ab",
+        )
+    )
+    na = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    nb = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        rules.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nb), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("antecedent").cast("bigint").alias("antecedent"),
+            F.col("consequent").cast("bigint").alias("consequent"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("__n_orders"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("__n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(20)
+
+
+PARTS_ASSOCIATION_RULES_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM lp GROUP BY 1),
+pair AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+rules AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM pair
+          UNION ALL
+          SELECT pb, pa, n_ab FROM pair)
+SELECT CAST(r.antecedent AS BIGINT) AS antecedent,
+       CAST(r.consequent AS BIGINT) AS consequent,
+       CAST(r.n_ab AS BIGINT) AS n_ab,
+       ROUND(CAST(r.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+       ROUND(CAST(r.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+       ROUND(CAST(r.n_ab * n.n_orders AS DOUBLE)
+             / (ia.n_item * ic.n_item), 6) AS lift
+FROM rules r
+JOIN item ia ON ia.l_partkey = r.antecedent
+JOIN item ic ON ic.l_partkey = r.consequent
+CROSS JOIN n
+ORDER BY lift DESC, antecedent ASC, consequent ASC
+LIMIT 20
+"""
+
+SHELVED_QUERIES["parts_association_rules"] = parts_association_rules
+SHELVED_ORACLE_SQL["parts_association_rules"] = PARTS_ASSOCIATION_RULES_SQL
