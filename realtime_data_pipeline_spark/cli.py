@@ -661,6 +661,14 @@ def main(argv: list[str] | None = None) -> int:
 
         from realtime_data_pipeline_spark import packing, text
 
+        # the stage-major composite order below bands shard into the
+        # [1e9, 1e12) range; shards >= 1000 (or shards >= 1e9 rows per
+        # shard) would overflow the band and silently interleave stages
+        if args.shards >= 1000:
+            raise SystemExit(
+                "assemble: --shards must be < 1000 (the stage-major "
+                f"ordering bands shard*1e9 under stage*1e12); got {args.shards}"
+            )
         docs = spark.read.parquet(args.docs)
         if args.embeddings:
             # semantic dedup first: it is the cheapest corpus reduction

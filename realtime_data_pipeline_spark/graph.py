@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pagerank(
@@ -266,9 +267,17 @@ def bfs_hops(
     )
     sym.count()
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
-        [(source, 0)], schema="node: bigint, hops: int"
-    ).persist()
+    # seed the visited frame with the EDGE column's own node type so the
+    # per-hop unionByName never type-mismatches: string ids, ints, and
+    # decimals all work without a bigint-only restriction
+    node_type = edges.schema[src].dataType
+    seed_schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("hops", T.IntegerType(), False),
+        ]
+    )
+    visited = spark.createDataFrame([(source, 0)], schema=seed_schema).persist()
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
         nxt = (

@@ -884,11 +884,16 @@ def train_pq_codebooks(
             )
             assign = np.argmin(d2, axis=1)
             new = np.zeros_like(cents)
+            # empty codes reseed at DISTINCT worst-quantized points:
+            # ranked once per iteration, consumed in order, so two codes
+            # emptying simultaneously never collapse onto one codeword
+            worst = np.argsort(-d2.min(axis=1))
+            next_worst = 0
             for c in range(n_codes):
                 members = xs[assign == c]
                 if len(members) == 0:
-                    # empty code: reseed at the worst-quantized point
-                    new[c] = xs[np.argmax(d2.min(axis=1))]
+                    new[c] = xs[worst[next_worst % len(worst)]]
+                    next_worst += 1
                 else:
                     new[c] = members.mean(axis=0)
             if np.allclose(new, cents, atol=1e-9):
@@ -933,6 +938,59 @@ def pq_encode(
     )
 
 
+def _exact_refine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand_pairs: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Second-pass exact re-rank (the FAISS ``refine`` stage): fetch ONLY
+    the candidate ids' full vectors and score them exactly, so recall
+    approaches the candidate-generation bound while the quantized scan
+    still does all the pruning. ``cand_pairs`` is (query_id, id) — at
+    most nq × refine_k rows, always broadcast — so the corpus side is a
+    broadcast-hash SEMI-shaped fetch of k′ vectors per query, never a
+    second full scan; at 100 TB the fetch rides the same cell-partitioned
+    index files the ADC scan read. Exact cosine is JVM-side
+    (``dot``/``l2_norm`` fixed-order sums), same determinism and output
+    contract as :func:`ivf_knn`."""
+    vecs = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("__vec")
+    ).select(id_col, "__vec", l2_norm(F.col("__vec")).alias("__n"))
+    qv = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(query_vec_col)).alias("__qvec"),
+    ).select(
+        query_id_col, "__qvec", l2_norm(F.col("__qvec")).alias("__qn")
+    )
+    exact = (
+        vecs.join(F.broadcast(cand_pairs), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot(F.col("__qvec"), F.col("__vec"))
+                / (F.col("__qn") * F.col("__n")),
+                6,
+            ).alias("sim6"),
+        )
+    )
+    top = topk_per_group(
+        exact, [query_id_col], [F.col("sim6").desc(), F.col(id_col).asc()], k=k
+    )
+    return top.select(
+        query_id_col,
+        id_col,
+        F.round(F.col("sim6"), 4).alias("sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
 def pq_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -943,6 +1001,7 @@ def pq_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     codes: DataFrame | None = None,
+    refine_k: int | None = None,
 ) -> DataFrame:
     """X3 scale path #3 (PQ + ADC): approximate cosine top-k where the
     corpus is scanned as ``m``-byte PQ codes, never as vectors.
@@ -963,7 +1022,10 @@ def pq_knn(
     Approximate by nature (quantization error) — rows-only, no SQL
     oracle; recall@k is gated against :func:`brute_force_knn` in tests.
     Pass ``codes`` (from :func:`pq_encode`, persisted at scale) to skip
-    re-encoding."""
+    re-encoding. With ``refine_k`` set (k′ ≥ k, typically 4–10×k), the
+    ADC scan only GENERATES k′ candidates per query and a second exact
+    pass re-ranks those k′ vectors (:func:`_exact_refine`) — recall
+    approaches 1.0 at the cost of k′ vector fetches per query."""
     books = np.asarray(codebooks)
     m, n_codes, dsub = books.shape
     q_rows = queries.select(
@@ -984,6 +1046,7 @@ def pq_knn(
     if codes is None:
         codes = pq_encode(ops.spread(corpus, id_col), books, id_col, vec_col)
     out_schema = f"{query_id_col} long, {id_col} long, sim6 double"
+    keep = refine_k if refine_k is not None else k
 
     def adc(batches):
         import pandas as pd
@@ -1000,19 +1063,35 @@ def pq_knn(
                 np.maximum(n2_lut[rows_j, code].sum(axis=1), 1e-24)
             )  # (n,)
             sims = ip / (qnorm[:, None] * vnorm[None, :])
-            kk = min(k + 1, n)  # +1 absorbs a potential self-match
+            kk = min(keep + 1, n)  # +1 absorbs a potential self-match
             for qi in range(len(qids)):
-                order = np.lexsort((ids, -sims[qi]))[:kk]
+                # round BEFORE the partial cut so partial and final
+                # ranking use the identical (sim6, id) key — unrounded
+                # partial keys could resolve round-6 ties differently
+                # across partition layouts
+                s6 = np.round(sims[qi], 6)
+                order = np.lexsort((ids, -s6))[:kk]
                 yield pd.DataFrame(
                     {
                         query_id_col: qids[qi],
                         id_col: ids[order],
-                        "sim6": np.round(sims[qi][order], 6),
+                        "sim6": s6[order],
                     }
                 )
 
     partial = codes.mapInPandas(adc, schema=out_schema)
     cand = partial.filter(F.col(id_col) != F.col(query_id_col))
+    if refine_k is not None:
+        cand_ids = topk_per_group(
+            cand,
+            [query_id_col],
+            [F.col("sim6").desc(), F.col(id_col).asc()],
+            k=max(refine_k, k),
+        ).select(query_id_col, id_col)
+        return _exact_refine(
+            corpus, queries, cand_ids, k,
+            id_col, vec_col, query_id_col, query_vec_col,
+        )
     top = topk_per_group(
         cand, [query_id_col], [F.col("sim6").desc(), F.col(id_col).asc()], k=k
     )
@@ -1035,6 +1114,7 @@ def ivf_pq_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    refine_k: int | None = None,
 ) -> DataFrame:
     """X3 scale path #4: IVF × PQ — the FAISS-shaped index for extreme
     scale. The coarse quantizer (trained cells) prunes WHICH codes are
@@ -1050,7 +1130,11 @@ def ivf_pq_knn(
     id), then the same partition-local ADC as :func:`pq_knn` with each
     query masked to its own probed cells. Deterministic for the same
     reasons as pq_knn; approximate on BOTH axes (probe coverage ×
-    quantization error) — rows-only, recall-gated in tests."""
+    quantization error) — rows-only, recall-gated in tests. ``refine_k``
+    adds the FAISS-style exact re-rank pass (:func:`_exact_refine`):
+    the ADC scan generates k′ candidates, the refine pass scores ONLY
+    those k′ vectors exactly, so the quantization-error axis drops out
+    and recall converges to the IVF probe-coverage bound."""
     books = np.asarray(codebooks)
     m, n_codes, dsub = books.shape
     cents = np.asarray(centroids)
@@ -1083,6 +1167,7 @@ def ivf_pq_knn(
         .filter(F.col("cell").isin(probed_union))
     )
     out_schema = f"{query_id_col} long, {id_col} long, sim6 double"
+    keep = refine_k if refine_k is not None else k
 
     def adc(batches):
         import pandas as pd
@@ -1099,7 +1184,7 @@ def ivf_pq_knn(
                 np.maximum(n2_lut[rows_j, code].sum(axis=1), 1e-24)
             )
             sims = ip / (qnorm[:, None] * vnorm[None, :])
-            kk = min(k + 1, len(ids))
+            kk = min(keep + 1, len(ids))
             for qi, qid in enumerate(qids):
                 mask = np.fromiter(
                     (c in probe_mask[int(qid)] for c in cell),
@@ -1108,7 +1193,9 @@ def ivf_pq_knn(
                 )
                 if not mask.any():
                     continue
-                s = np.where(mask, sims[qi], -np.inf)
+                # same round-before-cut discipline as pq_knn: the
+                # partial key must equal the final (sim6, id) key
+                s = np.where(mask, np.round(sims[qi], 6), -np.inf)
                 order = np.lexsort((ids, -s))[:kk]
                 order = order[np.isfinite(s[order])]
                 yield pd.DataFrame(
@@ -1121,6 +1208,17 @@ def ivf_pq_knn(
 
     partial = codes.mapInPandas(adc, schema=out_schema)
     cand = partial.filter(F.col(id_col) != F.col(query_id_col))
+    if refine_k is not None:
+        cand_ids = topk_per_group(
+            cand,
+            [query_id_col],
+            [F.col("sim6").desc(), F.col(id_col).asc()],
+            k=max(refine_k, k),
+        ).select(query_id_col, id_col)
+        return _exact_refine(
+            corpus, queries, cand_ids, k,
+            id_col, vec_col, query_id_col, query_vec_col,
+        )
     top = topk_per_group(
         cand, [query_id_col], [F.col("sim6").desc(), F.col(id_col).asc()], k=k
     )

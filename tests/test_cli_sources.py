@@ -792,6 +792,21 @@ def test_cli_assemble_builds_shuffled_packed_shards(spark, tmp_path, capsys):
     assert not (ids & evals)
 
 
+def test_cli_assemble_rejects_shard_band_overflow(spark, tmp_path):
+    """--shards >= 1000 would overflow the stage-major composite order's
+    1e9-wide shard band (stage*1e12 + shard*1e9 + pos) and silently
+    interleave stages — the CLI refuses before reading anything."""
+    import pytest as _pytest
+
+    from realtime_data_pipeline_spark import cli
+
+    with _pytest.raises(SystemExit, match="shards must be < 1000"):
+        cli.main(
+            ["assemble", "--docs", "/nonexistent", "--out",
+             str(tmp_path / "o"), "--shards", "1000"]
+        )
+
+
 def test_cli_assemble_link_rank_culls_low_rank_docs(spark, tmp_path):
     """assemble --link-edges: PageRank over the provided edge list
     demotes link-poor documents — a hub with many in-links survives a

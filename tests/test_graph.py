@@ -153,6 +153,18 @@ def test_bfs_hops_levels_and_unreachable(spark):
     assert got_rev == {3: 0, 2: 1, 1: 2, 0: 3, 4: 3}
 
 
+def test_bfs_hops_string_and_int_node_ids(spark):
+    # the seed frame derives its node type from the edge schema, so the
+    # generic API works for string ids (and ints of any width) alike
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.hops for r in graph.bfs_hops(df, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    df_int = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    got_int = {r.node: r.hops for r in graph.bfs_hops(df_int, 0).collect()}
+    assert got_int == {0: 0, 1: 1, 2: 2}
+
+
 def test_bfs_hops_early_exit_and_validation(spark):
     import pytest as _pytest
 

@@ -693,3 +693,68 @@ def test_ivf_pq_knn_recall_and_probe_pruning(spark, sf_dir):
     }
     assert full == pq_full
     assert r4 >= 0.3, f"IVF-PQ recall@10 {r4:.3f} below gate at nprobe=4/16"
+
+
+def test_pq_refine_full_candidates_equals_brute_force(spark, sf_dir):
+    """The exact-refine identity: refine_k covering the whole corpus means
+    the ADC stage only ORDERS candidates and the exact pass decides — the
+    result must equal brute_force_knn row-for-row (same scoring spelling,
+    same round-6 tiebreak), proving the refine pass is exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = sorted(
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in similarity.brute_force_knn(emb, queries, k=10).collect()
+    )
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=64)
+    n = emb.count()
+    got = sorted(
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in similarity.pq_knn(
+            emb, queries, k=10, codebooks=books, refine_k=n
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_refine_lifts_pq_and_ivf_pq_recall(spark, sf_dir):
+    """refine_k at a practical width (10×k) must not lower recall vs the
+    bare ADC ranking, and IVF×PQ at nprobe=4 with refine must clear the
+    recommended-default gate the bare composition misses."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_knn(emb, queries, k=10).collect()
+    }
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=256)
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=16)
+
+    def rec(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    pq_bare = rec(similarity.pq_knn(emb, queries, k=10, codebooks=books))
+    pq_ref = rec(
+        similarity.pq_knn(emb, queries, k=10, codebooks=books, refine_k=100)
+    )
+    assert pq_ref >= pq_bare - 1e-9, (pq_bare, pq_ref)
+    assert pq_ref >= 0.9, f"PQ+refine recall@10 {pq_ref:.3f} below gate"
+    ivf_ref = rec(
+        similarity.ivf_pq_knn(
+            emb, queries, k=10, codebooks=books, centroids=cents,
+            nprobe=4, refine_k=100,
+        )
+    )
+    ivf_bare = rec(
+        similarity.ivf_pq_knn(
+            emb, queries, k=10, codebooks=books, centroids=cents, nprobe=4,
+        )
+    )
+    assert ivf_ref >= ivf_bare - 1e-9, (ivf_bare, ivf_ref)
