@@ -243,12 +243,35 @@ _ROTATE_OUT_R10 = [
     "quantity_quantiles_by_flag",   # green r2-r9
 ]
 
+# ROUND-11 ROTATION — the OPERATORS.md round-11 queue, all built round 10
+# (shelved-oracle, hash-equal locally at 3 SFs): fuzzy entity matching
+# (symmetric-delete blocked Levenshtein pairs), market-basket
+# co-occurrence (within-order pair self-join, top-20), and RFM lifecycle
+# segmentation (broadcast exact-quartile boundaries, no global ranking
+# window). Three incumbents with 8-9 consecutive green driver rounds
+# rotate out, keeping their pytest oracle hash checks shelved; family
+# coverage in the declared 50 is preserved (X4 keeps 16 other declared
+# text/curation queries, W4 keeps events_sessions_30m, A5 keeps
+# lineitem_unpivot_measures; rollup/cube/pivot all have prior green
+# driver rounds).
+_ROTATE_IN_R11 = [
+    "suppliers_fuzzy_name_pairs",  # fuzzy entity matching (X2)
+    "parts_copurchase_pairs",      # market-basket co-occurrence
+    "customer_rfm_segments",       # RFM lifecycle scoring
+]
+_ROTATE_OUT_R11 = [
+    "doc_quality_profile",     # green r2-r10
+    "events_sessionized",      # green r3-r10
+    "lineitem_rollup_matrix",  # green r2-r10
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
     (_ROTATE_IN_R8, _ROTATE_OUT_R8),
     (_ROTATE_IN_R9, _ROTATE_OUT_R9),
     (_ROTATE_IN_R10, _ROTATE_OUT_R10),
+    (_ROTATE_IN_R11, _ROTATE_OUT_R11),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)
