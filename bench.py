@@ -76,6 +76,29 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 _NCPU = os.cpu_count() or 1
 STEAL: dict[str, dict] = {}  # leg -> per-pass timing/steal evidence
 
+# The previous round's headline leg list, pinned BY NAME (round-10
+# verdict #5): the `shared_legs_total` field in the final JSON line sums
+# exactly these legs, so the r↔r-1 comparison no longer needs sidecar
+# reconstruction when the leg list grows. UPDATE each round to the
+# just-recorded BENCH_r{N}.json's leg names.
+_R10_LEGS = frozenset({
+    "assemble_end_to_end", "cdc_rollup_composition", "dedup_full_recompute",
+    "dedup_incremental_merge", "doc_quality_profile", "docs_neardup_minhash",
+    "docs_pack_chunks", "docs_strip_boilerplate", "dq_pricing_summary",
+    "embedding_knn_bruteforce", "events_dau_wau", "events_keep_latest_per_user",
+    "events_tumbling_5min", "forecast_revenue_q6", "fuzzy_name_pairs",
+    "ivf_index_append", "ivf_index_rebuild", "ivf_index_search",
+    "lineitem_rollup_matrix", "multimodal_real_decode_2k",
+    "neardup_incremental_merge", "pagerank", "pq_adc_search",
+    "pricing_summary_q1", "python_source_scan_2m", "revenue_per_nation",
+    "scd2_merge_batch", "semantic_dedup", "semantic_dedup_incremental",
+    "shipments_in_order_windows", "shipping_priority_q3", "skewed_join_auto",
+    "skewed_join_salted", "skewed_join_unsalted", "streaming_curated_gate",
+    "streaming_dedup_ingest", "streaming_dq_gate",
+    "streaming_dq_gate_multibatch", "streaming_interval_join_outer",
+    "streaming_semdedup_ingest",
+})
+
 
 def _calibration_token() -> float:
     """Fixed-work CPU token (round-9 verdict #3): seconds for a pure-
@@ -92,6 +115,51 @@ def _calibration_token() -> float:
     x = 0
     for i in range(500_000):
         x = (x + (i ^ (x >> 3))) & 0xFFFFFFFFFFFFFFFF
+    return round(time.perf_counter() - t0, 4)
+
+
+def _mt_spin() -> None:
+    x = 0
+    for i in range(500_000):
+        x = (x + (i ^ (x >> 3))) & 0xFFFFFFFFFFFFFFFF
+
+
+def _calibration_token_mt() -> float:
+    """Multicore-sensitive fixed-work token (round-10 verdict #3): the
+    single-thread token above provably misses NEIGHBOR CONTENTION — a
+    noisy co-tenant can slow a 32-thread Spark stage 15-20% while one
+    Python thread, occupying one core, measures flat. This token runs
+    ncpu/2 CONCURRENT fixed spins (forked children, so the GIL doesn't
+    serialize them; os._exit keeps the short-lived children from running
+    any inherited cleanup) and times the slowest-straggler wall clock —
+    exactly the quantity a barrier-synchronized Spark stage experiences.
+    Code-immune like the single token: the work is constant across eras,
+    so (calibration_sec flat, calibration_mt_sec up) reads as multicore
+    contention, (both flat, leg up) reads as a code regression. Falls
+    back to GIL threads where fork is unavailable (still scheduler-
+    sensitive, just weaker)."""
+    n = max(2, _NCPU // 2)
+    t0 = time.perf_counter()
+    if hasattr(os, "fork"):
+        pids = []
+        try:
+            for _ in range(n):
+                pid = os.fork()
+                if pid == 0:
+                    _mt_spin()
+                    os._exit(0)
+                pids.append(pid)
+        finally:
+            for pid in pids:
+                os.waitpid(pid, 0)
+    else:  # pragma: no cover - non-POSIX fallback
+        import threading
+
+        ts = [threading.Thread(target=_mt_spin) for _ in range(n)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
     return round(time.perf_counter() - t0, 4)
 
 
@@ -112,6 +180,7 @@ def _record_leg(
     durations: list[float],
     steals: list[int],
     calibrations: list[float] | None = None,
+    calibrations_mt: list[float] | None = None,
 ) -> float:
     best_i = min(range(len(durations)), key=durations.__getitem__)
     info: dict = {
@@ -123,6 +192,9 @@ def _record_leg(
     if calibrations:
         info["calibration_sec"] = calibrations
         info["best_pass_calibration_sec"] = calibrations[best_i]
+    if calibrations_mt:
+        info["calibration_mt_sec"] = calibrations_mt
+        info["best_pass_calibration_mt_sec"] = calibrations_mt[best_i]
     if steals[best_i] >= 0 and durations[best_i] > 0:
         # share of total cpu capacity stolen during the kept pass
         info["best_pass_steal_pct"] = round(
@@ -149,6 +221,7 @@ def _bench_leg(
     durations: list[float] = []
     steals: list[int] = []
     calibrations: list[float] = []
+    calibrations_mt: list[float] = []
     passes = min_passes
     while len(durations) < passes:
         s0 = _steal_ticks()
@@ -159,9 +232,12 @@ def _bench_leg(
         durations.append(dt)
         steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
         calibrations.append(_calibration_token())
+        calibrations_mt.append(_calibration_token_mt())
         if len(durations) == 1 and dt < 1.0:
             passes = max(passes, sub_second_passes)
-    return round(_record_leg(name, durations, steals, calibrations), 3)
+    return round(
+        _record_leg(name, durations, steals, calibrations, calibrations_mt), 3
+    )
 
 
 def _bench_timed(name: str, once, passes: int = 3) -> float:
@@ -171,13 +247,17 @@ def _bench_timed(name: str, once, passes: int = 3) -> float:
     durations: list[float] = []
     steals: list[int] = []
     calibrations: list[float] = []
+    calibrations_mt: list[float] = []
     for _ in range(passes):
         s0 = _steal_ticks()
         durations.append(once())
         s1 = _steal_ticks()
         steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
         calibrations.append(_calibration_token())
-    return round(_record_leg(name, durations, steals, calibrations), 3)
+        calibrations_mt.append(_calibration_token_mt())
+    return round(
+        _record_leg(name, durations, steals, calibrations, calibrations_mt), 3
+    )
 
 
 def main() -> None:
@@ -944,9 +1024,25 @@ def main() -> None:
         .mode("overwrite")
         .save(),
     )
+    # refine leg (round-11): same ADC scan generating k'=100 candidates
+    # per query, then the exact re-rank pass over only those vectors —
+    # prices what lifting recall to the exact bound costs on top of the
+    # bare ADC ranking (the delta vs pq_adc_search is the refine stage).
+    timings["pq_refine_search"] = _bench_leg(
+        "pq_refine_search",
+        lambda: similarity.pq_knn(
+            emb, pq_queries, k=10, codebooks=pq_books, codes=pq_codes,
+            refine_k=100,
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     pq_codes.unpersist()
     print(
-        f"# pq_adc_search: {timings['pq_adc_search']}s", file=sys.stderr
+        f"# pq_adc_search: {timings['pq_adc_search']}s "
+        f"refine: {timings['pq_refine_search']}s",
+        file=sys.stderr,
     )
 
     # PageRank leg (round-6 verdict #4: iteration cost was asserted, not
@@ -1091,15 +1187,39 @@ def main() -> None:
         return dt
 
     assemble_once()  # warm
+    _asm_stage_maps: list[dict] = []
+    _asm_once_orig = assemble_once
+
+    def assemble_once_tracked() -> float:
+        dt = _asm_once_orig()
+        # per-stage durations of THIS pass (round-10 verdict #6): the CLI
+        # records plan-build cost per transformation stage and the eager
+        # jobs (semdedup actions, pack_write carrying the lazy tail), so
+        # a regression inside the 7-stage composition is attributable
+        # from the sidecar without a bench.py diff
+        _asm_stage_maps.append(dict(_cli.LAST_ASSEMBLE_STAGES))
+        return dt
+
     timings["assemble_end_to_end"] = _bench_timed(
-        "assemble_end_to_end", assemble_once
+        "assemble_end_to_end", assemble_once_tracked
     )
+    STEAL["assemble_end_to_end"]["stages_per_pass"] = _asm_stage_maps
     print(
-        f"# assemble_end_to_end: {timings['assemble_end_to_end']}s",
+        f"# assemble_end_to_end: {timings['assemble_end_to_end']}s "
+        f"stages={json.dumps(_asm_stage_maps[-1])}",
         file=sys.stderr,
     )
 
     total = round(sum(timings.values()), 3)
+    # r10's leg list, pinned BY NAME (round-10 verdict #5): the headline
+    # total moves whenever legs are added/removed, so every round-over-
+    # round comparison had to be reconstructed from sidecars. This
+    # subtotal covers exactly the legs r10 also measured — compare it,
+    # not `value`, across rounds.
+    shared_prev = round(
+        sum(v for k_, v in timings.items() if k_ in _R10_LEGS), 3
+    )
+    shared_n = sum(1 for k_ in timings if k_ in _R10_LEGS)
     # Per-leg pass/steal evidence (round-8 verdict #2) goes to a SIDECAR
     # file, not the stdout line: the driver captures only a bounded tail
     # of stdout and json-parses the final line — round 8's inline steal
@@ -1133,6 +1253,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "shared_legs_total": shared_prev,
+            "shared_legs_n": shared_n,
             "timing_policy": "min_of_3__min_of_5_subsecond",
             "steal_evidence": "BENCH_STEAL.json",
         }
@@ -1146,6 +1268,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
+                "shared_legs_total": shared_prev,
+                "shared_legs_n": shared_n,
             }
         )
     print(line)
@@ -1747,6 +1871,41 @@ def scale_ramp(factor: int = 10) -> None:
         print(
             f"# semantic_dedup_incremental slope {sdi_slope:.2f}x at "
             f"{factor}x index",
+            file=sys.stderr,
+        )
+
+        # Window-WIDTH ramp (round-10 verdict #4): events_dau_wau's
+        # contribute-forward explode costs rows × window_days, so the
+        # cost axis the data ramp above can't see is the WINDOW. Same
+        # data (base SF), 7-day vs 28-day window — the documented rule
+        # is linear slope ≈ 4 (explode fan-out 4×); at 30/90-day windows
+        # the answer is the streaming HLL twin whose state is sketches,
+        # not exploded rows. This leg tracks the measured slope so a
+        # regression in the explode spelling (e.g. an accidental window
+        # function creeping back in) shows as a super-linear jump.
+        from realtime_data_pipeline_spark.queries import timeseries as _ts
+
+        ww_times = {}
+        for days in (7, 28):
+            ww_times[days] = _bench_leg(
+                f"events_dau_wau[w{days}]",
+                lambda d=days: _ts.events_dau_wau(spark, base_dir, d)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        ww_slope = ww_times[28] / ww_times[7] if ww_times[7] > 0 else -1.0
+        legs["dau_wau_window_width"] = {
+            "base_sec": ww_times[7],
+            "ramp_sec": ww_times[28],
+            "slope": round(ww_slope, 2),
+            # width factor is 4, not the data factor — normalize to it
+            "slope_vs_factor": round(ww_slope / 4.0, 2),
+            "ramp_axis": "window_days_7_to_28",
+        }
+        print(
+            f"# dau_wau window-width 7d {ww_times[7]}s -> 28d "
+            f"{ww_times[28]}s (slope {ww_slope:.2f}x of 4x width)",
             file=sys.stderr,
         )
 

@@ -17,9 +17,18 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 from realtime_data_pipeline_spark import dq, medallion
 from realtime_data_pipeline_spark.session import get_spark
+
+# per-stage wall durations of the most recent `assemble` run (stage name
+# -> seconds), for bench/ops attribution. Spark is lazy, so transformation
+# stages record their PLAN-BUILD cost (driver-side Catalyst work — real
+# regressions show up there too) plus any eager actions they contain
+# (link_rank's pagerank iterations, its quantile cut); the deferred
+# execution tail of every lazy stage lands in `pack_write`.
+LAST_ASSEMBLE_STAGES: dict[str, float] = {}
 
 
 def _parse_rules(specs: list[str] | None) -> list[dq.Rule]:
@@ -669,7 +678,16 @@ def main(argv: list[str] | None = None) -> int:
                 "assemble: --shards must be < 1000 (the stage-major "
                 f"ordering bands shard*1e9 under stage*1e12); got {args.shards}"
             )
+        LAST_ASSEMBLE_STAGES.clear()
+        _t_mark = [time.perf_counter()]
+
+        def _mark(stage: str) -> None:
+            now = time.perf_counter()
+            LAST_ASSEMBLE_STAGES[stage] = round(now - _t_mark[0], 3)
+            _t_mark[0] = now
+
         docs = spark.read.parquet(args.docs)
+        _mark("read")
         if args.embeddings:
             # semantic dedup first: it is the cheapest corpus reduction
             # (bucketed pair volume, no text shuffle) and every later
@@ -690,6 +708,7 @@ def main(argv: list[str] | None = None) -> int:
                 F.col(args.vec_id_col).alias(args.id_col)
             )
             docs = docs.join(dropped, args.id_col, "left_anti")
+            _mark("semantic_dedup")
         if args.link_edges:
             # link-graph demotion: rank every node of the provided edge
             # list, find the percentile cutoff (bounded 1-row driver
@@ -715,6 +734,7 @@ def main(argv: list[str] | None = None) -> int:
                 .filter(F.col("rank").isNull() | (F.col("rank") >= thr))
                 .drop("rank")
             )
+            _mark("link_rank")
         if args.strip_boilerplate:
             # clean repeated spans BEFORE the content-hash split: the
             # split and the packing weights must see the text that will
@@ -725,6 +745,7 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 min_df=args.boiler_min_df,
             )
+            _mark("strip_boilerplate")
         if args.domain_cap is not None:
             # anti-domination cap BEFORE the split: at most N docs per
             # domain, selected by deterministic content-hash rank (the
@@ -743,6 +764,7 @@ def main(argv: list[str] | None = None) -> int:
                 .filter(F.col("__drank") <= args.domain_cap)
                 .drop("__drank")
             )
+            _mark("domain_cap")
         if args.split != "all":
             side = F.when(
                 F.substring(F.md5(F.col(args.text_col)), 1, 1) <= "c",
@@ -762,10 +784,12 @@ def main(argv: list[str] | None = None) -> int:
                 .otherwise(2)
                 .cast("int"),
             )
+        _mark("split_and_stage")
         shuffled = packing.shuffle_shards(
             docs, args.id_col, n_shards=args.shards, seed=args.seed,
             stage_col="stage" if args.curriculum else None,
         )
+        _mark("shuffle_shards")
         order = F.col("shard").cast("long") * F.lit(1_000_000_000) + F.col(
             "shard_pos"
         )
@@ -783,16 +807,22 @@ def main(argv: list[str] | None = None) -> int:
         packed = packing.pack_concat_chunks(
             weighted, "__order", "n_tokens", ctx_len=args.ctx_len
         ).drop("__order")
+        _mark("pack_plan")
         (
             packed.write.mode("overwrite")
             .partitionBy("shard")
             .parquet(args.out)
         )
+        _mark("pack_write")
         n = spark.read.parquet(args.out).count()
+        _mark("count_check")
         print(
             f"assemble: {n} docs -> {args.shards} shards "
             f"(ctx {args.ctx_len}) -> {args.out}"
         )
+        import json as _json
+
+        print(f"assemble stages: {_json.dumps(LAST_ASSEMBLE_STAGES)}")
         return 0
     if args.cmd == "synth":
         from realtime_data_pipeline_spark import pysource

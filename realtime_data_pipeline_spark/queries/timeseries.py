@@ -167,7 +167,9 @@ ORDER BY user_id, event_id
 """
 
 
-def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_dau_wau(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
     """DAU/WAU stickiness per day: daily active users, trailing-7-day
     active users, and their ratio — the engagement metric every product
     dashboard leads with, and a shape engines get wrong at scale
@@ -179,7 +181,14 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     target days it covers via a constant-factor ``sequence()`` explode
     — the sliding distinct becomes a plain groupBy count-distinct over
     7×|day-user pairs| rows, no window at all (plan-gated). Cost is
-    linear in active pairs, never days × full-history rescan."""
+    linear in active pairs, never days × full-history rescan.
+
+    SCALING RULE (measured in bench --scale-ramp's window-width leg):
+    the contribute-forward explode costs rows × ``window_days``, so cost
+    grows LINEARLY in the window width. 7 days is cheap; at 30/90-day
+    windows (MAU and beyond) the documented answer is the streaming HLL
+    twin (`streaming.sliding_distinct_hll`) whose state is constant-size
+    sketches per day instead of exploded rows — see SCALE.md."""
     ev = load(spark, sf_dir, "events")
     du = ev.select(
         F.to_date("ts").alias("day"), "user_id"
@@ -187,7 +196,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = du.select(
         F.explode(
-            F.sequence(F.lit(0), F.lit(6))
+            F.sequence(F.lit(0), F.lit(window_days - 1))
         ).alias("__off"),
         "day",
         "user_id",

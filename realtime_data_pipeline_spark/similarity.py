@@ -519,6 +519,7 @@ def ivf_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids=None,
+    corpus_assign: int = 1,
 ) -> DataFrame:
     """X3 scale path #2 (IVF): corpus vectors are bucketed into coarse
     cells once (an index build — at scale, persisted/partitioned BY cell);
@@ -529,7 +530,14 @@ def ivf_knn(
 
     Pass ``centroids`` from :func:`train_centroids_kmeans` for a trained
     quantizer (cells follow the data's density → markedly better recall at
-    the same nprobe); default falls back to seeded random centroids."""
+    the same nprobe); default falls back to seeded random centroids.
+    ``corpus_assign`` > 1 replicates each corpus vector into its top-R
+    cells (SPANN-style multi-assignment, the public fix for boundary
+    misses on weakly-clustered data): the index grows R× but the
+    probe-coverage bound at the SAME nprobe rises, because a neighbor
+    sitting just across a cell boundary is now also IN the probed cell.
+    Duplicated pairs carry identical sims and are dropped before
+    ranking."""
     cents = (
         centroids
         if centroids is not None
@@ -539,7 +547,9 @@ def ivf_knn(
     corpus_cells = corpus.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("__vec"),
-        F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+        F.explode(
+            ivf_cells_udf(cents, corpus_assign)(F.col(vec_col))
+        ).alias("cell"),
     ).select(id_col, "__vec", "cell", l2_norm(F.col("__vec")).alias("__n"))
     query_cells = queries.select(
         F.col(query_id_col),
@@ -1115,6 +1125,7 @@ def ivf_pq_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     refine_k: int | None = None,
+    corpus_assign: int = 1,
 ) -> DataFrame:
     """X3 scale path #4: IVF × PQ — the FAISS-shaped index for extreme
     scale. The coarse quantizer (trained cells) prunes WHICH codes are
@@ -1134,7 +1145,10 @@ def ivf_pq_knn(
     adds the FAISS-style exact re-rank pass (:func:`_exact_refine`):
     the ADC scan generates k′ candidates, the refine pass scores ONLY
     those k′ vectors exactly, so the quantization-error axis drops out
-    and recall converges to the IVF probe-coverage bound."""
+    and recall converges to the IVF probe-coverage bound (measured
+    identity in ``LSH_RECALL.json#pq_refine_recall``). ``corpus_assign``
+    raises that bound itself via SPANN-style multi-assignment — see
+    :func:`ivf_knn`."""
     books = np.asarray(codebooks)
     m, n_codes, dsub = books.shape
     cents = np.asarray(centroids)
@@ -1159,7 +1173,9 @@ def ivf_pq_knn(
     enc = pq_encode(ops.spread(corpus, id_col), books, id_col, vec_col)
     cells = corpus.select(
         F.col(id_col),
-        F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+        F.explode(
+            ivf_cells_udf(cents, corpus_assign)(F.col(vec_col))
+        ).alias("cell"),
     )
     codes = (
         enc.join(cells, id_col)
@@ -1196,7 +1212,15 @@ def ivf_pq_knn(
                 # same round-before-cut discipline as pq_knn: the
                 # partial key must equal the final (sim6, id) key
                 s = np.where(mask, np.round(sims[qi], 6), -np.inf)
-                order = np.lexsort((ids, -s))[:kk]
+                order = np.lexsort((ids, -s))
+                if corpus_assign > 1:
+                    # multi-assignment lands an id's 2+ copies in the
+                    # same batch (the cell join is id-partitioned);
+                    # dedupe BEFORE the cut or duplicates waste top-k'
+                    # slots and full-probe no longer matches plain PQ
+                    _, first = np.unique(ids[order], return_index=True)
+                    order = order[np.sort(first)]
+                order = order[:kk]
                 order = order[np.isfinite(s[order])]
                 yield pd.DataFrame(
                     {
@@ -1208,6 +1232,10 @@ def ivf_pq_knn(
 
     partial = codes.mapInPandas(adc, schema=out_schema)
     cand = partial.filter(F.col(id_col) != F.col(query_id_col))
+    if corpus_assign > 1:
+        # multi-assignment surfaces a pair once per shared probed cell
+        # with an IDENTICAL sim6 (same code row) — drop before ranking
+        cand = cand.dropDuplicates([query_id_col, id_col])
     if refine_k is not None:
         cand_ids = topk_per_group(
             cand,

@@ -758,3 +758,56 @@ def test_refine_lifts_pq_and_ivf_pq_recall(spark, sf_dir):
         )
     )
     assert ivf_ref >= ivf_bare - 1e-9, (ivf_bare, ivf_ref)
+
+
+def test_ivf_multi_assignment_lifts_probe_bound(spark, sf_dir):
+    """SPANN-style corpus_assign=2: each corpus vector lives in its top-2
+    cells, so at the SAME nprobe the probe-coverage bound can only rise
+    (the probed set is a superset of the single-assignment one). Shape
+    contract survives the duplication: still k unique ids per query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_knn(emb, queries, k=10).collect()
+    }
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=16)
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=64)
+
+    def rec_and_rows(df):
+        rows = df.collect()
+        got = {(r.query_id, r.vec_id) for r in rows}
+        return len(got & exact) / len(exact), rows
+
+    r1, _ = rec_and_rows(
+        similarity.ivf_knn(emb, queries, k=10, nprobe=4, centroids=cents)
+    )
+    r2, _ = rec_and_rows(
+        similarity.ivf_knn(
+            emb, queries, k=10, nprobe=4, centroids=cents, corpus_assign=2
+        )
+    )
+    assert r2 >= r1 - 1e-9, (r1, r2)
+    pq1, _ = rec_and_rows(
+        similarity.ivf_pq_knn(
+            emb, queries, k=10, codebooks=books, centroids=cents, nprobe=4,
+            refine_k=60,
+        )
+    )
+    pq2, rows = rec_and_rows(
+        similarity.ivf_pq_knn(
+            emb, queries, k=10, codebooks=books, centroids=cents, nprobe=4,
+            refine_k=60, corpus_assign=2,
+        )
+    )
+    assert pq2 >= pq1 - 1e-9, (pq1, pq2)
+    # no duplicate (query, id) pairs despite the 2x replication
+    pairs = [(r.query_id, r.vec_id) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    import collections
+
+    per_q = collections.Counter(r.query_id for r in rows)
+    assert all(v == 10 for v in per_q.values())
