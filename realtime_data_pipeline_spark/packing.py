@@ -145,6 +145,56 @@ def chunk_text(
     )
 
 
+def pps_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_n: float,
+) -> DataFrame:
+    """Poisson PPS (probability-proportional-to-size) sample: keep row i
+    with probability ``p_i = min(1, target_n · w_i / Σw)``, decided by
+    the same deterministic md5 hash gate as :func:`mixture_sample`, and
+    attach the Horvitz-Thompson correction ``ht_weight = 1/p_i`` so any
+    downstream SUM over the sample times ``ht_weight`` is an unbiased
+    estimate of the population total. This is importance sampling for a
+    training-data pipeline: long documents (heavy w) are kept with
+    certainty, short ones proportionally, and token-weighted statistics
+    computed on the ~target_n-row sample stay unbiased.
+
+    Scale shape: ONE tiny total aggregate broadcast back (the only
+    shuffle carries one row per partition), then the gate and the HT
+    weight are pure per-row projections over the scan. Expected sample
+    size ≈ target_n (Poisson, not fixed-size — the deterministic analog
+    of a PPS without-replacement design; capped rows with w ≥ Σw /
+    target_n make the realized expectation slightly smaller, the
+    standard Poisson-PPS property). Every arithmetic step is IEEE
+    +,·,/ and LEAST — no transcendental — so the kept set and the
+    round-6 weights are engine-exact."""
+    total = df.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__total")
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(target_n)) * F.col(weight_col) / F.col("__total"),
+    )
+    gate = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    # the gate realizes inclusion prob floor(p·65536)/65536 (1/65536
+    # granularity), so the HT weight inverts THAT — the estimator stays
+    # exactly unbiased under the discretization
+    return (
+        df.crossJoin(F.broadcast(total))
+        .withColumn("__pg", F.floor(p * 65536).cast("long"))
+        .filter(gate < F.col("__pg"))
+        .withColumn(
+            "ht_weight",
+            F.round(F.lit(65536.0) / F.col("__pg"), 6),
+        )
+        .drop("__total", "__pg")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -571,6 +571,77 @@ ORDER BY year, priority
 """
 
 
+def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator: the parts no other part
+    strictly dominates on (price ↓ better, size ↑ better) — q dominates
+    p iff q is no worse on both axes and strictly better on one. The
+    multi-objective shortlist query (cheapest-per-capability) that a
+    naive engine writes as a quadratic NOT-EXISTS self-join.
+
+    Scale spelling — NO quadratic join and NO global sort: prices are
+    banded (fixed-width buckets), so dominance splits into (a) a
+    cross-band check against the running max size of all strictly
+    cheaper bands — a ~10-row aggregate, prefix-maxed on the driver-side
+    scale of a window over bands, broadcast back — and (b) an in-band
+    check under a per-band window ordered by exact integer cents
+    (RANGE to -1 cent = "strictly cheaper in band"; a peer-frame max
+    catches same-price bigger-size). One shuffle on the band key,
+    partitions bounded by band width. The oracle IS the quadratic
+    NOT-EXISTS, so the banded decomposition is proven identical to the
+    textbook definition at 3 SFs."""
+    from pyspark.sql.window import Window as W
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    # fixture prices are exact 2-decimals; cents give an integer RANGE key
+    p = part.withColumn(
+        "price_c", F.round(F.col("price") * 100).cast("long")
+    ).withColumn("band", F.floor(F.col("price") / F.lit(10.0)).cast("long"))
+    band_max = p.groupBy("band").agg(F.max("size").alias("bmax"))
+    wb = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    prev = band_max.select(
+        "band", F.max("bmax").over(wb).alias("prev_max")
+    )
+    w_cheaper = (
+        W.partitionBy("band")
+        .orderBy("price_c")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_peers = W.partitionBy("band", "price_c")
+    dominated = (
+        (F.col("prev_max") >= F.col("size"))
+        | (F.max("size").over(w_cheaper) >= F.col("size"))
+        | (F.max("size").over(w_peers) > F.col("size"))
+    )
+    return (
+        p.join(F.broadcast(prev), "band")
+        .withColumn("__dom", F.coalesce(dominated, F.lit(False)))
+        .filter(~F.col("__dom"))
+        .select("p_partkey", F.round("price", 2).alias("price"), "size")
+        .orderBy("p_partkey")
+    )
+
+
+PARTS_PARETO_FRONTIER_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+         CAST(p_size AS INT) AS size
+  FROM part
+)
+SELECT a.p_partkey, ROUND(a.price, 2) AS price, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price <= a.price AND q.size >= a.size
+    AND (q.price < a.price OR q.size > a.size)
+)
+ORDER BY a.p_partkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -594,10 +665,13 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_pivot_status_by_year": orders_pivot_status_by_year,
     "lineitem_unpivot_measures": lineitem_unpivot_measures,
     "orders_yoy_growth": orders_yoy_growth,
+    # round-11 build: banded skyline vs the quadratic NOT-EXISTS oracle
+    "parts_pareto_frontier": parts_pareto_frontier,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,
+    "parts_pareto_frontier": PARTS_PARETO_FRONTIER_SQL,
     "orders_pivot_status_by_year": ORDERS_PIVOT_STATUS_BY_YEAR_SQL,
     "lineitem_unpivot_measures": LINEITEM_UNPIVOT_MEASURES_SQL,
     "events_hot_user_share": EVENTS_HOT_USER_SHARE_SQL,

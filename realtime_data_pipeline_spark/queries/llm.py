@@ -843,6 +843,52 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling (Poisson PPS + Horvitz-Thompson weights,
+    `packing.pps_sample`): every doc kept with probability proportional
+    to its token count, targeting ~150 rows, each carrying the 1/p
+    correction so token-weighted statistics over the sample stay
+    unbiased. The third member of the sampling family — hash-split
+    (uniform), mixture (per-source budget), PPS (∝ weight) — and the
+    one a loss-weighted eval or a cost-model calibration actually
+    needs. Deterministic md5 gate, no RNG: identical across engines,
+    runs, and partition layouts."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text.token_count_re(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return (
+        packing.pps_sample(docs, "doc_id", "n_tokens", target_n=150.0)
+        .select("doc_id", "source", "n_tokens", "ht_weight")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_PPS_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), tot AS (SELECT SUM(n_tokens) AS total FROM t),
+g AS (
+  SELECT t.*,
+         CAST(FLOOR(LEAST(1.0, 150.0 * t.n_tokens / tot.total) * 65536)
+              AS BIGINT) AS pg
+  FROM t CROSS JOIN tot
+)
+SELECT doc_id, source, n_tokens,
+       ROUND(65536.0 / pg, 6) AS ht_weight
+FROM g
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      < pg
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_meta_profile": docs_multimodal_meta_profile,
     "docs_curated_trainset": docs_curated_trainset,
@@ -872,11 +918,14 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_shuffle_shards": docs_shuffle_shards,
     "docs_length_batches": docs_length_batches,
     "docs_curriculum_order": docs_curriculum_order,
+    # round-11 build: Poisson-PPS importance sampling with HT weights
+    "docs_pps_sample": docs_pps_sample,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
 # the driver's 50-row budget
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "docs_pps_sample": DOCS_PPS_SAMPLE_SQL,
     "docs_pack_chunks": DOCS_PACK_CHUNKS_SQL,
     "docs_mixture_sample": DOCS_MIXTURE_SAMPLE_SQL,
     "docs_pack_manifest": DOCS_PACK_MANIFEST_SQL,

@@ -212,6 +212,103 @@ ORDER BY custkey
 """
 
 
+def customer_spend_anomalies_mad(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust anomaly scoring: customers whose total spend is an outlier
+    within their market segment by the MEDIAN/MAD rule (modified z-score
+    |0.6745·(x − med)/MAD| > 3.5, the Iglewicz–Hoaglin cutoff). The
+    mean/std z-score twin (:func:`customer_spend_anomalies_zscore`) is
+    itself dragged by the outliers it hunts — one whale inflates σ and
+    hides the next whale; median and MAD have a 50 % breakdown point, so
+    the flag is stable under contamination. This is the robust-statistics
+    member of the anomaly family a curation pipeline actually wants for
+    heavy-tailed spend/length/score columns.
+
+    Scale shape: two bounded aggregates instead of moments — per-segment
+    exact median (``F.percentile``, the interpolated definition both
+    engines share), then per-segment median of |x − med| after
+    broadcasting the 5-row median table back. The facts shuffle on
+    custkey once for the spend sum; the segment aggregates see only
+    (segment, value) pairs. Spend sums in DECIMAL (order-independent),
+    deviations are exact double subtraction of engine-identical values,
+    so round-4 scores cannot flip on a last-ulp. Degenerate segments
+    (MAD = 0) are guarded to NULL, never flagged."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("spend")
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_custkey").alias("custkey"),
+            "spend",
+        )
+    )
+    med = spend.groupBy("mktsegment").agg(
+        F.percentile(F.col("spend"), F.lit(0.5)).alias("med")
+    )
+    dev = spend.join(F.broadcast(med), "mktsegment").withColumn(
+        "absdev", F.abs(F.col("spend") - F.col("med"))
+    )
+    mad = dev.groupBy("mktsegment").agg(
+        F.percentile(F.col("absdev"), F.lit(0.5)).alias("mad")
+    )
+    rz = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("spend") - F.col("med")) / F.col("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "mktsegment")
+        .withColumn("rz", F.round(rz, 4))
+        .filter(F.abs(F.col("rz")) > 3.5)
+        .select(
+            "custkey",
+            "mktsegment",
+            F.round("spend", 2).alias("spend"),
+            F.round("med", 2).alias("segment_median"),
+            "rz",
+        )
+        .orderBy("custkey")
+    )
+
+
+CUSTOMER_SPEND_ANOMALIES_MAD_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS mktsegment, o.o_custkey AS custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT mktsegment, quantile_cont(spend, 0.5) AS med
+  FROM spend GROUP BY mktsegment
+),
+dev AS (
+  SELECT s.*, m.med, ABS(s.spend - m.med) AS absdev
+  FROM spend s JOIN med m USING (mktsegment)
+),
+mad AS (
+  SELECT mktsegment, quantile_cont(absdev, 0.5) AS mad
+  FROM dev GROUP BY mktsegment
+)
+SELECT custkey, mktsegment, ROUND(spend, 2) AS spend,
+       ROUND(med, 2) AS segment_median,
+       ROUND(0.6745 * (spend - med) / mad, 4) AS rz
+FROM dev JOIN mad USING (mktsegment)
+WHERE mad > 0
+  AND ABS(ROUND(0.6745 * (spend - med) / mad, 4)) > 3.5
+ORDER BY custkey
+"""
+
+
 # half-life 7 days against a fixed post-corpus reference instant: the
 # exponent is <= 0 for every event, so the term never overflows
 _REF = "2024-02-01 00:00:00"
@@ -378,6 +475,7 @@ ORACLE_SQL: dict[str, str] = {}
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_anomalies_zscore": orders_price_anomalies_zscore,
     "customer_spend_anomalies_zscore": customer_spend_anomalies_zscore,
+    "customer_spend_anomalies_mad": customer_spend_anomalies_mad,
     "events_recency_weighted_value": events_recency_weighted_value,
     "customer_rfm_segments": customer_rfm_segments,
 }
@@ -385,6 +483,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "orders_price_anomalies_zscore": ORDERS_PRICE_ANOMALIES_ZSCORE_SQL,
     "customer_spend_anomalies_zscore": CUSTOMER_SPEND_ANOMALIES_ZSCORE_SQL,
+    "customer_spend_anomalies_mad": CUSTOMER_SPEND_ANOMALIES_MAD_SQL,
     "events_recency_weighted_value": EVENTS_RECENCY_WEIGHTED_VALUE_SQL,
     "customer_rfm_segments": CUSTOMER_RFM_SEGMENTS_SQL,
 }

@@ -225,6 +225,87 @@ ORDER BY id_a, id_b
 """
 
 
+def suppliers_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity RESOLUTION, not just matching: the fuzzy pair graph
+    (`fuzzy.fuzzy_self_pairs`, Levenshtein ≤ 1 under symmetric-delete
+    blocking) closed into canonical entities via pointer-jumped
+    connected components (`dedup.connected_components`) — every supplier
+    gets an entity_id (the smallest suppkey reachable through typo
+    links; singletons canonicalize to themselves) and the entity's
+    member count. This is the master-data operator record linkage
+    feeds: match finds the edges, RESOLUTION names the nodes.
+
+    Scale shape: blocking keeps candidate volume at rows × name-length
+    (never rows²), components converge in O(log diameter) bounded
+    rounds, and the singleton fill is one left join + coalesce — no
+    per-entity iteration anywhere. Oracle: DuckDB recursive-CTE
+    transitive closure over the same Levenshtein pair base (exact on
+    the small fixture; the Spark side must reproduce it through the
+    blocked + iterative spelling)."""
+    from realtime_data_pipeline_spark import dedup
+
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("suppkey"),
+        F.col("s_name").alias("name"),
+    )
+    pairs = fuzzy.fuzzy_self_pairs(
+        sup, "suppkey", "name", max_dist=1
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    ent = (
+        sup.join(
+            comp.select(
+                F.col("id").cast("bigint").alias("suppkey"), "component"
+            ),
+            "suppkey",
+            "left",
+        )
+        .select(
+            "suppkey",
+            "name",
+            F.coalesce(F.col("component"), F.col("suppkey"))
+            .cast("bigint")
+            .alias("entity_id"),
+        )
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("entity_size")
+    )
+    return (
+        ent.join(sizes, "entity_id")
+        .select("suppkey", "name", "entity_id", "entity_size")
+        .orderBy("suppkey")
+    )
+
+
+SUPPLIERS_FUZZY_ENTITIES_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 1
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+), reach(id, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.id
+), comp AS (
+  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+), ent AS (
+  SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+         CAST(COALESCE(c.component, s.s_suppkey) AS BIGINT) AS entity_id
+  FROM supplier s LEFT JOIN comp c ON s.s_suppkey = c.id
+)
+SELECT suppkey, name, entity_id,
+       CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT)
+         AS entity_size
+FROM ent
+ORDER BY suppkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
     "docs_neardup_minhash": docs_neardup_minhash,
@@ -243,6 +324,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_dedup": docs_neardup_dedup,
     # round-10 build, round-11 rotation queue: fuzzy entity matching
     "suppliers_fuzzy_name_pairs": suppliers_fuzzy_name_pairs,
+    # round-11 build: fuzzy pairs closed into canonical entities
+    "suppliers_fuzzy_entities": suppliers_fuzzy_entities,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -252,4 +335,5 @@ ORACLE_SQL: dict[str, str] = {
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "suppliers_fuzzy_name_pairs": SUPPLIERS_FUZZY_NAME_PAIRS_SQL,
+    "suppliers_fuzzy_entities": SUPPLIERS_FUZZY_ENTITIES_SQL,
 }
