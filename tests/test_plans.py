@@ -717,3 +717,50 @@ def test_yoy_growth_window_on_bounded_aggregate(spark, sf_dir):
     w_pos = simple.find("Window")
     assert "HashAggregate" in simple[w_pos:]
     assert "CartesianProduct" not in simple
+
+
+def test_pareto_frontier_banded_no_quadratic_join(spark, sf_dir):
+    """The skyline must run as the banded decomposition: a broadcast of
+    the tiny band prefix-max table, per-band windows, and NEVER the
+    quadratic self-join the oracle uses — no cartesian/BNLJ anywhere,
+    and every non-broadcast exchange hashes on the band key."""
+    df = qfn("parts_pareto_frontier")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # the prev_max table broadcasts
+    assert "Window" in plan  # in-band dominance windows
+
+
+def test_pps_sample_single_scalar_broadcast(spark, sf_dir):
+    """PPS sampling is one tiny total aggregate broadcast back over the
+    scan: the gate and HT weight are projections — no Window, no
+    row-at-a-time Python, no fact-side shuffle beyond the 1-row total's
+    partial aggregation."""
+    df = qfn("docs_pps_sample")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_anomalies_broadcasts_median_tables(spark, sf_dir):
+    """Both bounded aggregates (segment median, segment MAD) must come
+    back as broadcasts over the facts — the window spelling would hash
+    every fact row into |segments| partitions."""
+    df = qfn("customer_spend_anomalies_mad")(spark, sf_dir)
+    plan = plan_str(df)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_entities_no_cross_product(spark, sf_dir):
+    """Entity resolution must keep the blocked shape end-to-end: the
+    oracle's Levenshtein cross join may never leak into the Spark plan —
+    candidate pairing stays an equi-join on deletion-variant hashes and
+    components join on node ids."""
+    df = qfn("suppliers_fuzzy_entities")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
