@@ -309,6 +309,71 @@ ORDER BY custkey
 """
 
 
+def orders_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-priority price statistics: order prices clipped to
+    the global [p01, p99] band before aggregating — the standard
+    outlier-capping step a feature pipeline runs before normalization,
+    so a single fat-finger order can't drag a training feature's mean.
+    Reports per priority the row count, how many rows clipped at each
+    tail, and the winsorized mean.
+
+    Scale shape: the two boundaries come from ONE exact-percentile
+    aggregate (1 row, broadcast back — never a rank window over the
+    fact table); clipping is a per-row LEAST/GREATEST projection and
+    the stats are a plain hash aggregation. Clipped values are summed
+    in DECIMAL (order-independent) so the round-4 mean is
+    engine-identical."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    b = o.agg(
+        F.percentile(F.col("v"), F.lit(0.01)).alias("__p01"),
+        F.percentile(F.col("v"), F.lit(0.99)).alias("__p99"),
+    )
+    clip = F.least(F.greatest(F.col("v"), F.col("__p01")), F.col("__p99"))
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("v") < F.col("__p01"), 1).otherwise(0)
+            ).cast("bigint").alias("n_clip_lo"),
+            F.sum(
+                F.when(F.col("v") > F.col("__p99"), 1).otherwise(0)
+            ).cast("bigint").alias("n_clip_hi"),
+            # cast the exact decimal SUM to double BEFORE dividing, the
+            # same op order as the oracle's CAST(SUM(...) AS DOUBLE)/n
+            F.round(
+                F.sum(clip.cast(DEC)).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("wins_mean"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORDERS_PRICE_WINSORIZED_SQL = """
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+         quantile_cont(o_totalprice, 0.99) AS p99
+  FROM orders
+)
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_totalprice < p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN o_totalprice > p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, p01), p99)
+                           AS DECIMAL(38,10))) AS DOUBLE)
+             / COUNT(*), 4) AS wins_mean
+FROM orders CROSS JOIN q
+GROUP BY 1
+ORDER BY priority
+"""
+
+
 # half-life 7 days against a fixed post-corpus reference instant: the
 # exponent is <= 0 for every event, so the term never overflows
 _REF = "2024-02-01 00:00:00"
@@ -476,11 +541,13 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_anomalies_zscore": orders_price_anomalies_zscore,
     "customer_spend_anomalies_zscore": customer_spend_anomalies_zscore,
     "customer_spend_anomalies_mad": customer_spend_anomalies_mad,
+    "orders_price_winsorized": orders_price_winsorized,
     "events_recency_weighted_value": events_recency_weighted_value,
     "customer_rfm_segments": customer_rfm_segments,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "orders_price_winsorized": ORDERS_PRICE_WINSORIZED_SQL,
     "orders_price_anomalies_zscore": ORDERS_PRICE_ANOMALIES_ZSCORE_SQL,
     "customer_spend_anomalies_zscore": CUSTOMER_SPEND_ANOMALIES_ZSCORE_SQL,
     "customer_spend_anomalies_mad": CUSTOMER_SPEND_ANOMALIES_MAD_SQL,

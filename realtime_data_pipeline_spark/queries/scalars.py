@@ -124,6 +124,76 @@ GROUP BY 1
 """
 
 
+def orders_price_histogram_equidepth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A6 twin of the equi-width histogram: EQUI-DEPTH (each bucket holds
+    ~10 % of rows), the histogram shape an optimizer or drift monitor
+    wants when the distribution is skewed — equal-width buckets would
+    put 90 % of a lognormal in one bar. Boundaries are the exact deciles
+    from ONE percentile aggregate (1 row, broadcast back — never a
+    global sort/ntile, which funnels the table through one task);
+    bucket assignment is 9 strict `>` comparisons so a value exactly ON
+    a boundary bins identically in both engines; then a plain hash
+    aggregation. Two scans, two 1-row shuffles, fully distributed."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        *[
+            F.percentile(F.col("o_totalprice"), F.lit(i / 10.0)).alias(
+                f"__b{i}"
+            )
+            for i in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.col(f"__b{i}"), 1
+        ).otherwise(0)
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORDERS_PRICE_HISTOGRAM_EQUIDEPTH_SQL = """
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.1) AS b1,
+         quantile_cont(o_totalprice, 0.2) AS b2,
+         quantile_cont(o_totalprice, 0.3) AS b3,
+         quantile_cont(o_totalprice, 0.4) AS b4,
+         quantile_cont(o_totalprice, 0.5) AS b5,
+         quantile_cont(o_totalprice, 0.6) AS b6,
+         quantile_cont(o_totalprice, 0.7) AS b7,
+         quantile_cont(o_totalprice, 0.8) AS b8,
+         quantile_cont(o_totalprice, 0.9) AS b9
+  FROM orders
+)
+SELECT CAST(1 + (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END)
+              + (CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END)
+       AS INT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders CROSS JOIN q
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions_showcase": scalar_functions_showcase,
     "orders_price_histogram": orders_price_histogram,
@@ -132,4 +202,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "scalar_functions_showcase": SCALAR_FUNCTIONS_SHOWCASE_SQL,
     "orders_price_histogram": ORDERS_PRICE_HISTOGRAM_SQL,
+}
+
+SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-11 build: exact-decile equi-depth histogram
+    "orders_price_histogram_equidepth": orders_price_histogram_equidepth,
+}
+
+SHELVED_ORACLE_SQL: dict[str, str] = {
+    "orders_price_histogram_equidepth": ORDERS_PRICE_HISTOGRAM_EQUIDEPTH_SQL,
 }
