@@ -592,6 +592,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = False,
+    corpus_assign: int = 1,
 ) -> None:
     """Persist the IVF index the ``ivf_knn`` docstring promises at scale:
     corpus vectors cell-assigned ONCE and written hive-partitioned BY
@@ -609,11 +610,19 @@ def build_ivf_index(
     vector — ~4× smaller index scan at search time; the stored ``norm``
     is the DEQUANTIZED norm so search cosines are consistent with the
     stored precision (recall-gated; exact re-rank against full-precision
-    vectors stays available from the source table when needed)."""
+    vectors stays available from the source table when needed).
+    ``corpus_assign`` > 1 persists each vector into its top-R cells
+    (SPANN-style multi-assignment — R× index size for a higher probe
+    bound; see :func:`ivf_knn`); the R is stored in ``{path}/meta`` so
+    :func:`append_to_ivf_index` replicates appends identically, and
+    :func:`ivf_index_search` needs no change (it already de-duplicates
+    candidate pairs)."""
     cells = corpus.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("vec"),
-        F.explode(ivf_cells_udf(centroids, 1)(F.col(vec_col))).alias("cell"),
+        F.explode(
+            ivf_cells_udf(centroids, corpus_assign)(F.col(vec_col))
+        ).alias("cell"),
     )
     if quantize:
         # two-step: scale materialized once (O(d)), then qvec reads it
@@ -658,6 +667,14 @@ def build_ivf_index(
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
     )
+    (
+        spark.createDataFrame(
+            [(int(corpus_assign),)], "corpus_assign int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
 
 
 def append_to_ivf_index(
@@ -677,14 +694,24 @@ def append_to_ivf_index(
     stay fixed or previously-indexed vectors would sit in stale cells.
     Retrain + full rebuild when drift accumulates (recall gates tell
     you when). Appends match the index's stored precision (float or
-    int8) by sniffing the existing cell schema."""
+    int8) by sniffing the existing cell schema, and its multi-assignment
+    R from ``{path}/meta`` (absent on pre-r11 indexes → 1), so appended
+    vectors are replicated exactly like the build's."""
     spark = new_vectors.sparkSession
     cents = load_ivf_centroids(spark, path)
     quantized = "qvec" in spark.read.parquet(f"{path}/cells").columns
+    try:
+        corpus_assign = int(
+            spark.read.parquet(f"{path}/meta").collect()[0]["corpus_assign"]
+        )
+    except Exception:  # noqa: BLE001 - pre-meta index layout
+        corpus_assign = 1
     staged = new_vectors.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("vec"),
-        F.explode(ivf_cells_udf(cents, 1)(F.col(vec_col))).alias("cell"),
+        F.explode(
+            ivf_cells_udf(cents, corpus_assign)(F.col(vec_col))
+        ).alias("cell"),
     )
     if quantized:
         staged = staged.withColumn("qscale", quantize_scale(F.col("vec")))

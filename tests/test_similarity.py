@@ -182,6 +182,46 @@ def test_ivf_index_persist_search_matches_inline(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_ivf_index_multi_assign_persists_and_appends(spark, sf_dir, tmp_path):
+    """A corpus_assign=2 index stores every vector in exactly its top-2
+    cells, searches identically to the inline multi-assign ivf_knn, and
+    APPENDS replicate with the stored R (read from {path}/meta), so an
+    appended vector is as findable as a built one."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=8)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = str(tmp_path / "ivf2")
+    similarity.build_ivf_index(half_a, idx, cents, corpus_assign=2)
+    similarity.append_to_ivf_index(half_b, idx)
+    cells = spark.read.parquet(f"{idx}/cells")
+    per_id = cells.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per_id)  # appended rows too
+    assert cells.select("vec_id").distinct().count() == emb.count()
+
+    via_index = similarity.ivf_index_search(spark, idx, queries, k=5, nprobe=3)
+    inline = similarity.ivf_knn(
+        emb, queries, k=5, nprobe=3, centroids=cents, n_centroids=8,
+        corpus_assign=2,
+    )
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
 def test_ivf_index_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
     """Appending the second half of the corpus with the stored quantizer
     must yield an index that searches identically to one built from the
