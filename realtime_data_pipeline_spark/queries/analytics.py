@@ -571,6 +571,24 @@ ORDER BY year, priority
 """
 
 
+def events_top_types_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter DISCOVERY via the Misra-Gries sketch
+    (`sketches.misra_gries_topk`): ≤ 8 candidate event types with
+    certified lower-bound counts — at most k rows leave each map
+    partition regardless of key cardinality, the shape that finds hot
+    keys in a 100 TB column without shuffling its key space. Rows-only
+    by nature (lbs depend on partition layout; the SURVIVAL guarantee —
+    every type above N/(k+1) present — is layout-free and gated in
+    tests/test_sketches.py); the exact twin `events_hot_user_share`
+    holds the oracle face of the hot-key family."""
+    from realtime_data_pipeline_spark import sketches
+
+    ev = load_events(spark, sf_dir).select("event_type")
+    return sketches.misra_gries_topk(ev, "event_type", 8).orderBy(
+        F.col("lb").desc(), F.col("item").asc()
+    )
+
+
 def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto-frontier operator: the parts no other part
     strictly dominates on (price ↓ better, size ↑ better) — q dominates
@@ -667,6 +685,9 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_yoy_growth": orders_yoy_growth,
     # round-11 build: banded skyline vs the quadratic NOT-EXISTS oracle
     "parts_pareto_frontier": parts_pareto_frontier,
+    # round-11 build: Misra-Gries heavy hitters (rows-only; guarantee
+    # gated in tests/test_sketches.py)
+    "events_top_types_mg": events_top_types_mg,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {

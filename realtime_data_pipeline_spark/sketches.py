@@ -32,6 +32,116 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def misra_gries_partials(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries: ≤ ``k`` rows
+    ``(item, lb, __k)`` per input partition, where ``lb`` is a LOWER
+    bound on the item's in-partition frequency undercounting by at most
+    ``N_partition/(k+1)``. The dual of :func:`countmin_build`: count-min
+    answers "how often is THIS key" (one-sided over-estimate, fixed
+    geometry), Misra-Gries answers "WHICH keys are frequent" (one-sided
+    under-estimate, ≤ k candidates) — the vocabulary/boilerplate/hot-key
+    discovery sketch, with the guarantee that every item with true
+    frequency > N/(k+1) SURVIVES.
+
+    Why this is the 100 TB shape: an exact per-key count of a
+    high-cardinality column shuffles the whole key space; this emits at
+    most k rows per map partition, no matter the cardinality — the
+    shuffle is bounded by geometry, like every sketch here. Per
+    partition the classic deterministic algorithm runs Arrow-batched
+    (pandas ``value_counts`` + add per batch, then the decrement-by-the-
+    (k+1)th-largest compression whenever more than k counters live —
+    Misra & Gries 1982, batched as in Agarwal et al.'s "Mergeable
+    Summaries"). NULL keys are ignored (unlike count-min, which buckets
+    them); results depend on partition layout only through the lbs —
+    the survival guarantee holds for any layout."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    item_type = df.schema[col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("item", item_type, True),
+            T.StructField("lb", T.LongType(), False),
+            T.StructField("__k", T.IntegerType(), False),
+        ]
+    )
+
+    def summarize(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[col].value_counts()  # dropna by default
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                thr = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - thr
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame(
+                {
+                    "item": acc.index,
+                    "lb": acc.astype("int64").to_numpy(),
+                    "__k": k,
+                }
+            )
+
+    return df.select(col).mapInPandas(summarize, schema=out_schema)
+
+
+def misra_gries_merge(*partials: DataFrame) -> DataFrame:
+    """Merge Misra-Gries summaries (Agarwal et al. mergeable rule):
+    counts for the same item ADD, then if more than k counters survive,
+    the (k+1)th largest combined count is subtracted from all and
+    non-positive counters drop. The merged summary keeps the full
+    guarantee — total undercount ≤ N_total/(k+1), every item above that
+    threshold still present. Runs entirely on sketch-sized data
+    (≤ k × partitions rows), so the single-partition ranking window and
+    the broadcast threshold are bounded by geometry, never by the
+    input. Mixed-k summaries are rejected."""
+    from pyspark.sql.window import Window as W
+
+    out = partials[0]
+    for s in partials[1:]:
+        out = out.unionByName(s)
+    summed = out.groupBy("item", "__k").agg(F.sum("lb").alias("lb"))
+    geo = summed.agg(F.count_distinct("__k").alias("ks")).first()
+    if geo["ks"] > 1:
+        raise ValueError(
+            "misra_gries_merge: summaries built with different k"
+        )
+    ranked = summed.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.orderBy(F.col("lb").desc(), F.col("item").asc())
+        ),
+    )
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == F.col("__k") + 1, F.col("lb"))),
+            F.lit(0),
+        ).alias("__thr")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .select(
+            "item",
+            (F.col("lb") - F.col("__thr")).alias("lb"),
+            "__k",
+        )
+        .filter(F.col("lb") > 0)
+    )
+
+
+def misra_gries_topk(df: DataFrame, col: str, k: int) -> DataFrame:
+    """End-to-end heavy hitters: per-partition summaries merged into one
+    ≤ k-row candidate table ``(item, lb)`` — every item with true
+    frequency > N/(k+1) guaranteed present, each lb a certified lower
+    bound (true count ≥ lb, and ≤ lb + N/(k+1))."""
+    return misra_gries_merge(misra_gries_partials(df, col, k)).drop("__k")
+
+
 def countmin_build(
     df: DataFrame, col: str, depth: int = 5, width: int = 1024
 ) -> DataFrame:

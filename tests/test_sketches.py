@@ -320,3 +320,70 @@ def test_bloom_probe_plan_has_two_hashes_not_k(spark):
             assert line.count("xxhash64") == 2, line
         if "Join" in line:
             assert "xxhash64" not in line, line
+
+
+def test_misra_gries_guarantee_and_lower_bounds(spark):
+    """Every item with true frequency > N/(k+1) must survive, and each
+    reported lb must be a certified lower bound within N/(k+1) of the
+    true count — the classic MG contract, checked against exact counts
+    on a skewed input across several partition layouts."""
+    df = skewed_df(spark)  # N = 1050, hot=500, k9=100, ..., k0=10
+    exact = {r["key"]: r["n"] for r in
+             df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    for parts in (1, 4, 32):
+        k = 8
+        got = {
+            r["item"]: r["lb"]
+            for r in sketches.misra_gries_topk(
+                df.repartition(parts), "key", k
+            ).collect()
+        }
+        assert len(got) <= k
+        slack = n_total / (k + 1)
+        for item, true_n in exact.items():
+            if true_n > slack:
+                assert item in got, (parts, item, true_n, slack)
+        for item, lb in got.items():
+            assert lb <= exact[item], (item, lb, exact[item])
+            assert exact[item] - lb <= slack + 1e-9
+
+
+def test_misra_gries_merge_matches_single_partition_candidates(spark):
+    """Merging per-partition summaries keeps the guarantee of a summary
+    built in one pass: the merged candidate set must contain every item
+    the single-partition (exact-path) summary certifies above slack."""
+    df = skewed_df(spark)
+    k = 5
+    single = {
+        r["item"]
+        for r in sketches.misra_gries_topk(
+            df.coalesce(1), "key", k
+        ).collect()
+        if r["lb"] > 1050 / (k + 1)
+    }
+    merged = sketches.misra_gries_merge(
+        sketches.misra_gries_partials(df.repartition(8), "key", k)
+    )
+    got = {r["item"] for r in merged.collect()}
+    assert single <= got
+    # mixed-k summaries are rejected
+    import pytest as _pytest
+
+    a = sketches.misra_gries_partials(df, "key", 4)
+    b = sketches.misra_gries_partials(df, "key", 6)
+    with _pytest.raises(ValueError, match="different k"):
+        sketches.misra_gries_merge(a, b).collect()
+
+
+def test_misra_gries_nulls_ignored_and_long_keys(spark):
+    """NULL keys are dropped (documented contrast with count-min), and
+    the summary schema follows the input column type (longs stay
+    longs)."""
+    rows = [(1,)] * 50 + [(2,)] * 5 + [(None,)] * 20
+    df = spark.createDataFrame(rows, "key long")
+    got = sketches.misra_gries_topk(df, "key", 2).collect()
+    items = {r["item"] for r in got}
+    assert None not in items
+    assert 1 in items
+    assert all(isinstance(r["item"], int) for r in got)
