@@ -387,3 +387,68 @@ def test_misra_gries_nulls_ignored_and_long_keys(spark):
     assert None not in items
     assert 1 in items
     assert all(isinstance(r["item"], int) for r in got)
+
+
+def test_mg_partials_stream_and_merge_on_read(spark, tmp_path):
+    """Misra-Gries rides the same streaming-partial wiring as count-min:
+    each micro-batch writes its own <= k-row summary under batch_id=N,
+    and the merge-on-read view keeps the survival guarantee for the
+    WHOLE stream — heavy-hitter discovery over an unbounded stream with
+    k rows of state per batch and no state store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import streaming
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    batches = [
+        [("hot",)] * 30 + [("a",), ("b",)],
+        [("hot",)] * 20 + [("c",)] * 8 + [("d",)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(inbox, f"b{i}.csv"), "w") as f:
+            f.write("key\n")
+            for (k,) in rows:
+                f.write(k + "\n")
+        os.utime(inbox + f"/b{i}.csv", (1_700_000_000 + i,) * 2)
+
+    out = str(tmp_path / "mg_partials")
+
+    def write_partial(batch_df, batch_id):
+        (
+            sketches.misra_gries_partials(batch_df, "key", k=3)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        streaming.read_file_stream(
+            spark, inbox, "key string", max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = sketches.misra_gries_merge(
+        spark.read.parquet(out).drop("batch_id")
+    )
+    got = {r["item"]: r["lb"] for r in merged.collect()}
+    all_rows = [r for b in batches for r in b]
+    n_total = len(all_rows)
+    exact = {}
+    for (k,) in all_rows:
+        exact[k] = exact.get(k, 0) + 1
+    slack = n_total / 4  # k=3
+    for item, true_n in exact.items():
+        if true_n > slack:
+            assert item in got, (item, true_n, slack)
+    for item, lb in got.items():
+        assert lb <= exact[item]
