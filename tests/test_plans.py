@@ -764,3 +764,23 @@ def test_fuzzy_entities_no_cross_product(spark, sf_dir):
     plan = plan_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equidepth_histogram_broadcast_boundaries_no_ntile(spark, sf_dir):
+    """Equi-depth bucketing must come from the broadcast decile table —
+    never a global ntile/rank window funneling the fact table through
+    one task."""
+    df = qfn("orders_price_histogram_equidepth")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_broadcast_percentiles_no_window(spark, sf_dir):
+    """The p01/p99 clip boundaries broadcast back over the scan; the
+    stats stay one hash aggregation."""
+    df = qfn("orders_price_winsorized")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
