@@ -11,6 +11,16 @@ all; cost is O(|corpus|·|queries|·dim) FLOPs in one pass. That is the right
 plan up to a few thousand queries; beyond that, switch to the LSH-bucketed
 path in ``lsh.py`` which replaces the broadcast-product with a shuffle on
 band keys.
+
+ANN DEFAULT PATH (measured, r11 — `LSH_RECALL.json#pq_refine_recall`):
+compose IVF × PQ with BOTH r11 knobs — `refine_k ≈ 10·k` (the exact
+re-rank provably removes ALL quantization loss: refined recall equals
+the exact-IVF probe bound at every operating point, and plain PQ+refine
+reaches 1.0 at k′=400) and `corpus_assign=2` (SPANN-style
+multi-assignment lifts the probe bound itself: 0.87 recall@10 at 25 %
+scan fraction, 0.92–0.94 at 50 %, vs 0.53/0.8 single-assigned). Pick
+nprobe from the measured scan_frac table; quantization error is no
+longer a recall axis, only probe coverage is.
 """
 
 from __future__ import annotations

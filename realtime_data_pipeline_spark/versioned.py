@@ -1128,6 +1128,129 @@ def compact_snapshot(
     return {**out, "compacted_to_partitions": target_partitions}
 
 
+def delete_keys(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: list,
+    max_retries: int = 10,
+) -> dict:
+    """Key erasure (the GDPR right-to-be-forgotten shape), transactional
+    and FILE-PRUNED: publish a new snapshot without any row whose
+    ``col`` is in ``values``, rewriting ONLY the files that can contain
+    a doomed key. Candidate files are decided from the manifest's
+    per-file min/max stats AND blooms (the same predicates
+    ``read_version_where`` prunes on), so erasing one user from a 100 TB
+    zone reads and rewrites O(files-containing-that-user), not the
+    table; every other file is carried into the new manifest by
+    REFERENCE, byte-identical on disk. Readers pinned to older versions
+    still see the rows (erasure of history = :func:`vacuum` after this
+    commit supersedes it); the commit is conditional on the snapshot it
+    read (compare-and-swap, like :func:`compact_snapshot`) and raises
+    ``ConcurrentCommitError`` on a race. Rows with NULL keys always
+    survive. Deleting keys the zone never contained is a NO-OP: no new
+    version is published.
+
+    Returns {version, files_rewritten, files_carried, rows_deleted}
+    (or {noop: True, version: base} when nothing matched)."""
+    from pyspark.sql import functions as F
+
+    known = versions(root)
+    if not known:
+        raise ValueError(f"no versions at {root}")
+    base = known[-1]
+    man = _read_manifest(root, base)
+    stats = man.get("file_stats", {})
+    blooms = man.get("file_blooms", {})
+    preds_per_value = [[(col, "=", v)] for v in values]
+    affected, carried = [], []
+    for f in man["files"]:
+        st, bl = stats.get(f), blooms.get(f)
+        may = any(
+            _file_may_match(st, p) and _bloom_may_match(bl, p)
+            for p in preds_per_value
+        )
+        (affected if may else carried).append(f)
+    if not affected:
+        return {"noop": True, "version": base, "files_rewritten": 0}
+    src = spark.read.parquet(
+        *[os.path.join(root, f) for f in affected]
+    )
+    keep = src.filter(F.col(col).isNull() | ~F.col(col).isin(values))
+    n_before = src.count()
+    commit_dir = f"c-{uuid.uuid4().hex}"
+    out_dir = os.path.join(root, _DATA, commit_dir)
+    keep.write.mode("overwrite").parquet(out_dir)
+    survivors = spark.read.parquet(out_dir)
+    rows_deleted = n_before - survivors.count()
+    if rows_deleted == 0:
+        # stats/bloom false positives only — nothing actually matched;
+        # drop the speculative rewrite and publish nothing
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return {"noop": True, "version": base, "files_rewritten": 0}
+    added = sorted(
+        os.path.join(_DATA, commit_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    file_stats = {
+        f: stats[f] for f in carried if f in stats
+    }
+    file_stats.update(_collect_file_stats(root, added))
+    file_blooms = {f: blooms[f] for f in carried if f in blooms}
+    # rebuild blooms for the rewritten files iff the zone indexed this
+    # or other columns before, reusing the stored geometry; files
+    # without blooms simply never prune (correct, just less tight)
+    old_bloom_cols: dict = {}
+    for f in affected:
+        for c, ent in (blooms.get(f) or {}).items():
+            old_bloom_cols[c] = (int(ent["m"]), int(ent["k"]))
+    if old_bloom_cols and added:
+        import base64
+
+        for c, (m_bits, k_hashes) in old_bloom_cols.items():
+            by_base = _collect_file_blooms(
+                spark, out_dir, survivors.schema, [c], m_bits, k_hashes
+            )
+            for rel in added:
+                ent = by_base.get(os.path.basename(rel))
+                if ent and c in ent:
+                    file_blooms.setdefault(rel, {})[c] = {
+                        "m": m_bits,
+                        "k": k_hashes,
+                        "kind": _bloom_kind(survivors.schema[c].dataType),
+                        "b64": base64.b64encode(ent[c]).decode("ascii"),
+                    }
+    new_version = base + 1
+    body_dict = {
+        "version": new_version,
+        "mode": "delete",
+        "files": carried + added,
+        "rows_added": 0,
+        "rows_deleted": rows_deleted,
+        "schema": man.get("schema"),
+        "file_stats": file_stats,
+    }
+    if file_blooms:
+        body_dict["file_blooms"] = file_blooms
+    # conditional on the base snapshot: a concurrent commit means the
+    # doomed keys may live in files this pass never scanned
+    if not _atomic_claim(
+        _manifest_path(root, new_version), json.dumps(body_dict)
+    ):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"delete_keys lost the race at version {new_version} — "
+            "re-read and retry"
+        )
+    return {
+        "version": new_version,
+        "files_rewritten": len(added),
+        "files_carried": len(carried),
+        "rows_deleted": rows_deleted,
+    }
+
+
 def vacuum(root: str, keep_last: int = 2, min_age_s: float = 600.0) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete every
     data file no kept manifest references. The ONLY destructive

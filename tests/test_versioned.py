@@ -1018,3 +1018,76 @@ def test_zordered_commit_prunes_on_both_clustered_columns(
             df, str(tmp_path / "bad"), zorder_cols=["a"],
             collect_stats=False,
         )
+
+
+def test_delete_keys_prunes_rewrites_and_time_travels(spark, tmp_path):
+    """GDPR key erasure: only files that CAN contain a doomed key are
+    rewritten (manifest stats/bloom pruning), every other file is
+    carried by reference byte-identical; the latest snapshot loses
+    exactly the doomed rows, older versions still time-travel to them,
+    and NULL keys survive."""
+    root = str(tmp_path / "zone_del")
+    a = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "id long, v long"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(i, i * 2) for i in range(100, 200)] + [(None, -1)],
+        "id long, v long",
+    ).coalesce(1)
+    versioned.commit_version(a, root, mode="append", bloom_cols=["id"])
+    versioned.commit_version(b, root, mode="append", bloom_cols=["id"])
+    man_before = versioned._read_manifest(root, 1)
+
+    out = versioned.delete_keys(spark, root, "id", [150, 199])
+    assert out["rows_deleted"] == 2
+    assert out["files_rewritten"] >= 1
+    # commit A's file range [0,100) cannot contain 150/199 -> carried
+    assert out["files_carried"] >= 1
+    man_after = versioned._read_manifest(root, out["version"])
+    carried_paths = set(man_before["files"]) & set(man_after["files"])
+    assert len(carried_paths) >= 1  # literal file reuse, not rewrite
+
+    latest = versioned.read_version(spark, root)
+    ids = {r["id"] for r in latest.collect()}
+    assert 150 not in ids and 199 not in ids
+    assert None in ids  # NULL keys survive
+    assert latest.count() == 201 - 2
+    # time travel still sees the erased rows until vacuum
+    assert versioned.read_version(spark, root, 1).filter(
+        F.col("id").isin([150, 199])
+    ).count() == 2
+
+
+def test_delete_keys_absent_key_is_noop(spark, tmp_path):
+    """Erasing keys the zone never held publishes NOTHING: stats/bloom
+    pruning short-circuits, and even a bloom false positive (rewrite
+    finds zero matching rows) is rolled back without a commit."""
+    root = str(tmp_path / "zone_del_noop")
+    versioned.commit_version(
+        _df(spark, 0, 50).coalesce(1), root, bloom_cols=["id"]
+    )
+    before = versioned.versions(root)
+    out = versioned.delete_keys(spark, root, "id", [9999])
+    assert out.get("noop") is True
+    assert versioned.versions(root) == before
+
+
+def test_delete_keys_rewritten_files_keep_bloom_pruning(spark, tmp_path):
+    """The rewrite re-indexes the surviving rows with the zone's stored
+    bloom geometry, so point-lookup pruning keeps working after an
+    erasure commit."""
+    root = str(tmp_path / "zone_del_bloom")
+    versioned.commit_version(
+        _df(spark, 0, 100).coalesce(1), root, bloom_cols=["id"]
+    )
+    out = versioned.delete_keys(spark, root, "id", [3])
+    man = versioned._read_manifest(root, out["version"])
+    assert man.get("file_blooms"), "rewritten files lost their blooms"
+    # pruned point read agrees with the full filter
+    got = versioned.read_version_where(
+        spark, root, [("id", "=", 7)]
+    ).collect()
+    assert [r["id"] for r in got] == [7]
+    assert versioned.read_version_where(
+        spark, root, [("id", "=", 3)]
+    ).count() == 0
