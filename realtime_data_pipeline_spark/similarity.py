@@ -1187,8 +1187,53 @@ def ivf_pq_knn(
     raises that bound itself via SPANN-style multi-assignment — see
     :func:`ivf_knn`."""
     books = np.asarray(codebooks)
-    m, n_codes, dsub = books.shape
     cents = np.asarray(centroids)
+
+    def codes_builder(probed_union):
+        enc = pq_encode(ops.spread(corpus, id_col), books, id_col, vec_col)
+        cells = corpus.select(
+            F.col(id_col),
+            F.explode(
+                ivf_cells_udf(cents, corpus_assign)(F.col(vec_col))
+            ).alias("cell"),
+        )
+        return (
+            enc.join(cells, id_col)
+            # scan-side prune: only codes in somebody's probed cells
+            # survive; on the persisted index this same filter is
+            # partition pruning (ivf_pq_index_search)
+            .filter(F.col("cell").isin(probed_union))
+        )
+
+    return _ivf_pq_rank(
+        codes_builder, corpus, queries, k, books, cents, nprobe,
+        refine_k, corpus_assign, id_col, vec_col, query_id_col,
+        query_vec_col,
+    )
+
+
+def _ivf_pq_rank(
+    codes_builder,
+    refine_corpus: DataFrame | None,
+    queries: DataFrame,
+    k: int,
+    books,
+    cents,
+    nprobe: int,
+    refine_k: int | None,
+    corpus_assign: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Shared IVF×PQ ranking core: probe the coarse cells, ADC-scan the
+    (id, pq_code, cell) frame ``codes_builder(probed_union)`` returns,
+    and finish with either the plain top-k or the exact-refine pass
+    against ``refine_corpus``. Both the inline :func:`ivf_pq_knn` and
+    the persisted :func:`ivf_pq_index_search` delegate here, so the two
+    paths cannot drift."""
+    m, n_codes, dsub = books.shape
     q_rows = queries.select(
         F.col(query_id_col),
         as_double_array(F.col(query_vec_col)).alias("__qv"),
@@ -1207,18 +1252,7 @@ def ivf_pq_knn(
     probe_mask = {int(qid): frozenset(int(c) for c in row)
                   for qid, row in zip(qids, probe)}
 
-    enc = pq_encode(ops.spread(corpus, id_col), books, id_col, vec_col)
-    cells = corpus.select(
-        F.col(id_col),
-        F.explode(
-            ivf_cells_udf(cents, corpus_assign)(F.col(vec_col))
-        ).alias("cell"),
-    )
-    codes = (
-        enc.join(cells, id_col)
-        # scan-side prune: only codes in somebody's probed cells survive
-        .filter(F.col("cell").isin(probed_union))
-    )
+    codes = codes_builder(probed_union)
     out_schema = f"{query_id_col} long, {id_col} long, sim6 double"
     keep = refine_k if refine_k is not None else k
 
@@ -1274,6 +1308,11 @@ def ivf_pq_knn(
         # with an IDENTICAL sim6 (same code row) — drop before ranking
         cand = cand.dropDuplicates([query_id_col, id_col])
     if refine_k is not None:
+        if refine_corpus is None:
+            raise ValueError(
+                "refine_k needs a vectors source: pass refine_with= "
+                "(the original table or a float/int8 index read)"
+            )
         cand_ids = topk_per_group(
             cand,
             [query_id_col],
@@ -1281,7 +1320,7 @@ def ivf_pq_knn(
             k=max(refine_k, k),
         ).select(query_id_col, id_col)
         return _exact_refine(
-            corpus, queries, cand_ids, k,
+            refine_corpus, queries, cand_ids, k,
             id_col, vec_col, query_id_col, query_vec_col,
         )
     top = topk_per_group(
@@ -1292,4 +1331,132 @@ def ivf_pq_knn(
         id_col,
         F.round(F.col("sim6"), 4).alias("sim"),
         F.col("rn").cast("int").alias("rank"),
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_assign: int = 1,
+) -> None:
+    """Persist the IVF×PQ index `ivf_pq_knn`'s docstring promises at
+    100 TB: cell-partitioned CODE files — each row is (id, pq_code),
+    ``m`` bytes of payload instead of a ``dim``-wide vector, hive-
+    partitioned by coarse cell so probing is partition pruning on a
+    table ~64× smaller than the float index. Centroids, per-subspace
+    codebooks, and the multi-assignment R persist beside the cells;
+    everything is plain parquet. The exact-refine pass reads full
+    vectors from whatever source the SEARCH is given (`refine_with` —
+    the original table or a float index), keeping the code files pure.
+
+    Layout: ``{path}/cells/cell=N/*.parquet`` (id, pq_code),
+    ``{path}/centroids``, ``{path}/codebooks`` (subspace, code,
+    weights), ``{path}/meta`` (corpus_assign)."""
+    books = np.asarray(codebooks)
+    cents = np.asarray(centroids)
+    enc = pq_encode(ops.spread(corpus, id_col), books, id_col, vec_col)
+    cells = corpus.select(
+        F.col(id_col),
+        F.explode(
+            ivf_cells_udf(cents, corpus_assign)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    (
+        enc.join(cells, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in row]) for i, row in enumerate(cents)
+    ]
+    (
+        spark.createDataFrame(cent_rows, "cell int, weights array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    book_rows = [
+        (int(j), int(c), [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    (
+        spark.createDataFrame(
+            book_rows, "subspace int, code int, weights array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+    (
+        spark.createDataFrame([(int(corpus_assign),)], "corpus_assign int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+
+
+def load_pq_codebooks(spark: SparkSession, path: str):
+    """Read the per-subspace codebooks back as the (m, n_codes, dsub)
+    ndarray the ADC path expects."""
+    rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r["subspace"] for r in rows) + 1
+    n_codes = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["weights"])
+    books = np.zeros((m, n_codes, dsub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = np.asarray(r["weights"])
+    return books
+
+
+def ivf_pq_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    refine_k: int | None = None,
+    refine_with: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Search a persisted IVF×PQ index (:func:`build_ivf_pq_index`).
+    The probed-cell set pushes as an ``isin`` partition filter, so the
+    scan statically prunes to the probed ``cell=N`` code directories —
+    each holding m-byte codes, not vectors — then the SAME ranking core
+    as the inline :func:`ivf_pq_knn` runs (delegation, results cannot
+    drift). ``refine_k`` re-ranks the k′ ADC candidates exactly against
+    ``refine_with`` (the original vectors table or a float index read);
+    requires it, since the code files deliberately carry no vectors."""
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    try:
+        corpus_assign = int(
+            spark.read.parquet(f"{path}/meta").collect()[0]["corpus_assign"]
+        )
+    except Exception:  # noqa: BLE001 - pre-meta layout
+        corpus_assign = 1
+
+    def codes_builder(probed_union):
+        return spark.read.parquet(f"{path}/cells").filter(
+            F.col("cell").isin(probed_union)
+        )
+
+    return _ivf_pq_rank(
+        codes_builder, refine_with, queries, k, books, cents, nprobe,
+        refine_k, corpus_assign, id_col, vec_col, query_id_col,
+        query_vec_col,
     )

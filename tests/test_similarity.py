@@ -735,6 +735,61 @@ def test_ivf_pq_knn_recall_and_probe_pruning(spark, sf_dir):
     assert r4 >= 0.3, f"IVF-PQ recall@10 {r4:.3f} below gate at nprobe=4/16"
 
 
+def test_ivf_pq_index_search_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF×PQ index (cell-partitioned CODE files) must
+    search identically to the inline ivf_pq_knn — both delegate to one
+    ranking core — across bare ADC, exact-refine, and multi-assignment;
+    probing must prune partitions on the code files; refine without a
+    vectors source is refused (code files carry no vectors)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=64)
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=8)
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivf_pq_index(
+        emb, idx, cents, books, corpus_assign=2
+    )
+    # codebooks round-trip exactly
+    import numpy as np
+
+    assert np.allclose(similarity.load_pq_codebooks(spark, idx), books)
+
+    for kwargs in (
+        {},  # bare ADC
+        {"refine_k": 60, "refine_with": emb},  # exact refine
+    ):
+        inline_kwargs = dict(kwargs)
+        inline_kwargs.pop("refine_with", None)
+        via_index = similarity.ivf_pq_index_search(
+            spark, idx, queries, k=5, nprobe=3, **kwargs
+        )
+        inline = similarity.ivf_pq_knn(
+            emb, queries, k=5, codebooks=books, centroids=cents,
+            nprobe=3, corpus_assign=2, **inline_kwargs,
+        )
+        assert sorted(map(tuple, via_index.collect())) == sorted(
+            map(tuple, inline.collect())
+        ), kwargs
+
+    with _pytest.raises(ValueError, match="refine_k needs"):
+        similarity.ivf_pq_index_search(
+            spark, idx, queries, k=5, nprobe=3, refine_k=60
+        ).collect()
+
+    # the probed-cell filter is partition pruning on the code files
+    pruned = spark.read.parquet(f"{idx}/cells").filter(
+        F.col("cell").isin([0, 1])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_pq_refine_full_candidates_equals_brute_force(spark, sf_dir):
     """The exact-refine identity: refine_k covering the whole corpus means
     the ADC stage only ORDERS candidates and the exact pass decides — the
