@@ -407,14 +407,23 @@ def main(argv: list[str] | None = None) -> int:
     ptt = sub.add_parser(
         "timetravel",
         help="versioned-zone maintenance: log / show / changes / diff "
-        "/ compact / rollback / vacuum / prune",
+        "/ compact / rollback / vacuum / prune / erase",
     )
     ptt.add_argument(
         "action",
         choices=[
             "log", "show", "changes", "diff", "compact", "rollback",
-            "vacuum", "prune",
+            "vacuum", "prune", "erase",
         ],
+    )
+    ptt.add_argument(
+        "--col", default=None,
+        help="erase: the key column whose values are to be deleted",
+    )
+    ptt.add_argument(
+        "--values", default=None,
+        help="erase: comma-separated key values (all-digit values parse "
+        "as ints); only files that can contain one are rewritten",
     )
     ptt.add_argument("--root", required=True, help="versioned zone root")
     ptt.add_argument(
@@ -523,7 +532,7 @@ def main(argv: list[str] | None = None) -> int:
     # skip the multi-second JVM/session startup for them (show/changes/
     # compact run queries and fall through to the session path)
     if args.cmd == "timetravel" and args.action not in (
-        "show", "changes", "diff", "compact"
+        "show", "changes", "diff", "compact", "erase"
     ):
         import json as _json
 
@@ -617,6 +626,22 @@ def main(argv: list[str] | None = None) -> int:
             import json as _json
 
             print(_json.dumps(versioned.compact_snapshot(spark, args.root)))
+        elif args.action == "erase":
+            import json as _json
+
+            if not args.col or not args.values:
+                raise SystemExit(
+                    "timetravel erase: --col and --values are required"
+                )
+            vals = [
+                int(v) if v.lstrip("-").isdigit() else v
+                for v in args.values.split(",")
+            ]
+            print(
+                _json.dumps(
+                    versioned.delete_keys(spark, args.root, args.col, vals)
+                )
+            )
         elif args.action == "changes":
             if args.version is None:
                 raise SystemExit("timetravel changes: --version is required")

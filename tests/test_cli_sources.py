@@ -1108,3 +1108,33 @@ def test_cli_assemble_curriculum_and_domain_cap(spark, tmp_path):
     stages = sorted(stage_offsets)
     for lo, hi in zip(stages, stages[1:]):
         assert max(stage_offsets[lo]) < min(stage_offsets[hi])
+
+
+def test_cli_timetravel_erase_deletes_keys(spark, tmp_path, capsys):
+    """timetravel erase: the GDPR key-erasure commit through the CLI —
+    doomed rows gone from latest, JSON result on stdout, int values
+    parsed from the comma list."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import cli, versioned
+
+    root = str(tmp_path / "tt_erase")
+    versioned.commit_version(
+        spark.range(100).toDF("id").coalesce(1), root
+    )
+    assert cli.main(
+        ["timetravel", "erase", "--root", root, "--col", "id",
+         "--values", "7,11"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_deleted"] == 2
+    latest = versioned.read_version(spark, root)
+    assert latest.filter(F.col("id").isin([7, 11])).count() == 0
+    assert latest.count() == 98
+    # missing args are refused before any work
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="col and --values"):
+        cli.main(["timetravel", "erase", "--root", root])
