@@ -906,6 +906,19 @@ def changes(
         added = [p for p in man["files"] if p not in prev_files]
         return _tag(_read(added, man), "insert")
 
+    if man["mode"] == "delete":
+        # key-erasure commit (delete_keys): carried files cancel at the
+        # MANIFEST level — the delta is (rewritten-away files) minus
+        # (their survivor files), deletes only, read over O(affected)
+        # rows no matter the zone size. Always minimal by construction.
+        cur_files = set(man["files"])
+        prev_files = set(prev_man["files"])
+        affected = [p for p in prev_man["files"] if p not in cur_files]
+        added = [p for p in man["files"] if p not in prev_files]
+        before = _read(affected, prev_man)
+        after = _read(added, man)
+        return _tag(before.exceptAll(after), "delete")
+
     # overwrite (or rollback) commit
     prev = _read(prev_man["files"], prev_man)
     cur = _read(man["files"], man)

@@ -1091,3 +1091,28 @@ def test_delete_keys_rewritten_files_keep_bloom_pruning(spark, tmp_path):
     assert versioned.read_version_where(
         spark, root, [("id", "=", 3)]
     ).count() == 0
+
+
+def test_changes_of_delete_commit_emits_only_erased_rows(spark, tmp_path):
+    """CDC over an erasure commit: the feed is exactly the doomed rows
+    tagged delete — carried files cancel at the manifest level, so the
+    read touches only the rewritten subset (asserted via inputFiles),
+    never the whole snapshot."""
+    root = str(tmp_path / "zone_del_cdc")
+    a = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "id long, v long"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(i, i * 2) for i in range(100, 200)], "id long, v long"
+    ).coalesce(1)
+    versioned.commit_version(a, root, mode="append")
+    versioned.commit_version(b, root, mode="append")
+    out = versioned.delete_keys(spark, root, "id", [150])
+    feed = versioned.changes(spark, root, out["version"])
+    rows = feed.collect()
+    assert [(r["id"], r["_change_type"]) for r in rows] == [(150, "delete")]
+    # manifest-level cancellation: commit A's carried file is never read
+    man0 = versioned._read_manifest(root, 0)
+    read_files = set(feed.inputFiles())
+    for carried in man0["files"]:
+        assert not any(carried in f for f in read_files)
