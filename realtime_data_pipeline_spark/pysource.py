@@ -636,7 +636,15 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
         out = []
         for v in range(lo + 1, end["version"] + 1):
             man = manifest(v)
-            if v > 0 and man["mode"] != "append":
+            if v > 0 and man["mode"] == "delete":
+                # key-erasure commit (delete_keys): survivor files hold
+                # ONLY rows already delivered when their source files
+                # were first appended, so an insert-only stream delivers
+                # nothing — a no-op batch under every on_overwrite
+                # policy (deletes are invisible to insert-only consumers
+                # by definition, exactly like retractions under append)
+                added = []
+            elif v > 0 and man["mode"] != "append":
                 if self.on_overwrite == "fail":
                     raise ValueError(
                         f"zone_changes: version {v} is mode={man['mode']!r},"

@@ -893,3 +893,41 @@ def test_zone_changes_drives_continuous_rollup(spark, tmp_path):
     commit([(4, "2024-01-01 10:02:00", 1.0), (5, "2024-01-01 10:11:00", 2.0)])
     run_rollup()
     assert view() == batch_truth() and len(view()) == 3
+
+
+def test_zone_changes_delete_commit_is_noop_batch(spark, tmp_path):
+    """An erasure commit (delete_keys) inserts nothing — the insert-only
+    zone_changes stream must deliver a no-op batch for it under the
+    DEFAULT (fail) policy, then keep streaming later appends normally."""
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone_del_stream")
+    d = lambda pairs: spark.createDataFrame(  # noqa: E731
+        pairs, "k long, v string"
+    ).coalesce(1)
+    versioned.commit_version(d([(1, "a"), (2, "b")]), root)          # v0
+    versioned.delete_keys(spark, root, "k", [2])                     # v1
+    versioned.commit_version(d([(3, "c")]), root, mode="append")     # v2
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.k, r.v, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    # v0's two rows, v1 delivers nothing (no re-delivery of the
+    # survivor file, no failure), v2's append flows through
+    assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 2)]
