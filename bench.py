@@ -929,6 +929,49 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Versioned-zone key erasure (round 11): a bloom-indexed zone built
+    # from 8 event-slice commits, then delete_keys of 3 user ids per
+    # pass — the GDPR maintenance path. Fresh zone copy per pass (an
+    # erasure commits a new version). What the number prices: the
+    # manifest-level prune (only commits whose stats/bloom fire are
+    # read) + the survivor rewrite + bloom re-index.
+    from realtime_data_pipeline_spark import versioned as _versioned
+
+    with tempfile.TemporaryDirectory() as td:
+        zone0 = os.path.join(td, "erase_zone")
+        ev_all = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "event_type", "value"
+        )
+        for s in range(8):
+            _versioned.commit_version(
+                ev_all.filter(F.pmod("user_id", F.lit(8)) == s)
+                .repartition(1),
+                zone0,
+                mode="append",
+                bloom_cols=["user_id"],
+            )
+        _del_n = iter(range(100))
+
+        def erase_once() -> float:
+            zone_copy = os.path.join(td, f"erase_zone_{next(_del_n)}")
+            shutil.copytree(zone0, zone_copy)
+            t0 = time.perf_counter()
+            out = _versioned.delete_keys(
+                spark, zone_copy, "user_id", [8, 16, 24]
+            )
+            dt = time.perf_counter() - t0
+            assert out["rows_deleted"] > 0 and out["files_carried"] >= 7
+            return dt
+
+        erase_once()  # warm
+        timings["versioned_key_erase"] = _bench_timed(
+            "versioned_key_erase", erase_once
+        )
+    print(
+        f"# versioned_key_erase: {timings['versioned_key_erase']}s",
+        file=sys.stderr,
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     batch_emb = emb.filter(F.pmod("vec_id", F.lit(20)) == 0)
     corpus_emb = emb.filter(F.pmod("vec_id", F.lit(20)) != 0)
