@@ -1116,3 +1116,21 @@ def test_changes_of_delete_commit_emits_only_erased_rows(spark, tmp_path):
     read_files = set(feed.inputFiles())
     for carried in man0["files"]:
         assert not any(carried in f for f in read_files)
+
+
+def test_delete_keys_replay_is_idempotent(spark, tmp_path):
+    """Replaying an erasure (a retried job, a foreachBatch restart) is
+    naturally idempotent: the rewritten files' rebuilt blooms no longer
+    contain the doomed keys, so the second call either prunes to zero
+    candidate files or rolls back a zero-row rewrite — either way it
+    publishes NOTHING and the version history gains exactly one commit."""
+    root = str(tmp_path / "zone_del_replay")
+    versioned.commit_version(
+        _df(spark, 0, 100).coalesce(1), root, bloom_cols=["id"]
+    )
+    first = versioned.delete_keys(spark, root, "id", [5, 6])
+    assert first["rows_deleted"] == 2
+    again = versioned.delete_keys(spark, root, "id", [5, 6])
+    assert again.get("noop") is True
+    assert versioned.versions(root) == [0, first["version"]]
+    assert versioned.read_version(spark, root).count() == 98
