@@ -1703,6 +1703,59 @@ def upsert_stream(
     return writer.start()
 
 
+def erasure_stream(
+    requests: DataFrame,
+    zone_root: str,
+    key_col: str,
+    checkpoint: str,
+    available_now: bool = True,
+    max_retries: int = 5,
+) -> StreamingQuery:
+    """Streaming GDPR sink: each micro-batch of erasure REQUESTS (rows
+    carrying ``key_col`` values to forget) is applied to the versioned
+    zone via :func:`versioned.delete_keys` — right-to-be-forgotten at
+    stream speed, each trigger one file-pruned erasure commit.
+
+    Idempotence is the operator's own (pinned in tests): a replayed
+    batch finds its keys already gone — the rebuilt blooms prune to zero
+    candidates or the rewrite finds zero rows — and publishes NOTHING,
+    so foreachBatch's at-least-once redelivery needs no batch_id
+    bookkeeping. A concurrent append racing an erasure raises
+    ``ConcurrentCommitError`` inside delete_keys (the CAS guard);
+    the batch retries against the new latest a bounded number of times —
+    erasure must re-scan commits it has not seen, never skip them.
+    Request keys are collected per batch (bounded: an erasure batch is
+    a compliance queue, not a data stream)."""
+    from realtime_data_pipeline_spark import versioned
+
+    def erase_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vals = [
+            r[key_col]
+            for r in batch_df.select(key_col).distinct().collect()
+            if r[key_col] is not None
+        ]
+        if not vals:
+            return
+        for attempt in range(max_retries):
+            try:
+                versioned.delete_keys(
+                    batch_df.sparkSession, zone_root, key_col, vals
+                )
+                return
+            except versioned.ConcurrentCommitError:
+                if attempt == max_retries - 1:
+                    raise
+
+    writer = (
+        requests.writeStream.foreachBatch(erase_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def scd2_stream(
     df: DataFrame,
     target_path: str,

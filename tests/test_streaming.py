@@ -1944,3 +1944,50 @@ def test_sliding_distinct_users_approx_bounds_error(spark, tmp_path):
     for start, approx in got.items():
         exact = want[start]
         assert abs(approx - exact) <= max(2, 0.1 * exact), (start, approx, exact)
+
+
+def test_erasure_stream_applies_requests_and_replays_clean(spark, tmp_path):
+    """Streaming GDPR sink: erasure requests streaming through a file
+    source delete their keys from the versioned zone (one file-pruned
+    commit per non-empty trigger); replaying the same inbox from a fresh
+    checkpoint publishes NOTHING (the operator's own idempotency stands
+    in for batch_id bookkeeping)."""
+    import os
+
+    from realtime_data_pipeline_spark import versioned
+
+    zone = str(tmp_path / "erase_zone")
+    versioned.commit_version(
+        spark.range(100).toDF("user_id").coalesce(1), zone,
+        bloom_cols=["user_id"],
+    )
+    inbox = str(tmp_path / "req_inbox")
+    os.makedirs(inbox)
+    for i, keys in enumerate([[7, 11], [55]]):
+        p = os.path.join(inbox, f"b{i}.csv")
+        with open(p, "w") as f:
+            f.write("user_id\n")
+            for k in keys:
+                f.write(f"{k}\n")
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+    def run(ckpt):
+        stream = streaming.read_file_stream(
+            spark, inbox, "user_id long", max_files_per_trigger=1
+        )
+        q = streaming.erasure_stream(
+            stream, zone, "user_id", checkpoint=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    got = {r["user_id"] for r in versioned.read_version(spark, zone).collect()}
+    assert got == set(range(100)) - {7, 11, 55}
+    n_versions = len(versioned.versions(zone))
+    assert n_versions == 3  # genesis + one commit per non-empty batch
+
+    # full replay from a fresh checkpoint: keys already gone -> no commits
+    run("ck2")
+    assert len(versioned.versions(zone)) == n_versions
+    got = {r["user_id"] for r in versioned.read_version(spark, zone).collect()}
+    assert got == set(range(100)) - {7, 11, 55}
