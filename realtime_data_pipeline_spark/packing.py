@@ -145,6 +145,107 @@ def chunk_text(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    score_col: str,
+    budget: float,
+    n_bands: int = 32,
+) -> DataFrame:
+    """Budget-constrained selection: keep the best-scoring rows until the
+    cumulative weight crosses ``budget`` (the crossing row included) —
+    "give me the best 1B tokens", the corpus-selection step after
+    scoring and before assembly. Semantics are exactly the global
+    prefix rule ``SUM(w) OVER (ORDER BY score DESC, id ASC ...
+    1 PRECEDING) < budget``.
+
+    Scale spelling — NO global sort/window (the SQL window funnels the
+    corpus through one task): scores in [0, 1] are floor-banded into
+    ``n_bands`` buckets, the per-band token totals (≤ n_bands+1 rows)
+    prefix-sum on a sketch-sized window, and each row needs only its
+    band's carried-in offset plus a within-band exclusive prefix
+    (window partitioned BY band). Floor-banding is monotone in the
+    score, so band-major order ≡ global (score desc, id) order and the
+    decomposition is PROVEN against the textbook window by the oracle.
+    Skewed score distributions concentrate rows in few bands — raise
+    ``n_bands`` as the corpus grows, the same dial as every banded
+    operator here."""
+    from pyspark.sql.window import Window as W
+
+    banded = df.withColumn(
+        "__band",
+        F.floor(F.col(score_col) * F.lit(n_bands)).cast("long"),
+    )
+    totals = banded.groupBy("__band").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__btot")
+    )
+    higher = (
+        W.orderBy(F.col("__band").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = totals.select(
+        "__band",
+        F.coalesce(F.sum("__btot").over(higher), F.lit(0)).alias("__base"),
+    )
+    in_band = (
+        W.partitionBy("__band")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.col("__base") + F.coalesce(
+        F.sum(F.col(weight_col).cast("long")).over(in_band), F.lit(0)
+    )
+    return (
+        banded.join(F.broadcast(base), "__band")
+        .withColumn("__before", before)
+        .filter(F.col("__before") < F.lit(float(budget)))
+        .drop("__band", "__base", "__before")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: str,
+    target_total: float,
+) -> DataFrame:
+    """Temperature-based source mixing at α = 0.5: per-source keep rate
+    ``min(1, target · √T_s / (T_s · Σ√T_t))`` — sampled mass per source
+    ∝ √(its size), the classic multilingual/multi-domain rebalancing
+    (small sources upweighted relative to their share, large sources
+    capped) with the total steered to ``target_total``. α is PINNED at
+    0.5 because √ is IEEE-exact in every engine, keeping the operator
+    oracle-checkable; a general-α variant would ride ``pow`` (1-ulp
+    engine drift) and belongs rows-only. Same deterministic md5 gate
+    and two-pass shape as :func:`mixture_sample`: one tiny per-source
+    aggregate broadcast back, then a per-row projection."""
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__total")
+    )
+    denom = totals.agg(
+        F.sum(F.sqrt(F.col("__total"))).alias("__denom")
+    )
+    rates = totals.crossJoin(F.broadcast(denom)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * F.sqrt(F.col("__total"))
+            / (F.col("__total") * F.col("__denom")),
+        ).alias("__rate"),
+    )
+    gate = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(gate < F.floor(F.col("__rate") * 65536))
+        .drop("__rate")
+    )
+
+
 def pps_sample(
     df: DataFrame,
     id_col: str,

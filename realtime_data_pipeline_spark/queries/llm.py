@@ -889,6 +889,110 @@ ORDER BY doc_id
 """
 
 
+def docs_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (`packing.budget_select`):
+    the best-scoring docs (lexical diversity, round-6) until a 30k-token
+    budget crosses — "select the best N tokens", the step between
+    quality scoring and assembly. The banded no-global-sort spelling is
+    proven against the textbook global prefix-sum window by this
+    oracle."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    wc = text.word_count(t)
+    scored = docs.select(
+        "doc_id",
+        text.token_count_re(t).cast("long").alias("n_tokens"),
+        F.round(
+            F.when(wc > 0, text.distinct_word_count(t) / wc).otherwise(0.0),
+            6,
+        ).alias("score6"),
+    )
+    return (
+        packing.budget_select(
+            scored, "doc_id", "n_tokens", "score6", budget=30_000.0
+        )
+        .select("doc_id", "n_tokens", "score6")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_BUDGET_SELECTION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         ROUND(CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+               THEN len(list_distinct(string_split_regex(trim(text), '\s+')))
+                    / len(string_split_regex(trim(text), '\s+'))
+               ELSE 0.0 END, 6) AS score6
+  FROM documents
+), s AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY score6 DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, n_tokens, score6
+FROM s WHERE before < 30000
+ORDER BY doc_id
+"""
+
+
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) source rebalancing
+    (`packing.temperature_mixture`): sampled tokens per source ∝ √size,
+    steering toward a 2000-token total — small sources upweighted, big
+    ones capped, the multilingual-mixing classic. Per-source audit
+    output; √ keeps it oracle-exact (general α rides pow, rows-only)."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text.token_count_re(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    sampled = packing.temperature_mixture(
+        docs, "doc_id", "source", "n_tokens", target_total=2000.0
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_TEMPERATURE_MIXTURE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT source, SUM(n_tokens) AS total FROM t GROUP BY source
+), d AS (
+  SELECT SUM(SQRT(total)) AS denom FROM tot
+), rates AS (
+  SELECT source,
+         LEAST(1.0, 2000.0 * SQRT(total) / (total * denom)) AS rate
+  FROM tot CROSS JOIN d
+)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS sampled_tokens
+FROM t JOIN rates r ON t.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      < FLOOR(r.rate * 65536)
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_meta_profile": docs_multimodal_meta_profile,
     "docs_curated_trainset": docs_curated_trainset,
@@ -920,12 +1024,17 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curriculum_order": docs_curriculum_order,
     # round-11 build: Poisson-PPS importance sampling with HT weights
     "docs_pps_sample": docs_pps_sample,
+    # round-11 build: banded budget selection + temperature mixing
+    "docs_budget_selection": docs_budget_selection,
+    "docs_temperature_mixture": docs_temperature_mixture,
 }
 
 # hash-checked locally (tests/test_queries_oracle.py) though shelved from
 # the driver's 50-row budget
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_pps_sample": DOCS_PPS_SAMPLE_SQL,
+    "docs_budget_selection": DOCS_BUDGET_SELECTION_SQL,
+    "docs_temperature_mixture": DOCS_TEMPERATURE_MIXTURE_SQL,
     "docs_pack_chunks": DOCS_PACK_CHUNKS_SQL,
     "docs_mixture_sample": DOCS_MIXTURE_SAMPLE_SQL,
     "docs_pack_manifest": DOCS_PACK_MANIFEST_SQL,

@@ -784,3 +784,32 @@ def test_winsorized_broadcast_percentiles_no_window(spark, sf_dir):
     plan = plan_str(df)
     assert "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_budget_selection_no_global_row_window(spark, sf_dir):
+    """budget_select's banded decomposition: the doc-carrying window must
+    partition BY band (never a global ORDER BY window funneling the
+    corpus through one task) — any SinglePartition exchange in the plan
+    may only feed the <= n_bands+1-row band-totals aggregate, which
+    shows as a HashAggregate directly beneath it."""
+    df = qfn("docs_budget_selection")(spark, sf_dir)
+    simple = plan_str(df, mode="simple")
+    lines = simple.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "HashAggregate" in below, simple
+    # the per-doc window partitions by the band key
+    assert "Window" in simple
+    win_lines = [ln for ln in lines if "Window" in ln]
+    assert any("__band" in ln for ln in win_lines), simple
+
+
+def test_temperature_mixture_broadcast_rates_no_window(spark, sf_dir):
+    """Temperature mixing is two tiny aggregates broadcast back over the
+    scan — no window, no row-at-a-time Python, gate is a projection."""
+    df = qfn("docs_temperature_mixture")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
