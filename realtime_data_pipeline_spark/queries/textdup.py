@@ -225,6 +225,127 @@ ORDER BY id_a, id_b
 """
 
 
+def docs_dup_best_representative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-based dup-cluster canonicalization: for every near-dup
+    component (the `docs_dup_components` pair base), keep the HIGHEST-
+    QUALITY member (lexical diversity, round-6; doc_id breaks ties) —
+    the curation upgrade over min-id representatives, because the
+    smallest id is arbitrary while the cleanest copy is the one worth
+    training on. Composition: exact pair graph → pointer-jump
+    components → broadcast quality join → top-1 per component
+    (`topk_per_group`, WindowGroupLimit partial top-k). Oracle: the
+    recursive-CTE closure + ROW_NUMBER over the same score."""
+    from realtime_data_pipeline_spark import dedup, ops
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < CC_N_DOCS
+    )
+    sh = docs.select(
+        "doc_id", neardup.gram_hashes(F.col("text"), 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            neardup.exact_jaccard(F.col("sh_a"), F.col("sh_b"))
+            >= CC_THRESHOLD
+        )
+        .select("id_a", "id_b")
+    )
+    comp = dedup.connected_components(pairs)
+    from realtime_data_pipeline_spark import text
+
+    t = F.col("text")
+    wc = text.word_count(t)
+    quality = docs.select(
+        "doc_id",
+        F.round(
+            F.when(wc > 0, text.distinct_word_count(t) / wc).otherwise(0.0),
+            6,
+        ).alias("score6"),
+    )
+    members = comp.select(
+        F.col("id").alias("doc_id"), F.col("component")
+    ).join(quality, "doc_id")
+    best = ops.topk_per_group(
+        members,
+        ["component"],
+        [F.col("score6").desc(), F.col("doc_id").asc()],
+        k=1,
+    )
+    sizes = members.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        best.join(sizes, "component")
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("doc_id").cast("bigint").alias("best_doc_id"),
+            "score6",
+            "n_members",
+        )
+        .orderBy("component")
+    )
+
+
+DOCS_DUP_BEST_REPRESENTATIVE_SQL = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\s+')[i+2])) AS sh
+  FROM documents WHERE doc_id < {CC_N_DOCS}
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    AND len(list_intersect(a.sh, b.sh))
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= {CC_THRESHOLD}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach(id, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
+),
+q AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+               THEN len(list_distinct(string_split_regex(trim(text), '\s+')))
+                    / len(string_split_regex(trim(text), '\s+'))
+               ELSE 0.0 END, 6) AS score6
+  FROM documents WHERE doc_id < {CC_N_DOCS}
+),
+m AS (
+  SELECT c.component, c.doc_id, q.score6,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.score6 DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc_id AS BIGINT) AS best_doc_id,
+       score6,
+       CAST(n_members AS BIGINT) AS n_members
+FROM m WHERE rn = 1
+ORDER BY component
+"""
+
+
 def suppliers_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full entity RESOLUTION, not just matching: the fuzzy pair graph
     (`fuzzy.fuzzy_self_pairs`, Levenshtein ≤ 1 under symmetric-delete
@@ -326,6 +447,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suppliers_fuzzy_name_pairs": suppliers_fuzzy_name_pairs,
     # round-11 build: fuzzy pairs closed into canonical entities
     "suppliers_fuzzy_entities": suppliers_fuzzy_entities,
+    # round-11 build: quality-based dup-cluster canonicalization
+    "docs_dup_best_representative": docs_dup_best_representative,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -336,4 +459,5 @@ ORACLE_SQL: dict[str, str] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "suppliers_fuzzy_name_pairs": SUPPLIERS_FUZZY_NAME_PAIRS_SQL,
     "suppliers_fuzzy_entities": SUPPLIERS_FUZZY_ENTITIES_SQL,
+    "docs_dup_best_representative": DOCS_DUP_BEST_REPRESENTATIVE_SQL,
 }
