@@ -219,3 +219,43 @@ def test_shuffle_shards_is_deterministic_and_dense(spark):
 
     with _pytest.raises(ValueError, match="n_shards"):
         packing.shuffle_shards(df, "doc_id", n_shards=0)
+
+
+def test_budget_select_band_invariance_and_crossing_row(spark):
+    """budget_select's result is a pure function of (scores, weights,
+    budget) — the internal band count must not change WHICH rows are
+    kept (8 vs 32 vs 256 bands identical), the kept set must equal the
+    naive global-window spelling, and the budget-crossing row is
+    included (prefix-before < budget semantics)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(1, 50), round(rng.random(), 6))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, w long, score double")
+    budget = 2000.0
+
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = {
+        r["id"]
+        for r in df.withColumn(
+            "before", F.coalesce(F.sum("w").over(w), F.lit(0))
+        )
+        .filter(F.col("before") < budget)
+        .collect()
+    }
+    kept_w = sum(dict((i, wt) for i, wt, _ in rows)[i] for i in naive)
+    assert kept_w >= budget  # the crossing row pushed it over
+
+    for n_bands in (8, 32, 256):
+        got = {
+            r["id"]
+            for r in packing.budget_select(
+                df, "id", "w", "score", budget, n_bands=n_bands
+            ).collect()
+        }
+        assert got == naive, n_bands
