@@ -941,6 +941,69 @@ ORDER BY doc_id
 """
 
 
+def docs_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality budgets — "the best 5k tokens from EACH
+    domain": within every source, docs ranked by quality (diversity
+    score, doc_id tiebreak) are kept while the source's running token
+    total stays under budget, crossing doc included. The per-domain
+    variant of `docs_budget_selection`: ONE shuffle on the source key,
+    the window partitions by source so no partition outgrows its
+    domain, and the hash-ranked cousin (`mixture_sample_exact`) differs
+    only in ranking by md5 instead of quality — budget selection and
+    mixture capping are the same operator with different keys."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    wc = text.word_count(t)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        text.token_count_re(t).cast("long").alias("n_tokens"),
+        F.round(
+            F.when(wc > 0, text.distinct_word_count(t) / wc).otherwise(0.0),
+            6,
+        ).alias("score6"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        scored.withColumn("__before", before)
+        .filter(F.col("__before") < 5_000)
+        .drop("__before")
+        .select("doc_id", "source", "n_tokens", "score6")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_BUDGET_PER_SOURCE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         ROUND(CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+               THEN len(list_distinct(string_split_regex(trim(text), '\s+')))
+                    / len(string_split_regex(trim(text), '\s+'))
+               ELSE 0.0 END, 6) AS score6
+  FROM documents
+), s AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY score6 DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, score6
+FROM s WHERE before < 5000
+ORDER BY doc_id
+"""
+
+
 def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (α=0.5) source rebalancing
     (`packing.temperature_mixture`): sampled tokens per source ∝ √size,
@@ -1026,6 +1089,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pps_sample": docs_pps_sample,
     # round-11 build: banded budget selection + temperature mixing
     "docs_budget_selection": docs_budget_selection,
+    "docs_budget_per_source": docs_budget_per_source,
     "docs_temperature_mixture": docs_temperature_mixture,
 }
 
@@ -1034,6 +1098,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_pps_sample": DOCS_PPS_SAMPLE_SQL,
     "docs_budget_selection": DOCS_BUDGET_SELECTION_SQL,
+    "docs_budget_per_source": DOCS_BUDGET_PER_SOURCE_SQL,
     "docs_temperature_mixture": DOCS_TEMPERATURE_MIXTURE_SQL,
     "docs_pack_chunks": DOCS_PACK_CHUNKS_SQL,
     "docs_mixture_sample": DOCS_MIXTURE_SAMPLE_SQL,
