@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from realtime_data_pipeline_spark import ops
@@ -1092,7 +1093,17 @@ def pq_knn(
 
     if codes is None:
         codes = pq_encode(ops.spread(corpus, id_col), books, id_col, vec_col)
-    out_schema = f"{query_id_col} long, {id_col} long, sim6 double"
+    # id types follow the INPUT schemas (string doc ids work, not just
+    # bigints — same generality contract as bfs_hops' seed frame)
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                query_id_col, queries.schema[query_id_col].dataType, True
+            ),
+            T.StructField(id_col, codes.schema[id_col].dataType, True),
+            T.StructField("sim6", T.DoubleType(), True),
+        ]
+    )
     keep = refine_k if refine_k is not None else k
 
     def adc(batches):
@@ -1249,11 +1260,21 @@ def _ivf_pq_rank(
     scores = qmat @ cents.T
     probe = np.argsort(-scores, axis=1)[:, :nprobe]  # (nq, nprobe)
     probed_union = sorted({int(c) for row in probe for c in row})
-    probe_mask = {int(qid): frozenset(int(c) for c in row)
+    # raw qids as mask keys: numpy scalars hash like their python
+    # counterparts, so string query ids work unchanged
+    probe_mask = {qid: frozenset(int(c) for c in row)
                   for qid, row in zip(qids, probe)}
 
     codes = codes_builder(probed_union)
-    out_schema = f"{query_id_col} long, {id_col} long, sim6 double"
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                query_id_col, queries.schema[query_id_col].dataType, True
+            ),
+            T.StructField(id_col, codes.schema[id_col].dataType, True),
+            T.StructField("sim6", T.DoubleType(), True),
+        ]
+    )
     keep = refine_k if refine_k is not None else k
 
     def adc(batches):
@@ -1274,7 +1295,7 @@ def _ivf_pq_rank(
             kk = min(keep + 1, len(ids))
             for qi, qid in enumerate(qids):
                 mask = np.fromiter(
-                    (c in probe_mask[int(qid)] for c in cell),
+                    (c in probe_mask[qid] for c in cell),
                     dtype=bool,
                     count=len(cell),
                 )
@@ -1295,7 +1316,7 @@ def _ivf_pq_rank(
                 order = order[np.isfinite(s[order])]
                 yield pd.DataFrame(
                     {
-                        query_id_col: int(qid),
+                        query_id_col: qid,
                         id_col: ids[order],
                         "sim6": np.round(s[order], 6),
                     }

@@ -790,6 +790,53 @@ def test_ivf_pq_index_search_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_pq_and_ivf_pq_accept_string_ids(spark, sf_dir):
+    """The ADC output schema follows the INPUT id types (same generality
+    contract as bfs_hops): string doc ids search identically to the
+    bigint originals, inline and through the refine path."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s_emb = emb.select(
+        F.concat(F.lit("doc-"), F.format_string("%06d", "vec_id")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    queries = s_emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    books = similarity.train_pq_codebooks(
+        s_emb, m=8, n_codes=32, id_col="vec_id"
+    )
+    got = similarity.pq_knn(
+        s_emb, queries, k=5, codebooks=books, refine_k=40
+    ).collect()
+    assert len(got) == 25
+    assert all(isinstance(r.vec_id, str) and isinstance(r.query_id, str)
+               for r in got)
+    # zero-padded string ids sort like the numeric originals, so the
+    # result must be the bigint run's rows under the same rename
+    num_books = similarity.train_pq_codebooks(emb, m=8, n_codes=32)
+    num_q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    num = similarity.pq_knn(
+        emb, num_q, k=5, codebooks=num_books, refine_k=40
+    ).collect()
+    fmt = "doc-{:06d}".format
+    assert sorted((r.query_id, r.vec_id, r.sim) for r in got) == sorted(
+        (fmt(r.query_id), fmt(r.vec_id), r.sim) for r in num
+    )
+    cents = similarity.train_centroids_kmeans(s_emb, n_centroids=8)
+    ivf = similarity.ivf_pq_knn(
+        s_emb, queries, k=5, codebooks=books, centroids=cents, nprobe=8,
+    ).collect()
+    assert len(ivf) > 0 and all(isinstance(r.vec_id, str) for r in ivf)
+
+
 def test_pq_refine_full_candidates_equals_brute_force(spark, sf_dir):
     """The exact-refine identity: refine_k covering the whole corpus means
     the ADC stage only ORDERS candidates and the exact pass decides — the
