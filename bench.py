@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -137,7 +138,20 @@ def _calibration_token_mt() -> float:
     so (calibration_sec flat, calibration_mt_sec up) reads as multicore
     contention, (both flat, leg up) reads as a code regression. Falls
     back to GIL threads where fork is unavailable (still scheduler-
-    sensitive, just weaker)."""
+    sensitive, just weaker).
+
+    Fork safety (round-12, per advice): this process is a THREADED
+    PySpark driver, and a forked child inherits whatever lock state the
+    other threads held at fork time — the child runs only allocating
+    pure-Python bytecode, but a wedged child under a bare blocking
+    waitpid would hang the entire bench run. The reap loop is therefore
+    BOUNDED: WNOHANG polling with a 30 s deadline, after which
+    stragglers are SIGKILLed and reaped. A killed child inflates the
+    token toward the deadline, which correctly reads as \"environment
+    broken\" in the sidecar instead of a silent bench hang. (subprocess
+    spawn would remove the inherited-lock risk entirely but pays ~50 ms
+    interpreter startup per child, destroying the token's cross-era
+    value comparability with the r10/r11 sidecars.)"""
     n = max(2, _NCPU // 2)
     t0 = time.perf_counter()
     if hasattr(os, "fork"):
@@ -150,8 +164,23 @@ def _calibration_token_mt() -> float:
                     os._exit(0)
                 pids.append(pid)
         finally:
-            for pid in pids:
-                os.waitpid(pid, 0)
+            deadline = time.monotonic() + 30.0
+            pending = list(pids)
+            while pending and time.monotonic() < deadline:
+                still = []
+                for pid in pending:
+                    done, _ = os.waitpid(pid, os.WNOHANG)
+                    if done == 0:
+                        still.append(pid)
+                pending = still
+                if pending:
+                    time.sleep(0.005)
+            for pid in pending:  # wedged on inherited lock state: kill
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    os.waitpid(pid, 0)
+                except OSError:
+                    pass
     else:  # pragma: no cover - non-POSIX fallback
         import threading
 

@@ -283,10 +283,17 @@ def pps_sample(
     ).cast("long")
     # the gate realizes inclusion prob floor(p·65536)/65536 (1/65536
     # granularity), so the HT weight inverts THAT — the estimator stays
-    # exactly unbiased under the discretization
+    # exactly unbiased under the discretization. The floor is clamped to
+    # 1: without it a row with p < 1/65536 would have inclusion
+    # probability ZERO (the gate is never < 0) and the population total
+    # would be biased down by exactly that mass on large skewed corpora;
+    # clamped, such rows keep probability 1/65536 with ht_weight 65536.
     return (
         df.crossJoin(F.broadcast(total))
-        .withColumn("__pg", F.floor(p * 65536).cast("long"))
+        .withColumn(
+            "__pg",
+            F.greatest(F.lit(1), F.floor(p * 65536)).cast("long"),
+        )
         .filter(gate < F.col("__pg"))
         .withColumn(
             "ht_weight",

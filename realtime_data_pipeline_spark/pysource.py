@@ -548,6 +548,18 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"on_overwrite must be fail|full|skip, got {self.on_overwrite!r}"
             )
+        # Key-erasure commits (delete_keys) are invisible to an
+        # insert-only feed by construction — but a downstream MIRROR
+        # built from this stream then silently RETAINS erased rows,
+        # which is a GDPR-propagation surprise. 'skip' (default) keeps
+        # the insert-only contract and logs one warning per skipped
+        # erasure commit; 'fail' is the strict mode for consumers that
+        # must propagate deletions and therefore cannot ride this feed.
+        self.on_delete = options.get("on_delete", "skip")
+        if self.on_delete not in ("skip", "fail"):
+            raise ValueError(
+                f"on_delete must be skip|fail, got {self.on_delete!r}"
+            )
         self.start_after = int(options.get("starting_after_version", -1))
         self.max_versions = int(options.get("max_versions_per_trigger", 0))
         # predicate pushdown: where = JSON [[col, op, literal], ...]
@@ -640,9 +652,28 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
                 # key-erasure commit (delete_keys): survivor files hold
                 # ONLY rows already delivered when their source files
                 # were first appended, so an insert-only stream delivers
-                # nothing — a no-op batch under every on_overwrite
-                # policy (deletes are invisible to insert-only consumers
-                # by definition, exactly like retractions under append)
+                # nothing. Whether that is acceptable is the CONSUMER's
+                # call (on_delete): a mirror built from this feed keeps
+                # erased rows unless deletions propagate out-of-band.
+                if self.on_delete == "fail":
+                    raise ValueError(
+                        f"zone_changes: version {v} is a key-erasure"
+                        " commit and this stream is insert-only — erased"
+                        " keys cannot be propagated through it (pass"
+                        " on_delete=skip to acknowledge out-of-band"
+                        " deletion handling, or resync the mirror from"
+                        " a snapshot)"
+                    )
+                import warnings
+
+                warnings.warn(
+                    f"zone_changes: skipping erasure commit v{v} at"
+                    f" {self.root} — downstream insert-only mirrors"
+                    " retain erased rows; propagate deletions"
+                    " out-of-band (rows_deleted="
+                    f"{man.get('rows_deleted', '?')})",
+                    stacklevel=2,
+                )
                 added = []
             elif v > 0 and man["mode"] != "append":
                 if self.on_overwrite == "fail":
@@ -778,7 +809,11 @@ class _ZoneChangesStreamReader(DataSourceStreamReader):
 class ZoneChangesDataSource(DataSource):
     """``zone_changes`` — stream a versioned zone's commits as
     micro-batches. Options: ``root`` (required), ``on_overwrite``
-    (fail|full|skip), ``starting_after_version``,
+    (fail|full|skip), ``on_delete`` (skip|fail — key-erasure commits
+    deliver nothing to an insert-only feed; ``skip``, the default, logs
+    a per-commit warning that downstream mirrors retain erased rows,
+    ``fail`` refuses the stream for consumers that must propagate
+    deletions), ``starting_after_version``,
     ``max_versions_per_trigger``, ``where`` (JSON
     ``[[col, op, literal], ...]`` with op in ``= < <= > >=`` — a real
     row filter evaluated executor-side, with manifest footer-stats file

@@ -265,6 +265,30 @@ _ROTATE_OUT_R11 = [
     "lineitem_rollup_matrix",  # green r2-r10
 ]
 
+# ROUND-12 ROTATION — per the round-11 verdict: the degree-oriented
+# triangle listing (built round 10) plus the two round-11 operators whose
+# driver proof hardens that round's work — fuzzy pairs closed into
+# canonical entities via pointer-jump connected components (vs a
+# recursive-CTE transitive-closure oracle) and the Pareto skyline via
+# banded prefix-max decomposition (vs the textbook NOT-EXISTS dominance
+# oracle). All shelved-oracle, hash-equal locally at 3 SFs. Three
+# incumbents with ~10 consecutive green driver rounds rotate out, keeping
+# their pytest oracle hash checks shelved; family coverage in the
+# declared 50 is preserved (X4 keeps docs_strip_boilerplate + 14 other
+# text/curation queries; the contamination family keeps the declared
+# bloom twin whose output is identical to the exact check; X1/§2.5 keep
+# docs_dedup_by_content, events_sessions_30m, top_orders_per_segment).
+_ROTATE_IN_R12 = [
+    "copurchase_triangles",       # degree-oriented triangle listing (G1)
+    "suppliers_fuzzy_entities",   # fuzzy pairs → canonical entities (X2+)
+    "parts_pareto_frontier",      # banded skyline decomposition
+]
+_ROTATE_OUT_R12 = [
+    "docs_pii_redaction",          # green r2-r11
+    "docs_contamination_check",    # green r2-r11 (bloom twin stays declared)
+    "events_keep_latest_per_user", # green r2-r11
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
@@ -272,6 +296,7 @@ for _in, _out in (
     (_ROTATE_IN_R9, _ROTATE_OUT_R9),
     (_ROTATE_IN_R10, _ROTATE_OUT_R10),
     (_ROTATE_IN_R11, _ROTATE_OUT_R11),
+    (_ROTATE_IN_R12, _ROTATE_OUT_R12),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)

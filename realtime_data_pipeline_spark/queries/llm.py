@@ -876,8 +876,9 @@ WITH t AS (
 ), tot AS (SELECT SUM(n_tokens) AS total FROM t),
 g AS (
   SELECT t.*,
-         CAST(FLOOR(LEAST(1.0, 150.0 * t.n_tokens / tot.total) * 65536)
-              AS BIGINT) AS pg
+         GREATEST(1, CAST(
+           FLOOR(LEAST(1.0, 150.0 * t.n_tokens / tot.total) * 65536)
+           AS BIGINT)) AS pg
   FROM t CROSS JOIN tot
 )
 SELECT doc_id, source, n_tokens,

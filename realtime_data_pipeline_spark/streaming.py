@@ -1736,15 +1736,14 @@ def erasure_stream(
         ]
         if not vals:
             return
-        for attempt in range(max_retries):
-            try:
-                versioned.delete_keys(
-                    batch_df.sparkSession, zone_root, key_col, vals
-                )
-                return
-            except versioned.ConcurrentCommitError:
-                if attempt == max_retries - 1:
-                    raise
+        # delete_keys owns the optimistic re-read/re-prune retry loop
+        versioned.delete_keys(
+            batch_df.sparkSession,
+            zone_root,
+            key_col,
+            vals,
+            max_retries=max_retries,
+        )
 
     writer = (
         requests.writeStream.foreachBatch(erase_batch)

@@ -1159,13 +1159,29 @@ def delete_keys(
     REFERENCE, byte-identical on disk. Readers pinned to older versions
     still see the rows (erasure of history = :func:`vacuum` after this
     commit supersedes it); the commit is conditional on the snapshot it
-    read (compare-and-swap, like :func:`compact_snapshot`) and raises
-    ``ConcurrentCommitError`` on a race. Rows with NULL keys always
-    survive. Deleting keys the zone never contained is a NO-OP: no new
-    version is published.
+    read (compare-and-swap, like :func:`compact_snapshot`). A lost race
+    means the doomed keys may live in commits this pass never scanned,
+    so the loser RETRIES from the top — re-read latest, re-prune,
+    re-rewrite — up to ``max_retries`` times (the same optimistic loop
+    as :func:`commit_version`/:func:`rollback`), raising
+    ``ConcurrentCommitError`` only on exhaustion. Rows with NULL keys
+    always survive. Deleting keys the zone never contained is a NO-OP:
+    no new version is published.
 
     Returns {version, files_rewritten, files_carried, rows_deleted}
     (or {noop: True, version: base} when nothing matched)."""
+    last_err: ConcurrentCommitError | None = None
+    for _ in range(max(1, max_retries)):
+        try:
+            return _delete_keys_once(spark, root, col, values)
+        except ConcurrentCommitError as e:
+            last_err = e
+    raise last_err
+
+
+def _delete_keys_once(
+    spark: SparkSession, root: str, col: str, values: list
+) -> dict:
     from pyspark.sql import functions as F
 
     known = versions(root)

@@ -259,3 +259,28 @@ def test_budget_select_band_invariance_and_crossing_row(spark):
             ).collect()
         }
         assert got == naive, n_bands
+
+
+def test_pps_sample_sub_granularity_rows_stay_sampleable(spark):
+    """HT unbiasedness under the 1/65536 discretization requires every
+    row to have NONZERO inclusion probability: a row whose p·65536
+    floors to 0 is clamped to pg=1 (kept iff its md5 gate is exactly 0,
+    probability 1/65536) with ht_weight 65536 — not silently excluded
+    from the estimand. Ids 5329/79042 have md5 gate 0, so with a tiny
+    target_n forcing p < 1/65536 on the light rows they MUST be kept
+    with the clamp (and would be unsampleable without it)."""
+    # one heavy row dominates the total; light rows get p << 1/65536
+    rows = [(5329, 1), (79042, 1), (7, 1), (11, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = {
+        r["doc_id"]: r["ht_weight"]
+        for r in packing.pps_sample(df, "doc_id", "w", target_n=1.0).collect()
+    }
+    # light rows with gate==0 survive at the clamped floor probability
+    assert out[5329] == 65536.0
+    assert out[79042] == 65536.0
+    # light row with nonzero gate is (correctly) not in this realization
+    assert 7 not in out
+    # the heavy row is kept with near-certainty (p ≈ 1 after the light
+    # rows' 3 tokens, pg=65535 → ht=65536/65535)
+    assert 11 in out and out[11] < 1.001

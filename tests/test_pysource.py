@@ -931,3 +931,51 @@ def test_zone_changes_delete_commit_is_noop_batch(spark, tmp_path):
     # v0's two rows, v1 delivers nothing (no re-delivery of the
     # survivor file, no failure), v2's append flows through
     assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 2)]
+
+def test_zone_changes_on_delete_fail_refuses_erasure_commits(spark, tmp_path):
+    """on_delete='fail': a consumer that must PROPAGATE deletions (an
+    insert-only mirror would silently retain erased rows) refuses the
+    stream at the erasure commit instead of no-op'ing past it."""
+    from realtime_data_pipeline_spark import versioned
+
+    pysource.register(spark)
+    root = str(tmp_path / "zone_del_fail")
+    d = lambda pairs: spark.createDataFrame(  # noqa: E731
+        pairs, "k long, v string"
+    ).coalesce(1)
+    versioned.commit_version(d([(1, "a"), (2, "b")]), root)          # v0
+    versioned.delete_keys(spark, root, "k", [2])                     # v1
+
+    q = (
+        spark.readStream.format("zone_changes")
+        .option("root", root)
+        .option("on_delete", "fail")
+        .load()
+        .writeStream.format("memory")
+        .queryName("zone_del_fail_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="key-erasure"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # bad knob value fails at definition, not mid-stream
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="on_delete"):
+        (
+            spark.readStream.format("zone_changes")
+            .option("root", root)
+            .option("on_delete", "bogus")
+            .load()
+            .writeStream.format("memory")
+            .queryName("zone_del_bogus_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .start()
+            .processAllAvailable()
+        )
