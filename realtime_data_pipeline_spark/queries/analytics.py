@@ -643,6 +643,54 @@ def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_heavy_types_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with EXACT counts, sketch-pruned (the round-11
+    verdict's Misra-Gries oracle face): the event types whose true
+    frequency exceeds N/(k+1), each with its exact count. The MG
+    guarantee makes this composition exact and deterministic — every
+    key above the threshold SURVIVES the sketch (Misra & Gries 1982),
+    so candidates ⊇ qualifiers regardless of partition layout, and the
+    exact-count pass + threshold filter reproduce the textbook GROUP
+    BY/HAVING answer while only ever counting ≤ k candidate keys.
+
+    Scale shape: the sketch leaves ≤ k rows per map partition (no key-
+    space shuffle), the exact pass is one semi-join against a ≤ k-row
+    broadcast + one bounded groupBy, and the threshold compares in pure
+    integers (count·(k+1) > N) so both engines agree bit-for-bit. k=4
+    over 5 near-uniform types forces real sketch compression AND a
+    discriminating threshold — some types qualify, some don't, varying
+    by SF (3 / 3 / 2 at sf0.001/0.01/0.1)."""
+    from realtime_data_pipeline_spark import sketches
+
+    k = 4
+    ev = load_events(spark, sf_dir).select("event_type")
+    cands = sketches.misra_gries_topk(ev, "event_type", k).select(
+        F.col("item").alias("event_type")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    exact = (
+        ev.join(F.broadcast(cands), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * (k + 1) > F.col("__n"))
+        .select("event_type", "n_events")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HEAVY_TYPES_EXACT_SQL = """
+WITH tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, tot
+GROUP BY event_type, tot.n
+HAVING COUNT(*) * 5 > tot.n
+ORDER BY event_type
+"""
+
+
 PARTS_PARETO_FRONTIER_SQL = """
 WITH p AS (
   SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
@@ -688,9 +736,13 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-11 build: Misra-Gries heavy hitters (rows-only; guarantee
     # gated in tests/test_sketches.py)
     "events_top_types_mg": events_top_types_mg,
+    # round-12 build: the MG oracle face — sketch-pruned EXACT heavy
+    # hitters, deterministic by the survival guarantee
+    "events_heavy_types_exact": events_heavy_types_exact,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,
     "parts_pareto_frontier": PARTS_PARETO_FRONTIER_SQL,
     "orders_pivot_status_by_year": ORDERS_PIVOT_STATUS_BY_YEAR_SQL,
