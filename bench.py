@@ -211,13 +211,35 @@ def _record_leg(
     calibrations: list[float] | None = None,
     calibrations_mt: list[float] | None = None,
 ) -> float:
-    best_i = min(range(len(durations)), key=durations.__getitem__)
+    # retry-on-contention: the min selects among CLEAN passes (mt token
+    # at or under the gate) when any exist; contaminated passes stay in
+    # the sidecar as evidence. All passes dirty => min over everything +
+    # a `contended` flag (the retry budget couldn't outlast the noise).
+    candidates = range(len(durations))
+    contended = False
+    if calibrations_mt:
+        gate = _mt_gate()
+        clean = [i for i in candidates if calibrations_mt[i] <= gate]
+        if clean:
+            candidates = clean
+        else:
+            contended = True
+    best_i = min(candidates, key=durations.__getitem__)
     info: dict = {
         "passes": len(durations),
         "all_sec": [round(d, 3) for d in durations],
         "steal_ticks": steals,
         "best_pass_steal_ticks": steals[best_i],
     }
+    if contended:
+        info["contended"] = True
+    if calibrations_mt:
+        gate = _mt_gate()
+        dirty = [
+            i for i in range(len(durations)) if calibrations_mt[i] > gate
+        ]
+        if dirty:
+            info["discarded_passes"] = dirty
     if calibrations:
         info["calibration_sec"] = calibrations
         info["best_pass_calibration_sec"] = calibrations[best_i]
@@ -234,6 +256,40 @@ def _record_leg(
     return durations[best_i]
 
 
+# --- retry-on-contention (round-12 verdict #3) ----------------------------
+# The mt token DETECTS neighbor contention; until round 11 the committed
+# number still carried it (+13.5% uniform scatter across 39 legs with the
+# mt token +19-53% over idle). Policy: a timed pass whose mt token exceeds
+# the gate is CONTAMINATED — it is kept in the sidecar for evidence but
+# excluded from the min, and the pass is re-run (bounded retries) so
+# min-of-N selects among clean passes whenever the contention is
+# transient. Under SUSTAINED contention the retry budget exhausts and the
+# leg falls back to min over whatever it has, flagged `contended` in the
+# sidecar — the number can't be cleaned, but it can't silently pass as
+# clean either.
+_MT_IDLE_REF = 0.095  # measured idle mt token on this box (r10/r11 sidecars)
+_RETRY_PER_LEG = 2
+_RETRY_GLOBAL = {"left": 24}  # whole-run cap so a noisy hour can't 2x wall
+# The gate adapts to the RUN's own observed floor: a box whose ambient
+# mt level sits above the historical idle (sustained neighbor load)
+# must not burn every leg's retries re-measuring the same ambient —
+# the recorded token VALUES carry the cross-era contention story; the
+# retry policy's job is only the TRANSIENT spike within a run. max()
+# with the historical idle keeps the gate from tightening below what a
+# clean box achieves.
+_MT_RUN_FLOOR = {"min": None}
+
+
+def _note_mt(mt: float) -> None:
+    m = _MT_RUN_FLOOR["min"]
+    _MT_RUN_FLOOR["min"] = mt if m is None or mt < m else m
+
+
+def _mt_gate() -> float:
+    floor = _MT_RUN_FLOOR["min"]
+    return 1.25 * max(_MT_IDLE_REF, floor if floor is not None else 0.0)
+
+
 def _bench_leg(
     name: str,
     run_once,
@@ -244,26 +300,40 @@ def _bench_leg(
     """Min-of-N wall time for ``run_once()`` (a no-return thunk executing
     the leg to a sink), N = ``min_passes`` or ``sub_second_passes`` when
     the first timed pass lands under 1s. Per-pass steal deltas recorded
-    into ``STEAL[name]``."""
+    into ``STEAL[name]``; mt-token-contaminated passes retried per the
+    retry-on-contention policy above."""
     if warm:
         run_once()
+
+    def timed_once() -> float:
+        t0 = time.perf_counter()
+        run_once()
+        return time.perf_counter() - t0
+
     durations: list[float] = []
     steals: list[int] = []
     calibrations: list[float] = []
     calibrations_mt: list[float] = []
     passes = min_passes
+    retries = 0
     while len(durations) < passes:
         s0 = _steal_ticks()
-        t0 = time.perf_counter()
-        run_once()
-        dt = time.perf_counter() - t0
+        dt = timed_once()
         s1 = _steal_ticks()
         durations.append(dt)
         steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
         calibrations.append(_calibration_token())
-        calibrations_mt.append(_calibration_token_mt())
+        mt = _calibration_token_mt()
+        calibrations_mt.append(mt)
+        _note_mt(mt)
         if len(durations) == 1 and dt < 1.0:
             passes = max(passes, sub_second_passes)
+        # contaminated pass: extend the target by one (bounded) so the
+        # min still selects among the intended count of CLEAN passes
+        if mt > _mt_gate() and retries < _RETRY_PER_LEG and _RETRY_GLOBAL["left"] > 0:
+            passes += 1
+            retries += 1
+            _RETRY_GLOBAL["left"] -= 1
     return round(
         _record_leg(name, durations, steals, calibrations, calibrations_mt), 3
     )
@@ -272,18 +342,27 @@ def _bench_leg(
 def _bench_timed(name: str, once, passes: int = 3) -> float:
     """Min-of-N for legs that time THEMSELVES (``once() -> seconds``,
     excluding per-pass fixture setup); the steal window brackets the whole
-    call, so recorded steal is an upper bound for the timed portion."""
+    call, so recorded steal is an upper bound for the timed portion.
+    Contaminated passes retried per the retry-on-contention policy."""
     durations: list[float] = []
     steals: list[int] = []
     calibrations: list[float] = []
     calibrations_mt: list[float] = []
-    for _ in range(passes):
+    target = passes
+    retries = 0
+    while len(durations) < target:
         s0 = _steal_ticks()
         durations.append(once())
         s1 = _steal_ticks()
         steals.append(s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
         calibrations.append(_calibration_token())
-        calibrations_mt.append(_calibration_token_mt())
+        mt = _calibration_token_mt()
+        calibrations_mt.append(mt)
+        _note_mt(mt)
+        if mt > _mt_gate() and retries < _RETRY_PER_LEG and _RETRY_GLOBAL["left"] > 0:
+            target += 1
+            retries += 1
+            _RETRY_GLOBAL["left"] -= 1
     return round(
         _record_leg(name, durations, steals, calibrations, calibrations_mt), 3
     )

@@ -40,6 +40,28 @@ def as_double_array(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _write_local(
+    spark: SparkSession, pdf: pd.DataFrame, schema: str, path: str
+) -> None:
+    """Write a tiny driver-side table (centroids/codebooks/meta) as one
+    parquet file THROUGH THE ARROW PATH. Round-12 attribution of the
+    ivf_index_rebuild bench regression: a ``createDataFrame(list_of_
+    tuples)`` local relation is a PICKLED Python RDD, and writing it
+    spawns a Python worker stage costing ~5 s per write on a warm
+    local[32] session — the r11 1-row ``{path}/meta`` write alone
+    doubled the rebuild leg, and the 64-row centroids write had carried
+    the same hidden cost since the index existed. A pandas-backed
+    createDataFrame converts via Arrow into a JVM local relation, and
+    the identical write costs ~0.4 s. Schema note: array columns must
+    arrive as object-dtype lists (they do — the callers build them with
+    ``list``/``tolist``); the explicit DDL schema keeps the stored
+    column types identical to the former tuple-list spelling (pandas
+    int64 would otherwise widen ``int`` columns to bigint)."""
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Index-ordered double dot product — JVM-side, no UDF."""
     return F.aggregate(
@@ -669,22 +691,22 @@ def build_ivf_index(
         .parquet(f"{path}/cells")
     )
     spark = corpus.sparkSession
-    cent_rows = [
-        (int(i), [float(x) for x in row]) for i, row in enumerate(centroids)
-    ]
-    (
-        spark.createDataFrame(cent_rows, "cell int, weights array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+    _write_local(
+        spark,
+        pd.DataFrame(
+            {
+                "cell": range(len(centroids)),
+                "weights": [[float(x) for x in row] for row in centroids],
+            }
+        ),
+        "cell int, weights array<double>",
+        f"{path}/centroids",
     )
-    (
-        spark.createDataFrame(
-            [(int(corpus_assign),)], "corpus_assign int"
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+    _write_local(
+        spark,
+        pd.DataFrame({"corpus_assign": [int(corpus_assign)]}),
+        "corpus_assign int",
+        f"{path}/meta",
     )
 
 
@@ -1394,33 +1416,46 @@ def build_ivf_pq_index(
         .parquet(f"{path}/cells")
     )
     spark = corpus.sparkSession
-    cent_rows = [
-        (int(i), [float(x) for x in row]) for i, row in enumerate(cents)
-    ]
-    (
-        spark.createDataFrame(cent_rows, "cell int, weights array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+    _write_local(
+        spark,
+        pd.DataFrame(
+            {
+                "cell": range(len(cents)),
+                "weights": [[float(x) for x in row] for row in cents],
+            }
+        ),
+        "cell int, weights array<double>",
+        f"{path}/centroids",
     )
-    book_rows = [
-        (int(j), int(c), [float(x) for x in books[j, c]])
-        for j in range(books.shape[0])
-        for c in range(books.shape[1])
-    ]
-    (
-        spark.createDataFrame(
-            book_rows, "subspace int, code int, weights array<double>"
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/codebooks")
+    _write_local(
+        spark,
+        pd.DataFrame(
+            {
+                "subspace": [
+                    j
+                    for j in range(books.shape[0])
+                    for _ in range(books.shape[1])
+                ],
+                "code": [
+                    c
+                    for _ in range(books.shape[0])
+                    for c in range(books.shape[1])
+                ],
+                "weights": [
+                    [float(x) for x in books[j, c]]
+                    for j in range(books.shape[0])
+                    for c in range(books.shape[1])
+                ],
+            }
+        ),
+        "subspace int, code int, weights array<double>",
+        f"{path}/codebooks",
     )
-    (
-        spark.createDataFrame([(int(corpus_assign),)], "corpus_assign int")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/meta")
+    _write_local(
+        spark,
+        pd.DataFrame({"corpus_assign": [int(corpus_assign)]}),
+        "corpus_assign int",
+        f"{path}/meta",
     )
 
 
