@@ -81,8 +81,8 @@ STEAL: dict[str, dict] = {}  # leg -> per-pass timing/steal evidence
 # verdict #5): the `shared_legs_total` field in the final JSON line sums
 # exactly these legs, so the r↔r-1 comparison no longer needs sidecar
 # reconstruction when the leg list grows. UPDATE each round to the
-# just-recorded BENCH_r{N}.json's leg names.
-_R10_LEGS = frozenset({
+# just-recorded BENCH_r{N}.json's leg names (this is r11's 42-leg list).
+_PREV_ROUND_LEGS = frozenset({
     "assemble_end_to_end", "cdc_rollup_composition", "dedup_full_recompute",
     "dedup_incremental_merge", "doc_quality_profile", "docs_neardup_minhash",
     "docs_pack_chunks", "docs_strip_boilerplate", "dq_pricing_summary",
@@ -91,13 +91,14 @@ _R10_LEGS = frozenset({
     "ivf_index_append", "ivf_index_rebuild", "ivf_index_search",
     "lineitem_rollup_matrix", "multimodal_real_decode_2k",
     "neardup_incremental_merge", "pagerank", "pq_adc_search",
+    "pq_refine_search",
     "pricing_summary_q1", "python_source_scan_2m", "revenue_per_nation",
     "scd2_merge_batch", "semantic_dedup", "semantic_dedup_incremental",
     "shipments_in_order_windows", "shipping_priority_q3", "skewed_join_auto",
     "skewed_join_salted", "skewed_join_unsalted", "streaming_curated_gate",
     "streaming_dedup_ingest", "streaming_dq_gate",
     "streaming_dq_gate_multibatch", "streaming_interval_join_outer",
-    "streaming_semdedup_ingest",
+    "streaming_semdedup_ingest", "versioned_key_erase",
 })
 
 
@@ -1368,9 +1369,9 @@ def main() -> None:
     # subtotal covers exactly the legs r10 also measured — compare it,
     # not `value`, across rounds.
     shared_prev = round(
-        sum(v for k_, v in timings.items() if k_ in _R10_LEGS), 3
+        sum(v for k_, v in timings.items() if k_ in _PREV_ROUND_LEGS), 3
     )
-    shared_n = sum(1 for k_ in timings if k_ in _R10_LEGS)
+    shared_n = sum(1 for k_ in timings if k_ in _PREV_ROUND_LEGS)
     # Per-leg pass/steal evidence (round-8 verdict #2) goes to a SIDECAR
     # file, not the stdout line: the driver captures only a bounded tail
     # of stdout and json-parses the final line — round 8's inline steal

@@ -45,7 +45,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        sql = q.ORACLE_SQL.get(name)
+        # rotation moves queries between the declared and shelved tiers;
+        # the anchor follows the query wherever its twin lives
+        sql = q.ORACLE_SQL.get(name) or q.SHELVED_ORACLE_SQL.get(name)
         if sql is None:
             print(f"# {name}: no SQL twin, skipped", file=sys.stderr)
             continue
