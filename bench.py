@@ -287,8 +287,15 @@ def _note_mt(mt: float) -> None:
 
 
 def _mt_gate() -> float:
+    # 1.6x: the mt token's NATURAL within-run scatter is ~+/-30% around
+    # the floor even with flat single tokens (r12 first live run: min
+    # 0.106 / median 0.134 / max 0.19) — a tighter gate burns retries
+    # on noise and mislabels ambient legs `contended`. The gate exists
+    # for gross transient spikes; distribution-level contention shifts
+    # (the r11 +41-53% class) are read from the recorded token medians
+    # across runs, not from single passes.
     floor = _MT_RUN_FLOOR["min"]
-    return 1.25 * max(_MT_IDLE_REF, floor if floor is not None else 0.0)
+    return 1.6 * max(_MT_IDLE_REF, floor if floor is not None else 0.0)
 
 
 def _bench_leg(

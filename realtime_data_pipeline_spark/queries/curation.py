@@ -355,6 +355,131 @@ def docs_contamination_check_bloom(
 DOCS_CONTAMINATION_CHECK_BLOOM_SQL = DOCS_CONTAMINATION_CHECK_SQL
 
 
+def docs_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SPAN audit (round 12): for every contaminated eval
+    document, the LONGEST contiguous run of train-overlapping word
+    5-grams and the token span it implies. Gram-count overlap
+    (:func:`docs_contamination_check`) flags leakage; the decisive
+    decontamination metric in practice is the longest verbatim overlap
+    — a dozen scattered common 5-grams are noise, a 50-token contiguous
+    match is a leaked benchmark item (the "13-gram + longest match"
+    rule from public decontamination write-ups).
+
+    Scale shape: positional gram hashes explode once (the only wide
+    explode, same discipline as ``text.strip_boilerplate``), the train
+    side distinct-reduces to one 8-byte row per gram, the flag join is
+    bucket-sized, and the flagged positions come back as ONE small
+    per-doc sorted array whose longest consecutive run is a per-row
+    ``aggregate`` HOF — no second shuffle, no window over the corpus.
+    The oracle spells the same runs as textbook gaps-and-islands
+    (pos − row_number) over the flagged positions. Same documented
+    xxhash64-vs-string collision bound as the parent check."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    split = F.when(
+        F.substring(F.md5(F.col("text")), 1, 1) <= "c", F.lit("train")
+    ).otherwise(F.lit("eval"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 5))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = docs.select("doc_id", split.alias("split"), grams.alias("grams"))
+    eval_pos = base.filter(F.col("split") == "eval").select(
+        "doc_id", F.posexplode("grams").alias("pos", "g")
+    )
+    train_g = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    flagged = eval_pos.join(train_g, "g").select("doc_id", "pos")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_flagged_grams"),
+        F.sort_array(F.collect_list("pos")).alias("__ps"),
+    )
+    run = F.aggregate(
+        F.col("__ps"),
+        F.struct(
+            F.lit(-2).alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, p: F.struct(
+            p.alias("prev"),
+            F.when(p == acc["prev"] + 1, acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(p == acc["prev"] + 1, acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_flagged_grams",
+            run.cast("int").alias("longest_gram_run"),
+        )
+        .withColumn(
+            "longest_token_span", (F.col("longest_gram_run") + 4).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_CONTAMINATION_SPANS_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 1) <= 'c'
+              THEN 'train' ELSE 'eval' END AS split,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, split,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(
+                     range(1, len(toks) - 3),
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+              ELSE [] END AS grams
+  FROM f
+), eval_pos AS (
+  SELECT doc_id, u.pos, u.gram
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(grams) + 1),
+             i -> {'pos': i, 'gram': grams[i]})) AS u
+    FROM g WHERE split = 'eval'
+  )
+), train_g AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split = 'train'
+), flagged AS (
+  SELECT e.doc_id, e.pos
+  FROM eval_pos e JOIN train_g t USING (gram)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+), islands AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len
+  FROM runs GROUP BY doc_id, grp
+)
+SELECT
+  i.doc_id,
+  CAST(f2.n_flagged AS BIGINT) AS n_flagged_grams,
+  CAST(MAX(i.run_len) AS INTEGER) AS longest_gram_run,
+  CAST(MAX(i.run_len) + 4 AS INTEGER) AS longest_token_span
+FROM islands i
+JOIN (SELECT doc_id, COUNT(*) AS n_flagged FROM flagged GROUP BY doc_id) f2
+  USING (doc_id)
+GROUP BY i.doc_id, f2.n_flagged
+ORDER BY i.doc_id
+"""
+
+
 BOILER_N = 5
 BOILER_MIN_DF = 3
 
@@ -868,9 +993,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_domain_cap": docs_domain_cap,
     "docs_bigram_surprisal": docs_bigram_surprisal,
     "docs_contamination_check_bloom": docs_contamination_check_bloom,
+    # round-12 build: longest contiguous train-overlap run per eval doc
+    "docs_contamination_spans": docs_contamination_spans,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "docs_contamination_spans": DOCS_CONTAMINATION_SPANS_SQL,
     "docs_unigram_surprisal": DOCS_UNIGRAM_SURPRISAL_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_TOP_TERMS_SQL,
     "docs_bm25_search": DOCS_BM25_SEARCH_SQL,

@@ -490,7 +490,105 @@ ORDER BY label, assigned
 
 # the hyperplane-LSH path driver-side; the kNN-flavored LSH/IVF variants keep
 # their pytest gates and stay out of the scarce driver rows.
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (round 12): for every anchor vector, the most
+    similar vector carrying a DIFFERENT label — the pair a contrastive /
+    embedding-finetune pipeline trains against (easy negatives are
+    random; hard negatives are the near-misses that move the decision
+    boundary). Top-1 per anchor by cosine, deterministic id tiebreak.
+
+    Scale shape: the exact all-pairs spelling below is the guarded
+    small-N oracle baseline (same PAIR_N cross-join budget as
+    ``embeddings_cosine_pairs``); at corpus scale the anchor set rides
+    the ANN path instead — ``similarity.ivf_pq_knn(refine_k=...)`` top-k
+    per anchor, label-mismatch filter, keep rank 1 — trading the
+    exactness this oracle pins for probe-bounded cost, with recall
+    measured by the same ``LSH_RECALL.json`` machinery. The window here
+    runs per-anchor on the pair frame (partitioned by anchor id, never
+    a global sort)."""
+    from pyspark.sql.window import Window as W
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PAIR_N)
+        .select(
+            "vec_id",
+            "label",
+            similarity.as_double_array(F.col("embedding")).alias("v"),
+        )
+        .select(
+            "vec_id", "label", "v", similarity.l2_norm(F.col("v")).alias("n")
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim6"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("sim6").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(F.col("sim6"), 4).alias("sim"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+EMBEDDINGS_HARD_NEGATIVES_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {PAIR_N}
+), p AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS neg_id, b.label AS neg_label,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim6,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+                    b.vec_id ASC
+         ) AS rn
+  FROM e a JOIN e b ON a.label <> b.label
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label,
+       ROUND(sim6, 4) AS sim
+FROM p WHERE rn = 1
+ORDER BY anchor_id
+"""
+
+
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-12 build: contrastive hard-negative mining, exact baseline
+    "embeddings_hard_negatives": embeddings_hard_negatives,
     "embedding_knn_lsh": embedding_knn_lsh,
     "embedding_knn_ivf": embedding_knn_ivf,
     "embedding_knn_pq": embedding_knn_pq,
@@ -501,6 +599,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "embeddings_hard_negatives": EMBEDDINGS_HARD_NEGATIVES_SQL,
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,
     "embeddings_label_centroid_confusion":
