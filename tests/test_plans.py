@@ -813,3 +813,46 @@ def test_temperature_mixture_broadcast_rates_no_window(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_pickled_local_relation_writes_in_package_source():
+    """Source lint against the round-12 regression class: a
+    ``createDataFrame([...tuples...])`` local relation is a pickled
+    Python RDD, and WRITING it runs a Python worker stage costing ~5s
+    per write on a warm local[32] session (BENCH_ivf_isolate_r12.json —
+    the r11 ivf_index_rebuild 2x regression was exactly one such 1-row
+    write). Driver-side constants must lift through pandas/Arrow
+    (`similarity._write_local`) or JVM-native range/lit. Allowed
+    spellings: empty-frame schema stubs (no rows to pickle) and the BFS
+    seed (one row, materialized once into a localCheckpoint, never
+    re-evaluated per iteration)."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "realtime_data_pipeline_spark",
+    )
+    allowed = {
+        ("graph.py", "createDataFrame([(source, 0)]"),
+        ("pysource.py", "createDataFrame([], schema)"),
+        ("versioned.py", "createDataFrame([], StructType.fromDDL(ddl))"),
+    }
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            for i, line in enumerate(open(path), 1):
+                if re.search(r"createDataFrame\(\[", line):
+                    if any(
+                        fn == f and frag in line for f, frag in allowed
+                    ):
+                        continue
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, (
+        "tuple-list local relations in package source (lift through "
+        "pandas/Arrow — see similarity._write_local):\n"
+        + "\n".join(offenders)
+    )
