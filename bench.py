@@ -2068,6 +2068,54 @@ def scale_ramp(factor: int = 10) -> None:
             file=sys.stderr,
         )
 
+        # IVF×PQ persisted-index SEARCH slope (round 12 — the r11 star
+        # operator had headline legs but no ramp evidence): the probe
+        # reads nprobe/n_cells of the code files, so at a FIXED geometry
+        # the probed row count grows with the corpus. The documented
+        # policy is raise-n_cells-with-corpus (the IVF analog of
+        # semdedup's raise-n_bits): 64 cells at base, 64×factor at
+        # factor×, keeping probed rows ~constant — measured here so the
+        # flat-search claim is a number, not prose. Uses the perturbed
+        # 10× embeddings the semdedup ramp already built.
+        pq_books = _sim.train_pq_codebooks(emb_slim, m=8)
+        pq_times = {}
+        for label, path, ncells in (
+            ("base", f"{base_dir}/embeddings.parquet", 64),
+            ("ramp", pert_path, 64 * factor),
+        ):
+            frame = spark.read.parquet(path).select("vec_id", "embedding")
+            cents = _sim.train_centroids_kmeans(frame, ncells)
+            idx = os.path.join(ramp_dir, f"__ivfpq_{label}")
+            _sim.build_ivf_pq_index(frame, idx, cents, pq_books)
+            pq_queries = frame.filter(F.col("vec_id") < 50).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            pq_times[label] = _bench_leg(
+                f"ivf_pq_index_search[{label}]",
+                lambda idx=idx, q_=pq_queries: _sim.ivf_pq_index_search(
+                    spark, idx, q_, k=10, nprobe=4
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        pq_slope = (
+            pq_times["ramp"] / pq_times["base"] if pq_times["base"] > 0 else -1.0
+        )
+        legs["ivf_pq_index_search"] = {
+            "base_sec": pq_times["base"],
+            "ramp_sec": pq_times["ramp"],
+            "slope": round(pq_slope, 2),
+            "slope_vs_factor": round(pq_slope / factor, 2),
+            "n_cells": {"base": 64, "ramp": 64 * factor},
+        }
+        print(
+            f"# ivf_pq_index_search slope {pq_slope:.2f}x at {factor}x "
+            f"corpus (cells 64 -> {64 * factor})",
+            file=sys.stderr,
+        )
+
         # recompute over the FULL leg dict: the incremental-maintenance
         # legs were appended after the headline pass, and the headline
         # metric must track the worst slope of everything it reports
