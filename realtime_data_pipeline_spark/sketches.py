@@ -238,6 +238,76 @@ def countmin_query(
     )
 
 
+def countmin_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min sketches — the
+    classic count-min inner product (Cormode & Muthukrishnan 2005 §4.2):
+    the true join size is Σ_k f_a(k)·f_b(k), each depth's
+    Σ_b a[d,b]·b[d,b] equals that PLUS nonnegative collision cross-terms
+    (a one-sided OVERESTIMATE, expected excess ≤ N_a·N_b/width), and the
+    min across depths is the estimate. This is the optimizer/planner
+    question — "how big is this join going to be?" — answered from two
+    tiny mergeable tables without touching either input: decide
+    broadcast-vs-shuffle, pre-size shuffle partitions, or refuse a
+    runaway fan-out join before paying for it.
+
+    Scale shape: both sketches are geometry-bounded (depth×width rows
+    max); the estimate is one broadcast equi-join on (depth, bucket) +
+    one ≤depth-row aggregate. Missing (depth, bucket) pairs mean 0 and
+    contribute nothing, so the inner join is exact. Geometries must
+    match (same depth, width, AND the same hash family — these sketches
+    all use xxhash64(key, depth), so equal geometry ⇒ comparable
+    buckets); mismatches are rejected loudly. Either sketch empty ⇒ 0.
+
+    Returns a 1-row DataFrame ``(est_join_rows bigint)``."""
+    spark = sketch_a.sparkSession
+    geos = []
+    for s in (sketch_a, sketch_b):
+        g = s.agg(
+            F.first("__depth_total").alias("d"),
+            F.first("__width").alias("w"),
+            F.count_distinct("__depth_total", "__width").alias("geoms"),
+        ).first()
+        if g["geoms"] > 1:
+            raise ValueError(
+                "countmin_join_size: sketch mixes geometries — it was "
+                "merged from sketches built with different depth/width"
+            )
+        geos.append(g)
+    ga, gb = geos
+    if ga["d"] is None or gb["d"] is None:  # empty side: join size 0
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("est_join_rows")
+        )
+    if (ga["d"], ga["w"]) != (gb["d"], gb["w"]):
+        raise ValueError(
+            "countmin_join_size: geometry mismatch — "
+            f"({ga['d']}x{ga['w']}) vs ({gb['d']}x{gb['w']}); inner "
+            "products are only meaningful between sketches of the same "
+            "depth/width"
+        )
+    b = sketch_b.select(
+        "__depth", "__bucket", F.col("n").alias("__nb")
+    )
+    per_depth = (
+        sketch_a.join(F.broadcast(b), ["__depth", "__bucket"])
+        .groupBy("__depth")
+        .agg(F.sum(F.col("n") * F.col("__nb")).alias("__dot"))
+    )
+    # a depth whose bucket sets don't overlap at all has dot product 0
+    # but NO row after the inner join — min over the surviving rows
+    # would overshoot. If any depth is missing, the estimate is 0 (the
+    # true join size is bounded by EVERY depth's dot product).
+    return per_depth.agg(
+        F.when(
+            F.count(F.lit(1)) == int(ga["d"]),
+            F.coalesce(F.min("__dot"), F.lit(0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("est_join_rows")
+    )
+
+
 def histogram_build(
     df: DataFrame, col: str, lo: float, hi: float, bins: int = 256
 ) -> DataFrame:

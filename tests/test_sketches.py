@@ -452,3 +452,65 @@ def test_mg_partials_stream_and_merge_on_read(spark, tmp_path):
             assert item in got, (item, true_n, slack)
     for item, lb in got.items():
         assert lb <= exact[item]
+
+
+def test_countmin_join_size_one_sided_and_tight(spark):
+    """Inner-product join-size estimate: ALWAYS >= the true equi-join
+    cardinality (collision cross-terms are nonnegative), and tight at
+    low load (width >> distinct keys => no collisions => exact)."""
+    import random
+
+    rng = random.Random(3)
+    a_keys = [rng.randint(0, 50) for _ in range(600)]
+    b_keys = [rng.randint(25, 75) for _ in range(400)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+    true_size = a.join(b, "k").count()
+
+    sa = sketches.countmin_build(a, "k", depth=5, width=2048)
+    sb = sketches.countmin_build(b, "k", depth=5, width=2048)
+    est = sketches.countmin_join_size(sa, sb).first()["est_join_rows"]
+    assert est == true_size  # low load: exact
+
+    # heavy load (width << keys): still one-sided
+    sa2 = sketches.countmin_build(a, "k", depth=3, width=8)
+    sb2 = sketches.countmin_build(b, "k", depth=3, width=8)
+    est2 = sketches.countmin_join_size(sa2, sb2).first()["est_join_rows"]
+    assert est2 >= true_size
+
+
+def test_countmin_join_size_disjoint_empty_and_geometry_guard(spark):
+    """Disjoint key sets estimate 0 even when only SOME depths lose all
+    bucket overlap; an empty side estimates 0; mismatched geometries
+    are rejected."""
+    import pytest
+
+    a = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    b = spark.createDataFrame([(i + 10_000,) for i in range(20)], "k long")
+    sa = sketches.countmin_build(a, "k", depth=4, width=4096)
+    sb = sketches.countmin_build(b, "k", depth=4, width=4096)
+    est = sketches.countmin_join_size(sa, sb).first()["est_join_rows"]
+    # wide geometry: disjoint keys share no buckets in at least one depth
+    assert est == 0
+
+    empty = sketches.countmin_build(
+        spark.createDataFrame([], "k long"), "k", depth=4, width=4096
+    )
+    assert (
+        sketches.countmin_join_size(sa, empty).first()["est_join_rows"] == 0
+    )
+
+    other = sketches.countmin_build(a, "k", depth=4, width=1024)
+    with pytest.raises(ValueError, match="geometry"):
+        sketches.countmin_join_size(sa, other)
+
+
+def test_countmin_join_size_respects_multiplicities(spark):
+    """Join size is sum f_a(k)*f_b(k), NOT distinct-key overlap: skewed
+    multiplicities must multiply through."""
+    a = spark.createDataFrame([(1,)] * 30 + [(2,)] * 5, "k long")
+    b = spark.createDataFrame([(1,)] * 7 + [(3,)] * 9, "k long")
+    sa = sketches.countmin_build(a, "k", depth=5, width=1024)
+    sb = sketches.countmin_build(b, "k", depth=5, width=1024)
+    est = sketches.countmin_join_size(sa, sb).first()["est_join_rows"]
+    assert est == 30 * 7
