@@ -480,6 +480,80 @@ ORDER BY i.doc_id
 """
 
 
+def docs_decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REMOVAL (round 12, `text.strip_contaminated`):
+    the train split rewritten with every 5-token span that shares a
+    word 5-gram with ANY eval document stripped out — the surgical
+    alternative to dropping whole contaminated docs. The CLEANED TEXT
+    md5 itself is the oracle check (same discipline as
+    `docs_strip_boilerplate`, which shares the span-removal core), so
+    the exact replacement spans are verified, not just counts."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    split = F.when(
+        F.substring(F.md5(F.col("text")), 1, 1) <= "c", F.lit("train")
+    ).otherwise(F.lit("eval"))
+    tagged = docs.withColumn("__split", split)
+    train = tagged.filter(F.col("__split") == "train").drop("__split")
+    evals = tagged.filter(F.col("__split") == "eval").drop("__split")
+    cleaned = text.strip_contaminated(
+        train.select("doc_id", "text"), evals.select("text"), n=5
+    )
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        F.length(F.col("text")).cast("bigint").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+DOCS_DECONTAMINATED_TRAIN_SQL = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(text), 1, 1) <= 'c'
+              THEN 'train' ELSE 'eval' END AS split,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, text, split, toks,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(
+                     range(1, len(toks) - 3),
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+              ELSE [] END AS grams
+  FROM f
+), per_pos AS (
+  SELECT doc_id, unnest(grams) AS gram,
+         generate_subscripts(grams, 1) AS pos
+  FROM g WHERE split = 'train'
+), doomed AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split = 'eval'
+), starts AS (
+  SELECT p.doc_id, list_sort(list(DISTINCT p.pos)) AS starts
+  FROM per_pos p JOIN doomed d USING (gram)
+  GROUP BY p.doc_id
+), rebuilt AS (
+  SELECT g.doc_id,
+         CASE WHEN s.starts IS NULL THEN g.text
+              ELSE COALESCE(array_to_string(
+                list_filter(
+                  list_transform(
+                    range(1, len(g.toks) + 1),
+                    i -> CASE WHEN NOT list_contains(
+                           flatten(list_transform(
+                             s.starts, j -> range(j, j + 5))), i)
+                         THEN g.toks[i] END),
+                  x -> x IS NOT NULL),
+                ' '), '')
+         END AS clean
+  FROM g LEFT JOIN starts s USING (doc_id)
+  WHERE g.split = 'train'
+)
+SELECT doc_id, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS clean_len
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
 BOILER_N = 5
 BOILER_MIN_DF = 3
 
@@ -995,10 +1069,14 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_contamination_check_bloom": docs_contamination_check_bloom,
     # round-12 build: longest contiguous train-overlap run per eval doc
     "docs_contamination_spans": docs_contamination_spans,
+    # round-12 build: eval-shared spans REMOVED from train (cleaned-md5
+    # oracle, shares strip_boilerplate's span core)
+    "docs_decontaminated_train": docs_decontaminated_train,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_contamination_spans": DOCS_CONTAMINATION_SPANS_SQL,
+    "docs_decontaminated_train": DOCS_DECONTAMINATED_TRAIN_SQL,
     "docs_unigram_surprisal": DOCS_UNIGRAM_SURPRISAL_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_TOP_TERMS_SQL,
     "docs_bm25_search": DOCS_BM25_SEARCH_SQL,

@@ -193,6 +193,43 @@ def strip_boilerplate(
     fine while flagged spans are boilerplate-sized; a fully-templated
     corpus degrades toward O(tokens²), at which point dropping the doc
     (profile + cull) is the right tool anyway."""
+    def boiler_flagger(per_pos, G: str, DF_: str):
+        return (
+            per_pos.select(id_col, G)
+            .distinct()
+            .groupBy(G)
+            .agg(F.count(F.lit(1)).alias(DF_))
+            .filter(F.col(DF_) >= min_df)
+            .select(G)
+        )
+
+    return _strip_flagged_spans(docs, id_col, text_col, n, boiler_flagger)
+
+
+def _gram_hashes(text_col_expr, n: int):
+    """Positional gram hashes over a whitespace token split —
+    hash-identical to ``xxhash64(word_shingles(text, n))``: concat_ws
+    over the n-token slice is exactly the shingle string (the guard
+    matters: ``sequence(1, 0)`` would count DOWN on <n-token docs)."""
+    toks = F.split(F.trim(text_col_expr), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toks, grams
+
+
+def _strip_flagged_spans(docs, id_col, text_col, n, flagger):
+    """Shared span-removal core: tokenize + gram-hash ONCE (persisted),
+    let ``flagger(per_pos, G, DF_)`` decide WHICH gram hashes are doomed
+    (corpus doc-frequency for boilerplate, eval-set membership for
+    decontamination), then rewrite each flagged document with every
+    occurrence of a doomed gram's n-token span removed. The rebuild is
+    per-row array HOFs over the same token array the hashes came from —
+    no shuffle of surviving text, untouched docs byte-identical."""
     from pyspark.sql import DataFrame  # noqa: F401  (documented contract)
 
     p = "__sb_"
@@ -203,18 +240,7 @@ def strip_boilerplate(
         p + "pos", p + "g", p + "df", p + "starts", p + "covered",
     )
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # positional gram hashes from the SAME token array the rebuild uses —
-    # hash-identical to xxhash64(word_shingles(text, n)): concat_ws over
-    # the n-token slice is exactly the shingle string (guard matters:
-    # sequence(1, 0) would count DOWN on <n-token docs)
-    grams = F.when(
-        F.size(F.col(TOKS)) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col(TOKS)) - n + 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col(TOKS), i, n))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    toks, grams = _gram_hashes(F.col(text_col), n)
     staged = (
         docs.select("*", toks.alias(TOKS))
         .select("*", grams.alias(GRAMS))
@@ -223,16 +249,9 @@ def strip_boilerplate(
     per_pos = staged.select(
         id_col, F.posexplode(GRAMS).alias(POS, G)
     )
-    boiler = (
-        per_pos.select(id_col, G)
-        .distinct()
-        .groupBy(G)
-        .agg(F.count(F.lit(1)).alias(DF_))
-        .filter(F.col(DF_) >= min_df)
-        .select(G)
-    )
+    doomed = flagger(per_pos, G, DF_)
     starts = (
-        per_pos.join(boiler, G)
+        per_pos.join(doomed, G)
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set(POS)).alias(STARTS))
     )
@@ -257,6 +276,46 @@ def strip_boilerplate(
         .withColumn(COVERED, covered)
         .select(*out_cols)
     )
+
+
+def strip_contaminated(
+    docs,
+    eval_docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    eval_text_col: str | None = None,
+):
+    """Decontamination REMOVAL (round 12 — the transform half of
+    ``docs_contamination_check``/``docs_contamination_spans``): rewrite
+    every TRAIN document with each n-token span that shares a word
+    n-gram with ANY eval document stripped out. Auditing finds the
+    leaked benchmark items; this removes them while keeping the rest of
+    the document — the surgical alternative to dropping every
+    contaminated doc (which on a heavily-leaked corpus can cost a large
+    fraction of the tokens for a few leaked sentences).
+
+    Scale shape is :func:`strip_boilerplate`'s (they share the span
+    core): one persisted tokenize+hash pass over train, positional gram
+    hashes as the only exploded rows, and the doomed-gram set is the
+    EVAL side's distinct gram hashes (8-byte keys, distinct-reduced
+    before the semi-join — eval is the small side by construction, so
+    at catalog scale this broadcasts). Same xxhash64-vs-string collision
+    bound as the contamination audit, in the benign direction (a
+    colliding gram strips a span it didn't need to).
+
+    ``eval_docs`` may carry any schema; only ``eval_text_col``
+    (default: ``text_col``) is read."""
+    ev_col = eval_text_col or text_col
+    _, ev_grams = _gram_hashes(F.col(ev_col), n)
+
+    def eval_flagger(per_pos, G: str, DF_: str):
+        # the doomed set IS eval's distinct gram hashes — the span
+        # core's inner join against per_pos selects the train-side
+        # occurrences, no extra semi-join needed
+        return eval_docs.select(F.explode(ev_grams).alias(G)).distinct()
+
+    return _strip_flagged_spans(docs, id_col, text_col, n, eval_flagger)
 
 
 def fingerprint(col: Column) -> Column:

@@ -149,3 +149,34 @@ def test_strip_boilerplate_as_exact_substring_dedup(spark):
     assert got[1] == "alpha one two three tail1a tail1b"
     assert got[2] == "beta four five six tail2a"
     assert got[3] == rows[2][1]
+
+
+def test_strip_contaminated_excises_eval_shared_spans(spark):
+    """A >=5-token passage shared with any eval doc is removed from the
+    train doc (every overlapping occurrence), clean train docs stay
+    byte-identical, and eval docs are never modified (they are only the
+    doomed-gram source)."""
+    from realtime_data_pipeline_spark import text as T
+
+    leak = "the quick brown fox jumps over lazy dogs"  # 8 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words here {leak} trailing tail"),
+            (2, "completely clean document with original content only"),
+            (3, f"{leak}"),  # doc that IS the leak: strips to empty
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, f"benchmark question {leak} answer key")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in T.strip_contaminated(train, evals).collect()
+    }
+    assert "quick brown fox" not in out[1]
+    assert out[1].startswith("intro words here")
+    assert out[1].endswith("trailing tail")
+    assert out[2] == "completely clean document with original content only"
+    assert out[3] == ""
