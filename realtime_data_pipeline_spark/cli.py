@@ -352,6 +352,17 @@ def main(argv: list[str] | None = None) -> int:
         "many distinct documents",
     )
     pas.add_argument(
+        "--decontaminate-eval", default=None, metavar="PARQUET",
+        help="path to an eval/benchmark document table: every train "
+        "span sharing a word 5-gram with ANY eval doc is removed "
+        "(text.strip_contaminated) before splitting/packing — leaked "
+        "benchmark passages never reach the training shards",
+    )
+    pas.add_argument(
+        "--eval-text-col", default=None,
+        help="text column of --decontaminate-eval (default: --text-col)",
+    )
+    pas.add_argument(
         "--embeddings", default=None,
         help="parquet of (--vec-id-col, --vec-col) document embeddings; "
         "when given, semantically-dominated documents (a similar "
@@ -771,6 +782,19 @@ def main(argv: list[str] | None = None) -> int:
                 min_df=args.boiler_min_df,
             )
             _mark("strip_boilerplate")
+        if args.decontaminate_eval:
+            # excise eval-shared spans AFTER boilerplate (boilerplate
+            # grams are corpus-wide; what's left that still matches
+            # eval is genuine leakage) and BEFORE the split/packing so
+            # weights and shards see the text that will be trained on
+            docs = text.strip_contaminated(
+                docs,
+                spark.read.parquet(args.decontaminate_eval),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                eval_text_col=args.eval_text_col,
+            )
+            _mark("decontaminate")
         if args.domain_cap is not None:
             # anti-domination cap BEFORE the split: at most N docs per
             # domain, selected by deterministic content-hash rank (the

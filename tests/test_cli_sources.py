@@ -1138,3 +1138,53 @@ def test_cli_timetravel_erase_deletes_keys(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="col and --values"):
         cli.main(["timetravel", "erase", "--root", root])
+
+
+def test_cli_assemble_decontaminate_eval_removes_leaked_spans(
+    spark, tmp_path
+):
+    """assemble --decontaminate-eval: a train doc carrying a passage
+    from the eval table loses exactly that span before packing (docs
+    survive, tokens shrink by at least the leak length per leaked doc);
+    a run without the flag keeps the full budget."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import cli
+
+    leak = "which river is the longest river on the african continent"
+    docs = str(tmp_path / "docs")
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 40)
+    base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 10,
+            F.concat(F.lit(leak + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).write.parquet(docs)
+    evals = str(tmp_path / "evals")
+    spark.createDataFrame(
+        [(1, f"exam question: {leak} answer below")],
+        "qid long, text string",
+    ).write.parquet(evals)
+
+    def run(out, extra):
+        rc = cli.main(
+            ["assemble", "--docs", docs, "--out", out, "--shards", "2",
+             "--ctx-len", "256", "--split", "all", *extra]
+        )
+        assert rc == 0
+        return spark.read.parquet(out)
+
+    plain = run(str(tmp_path / "plain"), [])
+    clean = run(
+        str(tmp_path / "clean"), ["--decontaminate-eval", evals]
+    )
+    assert clean.count() == plain.count()  # cleaned, never dropped
+    t_plain = plain.agg(F.sum("n_tokens")).first()[0]
+    t_clean = clean.agg(F.sum("n_tokens")).first()[0]
+    # the 10 leaked docs each lose at least the 10-token leak
+    assert t_plain - t_clean >= 10 * 10
