@@ -40,14 +40,28 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 20,
     checkpoint_every: int = 5,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an edge list; returns ``(node, rank)`` with ranks
     summing to ~1. Parallel edges count once (deduped); self-loops are
     legal and behave as the textbook definition says. Nodes appearing
     only as destinations (no out-links) are dangling: their rank
-    redistributes uniformly each step, keeping the total mass at 1 —
-    dropping it (the naive spelling) leaks mass every iteration and
-    under-ranks everything downstream of sinks."""
+    redistributes each step, keeping the total mass at 1 — dropping it
+    (the naive spelling) leaks mass every iteration and under-ranks
+    everything downstream of sinks.
+
+    ``personalization`` (round 12) makes it PERSONALIZED PageRank: a
+    ``(node, weight)`` frame of teleport seeds — the random surfer
+    restarts at the seed distribution instead of uniformly, so ranks
+    measure proximity TO THE SEEDS ("related products for this
+    basket", "pages relevant to this topic hub" — the retrieval/
+    recommendation spelling of the same iteration). Dangling mass also
+    returns to the seeds (the standard PPR convention, mass stays 1).
+    Seed weights are intersected with the graph's nodes and
+    renormalized (a seed absent from the graph would silently leak its
+    teleport mass); an empty intersection is an error. The seed frame
+    is bounded by construction (a query/user context, not a corpus),
+    so its per-iteration join broadcasts."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iterations < 1:
@@ -82,6 +96,32 @@ def pagerank(
     e.count()
     out_deg.count()
 
+    seeds: DataFrame | None = None
+    if personalization is not None:
+        seeds = (
+            personalization.select(
+                F.col("node"), F.col("weight").cast("double").alias("__w")
+            )
+            .filter(F.col("node").isNotNull() & (F.col("__w") > 0))
+            .groupBy("node")
+            .agg(F.sum("__w").alias("__w"))
+            .join(nodes, "node")  # a seed outside the graph leaks mass
+            .persist()
+        )
+        seed_total = seeds.agg(F.sum("__w")).first()[0]
+        if not seed_total or seed_total <= 0:
+            seeds.unpersist()
+            raise ValueError(
+                "personalization: no seed with positive weight exists "
+                "in the graph's node set"
+            )
+        renorm = seeds.select(
+            "node", (F.col("__w") / seed_total).alias("__p")
+        ).persist()
+        renorm.count()
+        seeds.unpersist()
+        seeds = renorm
+
     # Iteration discipline (ONE action per iteration): each iteration's
     # ranks frame is persisted BEFORE the dangling-mass aggregate runs,
     # so that single action materializes the iteration's join+agg work
@@ -107,7 +147,6 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
             prev = None
-        spread = damping * dangling / n
         contribs = (
             ranks.join(e, ranks["node"] == e["__src"])
             .select(
@@ -117,16 +156,35 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base + spread)
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
+        if seeds is None:
+            spread = damping * dangling / n
+            new_ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base + spread)
+                        + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                    ).alias("rank"),
+                )
             )
-        )
+        else:
+            # teleport AND dangling mass both return to the seed
+            # distribution: rank_i = ((1-d) + d·dangling)·p_i + d·c_i
+            seed_scalar = (1.0 - damping) + damping * dangling
+            new_ranks = (
+                nodes.join(contribs, "node", "left")
+                .join(F.broadcast(seeds), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(seed_scalar)
+                        * F.coalesce(F.col("__p"), F.lit(0.0))
+                        + F.lit(damping)
+                        * F.coalesce(F.col("c"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             new_ranks = new_ranks.localCheckpoint(eager=True)
             ranks.unpersist()
@@ -141,6 +199,8 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     out_deg.unpersist()
+    if seeds is not None:
+        seeds.unpersist()
     return final
 
 

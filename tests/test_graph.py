@@ -213,3 +213,76 @@ def test_bfs_hops_randomized_vs_python_bfs(spark):
             for r in graph.bfs_hops(df, edges[0][0], max_hops=max_hops).collect()
         }
         assert got == want, (max_hops, got, want)
+
+
+def _numpy_ppr(edges, n, seeds, damping=0.85, iterations=20):
+    """Personalized PageRank reference: teleport AND dangling mass go to
+    the seed distribution; uniform init (matches the operator)."""
+    p = np.zeros(n)
+    tot = sum(w for _, w in seeds)
+    for node, w in seeds:
+        p[node] += w / tot
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[d] += r[s] / out_deg[s]
+        dangling = r[out_deg == 0].sum()
+        r = ((1 - damping) + damping * dangling) * p + damping * contrib
+    return r
+
+
+def test_personalized_pagerank_matches_numpy_and_localizes(spark):
+    edges = [
+        (0, 1), (0, 2), (0, 3),
+        (1, 2),
+        (2, 0),
+        (3, 4),          # 4 is dangling
+        (5, 6), (6, 5),  # isolated 2-cycle, unreachable from seeds
+    ]
+    n = 7
+    seeds = [(0, 3.0), (1, 1.0)]
+    want = _numpy_ppr(edges, n, seeds)
+    got_rows = graph.pagerank(
+        spark.createDataFrame(edges, "src long, dst long"),
+        iterations=20,
+        checkpoint_every=5,
+        personalization=spark.createDataFrame(
+            seeds, "node long, weight double"
+        ),
+    ).collect()
+    got = np.zeros(n)
+    for r in got_rows:
+        got[r.node] = r.rank
+    assert np.abs(got - want).max() < 1e-9
+    assert abs(got.sum() - 1.0) < 1e-9  # mass conserved
+    # localization: the unreachable 2-cycle decays toward zero while
+    # the seed neighborhood holds the mass
+    assert got[5] + got[6] < 0.02
+    assert got[0] + got[1] + got[2] > 0.6
+
+    # seeds outside the graph are dropped + renormalized (no mass leak);
+    # pure-ghost seed sets are refused
+    ghost = spark.createDataFrame(
+        seeds + [(999, 100.0)], "node long, weight double"
+    )
+    got2_rows = graph.pagerank(
+        spark.createDataFrame(edges, "src long, dst long"),
+        iterations=20,
+        personalization=ghost,
+    ).collect()
+    got2 = np.zeros(n)
+    for r in got2_rows:
+        got2[r.node] = r.rank
+    assert np.abs(got2 - want).max() < 1e-9
+    with pytest.raises(ValueError, match="positive weight"):
+        graph.pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            iterations=2,
+            personalization=spark.createDataFrame(
+                [(999, 1.0)], "node long, weight double"
+            ),
+        )
