@@ -514,3 +514,21 @@ def test_countmin_join_size_respects_multiplicities(spark):
     sb = sketches.countmin_build(b, "k", depth=5, width=1024)
     est = sketches.countmin_join_size(sa, sb).first()["est_join_rows"]
     assert est == 30 * 7
+
+
+def test_countmin_self_join_size_is_f2_skew_signal(spark):
+    """join_size(s, s) estimates F2 = sum f(k)^2 — the second frequency
+    moment, the skew signal behind salt-or-not decisions (uniform keys
+    minimize F2 at N^2/distinct; a hot key drives it toward N^2). One-
+    sided like every count-min estimate, exact at low load."""
+    uniform = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")
+    skewed = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long"
+    )
+    f2 = {}
+    for name, df in (("uniform", uniform), ("skewed", skewed)):
+        s = sketches.countmin_build(df, "k", depth=5, width=4096)
+        f2[name] = sketches.countmin_join_size(s, s).first()["est_join_rows"]
+    assert f2["uniform"] == 10 * 10 * 10      # 10 keys x 10^2
+    assert f2["skewed"] == 91 * 91 + 9        # hot key dominates
+    assert f2["skewed"] > 8 * f2["uniform"]   # the skew signal fires
