@@ -1134,3 +1134,37 @@ def test_delete_keys_replay_is_idempotent(spark, tmp_path):
     assert again.get("noop") is True
     assert versioned.versions(root) == [0, first["version"]]
     assert versioned.read_version(spark, root).count() == 98
+
+
+def test_delete_keys_retries_cas_losses_then_succeeds(
+    spark, tmp_path, monkeypatch
+):
+    """delete_keys honors max_retries with the optimistic re-read loop:
+    two injected CAS losses are retried transparently (each retry would
+    re-read latest and re-prune), the third attempt lands; with the
+    budget below the loss count the last ConcurrentCommitError
+    surfaces."""
+    root = str(tmp_path / "zone_retry")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    ).coalesce(1)
+    versioned.commit_version(df, root, bloom_cols=["id"])
+
+    real_once = versioned._delete_keys_once
+    fails = {"left": 2}
+
+    def flaky(spark_, root_, col_, values_):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise versioned.ConcurrentCommitError("injected race")
+        return real_once(spark_, root_, col_, values_)
+
+    monkeypatch.setattr(versioned, "_delete_keys_once", flaky)
+    out = versioned.delete_keys(spark, root, "id", [3], max_retries=5)
+    assert out["rows_deleted"] == 1 and fails["left"] == 0
+
+    fails["left"] = 2
+    import pytest as _pytest
+
+    with _pytest.raises(versioned.ConcurrentCommitError, match="injected"):
+        versioned.delete_keys(spark, root, "id", [4], max_retries=2)
