@@ -118,6 +118,99 @@ def exact_jaccard(shingles_a: Column, shingles_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def prefix_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join above a Jaccard threshold via
+    PREFIX FILTERING (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07
+    — the ssjoin answer when MinHash-LSH's recall < 1 is not
+    acceptable: legal dedup, benchmark decontamination audits, exact
+    plagiarism sweeps). Returns every pair ``(id_a, id_b, jaccard)``
+    with ``id_a < id_b`` and distinct-``n``-shingle Jaccard ≥ ``tau`` —
+    the same pair set the quadratic cross join produces, at candidate
+    cost instead of corpus².
+
+    Why it is complete (recall exactly 1.0): order every shingle by a
+    GLOBAL total order (rarity first: ascending document frequency,
+    hash tiebreak) and give each document's sorted shingle set a prefix
+    of its first ``|d| − ⌈tau·|d|⌉ + 1`` elements. If two docs have
+    J ≥ tau their overlap is ≥ tau·max(|a|,|b|), and the classic
+    argument shows their PREFIXES must share at least one element —
+    so emitting candidates only for prefix-shared shingles misses
+    nothing, while the rarity-first order makes the shared element as
+    selective as possible (candidate volume rides the rarest shingles'
+    document frequencies, not the vocabulary's hot head).
+
+    Scale shape: shingles travel as xxhash64 longs (documented benign
+    collision bound vs string semantics); the df table is one groupBy
+    over 8-byte keys; per-doc sorting is a per-row ``array_sort`` over
+    (df, hash) structs — no rank window, no global sort; candidates are
+    one self-equi-join on the prefix-shingle key with the triangle cut
+    in the join condition; each candidate pair verifies with the exact
+    array-intersection Jaccard. No cross product anywhere (plan-gated
+    in tests)."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    els = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__els"),
+    ).filter(F.size("__els") > 0)
+    flat = els.select(id_col, F.explode("__els").alias("__e"))
+    df_tbl = flat.groupBy("__e").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc global-order sort: array_sort over (df, hash) structs —
+    # struct comparison is field-lexicographic, so rarest-first with a
+    # deterministic hash tiebreak, computed per row (never a window)
+    ranked = (
+        flat.join(df_tbl, "__e")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__e")))
+            ).alias("__sorted")
+        )
+    )
+    sz = F.size("__sorted")
+    prefix_len = (sz - F.ceil(sz * F.lit(float(tau))) + 1).cast("int")
+    prefix = ranked.select(
+        F.col(id_col),
+        F.transform(
+            F.slice("__sorted", 1, prefix_len), lambda s: s["__e"]
+        ).alias("__prefix"),
+    ).select(id_col, F.explode("__prefix").alias("__e"))
+    cand = (
+        prefix.select(F.col(id_col).alias("__id_a"), "__e")
+        .join(
+            prefix.select(F.col(id_col).alias("__id_b"), "__e"),
+            "__e",
+        )
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("__id_a", "__id_b")
+        .distinct()
+    )
+    ea = els.select(F.col(id_col).alias("__id_a"), F.col("__els").alias("__ea"))
+    eb = els.select(F.col(id_col).alias("__id_b"), F.col("__els").alias("__eb"))
+    return (
+        cand.join(ea, "__id_a")
+        .join(eb, "__id_b")
+        .select(
+            F.col("__id_a").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            F.round(exact_jaccard(F.col("__ea"), F.col("__eb")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
 def _banded(sig_df: DataFrame, id_col: str, n_bands: int, r: int) -> DataFrame:
     return sig_df.select(
         id_col,

@@ -427,6 +427,60 @@ ORDER BY suppkey
 """
 
 
+def docs_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold set-similarity join (round 12,
+    `neardup.prefix_jaccard_join`): EVERY document pair with
+    3-shingle Jaccard ≥ 0.5 over the whole corpus — recall exactly 1.0
+    by the prefix-filtering guarantee, candidate cost instead of the
+    corpus² the oracle pays. The oracle IS the quadratic cross join, so
+    the prefix decomposition is proven identical to the textbook
+    definition; the LSH family (`docs_neardup_minhash`) remains the
+    recall-traded sibling for thresholds where even candidates are too
+    many. The face caps the corpus at SSJOIN_N_DOCS so the QUADRATIC
+    oracle stays tractable at sf0.1 (the cap covers the whole corpus at
+    sf0.001/0.01; the operator itself has no cap — the whole point is
+    that IT does not go quadratic, and its uncapped parity is pinned by
+    the brute-force property test in tests/test_neardup.py)."""
+    from realtime_data_pipeline_spark import neardup as nd
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SSJOIN_N_DOCS
+    )
+    return (
+        nd.prefix_jaccard_join(docs, "doc_id", "text", tau=0.5, n=3)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SSJOIN_N_DOCS = 1500
+
+DOCS_JACCARD_JOIN_EXACT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE doc_id < {SSJOIN_N_DOCS}
+), d AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM toks
+), nonempty AS (
+  SELECT * FROM d WHERE len(sh) > 0
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                      AS DOUBLE), 6) AS j6
+  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(j6, 4) AS jaccard
+FROM p WHERE j6 >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_jaccard_top_pairs": docs_jaccard_top_pairs,
     "docs_neardup_minhash": docs_neardup_minhash,
@@ -449,6 +503,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suppliers_fuzzy_entities": suppliers_fuzzy_entities,
     # round-11 build: quality-based dup-cluster canonicalization
     "docs_dup_best_representative": docs_dup_best_representative,
+    # round-12 build: exact threshold ssjoin via prefix filtering
+    "docs_jaccard_join_exact": docs_jaccard_join_exact,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -457,6 +513,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "docs_jaccard_join_exact": DOCS_JACCARD_JOIN_EXACT_SQL,
     "suppliers_fuzzy_name_pairs": SUPPLIERS_FUZZY_NAME_PAIRS_SQL,
     "suppliers_fuzzy_entities": SUPPLIERS_FUZZY_ENTITIES_SQL,
     "docs_dup_best_representative": DOCS_DUP_BEST_REPRESENTATIVE_SQL,

@@ -309,3 +309,77 @@ def test_incremental_neardup_minhash_across_batches(spark, tmp_path):
     # index holds exactly the three indexed docs (1, 2, 5); the short
     # doc is never indexed and the replay appended nothing
     assert spark.read.parquet(f"{idx}/sigs").count() == 3
+
+
+def test_prefix_jaccard_join_equals_brute_force(spark):
+    """Prefix filtering must be COMPLETE (recall exactly 1.0): across
+    random corpora with planted near-dup families and several
+    thresholds, the candidate-pruned join returns byte-for-byte the
+    pair set the quadratic cross join defines."""
+    import random
+
+    from realtime_data_pipeline_spark import neardup as nd
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    base_id = 0
+    for fam in range(12):
+        base = [rng.choice(vocab) for _ in range(rng.randint(8, 30))]
+        # family of 1-4 variants with small edits => high-jaccard pairs
+        for _ in range(rng.randint(1, 4)):
+            d = list(base)
+            for _ in range(rng.randint(0, 3)):
+                op = rng.random()
+                if op < 0.4 and len(d) > 5:
+                    d.pop(rng.randrange(len(d)))
+                elif op < 0.8:
+                    d.insert(rng.randrange(len(d) + 1), rng.choice(vocab))
+                else:
+                    d[rng.randrange(len(d))] = rng.choice(vocab)
+            docs.append((base_id, " ".join(d)))
+            base_id += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                nd.word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    for tau in (0.3, 0.5, 0.8):
+        brute = {
+            (r.id_a, r.id_b, r.j)
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    nd.exact_jaccard(F.col("sa"), F.col("sb")), 6
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= tau)
+            .collect()
+        }
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in nd.prefix_jaccard_join(
+                df, "doc_id", "text", tau=tau, n=3
+            ).collect()
+        }
+        assert got == brute, (tau, len(got), len(brute))
+        assert brute, tau  # the fixture must actually exercise the join
+
+
+def test_prefix_jaccard_join_plan_has_no_cartesian(spark, sf_dir):
+    from realtime_data_pipeline_spark import neardup as nd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = nd.prefix_jaccard_join(docs, "doc_id", "text", tau=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
