@@ -586,7 +586,59 @@ ORDER BY anchor_id
 """
 
 
+def embeddings_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d×d covariance of the embedding corpus as (i, j, cov) rows —
+    the oracle face of ``reduction.moments`` (one scan, one geometry-
+    bounded partial per partition, ``1+d+d²`` doubles collected; the
+    result IS driver-sized by construction, lifted back through the
+    Arrow path). DuckDB checks it with COVAR_SAMP over an unnested
+    self-join — the quadratic spelling this side never runs."""
+    import pandas as pd
+
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    _n, rows = reduction.covariance_rows(emb)
+    pdf = pd.DataFrame(rows, columns=["i", "j", "cov"])
+    return spark.createDataFrame(pdf, "i int, j int, cov double")
+
+
+EMBEDDINGS_COVARIANCE_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+         CAST(embedding[t.i] AS DOUBLE) AS xi
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT a.i - 1 AS i, b.i - 1 AS j, ROUND(COVAR_SAMP(a.xi, b.xi), 6) AS cov
+FROM x a JOIN x b USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
+PCA_K = 8
+
+
+def embeddings_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA scores (top-8 components, whitened space available via the
+    same model) per vector — rows-only by nature (eigendecomposition is
+    not SQL-expressible); numpy parity + variance-ordering gates live in
+    tests/test_reduction.py. Projection is map-only JVM codegen."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = reduction.pca_train(emb, k=PCA_K)
+    out = reduction.pca_project(emb, model, out_col="pca", method="expr")
+    cols = [
+        F.round(F.element_at("pca", i + 1), 4).alias(f"pc{i + 1}")
+        for i in range(PCA_K)
+    ]
+    return out.select("vec_id", "label", *cols)
+
+
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-12 build: exact covariance (oracle) + PCA scores (rows-only)
+    "embeddings_covariance": embeddings_covariance,
+    "embeddings_pca_scores": embeddings_pca_scores,
     # round-12 build: contrastive hard-negative mining, exact baseline
     "embeddings_hard_negatives": embeddings_hard_negatives,
     "embedding_knn_lsh": embedding_knn_lsh,
@@ -599,6 +651,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "embeddings_covariance": EMBEDDINGS_COVARIANCE_SQL,
     "embeddings_hard_negatives": EMBEDDINGS_HARD_NEGATIVES_SQL,
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,

@@ -1,0 +1,103 @@
+"""PCA-as-candidate-generator recall sweep (round-12 reduction family).
+
+Measures recall@10 vs the exact full-dimension cosine scan at sf0.1 for
+PCA projections at k ∈ {8, 16, 24, 32} (of d=64), both raw (top-10 in
+the reduced space) and refined (top-`cand` reduced-space candidates
+exactly re-ranked in full space — the same exact-refine idea the IVF×PQ
+path uses). Also records explained-variance per k, so the recall numbers
+can be read against the fixture's near-isotropic spectrum.
+
+The projection runs through the distributed operator
+(`reduction.pca_project`, Arrow path); the recall bookkeeping collects
+the (bounded, fixture-sized) projected corpus — a measurement harness,
+not an operator.
+
+Output: merges "pca_ann_recall" into LSH_RECALL.json.
+Run: python scripts/pca_recall_sweep.py [sf_dir]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get(
+    "PYTHONPATH", ""
+)
+
+import numpy as np  # noqa: E402
+
+K = 10
+N_QUERIES = 50
+K_CONFIGS = (8, 16, 24, 32)
+CAND_CONFIGS = (50, 100)
+
+
+def main() -> None:
+    from realtime_data_pipeline_spark import reduction
+    from realtime_data_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="pca-recall-sweep", shuffle_partitions=8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q_idx = list(range(min(N_QUERIES, X.shape[0])))
+    exact = {}
+    for qi in q_idx:
+        order = np.argsort(-(Xn[qi] @ Xn.T))
+        exact[qi] = [int(i) for i in order if i != qi][:K]
+
+    out: dict = {
+        "sf_dir": sf_dir,
+        "dim": int(X.shape[1]),
+        "corpus": int(X.shape[0]),
+        "n_queries": len(q_idx),
+        "k_at": K,
+        "configs": [],
+    }
+    for k in K_CONFIGS:
+        model = reduction.pca_train(emb, k=k)
+        proj = reduction.pca_project(emb, model, method="arrow")
+        prow = proj.select("vec_id", "pca").collect()
+        prow.sort(key=lambda r: r.vec_id)
+        P = np.array([r.pca for r in prow])
+        Pn = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+        for cand_n in CAND_CONFIGS:
+            hr = hf = 0
+            for qi in q_idx:
+                order = [
+                    int(i) for i in np.argsort(-(Pn[qi] @ Pn.T)) if i != qi
+                ]
+                hr += len(set(order[:K]) & set(exact[qi]))
+                rerank = sorted(
+                    order[:cand_n], key=lambda i: -(Xn[qi] @ Xn[i])
+                )[:K]
+                hf += len(set(rerank) & set(exact[qi]))
+            out["configs"].append(
+                {
+                    "k": k,
+                    "explained_variance": round(model["explained"], 4),
+                    "cand": cand_n,
+                    "recall_raw": round(hr / (K * len(q_idx)), 4),
+                    "recall_refined": round(hf / (K * len(q_idx)), 4),
+                    "scan_frac_reduced": round(k / X.shape[1], 4),
+                }
+            )
+    spark.stop()
+
+    art = os.path.join(_REPO_ROOT, "LSH_RECALL.json")
+    doc = json.load(open(art)) if os.path.exists(art) else {}
+    doc["pca_ann_recall"] = out
+    with open(art, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"pca_ann_recall": out}))
+
+
+if __name__ == "__main__":
+    main()

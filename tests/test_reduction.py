@@ -1,0 +1,219 @@
+"""Dimensionality reduction (reduction.py): one-pass moments vs numpy,
+layout invariance, PCA model properties, expr/arrow projection parity,
+whitening, seeded JL determinism + distance preservation, and the
+PCA-as-candidate-generator recall story for ANN."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_data_pipeline_spark import reduction
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    return np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+
+def test_moments_match_numpy_exactly(emb, X):
+    n, mean, cov = reduction.moments(emb)
+    assert n == X.shape[0]
+    np.testing.assert_allclose(mean, X.mean(axis=0), atol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(X, rowvar=False), atol=1e-10)
+
+
+def test_moments_invariant_to_partition_layout(emb):
+    base = reduction.moments(emb.coalesce(1))
+    wide = reduction.moments(emb.repartition(13))
+    assert base[0] == wide[0]
+    np.testing.assert_allclose(base[1], wide[1], atol=1e-9)
+    np.testing.assert_allclose(base[2], wide[2], atol=1e-9)
+
+
+def test_moments_skip_null_and_ragged_vectors(spark, emb):
+    import pandas as pd
+
+    d = len(emb.select("embedding").first().embedding)
+    junk = spark.createDataFrame(
+        pd.DataFrame({"embedding": [None, [1.0, 2.0]]}),
+        f"embedding array<double>",
+    )
+    n_clean, mean_clean, cov_clean = reduction.moments(emb)
+    n_mixed, mean_mixed, cov_mixed = reduction.moments(
+        emb.select("embedding").unionByName(junk), dim=d
+    )
+    assert n_mixed == n_clean
+    np.testing.assert_allclose(mean_mixed, mean_clean, atol=1e-9)
+    np.testing.assert_allclose(cov_mixed, cov_clean, atol=1e-9)
+
+
+def test_moments_requires_two_rows(emb):
+    with pytest.raises(ValueError, match=">= 2 valid vectors"):
+        reduction.moments(emb.limit(1))
+
+
+def test_pca_model_properties(emb, X):
+    k = 8
+    model = reduction.pca_train(emb, k=k)
+    # eigenvalue-descending, nonnegative, explained fraction in (0, 1]
+    ev = model["eigvals"]
+    assert np.all(ev[:-1] >= ev[1:] - 1e-12) and ev[-1] >= -1e-10
+    assert 0 < model["explained"] <= 1 + 1e-12
+    # orthonormal rows
+    G = model["components"] @ model["components"].T
+    np.testing.assert_allclose(G, np.eye(k), atol=1e-9)
+    # sign convention: the largest-|.| coordinate of each row is positive
+    for row in model["components"]:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # parity with numpy eigh on the numpy covariance
+    vals, vecs = np.linalg.eigh(np.cov(X, rowvar=False))
+    np.testing.assert_allclose(ev, vals[::-1][:k], atol=1e-9)
+
+
+def test_projection_expr_arrow_numpy_parity(emb, X):
+    model = reduction.pca_train(emb, k=6)
+    Y = (X - model["mean"]) @ model["components"].T
+
+    def as_mat(df):
+        rows = df.select("vec_id", "pca").collect()
+        rows.sort(key=lambda r: r.vec_id)
+        return np.array([r.pca for r in rows])
+
+    for method in ("expr", "arrow"):
+        got = as_mat(reduction.pca_project(emb, model, method=method))
+        np.testing.assert_allclose(got, Y, atol=1e-9, err_msg=method)
+
+
+def test_expr_projection_stays_jvm_side(emb):
+    model = reduction.pca_train(emb, k=4)
+    plan = plan_str(reduction.pca_project(emb, model, method="expr"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only: projection never shuffles
+
+
+def test_projection_nulls_pass_through_not_dropped(spark, emb):
+    import pandas as pd
+
+    d = len(emb.select("embedding").first().embedding)
+    junk = spark.createDataFrame(
+        pd.DataFrame({"embedding": [None, [1.0] * (d - 1)]}),
+        "embedding array<double>",
+    )
+    mixed = emb.select("embedding").unionByName(junk)
+    mat = np.eye(2, d)
+    for method in ("expr", "arrow"):
+        out = reduction.project(mixed, mat, method=method)
+        assert out.count() == mixed.count(), method
+        assert out.filter(F.col("proj").isNull()).count() == 2, method
+
+
+def test_whitened_covariance_is_identity(emb):
+    k = 6
+    model = reduction.pca_train(emb, k=k)
+    w = reduction.pca_project(emb, model, whiten=True, method="arrow")
+    W = np.stack([np.asarray(r.pca) for r in w.select("pca").collect()])
+    np.testing.assert_allclose(np.cov(W, rowvar=False), np.eye(k), atol=1e-6)
+
+
+def test_jl_deterministic_and_distance_preserving(emb, X):
+    d = X.shape[1]
+    # same seed -> bit-identical matrix; different seed -> different
+    assert np.array_equal(reduction.jl_matrix(16, d, 3), reduction.jl_matrix(16, d, 3))
+    assert not np.array_equal(reduction.jl_matrix(16, d, 3), reduction.jl_matrix(16, d, 4))
+
+    out = reduction.random_projection(emb, 32, seed=11, method="arrow")
+    rows = out.select("vec_id", "rp").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    Y = np.array([r.rp for r in rows])
+    # JL: squared distances preserved in expectation; check the mean
+    # relative distortion over a deterministic pair sample
+    m = min(120, X.shape[0])
+    dx = ((X[:m, None, :] - X[None, :m, :]) ** 2).sum(-1)
+    dy = ((Y[:m, None, :] - Y[None, :m, :]) ** 2).sum(-1)
+    iu = np.triu_indices(m, 1)
+    ratio = dy[iu] / dx[iu]
+    assert abs(float(np.mean(ratio)) - 1.0) < 0.15
+    assert float(np.mean(np.abs(ratio - 1.0))) < 0.35
+
+
+def _exact_top10(X, q_idx):
+    sims = (X @ X[q_idx].T).T  # cosine ordering == dot if not normalized?
+    # use true cosine: normalize
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn[q_idx] @ Xn.T
+    out = {}
+    for qi, row in zip(q_idx, sims):
+        order = np.argsort(-row)
+        out[qi] = [int(i) for i in order if i != qi][:10]
+    return out
+
+
+def test_pca_candidate_generation_recall(emb, X):
+    """PCA space as an ANN candidate generator: top-50 candidates in the
+    reduced space, exact re-rank in full space — recall@10 must beat the
+    raw reduced-space top-10 and clear a floor. The fixture is
+    near-isotropic (top-8 components carry ~20% of variance), so the
+    raw reduced-space recall is structurally modest — the measured
+    numbers document the knob, the refine step recovers the loss."""
+    # measured (this fixture family): sf0.001 k=24/cand=100 reads
+    # raw 0.38 -> refined 0.93; sf0.1 (2000 vecs, explained 0.45)
+    # reads raw 0.245 -> refined 0.76. Gate below both with margin.
+    model = reduction.pca_train(emb, k=24)
+    proj = reduction.pca_project(emb, model, method="arrow")
+    rows = proj.select("vec_id", "pca").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    P = np.array([r.pca for r in rows])
+    Pn = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    q_idx = list(range(20))
+    exact = _exact_top10(X, q_idx)
+    hit_raw = hit_refined = 0
+    for qi in q_idx:
+        red = Pn[qi] @ Pn.T
+        order = [int(i) for i in np.argsort(-red) if i != qi]
+        raw10 = order[:10]
+        cand = order[:100]
+        rerank = sorted(cand, key=lambda i: -(Xn[qi] @ Xn[i]))[:10]
+        hit_raw += len(set(raw10) & set(exact[qi]))
+        hit_refined += len(set(rerank) & set(exact[qi]))
+    recall_raw = hit_raw / (10 * len(q_idx))
+    recall_refined = hit_refined / (10 * len(q_idx))
+    # refine must recover what the reduced space loses
+    assert recall_refined >= recall_raw
+    assert recall_refined >= 0.65, (recall_raw, recall_refined)
+
+
+def test_covariance_face_matches_moments(spark, sf_dir, emb):
+    from realtime_data_pipeline_spark.queries.vectors import (
+        embeddings_covariance,
+    )
+
+    _n, _mean, cov = reduction.moments(emb)
+    got = {
+        (r.i, r.j): r.cov
+        for r in embeddings_covariance(spark, sf_dir).collect()
+    }
+    d = cov.shape[0]
+    assert len(got) == d * d
+    for (i, j), v in got.items():
+        assert abs(v - round(float(cov[i, j]), 6)) < 1e-12
