@@ -1260,6 +1260,55 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Dimensionality-reduction leg (round-12): the full PCA chain — one
+    # moments pass (one partial row per partition, 1+d+d^2 doubles
+    # merged by position), driver eigh, then the map-only Arrow/BLAS
+    # projection of the corpus. Prices the train+project composition;
+    # the moments pass is the only corpus-sized job and it is scan-bound.
+    from realtime_data_pipeline_spark import reduction
+
+    def pca_leg():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        model = reduction.pca_train(emb, k=16)  # eager moments + eigh
+        return reduction.pca_project(emb, model, method="arrow")
+
+    timings["pca_train_project"] = _bench_leg(
+        "pca_train_project",
+        lambda: pca_leg().write.format("noop").mode("overwrite").save(),
+    )
+    print(
+        f"# pca_train_project: {timings['pca_train_project']}s",
+        file=sys.stderr,
+    )
+
+    # Trained-classifier leg (round-12): 8 full-batch GD iterations on
+    # hashed features over documents + one map-only scoring pass. Each
+    # iteration is one scan + a dim+1-group shuffle, so the leg prices
+    # per-iteration overhead (the 100 TB knob: iterations x scan cost).
+    from realtime_data_pipeline_spark import classifier as _clf
+
+    def logreg_leg():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            _clf.hash_features(F.col("text"), 1024).alias("__x"),
+            (F.length("text") > 200).cast("int").alias("__y"),
+        )
+        model = _clf.logreg_train(
+            docs, "__x", "__y", dim=1024, iters=8, lr=0.5
+        )
+        return _clf.logreg_score(docs, model, "__x").select(
+            "doc_id", "score"
+        )
+
+    timings["logreg_train8_score"] = _bench_leg(
+        "logreg_train8_score",
+        lambda: logreg_leg().write.format("noop").mode("overwrite").save(),
+    )
+    print(
+        f"# logreg_train8_score: {timings['logreg_train8_score']}s",
+        file=sys.stderr,
+    )
+
     # Semantic-dedup leg (round-7 addition): the SemDeDup shape over the
     # embeddings fixture — orthant bucketing, within-bucket cosine
     # pairs, dominance anti-mark. Pair volume is sum(|cell|^2), so the

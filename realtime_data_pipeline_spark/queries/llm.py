@@ -1057,6 +1057,58 @@ ORDER BY t.source
 """
 
 
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality scoring (classifier.py): distill the deterministic
+    quality_band heuristic into a logistic model — weak labels from the
+    heuristic, hashed BUCKETIZED-STATS features (length decile ×
+    diversity centile, plus their cross — the signals the band actually
+    encodes; raw-token bags are the other showcase,
+    tests/test_classifier.py's separable corpus, but this fixture's
+    synthetic lexicon carries no band signal so stats features are the
+    honest spelling), full-batch GD where each iteration is one scan +
+    a dim+1-group shuffle, then one map-only scoring pass. Rows-only by
+    nature (iterative training is not SQL-expressible); fit-vs-weak-
+    labels accuracy >= 0.9 gated in tests/test_classifier.py (measured
+    0.99 at sf0.001 / 0.994 at sf0.1)."""
+    from realtime_data_pipeline_spark import classifier
+
+    dim = 1024
+    seed = 41
+    wc = text.word_count(F.col("text"))
+    div = F.when(
+        wc > 0, text.distinct_word_count(F.col("text")) / wc
+    ).otherwise(F.lit(0.0))
+    wc_b = F.least(F.lit(20), F.floor(wc / F.lit(10))).cast("string")
+    dv_b = F.floor(div * F.lit(100)).cast("string")
+    feats = F.array(
+        F.pmod(F.xxhash64(F.concat(F.lit("wc_"), wc_b), F.lit(seed)), F.lit(dim)),
+        F.pmod(F.xxhash64(F.concat(F.lit("dv_"), dv_b), F.lit(seed)), F.lit(dim)),
+        F.pmod(
+            F.xxhash64(
+                F.concat(F.lit("x_"), wc_b, F.lit("_"), dv_b), F.lit(seed)
+            ),
+            F.lit(dim),
+        ),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats.alias("__x"),
+        (text.quality_band(F.col("text")) == "high")
+        .cast("int")
+        .alias("weak_label"),
+    )
+    model = classifier.logreg_train(
+        docs, "__x", "weak_label", dim=dim, iters=40, lr=1.0, l2=1e-6
+    )
+    scored = classifier.logreg_score(docs, model, "__x")
+    return scored.select(
+        "doc_id",
+        "weak_label",
+        F.round("score", 4).alias("score"),
+        (F.col("score") > 0.5).cast("int").alias("pred"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_meta_profile": docs_multimodal_meta_profile,
     "docs_curated_trainset": docs_curated_trainset,
@@ -1075,6 +1127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_multimodal.py schema/determinism checks and the smoke run in
 # tests/test_queries_oracle.py).
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_quality_classifier": docs_quality_classifier,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_multimodal_decode": docs_multimodal_decode,
     "docs_multimodal_real_decode": docs_multimodal_real_decode,
