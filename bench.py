@@ -1519,6 +1519,8 @@ RAMP_LEGS = [
     "local_supplier_volume_q5",  # 6-table star join, facts 10x / dims 1x
     "parts_copurchase_pairs",    # within-order pair self-join, 10x orders
     "events_dau_wau",            # sliding distinct via explode, 10x events
+    "embeddings_pca_scores",     # moments pass + eigh + map-only project,
+                                 # 10x corpus (r12 reduction family)
 ]
 
 

@@ -141,6 +141,186 @@ def logreg_score(
     return df.withColumn(out_col, prob(F.col(feat_col)))
 
 
+def _softmax_resid_udf(W: np.ndarray, bias: np.ndarray):
+    """Arrow-batched per-row softmax residual vector ``p − onehot(y)``
+    (length C). W is (C, dim); both ride in the closure."""
+    Wv = np.asarray(W, dtype=np.float64)
+    bv = np.asarray(bias, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def resid(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for idx, y in zip(xs, ys):
+            ii = np.asarray(idx, dtype=np.int64)
+            z = bv + (Wv[:, ii].sum(axis=1) if len(ii) else 0.0)
+            z -= z.max()  # stable softmax
+            p = np.exp(z)
+            p /= p.sum()
+            r = p.copy()
+            r[int(y)] -= 1.0
+            out.append(r.tolist())
+        return pd.Series(out)
+
+    return resid
+
+
+def _softmax_prob_udf(W: np.ndarray, bias: np.ndarray):
+    Wv = np.asarray(W, dtype=np.float64)
+    bv = np.asarray(bias, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def prob(xs: pd.Series) -> pd.Series:
+        out = []
+        for idx in xs:
+            ii = np.asarray(idx, dtype=np.int64)
+            z = bv + (Wv[:, ii].sum(axis=1) if len(ii) else 0.0)
+            z -= z.max()
+            p = np.exp(z)
+            p /= p.sum()
+            out.append(p.tolist())
+        return pd.Series(out)
+
+    return prob
+
+
+def softmax_train(
+    df: DataFrame,
+    feat_col: str,
+    label_col: str,
+    dim: int,
+    n_classes: int,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> dict:
+    """Multinomial (softmax) regression — the multiclass workhorse of
+    curation pipelines (language-ID, domain buckets, quality tiers).
+    Same distributed shape as :func:`logreg_train`, one residual VECTOR
+    per row: each iteration is one scan (Arrow UDF, (C×dim) weights in
+    the closure) + one shuffle of at most ``(dim+1)·C`` groups
+    (explode bag × posexplode residual), row-count-free. Labels must be
+    ints in [0, n_classes)."""
+    data = df.select(
+        F.col(feat_col).alias("__x"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).persist()
+    try:
+        n = data.count()
+        if n == 0:
+            raise ValueError("softmax_train: empty input")
+        W = np.zeros((n_classes, dim), dtype=np.float64)
+        bias = np.zeros(n_classes, dtype=np.float64)
+        for _ in range(iters):
+            resid = _softmax_resid_udf(W, bias)
+            grad_rows = (
+                data.withColumn("__r", resid(F.col("__x"), F.col("__y")))
+                .select(
+                    F.explode(
+                        F.concat(
+                            F.col("__x"), F.array(F.lit(dim).cast("bigint"))
+                        )
+                    ).alias("__i"),
+                    F.col("__r"),
+                )
+                .select("__i", F.posexplode("__r").alias("__c", "__rc"))
+                .groupBy("__i", "__c")
+                .agg(F.sum("__rc").alias("__g"))
+                .collect()  # bounded: <= (dim+1) * n_classes rows
+            )
+            G = np.zeros((dim + 1, n_classes), dtype=np.float64)
+            for r in grad_rows:
+                G[int(r["__i"]), int(r["__c"])] = r["__g"]
+            W -= lr * (G[:dim].T / n + l2 * W)
+            bias -= lr * (G[dim] / n)
+    finally:
+        data.unpersist()
+    return {
+        "W": W, "bias": bias, "dim": dim, "n_classes": n_classes,
+        "n": int(n), "iters": iters, "lr": lr, "l2": l2,
+    }
+
+
+def softmax_score(
+    df: DataFrame, model: dict, feat_col: str,
+    prob_col: str = "probs", pred_col: str = "pred",
+) -> DataFrame:
+    """Map-only scoring: class-probability array + argmax prediction
+    (ties break to the lowest class index, deterministically)."""
+    prob = _softmax_prob_udf(model["W"], model["bias"])
+    out = df.withColumn(prob_col, prob(F.col(feat_col)))
+    arr = F.col(prob_col)
+    return out.withColumn(
+        pred_col,
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int"),
+    )
+
+
+def numpy_softmax_reference(
+    bags: list[list[int]],
+    ys: list[int],
+    dim: int,
+    n_classes: int,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side reference with the identical update rule (parity
+    target; distributed sums reassociate → ~1e-12 agreement)."""
+    W = np.zeros((n_classes, dim), dtype=np.float64)
+    bias = np.zeros(n_classes, dtype=np.float64)
+    n = len(bags)
+    for _ in range(iters):
+        G = np.zeros((dim + 1, n_classes), dtype=np.float64)
+        for idx, y in zip(bags, ys):
+            ii = np.asarray(idx, dtype=np.int64)
+            z = bias + (W[:, ii].sum(axis=1) if len(ii) else 0.0)
+            z -= z.max()
+            p = np.exp(z)
+            p /= p.sum()
+            r = p.copy()
+            r[int(y)] -= 1.0
+            np.add.at(G, ii, r)
+            G[dim] += r
+        W -= lr * (G[:dim].T / n + l2 * W)
+        bias -= lr * (G[dim] / n)
+    return W, bias
+
+
+def save_logreg(spark, model: dict, path: str) -> None:
+    """One-row parquet through the Arrow path (float64 exact), so a
+    model trained once scores identically forever — across sessions,
+    streams, and engines that read parquet."""
+    pdf = pd.DataFrame(
+        {
+            "dim": [int(model["dim"])],
+            "bias": [float(model["bias"])],
+            "n": [int(model["n"])],
+            "iters": [int(model["iters"])],
+            "lr": [float(model["lr"])],
+            "l2": [float(model["l2"])],
+            "w": [np.asarray(model["w"], dtype=np.float64).tolist()],
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "dim int, bias double, n long, iters int, lr double, l2 double, "
+        "w array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_logreg(spark, path: str) -> dict:
+    r = spark.read.parquet(path).first()
+    return {
+        "w": np.asarray(r["w"], dtype=np.float64),
+        "bias": float(r["bias"]),
+        "dim": int(r["dim"]),
+        "n": int(r["n"]),
+        "iters": int(r["iters"]),
+        "lr": float(r["lr"]),
+        "l2": float(r["l2"]),
+    }
+
+
 def numpy_logreg_reference(
     bags: list[list[int]],
     ys: list[float],

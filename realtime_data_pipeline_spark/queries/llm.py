@@ -1109,6 +1109,53 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_quality_band_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass sibling of docs_quality_classifier: softmax regression
+    distilling the THREE-way quality_band heuristic (low/medium/high →
+    0/1/2) from the same bucketized length/diversity features. Rows-only
+    by nature; fit accuracy gated in tests/test_classifier.py."""
+    from realtime_data_pipeline_spark import classifier
+
+    dim = 1024
+    seed = 41
+    wc = text.word_count(F.col("text"))
+    div = F.when(
+        wc > 0, text.distinct_word_count(F.col("text")) / wc
+    ).otherwise(F.lit(0.0))
+    wc_b = F.least(F.lit(20), F.floor(wc / F.lit(10))).cast("string")
+    dv_b = F.floor(div * F.lit(100)).cast("string")
+    feats = F.array(
+        F.pmod(F.xxhash64(F.concat(F.lit("wc_"), wc_b), F.lit(seed)), F.lit(dim)),
+        F.pmod(F.xxhash64(F.concat(F.lit("dv_"), dv_b), F.lit(seed)), F.lit(dim)),
+        F.pmod(
+            F.xxhash64(
+                F.concat(F.lit("x_"), wc_b, F.lit("_"), dv_b), F.lit(seed)
+            ),
+            F.lit(dim),
+        ),
+    )
+    band = text.quality_band(F.col("text"))
+    y = (
+        F.when(band == "high", F.lit(2))
+        .when(band == "medium", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", feats.alias("__x"), y.alias("weak_label")
+    )
+    model = classifier.softmax_train(
+        docs, "__x", "weak_label", dim=dim, n_classes=3,
+        iters=40, lr=1.0, l2=1e-6,
+    )
+    scored = classifier.softmax_score(docs, model, "__x")
+    return scored.select(
+        "doc_id",
+        "weak_label",
+        F.col("pred").alias("pred"),
+        F.round(F.element_at("probs", F.col("pred") + 1), 4).alias("p_pred"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_meta_profile": docs_multimodal_meta_profile,
     "docs_curated_trainset": docs_curated_trainset,
@@ -1128,6 +1175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_queries_oracle.py).
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_classifier": docs_quality_classifier,
+    "docs_quality_band_multiclass": docs_quality_band_multiclass,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_multimodal_decode": docs_multimodal_decode,
     "docs_multimodal_real_decode": docs_multimodal_real_decode,

@@ -76,52 +76,9 @@ def moments(
     ``1 + d + d²`` totals — never the data.
     """
     d = dim if dim is not None else _infer_dim(df, vec_col)
-
-    def partials(batches):
-        n = 0
-        s = np.zeros(d, dtype=np.float64)
-        ss = np.zeros((d, d), dtype=np.float64)
-        for pdf in batches:
-            for v in pdf["v"]:
-                if v is None or len(v) != d:
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                n += 1
-                s += x
-                ss += np.outer(x, x)
-        if n:
-            yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
-            )
-
-    part = df.select(as_double_array(F.col(vec_col)).alias("v")).mapInPandas(
-        partials, schema="n long, s array<double>, ss array<double>"
-    )
-    # distributive merge: position-keyed sums; slot 0 is n, 1..d the sums,
-    # the rest the flattened outer-product sums
-    merged = (
-        part.select(
-            F.posexplode(
-                F.concat(
-                    F.array(F.col("n").cast("double")), F.col("s"), F.col("ss")
-                )
-            ).alias("pos", "val")
-        )
-        .groupBy("pos")
-        .agg(F.sum("val").alias("val"))
-        .collect()  # bounded: exactly 1 + d + d*d rows, data-size-free
-    )
-    tot = np.zeros(1 + d + d * d, dtype=np.float64)
-    for r in merged:
-        tot[r["pos"]] = r["val"]
-    n = int(tot[0])
-    if n < 2:
-        raise ValueError(f"moments needs >= 2 valid vectors, got {n}")
-    s = tot[1 : 1 + d]
-    ss = tot[1 + d :].reshape(d, d)
-    mean = s / n
-    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
-    return n, mean, cov
+    # distributive merge inside _batch_totals: position-keyed sums; slot
+    # 0 is n, 1..d the sums, the rest the flattened outer-product sums
+    return _stats_from_totals(_batch_totals(df, vec_col, d), d)
 
 
 def pca_train(
@@ -138,6 +95,10 @@ def pca_train(
     "explained" (fraction of total variance), "n"}``.
     """
     n, mean, cov = moments(df, vec_col=vec_col, dim=dim)
+    return _pca_from_cov(n, mean, cov, k)
+
+
+def _pca_from_cov(n: int, mean: np.ndarray, cov: np.ndarray, k: int) -> dict:
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     eigvals = vals[order]
@@ -277,6 +238,210 @@ def random_projection(
         df, jl_matrix(out_dim, d, seed=seed), mean=None, vec_col=vec_col,
         out_col=out_col, method=method,
     )
+
+
+def _write_one_file(spark, pdf: pd.DataFrame, schema: str, path: str) -> None:
+    """Driver-sized table → one parquet file through the Arrow path (the
+    ``similarity._write_local`` contract: a tuple-list local relation
+    would cost a pickled-Python-RDD write stage)."""
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _stats_from_totals(
+    tot: np.ndarray, d: int
+) -> tuple[int, np.ndarray, np.ndarray]:
+    n = int(tot[0])
+    if n < 2:
+        raise ValueError(f"moments needs >= 2 valid vectors, got {n}")
+    s = tot[1 : 1 + d]
+    ss = tot[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, cov
+
+
+def _batch_totals(df: DataFrame, vec_col: str, d: int) -> np.ndarray:
+    """The moments pass of :func:`moments`, returning the raw
+    ``1 + d + d²`` additive totals (n, Σx, Σxxᵀ) — the MERGEABLE
+    representation every incremental/streaming spelling shares."""
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        ss = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v is None or len(v) != d:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                n += 1
+                s += x
+                ss += np.outer(x, x)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    part = df.select(as_double_array(F.col(vec_col)).alias("v")).mapInPandas(
+        partials, schema="n long, s array<double>, ss array<double>"
+    )
+    merged = (
+        part.select(
+            F.posexplode(
+                F.concat(
+                    F.array(F.col("n").cast("double")), F.col("s"), F.col("ss")
+                )
+            ).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # bounded: exactly 1 + d + d*d rows, data-size-free
+    )
+    tot = np.zeros(1 + d + d * d, dtype=np.float64)
+    for r in merged:
+        tot[r["pos"]] = r["val"]
+    return tot
+
+
+def save_moments_state(
+    spark, tot: np.ndarray, dim: int, path: str, last_batch_id: int = -1
+) -> None:
+    """Persist the additive totals as a reusable sketch:
+    ``{path}/totals`` ((pos, val) rows — 1+d+d² of them) and
+    ``{path}/meta`` (dim + the last applied streaming batch id, the
+    exactly-once bookmark). Plain parquet, engine-portable."""
+    _write_one_file(
+        spark,
+        pd.DataFrame(
+            {"pos": np.arange(len(tot), dtype=np.int64), "val": tot}
+        ),
+        "pos long, val double",
+        f"{path}/totals",
+    )
+    _write_one_file(
+        spark,
+        pd.DataFrame({"dim": [dim], "last_batch_id": [int(last_batch_id)]}),
+        "dim int, last_batch_id long",
+        f"{path}/meta",
+    )
+
+
+def load_moments_state(spark, path: str) -> tuple[np.ndarray, int, int]:
+    """Returns (totals, dim, last_batch_id)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    d = int(meta["dim"])
+    rows = spark.read.parquet(f"{path}/totals").collect()
+    tot = np.zeros(1 + d + d * d, dtype=np.float64)
+    for r in rows:
+        tot[int(r["pos"])] = r["val"]
+    return tot, d, int(meta["last_batch_id"])
+
+
+def incremental_moments(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    batch_id: int | None = None,
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Fold one batch into a persisted moments sketch and return the
+    updated (n, mean, cov). The totals are ADDITIVE, so incremental ≡
+    full recompute up to float64 reassociation (pytest-pinned at 1e-9)
+    — the same merge the distributed pass does across partitions, now
+    across TIME. ``batch_id`` is the exactly-once bookmark: a replayed
+    micro-batch (id ≤ the stored one) is skipped, so a restarted stream
+    cannot double-count (same stance as the medallion sink's batch-id
+    bookkeeping). Per batch: one scan of the BATCH only + a
+    driver-sized state read/write — history is never rescanned."""
+    import os
+
+    have_state = os.path.exists(f"{path}/meta")
+    if have_state:
+        tot, d, last = load_moments_state(spark, path)
+        if batch_id is not None and batch_id <= last:
+            return _stats_from_totals(tot, d)  # replay: no double-count
+    else:
+        d = dim if dim is not None else _infer_dim(batch, vec_col)
+        tot = np.zeros(1 + d + d * d, dtype=np.float64)
+    tot = tot + _batch_totals(batch, vec_col, d)
+    save_moments_state(
+        spark, tot, d, path,
+        last_batch_id=batch_id if batch_id is not None else -1,
+    )
+    return _stats_from_totals(tot, d)
+
+
+def moments_sink(spark, path: str, vec_col: str = "embedding",
+                 dim: int | None = None):
+    """``foreachBatch`` adapter: ``stream.writeStream.foreachBatch(
+    moments_sink(spark, path))`` keeps a covariance/PCA model fresh as
+    data arrives, with replay-safe batch-id bookkeeping."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental_moments(
+            spark, batch_df, path, vec_col=vec_col, dim=dim,
+            batch_id=int(epoch_id),
+        )
+
+    return _sink
+
+
+def moments_from_path(spark, path: str) -> tuple[int, np.ndarray, np.ndarray]:
+    tot, d, _ = load_moments_state(spark, path)
+    return _stats_from_totals(tot, d)
+
+
+def pca_train_from_path(spark, path: str, k: int) -> dict:
+    """PCA model from a persisted moments sketch — no data scan at all;
+    the corpus was folded in by :func:`incremental_moments` /
+    :func:`moments_sink` as it arrived."""
+    n, mean, cov = moments_from_path(spark, path)
+    return _pca_from_cov(n, mean, cov, k)
+
+
+def save_pca_model(spark, model: dict, path: str) -> None:
+    """One-row parquet (components flattened) through the Arrow path —
+    float64 survives exactly, so load→score equals train→score
+    bitwise."""
+    comps = np.asarray(model["components"], dtype=np.float64)
+    k, d = comps.shape
+    pdf = pd.DataFrame(
+        {
+            "k": [k],
+            "d": [d],
+            "n": [int(model["n"])],
+            "explained": [float(model["explained"])],
+            "mean": [np.asarray(model["mean"], dtype=np.float64).tolist()],
+            "eigvals": [
+                np.asarray(model["eigvals"], dtype=np.float64).tolist()
+            ],
+            "components": [comps.reshape(-1).tolist()],
+        }
+    )
+    _write_one_file(
+        spark,
+        pdf,
+        "k int, d int, n long, explained double, mean array<double>, "
+        "eigvals array<double>, components array<double>",
+        path,
+    )
+
+
+def load_pca_model(spark, path: str) -> dict:
+    r = spark.read.parquet(path).first()
+    k, d = int(r["k"]), int(r["d"])
+    return {
+        "mean": np.asarray(r["mean"], dtype=np.float64),
+        "components": np.asarray(
+            r["components"], dtype=np.float64
+        ).reshape(k, d),
+        "eigvals": np.asarray(r["eigvals"], dtype=np.float64),
+        "explained": float(r["explained"]),
+        "n": int(r["n"]),
+    }
 
 
 def covariance_rows(

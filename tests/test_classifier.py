@@ -130,3 +130,83 @@ def test_face_runs_and_beats_chance(spark, sf_dir):
     assert {"doc_id", "weak_label", "score", "pred"} <= set(out.columns)
     acc = sum(1 for r in rows if r.pred == r.weak_label) / len(rows)
     assert acc >= 0.9, acc  # trained on its own weak labels: must fit
+
+
+def test_logreg_model_roundtrip_scores_identically(spark, labeled, tmp_path):
+    model = classifier.logreg_train(labeled, "x", "y", dim=DIM, iters=5)
+    path = str(tmp_path / "lr_model")
+    classifier.save_logreg(spark, model, path)
+    back = classifier.load_logreg(spark, path)
+    assert np.array_equal(back["w"], model["w"])
+    assert back["bias"] == model["bias"]
+    a = classifier.logreg_score(labeled, model, "x").select("score").collect()
+    b = classifier.logreg_score(labeled, back, "x").select("score").collect()
+    assert [r.score for r in a] == [r.score for r in b]
+
+
+@pytest.fixture(scope="module")
+def labeled3(spark):
+    """Three separable classes sharing filler tokens."""
+    rows = []
+    for i in range(80):
+        rows.append((f"alpha prose quality text {i % 7} the and", 0))
+        rows.append((f"beta spam noise junk {i % 5} the and", 1))
+        rows.append((f"gamma code table data {i % 3} the and", 2))
+    pdf = pd.DataFrame(rows, columns=["text", "y"])
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn("x", classifier.hash_features(F.col("text"), DIM))
+        .persist()
+    )
+
+
+def test_softmax_matches_numpy_reference(labeled3):
+    model = classifier.softmax_train(
+        labeled3, "x", "y", dim=DIM, n_classes=3, iters=10, lr=0.5, l2=1e-4
+    )
+    rows = labeled3.select("x", "y").collect()
+    W_ref, b_ref = classifier.numpy_softmax_reference(
+        [list(r.x) for r in rows], [int(r.y) for r in rows],
+        dim=DIM, n_classes=3, iters=10, lr=0.5, l2=1e-4,
+    )
+    np.testing.assert_allclose(model["W"], W_ref, atol=1e-9)
+    np.testing.assert_allclose(model["bias"], b_ref, atol=1e-9)
+
+
+def test_softmax_separable_accuracy_and_valid_probs(labeled3):
+    model = classifier.softmax_train(
+        labeled3, "x", "y", dim=DIM, n_classes=3, iters=30
+    )
+    scored = classifier.softmax_score(labeled3, model, "x")
+    agg = scored.select(
+        F.avg((F.col("pred") == F.col("y")).cast("double")).alias("acc"),
+        F.min(F.aggregate("probs", F.lit(0.0), lambda a, x: a + x)).alias(
+            "psum_lo"
+        ),
+        F.max(F.aggregate("probs", F.lit(0.0), lambda a, x: a + x)).alias(
+            "psum_hi"
+        ),
+    ).first()
+    assert agg.acc >= 0.99, agg
+    assert abs(agg.psum_lo - 1.0) < 1e-9 and abs(agg.psum_hi - 1.0) < 1e-9
+
+
+def test_softmax_layout_invariance(labeled3):
+    kw = dict(dim=DIM, n_classes=3, iters=5, lr=0.5, l2=1e-4)
+    a = classifier.softmax_train(labeled3.coalesce(1), "x", "y", **kw)
+    b = classifier.softmax_train(labeled3.repartition(11), "x", "y", **kw)
+    np.testing.assert_allclose(a["W"], b["W"], atol=1e-9)
+    np.testing.assert_allclose(a["bias"], b["bias"], atol=1e-9)
+
+
+def test_multiclass_face_fits_bands(spark, sf_dir):
+    from realtime_data_pipeline_spark.queries.llm import (
+        docs_quality_band_multiclass,
+    )
+
+    out = docs_quality_band_multiclass(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    acc = sum(1 for r in rows if r.pred == r.weak_label) / len(rows)
+    assert acc >= 0.9, acc
+    assert all(0.0 <= r.p_pred <= 1.0 for r in rows)

@@ -217,3 +217,72 @@ def test_covariance_face_matches_moments(spark, sf_dir, emb):
     assert len(got) == d * d
     for (i, j), v in got.items():
         assert abs(v - round(float(cov[i, j]), 6)) < 1e-12
+
+
+def test_incremental_moments_equal_full_recompute(spark, emb, tmp_path):
+    """Three arrival slices folded through the persisted sketch must
+    equal the one-shot pass — the additive-totals merge across TIME is
+    the same merge the distributed pass does across partitions."""
+    path = str(tmp_path / "mom")
+    slices = [
+        emb.filter(F.col("vec_id") % 3 == i).select("embedding")
+        for i in range(3)
+    ]
+    d = len(emb.select("embedding").first().embedding)
+    for i, sl in enumerate(slices):
+        n, mean, cov = reduction.incremental_moments(
+            spark, sl, path, dim=d, batch_id=i
+        )
+    full = reduction.moments(emb)
+    assert n == full[0]
+    np.testing.assert_allclose(mean, full[1], atol=1e-9)
+    np.testing.assert_allclose(cov, full[2], atol=1e-9)
+    # and the persisted state reloads to the same stats
+    again = reduction.moments_from_path(spark, path)
+    assert again[0] == full[0]
+    np.testing.assert_allclose(again[2], full[2], atol=1e-9)
+
+
+def test_incremental_moments_replay_is_idempotent(spark, emb, tmp_path):
+    """A replayed micro-batch (same epoch id) must NOT double-count —
+    the restarted-stream contract."""
+    path = str(tmp_path / "mom_replay")
+    d = len(emb.select("embedding").first().embedding)
+    sink = reduction.moments_sink(spark, path, dim=d)
+    half = emb.filter(F.col("vec_id") % 2 == 0).select("embedding")
+    sink(half, 0)
+    n1, _, cov1 = reduction.moments_from_path(spark, path)
+    sink(half, 0)  # replay of epoch 0
+    n2, _, cov2 = reduction.moments_from_path(spark, path)
+    assert n1 == n2
+    np.testing.assert_allclose(cov1, cov2, atol=0)
+    sink(emb.filter(F.col("vec_id") % 2 == 1).select("embedding"), 1)
+    n3, _, _ = reduction.moments_from_path(spark, path)
+    assert n3 == emb.count()
+
+
+def test_pca_from_persisted_sketch_no_data_scan(spark, emb, tmp_path):
+    path = str(tmp_path / "mom_pca")
+    d = len(emb.select("embedding").first().embedding)
+    reduction.incremental_moments(
+        spark, emb.select("embedding"), path, dim=d
+    )
+    from_sketch = reduction.pca_train_from_path(spark, path, k=5)
+    direct = reduction.pca_train(emb, k=5)
+    np.testing.assert_allclose(
+        from_sketch["components"], direct["components"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        from_sketch["eigvals"], direct["eigvals"], atol=1e-9
+    )
+
+
+def test_pca_model_roundtrip_exact(spark, emb, tmp_path):
+    model = reduction.pca_train(emb, k=4)
+    path = str(tmp_path / "pca_model")
+    reduction.save_pca_model(spark, model, path)
+    back = reduction.load_pca_model(spark, path)
+    assert np.array_equal(back["components"], model["components"])
+    assert np.array_equal(back["mean"], model["mean"])
+    assert np.array_equal(back["eigvals"], model["eigvals"])
+    assert back["n"] == model["n"]
