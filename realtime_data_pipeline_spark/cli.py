@@ -375,6 +375,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     pas.add_argument("--vec-col", default="embedding")
     pas.add_argument(
+        "--quality-model", default=None, metavar="PARQUET",
+        help="path to a saved logistic quality model "
+        "(classifier.save_logreg); documents are scored map-only with "
+        "hash_features(--text-col, model.dim, --quality-feat-seed) and "
+        "those below --quality-min-score are dropped before the split "
+        "— the trained sibling of the heuristic quality band",
+    )
+    pas.add_argument(
+        "--quality-min-score", type=float, default=0.5,
+        help="drop documents whose model score is below this",
+    )
+    pas.add_argument(
+        "--quality-feat-seed", type=int, default=41,
+        help="hash_features seed the model was trained with",
+    )
+    pas.add_argument(
         "--domain-cap", type=int, default=None,
         help="keep at most this many documents per --domain-col value "
         "(deterministic md5-rank selection — the anti-domination pass); "
@@ -795,6 +811,28 @@ def main(argv: list[str] | None = None) -> int:
                 eval_text_col=args.eval_text_col,
             )
             _mark("decontaminate")
+        if args.quality_model:
+            # trained quality gate AFTER the text rewrites (score the
+            # text that will be trained on) and BEFORE the cap/split:
+            # one map-only scoring pass, no shuffle; the model rode in
+            # as dim+1 float64s
+            from realtime_data_pipeline_spark import classifier
+
+            qmodel = classifier.load_logreg(spark, args.quality_model)
+            feats = classifier.hash_features(
+                F.col(args.text_col),
+                n_buckets=qmodel["dim"],
+                seed=args.quality_feat_seed,
+            )
+            docs = (
+                classifier.logreg_score(
+                    docs.withColumn("__qx", feats), qmodel, "__qx",
+                    out_col="__qscore",
+                )
+                .filter(F.col("__qscore") >= args.quality_min_score)
+                .drop("__qx", "__qscore")
+            )
+            _mark("quality_model")
         if args.domain_cap is not None:
             # anti-domination cap BEFORE the split: at most N docs per
             # domain, selected by deterministic content-hash rank (the

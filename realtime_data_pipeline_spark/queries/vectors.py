@@ -615,6 +615,42 @@ GROUP BY 1, 2
 """
 
 
+def embeddings_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix from the SAME one-pass moments —
+    cov(i,j)/(sd_i·sd_j) — against DuckDB's CORR over the unnested
+    self-join. Zero-variance dims yield NULL on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    _n, _mean, cov = reduction.moments(emb)
+    sd = np.sqrt(np.diag(cov))
+    d = cov.shape[0]
+    rows = []
+    for i in range(d):
+        for j in range(d):
+            if sd[i] > 0 and sd[j] > 0:
+                rows.append((i, j, round(float(cov[i, j] / (sd[i] * sd[j])), 6)))
+            else:
+                rows.append((i, j, None))
+    pdf = pd.DataFrame(rows, columns=["i", "j", "corr"])
+    return spark.createDataFrame(pdf, "i int, j int, corr double")
+
+
+EMBEDDINGS_CORRELATION_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+         CAST(embedding[t.i] AS DOUBLE) AS xi
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT a.i - 1 AS i, b.i - 1 AS j, ROUND(CORR(a.xi, b.xi), 6) AS corr
+FROM x a JOIN x b USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
 PCA_K = 8
 
 
@@ -638,6 +674,7 @@ def embeddings_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-12 build: exact covariance (oracle) + PCA scores (rows-only)
     "embeddings_covariance": embeddings_covariance,
+    "embeddings_correlation": embeddings_correlation,
     "embeddings_pca_scores": embeddings_pca_scores,
     # round-12 build: contrastive hard-negative mining, exact baseline
     "embeddings_hard_negatives": embeddings_hard_negatives,
@@ -652,6 +689,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_covariance": EMBEDDINGS_COVARIANCE_SQL,
+    "embeddings_correlation": EMBEDDINGS_CORRELATION_SQL,
     "embeddings_hard_negatives": EMBEDDINGS_HARD_NEGATIVES_SQL,
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,

@@ -583,6 +583,9 @@ def curation_stage(
     strip_boiler: bool = False,
     boiler_min_df: int = 3,
     id_col: str = "doc_id",
+    quality_model: dict | None = None,
+    quality_min_score: float = 0.5,
+    quality_feat_seed: int = 41,
 ) -> Callable[[DataFrame], DataFrame]:
     """Composable per-batch curation transform for the medallion stream:
     PII redaction plus quality/language gates, all pure JVM column
@@ -616,6 +619,26 @@ def curation_stage(
             out = out.filter(_text.quality_band(col).isin(*min_bands))
         if require_en:
             out = out.filter(_text.lang_id_en_vote(col) == "en")
+        if quality_model is not None:
+            # trained gate (classifier.logreg_train model dict, loaded
+            # once outside the stream): map-only Arrow scoring per
+            # micro-batch, no shuffle — train once, score forever, the
+            # streaming sibling of `assemble --quality-model`
+            from realtime_data_pipeline_spark import classifier as _clf
+
+            feats = _clf.hash_features(
+                col,
+                n_buckets=quality_model["dim"],
+                seed=quality_feat_seed,
+            )
+            out = (
+                _clf.logreg_score(
+                    out.withColumn("__qx", feats), quality_model, "__qx",
+                    out_col="__qscore",
+                )
+                .filter(F.col("__qscore") >= quality_min_score)
+                .drop("__qx", "__qscore")
+            )
         if strip_boiler:
             out = _text.strip_boilerplate(
                 out, id_col=id_col, text_col=text_col, min_df=boiler_min_df

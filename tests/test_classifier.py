@@ -210,3 +210,23 @@ def test_multiclass_face_fits_bands(spark, sf_dir):
     acc = sum(1 for r in rows if r.pred == r.weak_label) / len(rows)
     assert acc >= 0.9, acc
     assert all(0.0 <= r.p_pred <= 1.0 for r in rows)
+
+
+def test_streaming_curation_stage_with_trained_gate(spark, labeled):
+    """curation_stage(quality_model=...): the trained gate drops junk
+    docs from a (micro-)batch map-only — the streaming sibling of
+    `assemble --quality-model`."""
+    from realtime_data_pipeline_spark import streaming
+
+    model = classifier.logreg_train(labeled, "x", "y", dim=DIM, iters=30)
+    stage = streaming.curation_stage(
+        text_col="text", redact=False, quality_model=model,
+        quality_min_score=0.5,
+    )
+    batch = labeled.select("text", "y")
+    kept = stage(batch)
+    assert kept.filter(F.col("y") == 0).count() == 0  # junk gone
+    assert kept.filter(F.col("y") == 1).count() == batch.filter(
+        F.col("y") == 1
+    ).count()  # every good doc survives
+    assert "y" in kept.columns and "text" in kept.columns  # schema kept

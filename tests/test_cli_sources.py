@@ -1188,3 +1188,45 @@ def test_cli_assemble_decontaminate_eval_removes_leaked_spans(
     t_clean = clean.agg(F.sum("n_tokens")).first()[0]
     # the 10 leaked docs each lose at least the 10-token leak
     assert t_plain - t_clean >= 10 * 10
+
+
+def test_cli_assemble_quality_model_gate(spark, tmp_path):
+    """--quality-model: a saved logistic model scores documents map-only
+    and drops those below the threshold before split/packing — the
+    trained sibling of the heuristic quality band. Train a model that
+    separates 'good'-family from 'junk'-family docs, assemble with the
+    gate, and assert only the junk docs vanished."""
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import classifier, cli
+
+    dim = 128
+    rows = []
+    for i in range(40):
+        rows.append((i, f"good quality prose sample {i % 7} the and", 1))
+        rows.append((100 + i, f"junk spam noise blob {i % 5} the and", 0))
+    import pandas as pd
+
+    docs_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "y"])
+    )
+    model = classifier.logreg_train(
+        docs_df.withColumn(
+            "x", classifier.hash_features(F.col("text"), dim, seed=41)
+        ),
+        "x", "y", dim=dim, iters=30,
+    )
+    mpath = str(tmp_path / "qmodel")
+    classifier.save_logreg(spark, model, mpath)
+
+    docs = str(tmp_path / "docs")
+    docs_df.select("doc_id", "text").write.parquet(docs)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["assemble", "--docs", docs, "--out", out, "--shards", "2",
+         "--ctx-len", "256", "--split", "all",
+         "--quality-model", mpath, "--quality-min-score", "0.5"]
+    )
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {i for i in range(40)}  # every good doc, no junk
