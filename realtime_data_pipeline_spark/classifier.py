@@ -85,13 +85,16 @@ def logreg_train(
     iters: int = 30,
     lr: float = 0.5,
     l2: float = 1e-4,
+    init: dict | None = None,
 ) -> dict:
     """Full-batch logistic regression. Each iteration: one distributed
     scan computing residuals, one geometry-bounded shuffle (``dim + 1``
     groups: feature gradients + bias slot), one driver update. Input is
     persisted for the duration (``iters`` scans over the cached
-    featurized projection, not the raw table). Returns ``{"w", "bias",
-    "dim", "n", "iters", "lr", "l2"}``."""
+    featurized projection, not the raw table). ``init`` warm-starts
+    from a previous model (same dim — continual learning: fold a new
+    labeled batch into yesterday's weights instead of retraining from
+    zero). Returns ``{"w", "bias", "dim", "n", "iters", "lr", "l2"}``."""
     data = df.select(
         F.col(feat_col).alias("__x"),
         F.col(label_col).cast("double").alias("__y"),
@@ -100,8 +103,16 @@ def logreg_train(
         n = data.count()
         if n == 0:
             raise ValueError("logreg_train: empty input")
-        w = np.zeros(dim, dtype=np.float64)
-        bias = 0.0
+        if init is not None:
+            if int(init["dim"]) != dim:
+                raise ValueError(
+                    f"warm-start dim mismatch: {init['dim']} != {dim}"
+                )
+            w = np.asarray(init["w"], dtype=np.float64).copy()
+            bias = float(init["bias"])
+        else:
+            w = np.zeros(dim, dtype=np.float64)
+            bias = 0.0
         for _ in range(iters):
             prob = _margin_udf(w, bias)
             grad_rows = (

@@ -708,6 +708,73 @@ ORDER BY a.p_partkey
 """
 
 
+LI_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_measure_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the fact table's four numeric measures —
+    the one-pass mergeable moments aggregate (reduction.moments) applied
+    to a COLUMN-ASSEMBLED vector, proving the operator is not
+    embeddings-specific: any numeric feature set gets an exact
+    covariance in one scan with a 1+d+d² merge, the multivariate-stats
+    pass a feature pipeline runs over a 100 TB fact table. Oracle:
+    DuckDB COVAR_SAMP per (i, j) pair — 16 rows out."""
+    import pandas as pd
+
+    from realtime_data_pipeline_spark import reduction
+
+    # fixed shifts near each measure's typical scale: covariance is
+    # shift-invariant, and centering the raw sums kills the catastrophic
+    # cancellation a naive sum-of-products suffers against the oracle's
+    # Welford-stable COVAR_SAMP at price magnitudes (~1e4)
+    shifts = {"l_quantity": 25.0, "l_extendedprice": 35000.0,
+              "l_discount": 0.05, "l_tax": 0.04}
+    li = load(spark, sf_dir, "lineitem").select(
+        F.array(
+            *[(F.col(c).cast("double") - F.lit(shifts[c]))
+              for c in LI_MEASURES]
+        ).alias("v")
+    )
+    _n, _mean, cov = reduction.moments(li, vec_col="v", dim=len(LI_MEASURES))
+    d = len(LI_MEASURES)
+    rows = [
+        (LI_MEASURES[i], LI_MEASURES[j], round(float(cov[i, j]), 4))
+        for i in range(d)
+        for j in range(d)
+    ]
+    pdf = pd.DataFrame(rows, columns=["m_i", "m_j", "cov"])
+    return spark.createDataFrame(pdf, "m_i string, m_j string, cov double")
+
+
+_LI_COV_COLS = ",\n".join(
+    f"    ROUND(COVAR_SAMP(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 4)"
+    f" AS c{i}_{j}"
+    for i, a in enumerate(LI_MEASURES)
+    for j, b in enumerate(LI_MEASURES)
+)
+_LI_COV_VALUES = ",\n".join(
+    f"    ('{a}', '{b}', {i * len(LI_MEASURES) + j})"
+    for i, a in enumerate(LI_MEASURES)
+    for j, b in enumerate(LI_MEASURES)
+)
+_LI_COV_CASE = " ".join(
+    f"WHEN {i * len(LI_MEASURES) + j} THEN c{i}_{j}"
+    for i in range(len(LI_MEASURES))
+    for j in range(len(LI_MEASURES))
+)
+LINEITEM_MEASURE_COVARIANCE_SQL = f"""
+WITH agg AS (
+  SELECT
+{_LI_COV_COLS}
+  FROM lineitem
+)
+SELECT t.m_i, t.m_j, CASE t.k {_LI_COV_CASE} END AS cov
+FROM agg, (VALUES
+{_LI_COV_VALUES}
+) AS t(m_i, m_j, k)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_stats": events_props_stats,
     "events_user_cardinality": events_user_cardinality,
@@ -722,6 +789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # percentile_approx) have no SQL-exact oracle — their exact twins above hold
 # the driver slots; these stay smoke-tested via tests/test_queries_oracle.py.
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lineitem_measure_covariance": lineitem_measure_covariance,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
     "events_hot_user_share": events_hot_user_share,
@@ -742,6 +810,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "lineitem_measure_covariance": LINEITEM_MEASURE_COVARIANCE_SQL,
     "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,
     "parts_pareto_frontier": PARTS_PARETO_FRONTIER_SQL,

@@ -145,6 +145,21 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def embedding_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path #4 (r12): PCA-reduced candidate generation + exact
+    full-space re-rank (reduction.pca_knn) — pca_k/d of the scan FLOPs
+    for the candidate pass, recall measured in
+    LSH_RECALL.json#pca_ann_recall and gated in tests/test_reduction.py.
+    Rows-only (approximate by construction)."""
+    from realtime_data_pipeline_spark import reduction
+
+    corpus = load(spark, sf_dir, "embeddings")
+    return reduction.pca_knn(
+        corpus, _query_set(spark, sf_dir), k=K, cand=100, pca_k=24
+    )
+
+
 def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN path #3: product quantization + asymmetric distance — the
     corpus scans as m-byte PQ codes (64× compression at m=8 over 64-dim
@@ -681,6 +696,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_lsh": embedding_knn_lsh,
     "embedding_knn_ivf": embedding_knn_ivf,
     "embedding_knn_pq": embedding_knn_pq,
+    "embedding_knn_pca": embedding_knn_pca,
     "embeddings_quantize_int8": embeddings_quantize_int8,
     "embeddings_semantic_dedup": embeddings_semantic_dedup,
     "embeddings_semantic_dedup_ivf": embeddings_semantic_dedup_ivf,

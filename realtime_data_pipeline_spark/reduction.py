@@ -444,6 +444,83 @@ def load_pca_model(spark, path: str) -> dict:
     }
 
 
+def pca_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cand: int = 100,
+    pca_k: int = 24,
+    model: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PCA-reduced ANN: generate ``cand`` candidates per query with a
+    brute-force scan in the ``pca_k``-dim space (pca_k/d of the FLOPs
+    and scan bytes), then re-rank ONLY those candidates exactly in the
+    full space — the same two-stage shape as PQ+refine, with recall
+    measured in ``LSH_RECALL.json#pca_ann_recall`` (0.716 @ k=24/
+    cand=100 on the near-isotropic sf0.1 fixture; higher on real
+    decaying spectra). Pass a persisted ``model`` to skip the training
+    scan. Output matches :func:`similarity.brute_force_knn`'s shape
+    (query_id, id, sim round-4, rank)."""
+    from realtime_data_pipeline_spark import ops, similarity
+
+    if model is None:
+        model = pca_train(corpus, k=pca_k, vec_col=vec_col)
+    red_corpus = pca_project(
+        corpus, model, vec_col=vec_col, out_col="__pc", method="arrow"
+    ).select(F.col(id_col), F.col("__pc").alias(vec_col))
+    red_queries = pca_project(
+        queries, model, vec_col=query_vec_col, out_col="__pc",
+        method="arrow",
+    ).select(F.col(query_id_col), F.col("__pc").alias(query_vec_col))
+    cands = similarity.brute_force_knn(
+        red_corpus, red_queries, k=cand,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    # exact full-space re-rank of the candidate set only
+    full = corpus.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("__vec"),
+    ).withColumn("__n", _l2(F.col("__vec")))
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(F.col(query_vec_col)).alias("__qvec"),
+    ).withColumn("__qn", _l2(F.col("__qvec")))
+    pairs = (
+        cands.join(full, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _dot_expr(F.col("__qvec"), F.col("__vec"))
+                / (F.col("__qn") * F.col("__n")),
+                6,
+            ).alias("sim6"),
+        )
+    )
+    top = ops.topk_per_group(
+        pairs,
+        [query_id_col],
+        [F.col("sim6").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+    return top.select(
+        query_id_col,
+        id_col,
+        F.round(F.col("sim6"), 4).alias("sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+def _l2(a: Column) -> Column:
+    return F.sqrt(_dot_expr(a, a))
+
+
 def covariance_rows(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> tuple[int, list[tuple[int, int, float]]]:

@@ -286,3 +286,94 @@ def test_pca_model_roundtrip_exact(spark, emb, tmp_path):
     assert np.array_equal(back["mean"], model["mean"])
     assert np.array_equal(back["eigvals"], model["eigvals"])
     assert back["n"] == model["n"]
+
+
+def test_pca_knn_operator_matches_exact_at_full_k(spark, emb, X):
+    """With pca_k == d (lossless rotation) the candidate space is exact,
+    so pca_knn must equal brute_force_knn row-for-row."""
+    from realtime_data_pipeline_spark import similarity
+
+    d = X.shape[1]
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    got = reduction.pca_knn(emb, queries, k=10, cand=50, pca_k=d)
+    exact = similarity.brute_force_knn(emb, queries, k=10)
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, exact.collect()))
+    assert g == e
+
+
+def test_pca_knn_reduced_recall_floor(spark, emb, X):
+    from realtime_data_pipeline_spark import similarity
+
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    got = reduction.pca_knn(emb, queries, k=10, cand=100, pca_k=24)
+    exact = similarity.brute_force_knn(emb, queries, k=10)
+    g = {}
+    for r in got.collect():
+        g.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = total = 0
+    for r in exact.collect():
+        total += 1
+        if r.vec_id in g.get(r.query_id, set()):
+            hits += 1
+    assert hits / total >= 0.6, hits / total  # measured 0.72-0.93 range
+
+
+def test_warm_start_continual_training(spark, emb):
+    """classifier warm-start: folding a second batch into yesterday's
+    weights must equal training the reference GD with the same init."""
+    import pandas as pd
+
+    from realtime_data_pipeline_spark import classifier
+
+    dim = 64
+    rows_a = [(f"good text alpha {i}", 1) for i in range(30)] + [
+        (f"junk blob beta {i}", 0) for i in range(30)
+    ]
+    rows_b = [(f"good prose gamma {i}", 1) for i in range(20)] + [
+        (f"junk noise delta {i}", 0) for i in range(20)
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["text", "y"])
+        ).withColumn("x", classifier.hash_features(F.col("text"), dim))
+
+    a, b = mk(rows_a), mk(rows_b)
+    m1 = classifier.logreg_train(a, "x", "y", dim=dim, iters=5)
+    m2 = classifier.logreg_train(b, "x", "y", dim=dim, iters=5, init=m1)
+    rows = b.select("x", "y").collect()
+    w_ref = np.asarray(m1["w"]).copy()
+    b_ref = m1["bias"]
+    bags = [list(r.x) for r in rows]
+    ys = [float(r.y) for r in rows]
+    n = len(bags)
+    for _ in range(5):
+        g = np.zeros(dim + 1)
+        for idx, y in zip(bags, ys):
+            ii = np.asarray(idx, dtype=np.int64)
+            z = b_ref + w_ref[ii].sum()
+            r_ = 1.0 / (1.0 + np.exp(-z)) - y
+            np.add.at(g, ii, r_)
+            g[dim] += r_
+        w_ref -= 0.5 * (g[:dim] / n + 1e-4 * w_ref)
+        b_ref -= 0.5 * (g[dim] / n)
+    np.testing.assert_allclose(m2["w"], w_ref, atol=1e-9)
+    assert abs(m2["bias"] - b_ref) < 1e-9
+    # dim mismatch refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim mismatch"):
+        classifier.logreg_train(b, "x", "y", dim=32, iters=1, init=m1)
