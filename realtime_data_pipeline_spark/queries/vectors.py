@@ -666,6 +666,27 @@ GROUP BY 1, 2
 """
 
 
+
+def embeddings_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-aware outlier scoring (reduction.mahalanobis_score):
+    full-rank whitened squared norm == (x-mu)' Sigma^-1 (x-mu), flagged
+    at the chi-square-approx gate d + 3*sqrt(2d). Rows-only by nature
+    (eigendecomposition); numpy parity + planted-anomaly gates in
+    tests/test_reduction.py."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first().embedding)
+    gate = d + 3 * (2 * d) ** 0.5
+    scored = reduction.mahalanobis_score(emb)
+    return scored.select(
+        "vec_id",
+        "label",
+        F.round("maha2", 4).alias("maha2"),
+        (F.col("maha2") > F.lit(gate)).cast("int").alias("flagged"),
+    )
+
+
 PCA_K = 8
 
 
@@ -691,6 +712,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embeddings_covariance": embeddings_covariance,
     "embeddings_correlation": embeddings_correlation,
     "embeddings_pca_scores": embeddings_pca_scores,
+    "embeddings_mahalanobis_outliers": embeddings_mahalanobis_outliers,
     # round-12 build: contrastive hard-negative mining, exact baseline
     "embeddings_hard_negatives": embeddings_hard_negatives,
     "embedding_knn_lsh": embedding_knn_lsh,

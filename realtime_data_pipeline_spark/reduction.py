@@ -444,6 +444,36 @@ def load_pca_model(spark, path: str) -> dict:
     }
 
 
+def mahalanobis_score(
+    df: DataFrame,
+    model: dict | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "maha2",
+    method: str = "arrow",
+) -> DataFrame:
+    """Squared Mahalanobis distance per vector — covariance-aware
+    outlier scoring in embedding space (the multivariate anomaly pass a
+    cleaning pipeline runs before/after dedup). Spelled as the squared
+    L2 norm of the FULL-RANK whitened projection (components scaled
+    λ^-1/2), so it reuses the moments→eigh→map-only-projection chain:
+    one training scan (or none, with a persisted ``model``), one
+    map-only scoring pass, no shuffle. Under multivariate normality
+    maha² ~ χ²(d) (mean d, var 2d) — a practical outlier gate is
+    ``maha2 > d + 3·sqrt(2d)``; numpy parity ``(x-μ)ᵀΣ⁻¹(x-μ)`` is
+    pytest-pinned."""
+    if model is None:
+        d = _infer_dim(df, vec_col)
+        model = pca_train(df, k=d, vec_col=vec_col)
+    out = pca_project(
+        df, model, vec_col=vec_col, out_col="__wz", whiten=True,
+        method=method,
+    )
+    maha = F.aggregate(
+        F.col("__wz"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return out.withColumn(out_col, maha).drop("__wz")
+
+
 def pca_knn(
     corpus: DataFrame,
     queries: DataFrame,

@@ -377,3 +377,39 @@ def test_warm_start_continual_training(spark, emb):
 
     with _pytest.raises(ValueError, match="dim mismatch"):
         classifier.logreg_train(b, "x", "y", dim=32, iters=1, init=m1)
+
+
+def test_mahalanobis_matches_numpy_inverse_covariance(spark, emb, X):
+    """maha² via full-rank whitening must equal (x-μ)ᵀ Σ⁻¹ (x-μ)."""
+    scored = reduction.mahalanobis_score(emb)
+    rows = scored.select("vec_id", "maha2").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    got = np.array([r.maha2 for r in rows])
+    mu = X.mean(axis=0)
+    Sinv = np.linalg.inv(np.cov(X, rowvar=False))
+    ref = np.einsum("ij,jk,ik->i", X - mu, Sinv, X - mu)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    # chi2(d) shape sanity: mean ~ d on the fixture
+    d = X.shape[1]
+    assert abs(got.mean() - d) < 0.35 * d
+
+
+def test_mahalanobis_outlier_gate_flags_planted_anomaly(spark, emb):
+    """A vector far outside the data ellipsoid must clear the
+    d + 3·sqrt(2d) gate while typical rows mostly stay under it."""
+    import pandas as pd
+
+    d = len(emb.select("embedding").first().embedding)
+    model = reduction.pca_train(emb, k=d)
+    spike = [50.0] * d
+    planted = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999999], "embedding": [spike]}),
+        "vec_id long, embedding array<double>",
+    )
+    scored = reduction.mahalanobis_score(
+        emb.select("vec_id", "embedding").unionByName(planted), model=model
+    )
+    gate = d + 3 * (2 * d) ** 0.5
+    flagged = {r.vec_id for r in scored.filter(F.col("maha2") > gate).collect()}
+    assert 999999 in flagged
+    assert len(flagged) <= 1 + int(0.05 * emb.count())
