@@ -1156,6 +1156,29 @@ def docs_quality_band_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE token statistics (tokenizer.py): learn 100 merges
+    from the corpus word counts (one shuffle + a vocab-bounded driver
+    learn), then count real BPE tokens per document map-only — the
+    trained replacement for the token_count_re regex proxy. Rows-only
+    by nature (iterative merge learning); gates in
+    tests/test_tokenizer.py."""
+    from realtime_data_pipeline_spark import tokenizer
+
+    docs = load(spark, sf_dir, "documents")
+    model = tokenizer.train_bpe(docs, "text", n_merges=100)
+    return docs.select(
+        "doc_id",
+        tokenizer.bpe_token_count(model, F.col("text")).alias("n_bpe_tokens"),
+        text.word_count(F.col("text")).alias("n_ws_tokens"),
+        F.round(
+            F.length("text")
+            / tokenizer.bpe_token_count(model, F.col("text")),
+            4,
+        ).alias("compression"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_multimodal_meta_profile": docs_multimodal_meta_profile,
     "docs_curated_trainset": docs_curated_trainset,
@@ -1176,6 +1199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_classifier": docs_quality_classifier,
     "docs_quality_band_multiclass": docs_quality_band_multiclass,
+    "docs_bpe_stats": docs_bpe_stats,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_multimodal_decode": docs_multimodal_decode,
     "docs_multimodal_real_decode": docs_multimodal_real_decode,
