@@ -297,6 +297,76 @@ def numpy_softmax_reference(
     return W, bias
 
 
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 1000,
+) -> dict:
+    """Isotonic (PAVA) probability calibration from ONE bounded
+    aggregation: scores bin into ``n_bins`` buckets (a groupBy of at
+    most n_bins groups — row-count-free), and pool-adjacent-violators
+    runs driver-side over the binned (weight, mean-label) table. Scores
+    must lie in [0, 1] (sigmoid outputs do). Returns ``{"edges",
+    "values", "n_bins"}`` — a nondecreasing step function mapping raw
+    score → calibrated P(y=1)."""
+    agg = (
+        df.select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(F.col(score_col) * n_bins).cast("int"),
+            ).alias("__b"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__s"))
+        .orderBy("__b")
+        .collect()  # bounded: <= n_bins rows
+    )
+    if not agg:
+        raise ValueError("isotonic_calibrate: empty input")
+    bins = [int(r["__b"]) for r in agg]
+    w = [float(r["__n"]) for r in agg]
+    v = [float(r["__s"]) / float(r["__n"]) for r in agg]
+    # PAVA: merge adjacent blocks while a violator (v[i] > v[i+1]) exists
+    blocks: list[list[float]] = []  # [w, v, first_bin]
+    for bi, wi, vi in zip(bins, w, v):
+        blocks.append([wi, vi, bi])
+        while len(blocks) > 1 and blocks[-2][1] > blocks[-1][1]:
+            w2, v2, b2 = blocks.pop()
+            w1, v1, b1 = blocks.pop()
+            blocks.append(
+                [w1 + w2, (w1 * v1 + w2 * v2) / (w1 + w2), b1]
+            )
+    edges = [b[2] for b in blocks]  # first bin index of each step
+    values = [b[1] for b in blocks]
+    return {"edges": edges, "values": values, "n_bins": n_bins}
+
+
+def calibrated_score(
+    df: DataFrame, calib: dict, score_col: str, out_col: str = "calibrated"
+) -> DataFrame:
+    """Apply the step function with pure JVM expressions: bin the score,
+    find its step by comparing against the (query-sized) edge literals,
+    read the value — map-only, no Python, no shuffle."""
+    n_bins = calib["n_bins"]
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(F.col(score_col) * n_bins).cast("int")
+    )
+    edges = F.array(*[F.lit(int(e)) for e in calib["edges"]])
+    values = F.array(*[F.lit(float(x)) for x in calib["values"]])
+    # number of edges <= b == index of the step the bin falls in
+    idx = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc + F.when(e <= b, 1).otherwise(0),
+    )
+    # scores below the first observed bin clamp to the first step
+    return df.withColumn(
+        out_col, F.element_at(values, F.greatest(F.lit(1), idx))
+    )
+
+
 def save_logreg(spark, model: dict, path: str) -> None:
     """One-row parquet through the Arrow path (float64 exact), so a
     model trained once scores identically forever — across sessions,

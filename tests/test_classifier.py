@@ -230,3 +230,52 @@ def test_streaming_curation_stage_with_trained_gate(spark, labeled):
         F.col("y") == 1
     ).count()  # every good doc survives
     assert "y" in kept.columns and "text" in kept.columns  # schema kept
+
+
+def test_isotonic_calibration_properties(spark):
+    """PAVA over binned scores: output monotone nondecreasing, total
+    weighted mean preserved, Brier score never worse than raw on
+    monotone-noisy synthetic data, and pure-JVM application."""
+    import contextlib
+    import io
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    s = rng.uniform(0, 1, n)
+    # true P(y|s) monotone but miscalibrated: p = s^2
+    y = (rng.uniform(0, 1, n) < s**2).astype(int)
+    df = spark.createDataFrame(
+        pd.DataFrame({"score": s, "y": y})
+    ).repartition(8)
+    calib = classifier.isotonic_calibrate(df, "score", "y", n_bins=100)
+    # step function is nondecreasing
+    assert calib["values"] == sorted(calib["values"])
+    assert calib["edges"] == sorted(calib["edges"])
+    out = classifier.calibrated_score(df, calib, "score")
+    rows = out.select("score", "y", "calibrated").collect()
+    # weighted mean preserved (PAVA conserves the total)
+    mean_cal = sum(r.calibrated for r in rows) / len(rows)
+    mean_y = sum(r.y for r in rows) / len(rows)
+    assert abs(mean_cal - mean_y) < 1e-6
+    # calibrated Brier beats raw (p = s is miscalibrated vs s^2 truth)
+    brier_raw = sum((r.score - r.y) ** 2 for r in rows) / len(rows)
+    brier_cal = sum((r.calibrated - r.y) ** 2 for r in rows) / len(rows)
+    assert brier_cal < brier_raw
+    # application is JVM-only, map-only
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan or "repartition" in plan.lower()
+
+
+def test_isotonic_monotone_input_is_near_identity(spark):
+    """Already-calibrated monotone bin means survive PAVA unpooled:
+    every observed bin keeps its own step."""
+    rows = [(i / 10 + 0.05, 1 if j < i else 0)
+            for i in range(10) for j in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["score", "y"]))
+    calib = classifier.isotonic_calibrate(df, "score", "y", n_bins=10)
+    assert len(calib["edges"]) == 10  # no pooling needed
+    np.testing.assert_allclose(calib["values"], [i / 10 for i in range(10)])
