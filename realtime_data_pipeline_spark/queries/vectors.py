@@ -687,6 +687,41 @@ def embeddings_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+
+def embeddings_label_variances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension variance — the diagonal of the GROUPED
+    covariance operator (reduction.grouped_covariance: map-side-combined
+    per-(partition, group) partials, position-keyed merge, per-group
+    assembly over exactly 1+d+d^2 totals rows; fully distributed, no
+    driver collect). Oracle: VAR_SAMP over the unnested positions."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "g", F.col("label").cast("string")
+    )
+    cov = reduction.grouped_covariance(emb, "g")
+    return (
+        cov.filter(F.col("i") == F.col("j"))
+        .select(
+            F.col("group").cast("int").alias("label"),
+            F.col("i").alias("i"),
+            F.round("cov", 6).alias("var"),
+        )
+    )
+
+
+EMBEDDINGS_LABEL_VARIANCES_SQL = """
+WITH x AS (
+  SELECT label, CAST(t.i AS INTEGER) - 1 AS i,
+         CAST(embedding[t.i] AS DOUBLE) AS xi
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT label, i, ROUND(VAR_SAMP(xi), 6) AS var
+FROM x GROUP BY label, i
+HAVING COUNT(*) >= 2
+"""
+
+
 PCA_K = 8
 
 
@@ -711,6 +746,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-12 build: exact covariance (oracle) + PCA scores (rows-only)
     "embeddings_covariance": embeddings_covariance,
     "embeddings_correlation": embeddings_correlation,
+    "embeddings_label_variances": embeddings_label_variances,
     "embeddings_pca_scores": embeddings_pca_scores,
     "embeddings_mahalanobis_outliers": embeddings_mahalanobis_outliers,
     # round-12 build: contrastive hard-negative mining, exact baseline
@@ -728,6 +764,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_covariance": EMBEDDINGS_COVARIANCE_SQL,
     "embeddings_correlation": EMBEDDINGS_CORRELATION_SQL,
+    "embeddings_label_variances": EMBEDDINGS_LABEL_VARIANCES_SQL,
     "embeddings_hard_negatives": EMBEDDINGS_HARD_NEGATIVES_SQL,
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,

@@ -444,6 +444,102 @@ def load_pca_model(spark, path: str) -> dict:
     }
 
 
+def grouped_moments(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-GROUP additive moments totals, fully distributed — the
+    grouped sibling of :func:`moments` with NO driver collect: each
+    partition emits one ``(group, n, Σx, Σxxᵀ)`` partial per group it
+    saw (map-side combine — partials per partition are bounded by the
+    groups it holds, not its rows), then a position-keyed groupBy sums
+    them. Output is the mergeable long format ``(group, pos, val)``
+    with ``1 + d + d²`` rows per group (pos 0 = n, 1..d = Σx, rest =
+    flattened Σxxᵀ)."""
+    d = dim if dim is not None else _infer_dim(df, vec_col)
+
+    def partials(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for g, v in zip(pdf["g"], pdf["v"]):
+                if v is None or len(v) != d:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                st = acc.get(g)
+                if st is None:
+                    st = acc[g] = [
+                        0,
+                        np.zeros(d, dtype=np.float64),
+                        np.zeros((d, d), dtype=np.float64),
+                    ]
+                st[0] += 1
+                st[1] += x
+                st[2] += np.outer(x, x)
+        for g, (n, s, ss) in acc.items():
+            tot = np.concatenate(([float(n)], s, ss.reshape(-1)))
+            yield pd.DataFrame(
+                {
+                    "group": [g] * len(tot),
+                    "pos": np.arange(len(tot), dtype=np.int64),
+                    "val": tot,
+                }
+            )
+
+    part = df.select(
+        F.col(group_col).alias("g"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).mapInPandas(partials, schema="group string, pos long, val double")
+    return part.groupBy("group", "pos").agg(F.sum("val").alias("val"))
+
+
+def grouped_covariance(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-group covariance matrices as ``(group, i, j, cov)`` rows —
+    assembled from :func:`grouped_moments` with ``applyInPandas`` over
+    groups of EXACTLY ``1 + d + d²`` totals rows each (geometry-bounded
+    per group, never data-bounded). Groups with n < 2 are dropped (no
+    unbiased covariance exists). Fully distributed end to end."""
+    d = dim if dim is not None else _infer_dim(df, vec_col)
+    totals = grouped_moments(df, group_col, vec_col=vec_col, dim=d)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf["group"].iloc[0]
+        tot = np.zeros(1 + d + d * d, dtype=np.float64)
+        tot[pdf["pos"].to_numpy()] = pdf["val"].to_numpy()
+        n = int(tot[0])
+        if n < 2:
+            return pd.DataFrame(
+                {"group": [], "i": [], "j": [], "cov": []}
+            ).astype({"group": str, "i": "int32", "j": "int32", "cov": float})
+        mean = tot[1 : 1 + d] / n
+        cov = (
+            tot[1 + d :].reshape(d, d) - n * np.outer(mean, mean)
+        ) / (n - 1)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        vals = cov.reshape(-1)
+        if round_to is not None:
+            vals = np.round(vals, round_to)
+        return pd.DataFrame(
+            {
+                "group": [g] * (d * d),
+                "i": ii.reshape(-1).astype("int32"),
+                "j": jj.reshape(-1).astype("int32"),
+                "cov": vals,
+            }
+        )
+
+    return totals.groupBy("group").applyInPandas(
+        assemble, schema="group string, i int, j int, cov double"
+    )
+
+
 def mahalanobis_score(
     df: DataFrame,
     model: dict | None = None,

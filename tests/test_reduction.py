@@ -413,3 +413,62 @@ def test_mahalanobis_outlier_gate_flags_planted_anomaly(spark, emb):
     flagged = {r.vec_id for r in scored.filter(F.col("maha2") > gate).collect()}
     assert 999999 in flagged
     assert len(flagged) <= 1 + int(0.05 * emb.count())
+
+
+def test_grouped_covariance_matches_per_label_numpy(spark, emb):
+    """Per-label covariance via the distributed long-format totals must
+    equal numpy per label; a singleton group is dropped."""
+    import pandas as pd
+
+    got = reduction.grouped_covariance(
+        emb.withColumn("g", F.col("label").cast("string")), "g"
+    )
+    rows = got.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.group, {})[(r.i, r.j)] = r.cov
+    data = emb.select("label", "embedding").collect()
+    X_by = {}
+    for r in data:
+        X_by.setdefault(str(r.label), []).append(
+            np.asarray(r.embedding, dtype=np.float64)
+        )
+    assert set(by_label) == {k for k, v in X_by.items() if len(v) >= 2}
+    for lbl, vecs in X_by.items():
+        if len(vecs) < 2:
+            continue
+        ref = np.cov(np.stack(vecs), rowvar=False)
+        d = ref.shape[0]
+        for i in range(d):
+            for j in range(d):
+                assert abs(by_label[lbl][(i, j)] - ref[i, j]) < 1e-9
+
+    # singleton group dropped
+    d = len(emb.select("embedding").first().embedding)
+    single = spark.createDataFrame(
+        pd.DataFrame({"g": ["only"], "embedding": [[1.0] * d]}),
+        "g string, embedding array<double>",
+    )
+    out = reduction.grouped_covariance(
+        emb.withColumn("g", F.col("label").cast("string"))
+        .select("g", "embedding")
+        .unionByName(single),
+        "g",
+        dim=d,
+    )
+    assert out.filter(F.col("group") == "only").count() == 0
+
+
+def test_grouped_moments_layout_invariant(emb):
+    a = reduction.grouped_moments(
+        emb.coalesce(1).withColumn("g", F.col("label").cast("string")), "g"
+    )
+    b = reduction.grouped_moments(
+        emb.repartition(13).withColumn("g", F.col("label").cast("string")),
+        "g",
+    )
+    av = {(r.group, r.pos): r.val for r in a.collect()}
+    bv = {(r.group, r.pos): r.val for r in b.collect()}
+    assert set(av) == set(bv)
+    for k in av:
+        assert abs(av[k] - bv[k]) <= 1e-9 * max(1.0, abs(av[k]))
