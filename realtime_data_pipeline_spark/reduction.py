@@ -540,6 +540,79 @@ def grouped_covariance(
     )
 
 
+def lda_train(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    k: int | None = None,
+    dim: int | None = None,
+    shrinkage: float = 1e-6,
+) -> dict:
+    """Fisher LDA — the SUPERVISED projection sibling of PCA, from the
+    same grouped one-pass totals: within-class scatter ``Sw = Σ_g
+    (n_g−1)·cov_g`` and between-class scatter ``Sb`` both assemble from
+    :func:`grouped_moments`' long-format totals (1+d+d² rows per class
+    — the only thing collected; class count × geometry, data-size-free).
+    Directions solve the generalized eigenproblem via the symmetric
+    ``Sw^{-1/2} Sb Sw^{-1/2}`` reduction (numpy eigh, deterministic
+    sign convention); ``k`` defaults to ``C−1`` (the rank of Sb).
+    ``shrinkage`` regularizes Sw toward its own average eigenvalue so a
+    low-sample class cannot make Sw singular. Returns the same model
+    shape :func:`project` consumes (``components`` rows are the LDA
+    directions, ``eigvals`` the Fisher ratios)."""
+    d = dim if dim is not None else _infer_dim(df, vec_col)
+    rows = grouped_moments(
+        df, group_col, vec_col=vec_col, dim=d
+    ).collect()  # bounded: classes × (1 + d + d²) rows, data-size-free
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["group"], np.zeros(1 + d + d * d))[
+            int(r["pos"])
+        ] = r["val"]
+    stats = {}
+    for g, tot in by_g.items():
+        n = int(tot[0])
+        if n < 2:
+            continue  # a singleton class has no within-class scatter
+        mean = tot[1 : 1 + d] / n
+        cov = (tot[1 + d :].reshape(d, d) - n * np.outer(mean, mean)) / (
+            n - 1
+        )
+        stats[g] = (n, mean, cov)
+    if len(stats) < 2:
+        raise ValueError("lda_train needs >= 2 classes with n >= 2")
+    n_tot = sum(n for n, _, _ in stats.values())
+    mu = sum(n * m for n, m, _ in stats.values()) / n_tot
+    Sw = sum((n - 1) * c for n, _, c in stats.values()) / (
+        n_tot - len(stats)
+    )
+    Sb = sum(
+        n * np.outer(m - mu, m - mu) for n, m, _ in stats.values()
+    ) / n_tot
+    Sw = Sw + shrinkage * (np.trace(Sw) / d) * np.eye(d)
+    wvals, wvecs = np.linalg.eigh(Sw)
+    inv_sqrt = wvecs @ np.diag(1.0 / np.sqrt(np.maximum(wvals, 1e-12))) @ wvecs.T
+    M = inv_sqrt @ Sb @ inv_sqrt
+    vals, vecs = np.linalg.eigh((M + M.T) / 2)
+    kk = k if k is not None else len(stats) - 1
+    order = np.argsort(vals)[::-1][:kk]
+    comps = (inv_sqrt @ vecs[:, order]).T  # (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mu,
+        "components": comps,
+        "eigvals": vals[order],
+        "explained": float(
+            vals[order].sum() / max(vals.sum(), 1e-300)
+        ),
+        "n": n_tot,
+        "classes": sorted(stats),
+    }
+
+
 def mahalanobis_score(
     df: DataFrame,
     model: dict | None = None,

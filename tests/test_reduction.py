@@ -472,3 +472,87 @@ def test_grouped_moments_layout_invariant(emb):
     assert set(av) == set(bv)
     for k in av:
         assert abs(av[k] - bv[k]) <= 1e-9 * max(1.0, abs(av[k]))
+
+
+def _fisher_ratio(Y, labels):
+    """between-centroid spread over mean within-class spread."""
+    import collections
+
+    groups = collections.defaultdict(list)
+    for y, l in zip(Y, labels):
+        groups[l].append(y)
+    mu = Y.mean(axis=0)
+    between = sum(
+        len(v) * float(np.sum((np.mean(v, axis=0) - mu) ** 2))
+        for v in groups.values()
+    )
+    within = sum(
+        float(np.sum((np.asarray(v) - np.mean(v, axis=0)) ** 2))
+        for v in groups.values()
+    )
+    return between / within
+
+
+def test_lda_beats_pca_on_class_separation(spark, emb, X):
+    """Fisher criterion in LDA space must exceed the same-k PCA space —
+    the point of supervision; and the spelling must match a direct
+    numpy solve of the same shrunk generalized eigenproblem."""
+    labeled = emb.withColumn("g", F.col("label").cast("string"))
+    k = 4
+    lda = reduction.lda_train(labeled, "g", k=k)
+    pca = reduction.pca_train(emb, k=k)
+    rows = emb.select("vec_id", "label").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    labels = [r.label for r in rows]
+    Yl = (X - lda["mean"]) @ lda["components"].T
+    Yp = (X - pca["mean"]) @ pca["components"].T
+    assert _fisher_ratio(Yl, labels) > _fisher_ratio(Yp, labels)
+    # numpy reference for the whole solve
+    import collections
+
+    groups = collections.defaultdict(list)
+    for x, l in zip(X, labels):
+        groups[l].append(x)
+    d = X.shape[1]
+    n_tot = len(X)
+    stats = {
+        g: (len(v), np.mean(v, axis=0), np.cov(np.stack(v), rowvar=False))
+        for g, v in groups.items()
+    }
+    mu = sum(n * m for n, m, _ in stats.values()) / n_tot
+    Sw = sum((n - 1) * c for n, _, c in stats.values()) / (
+        n_tot - len(stats)
+    )
+    Sb = sum(n * np.outer(m - mu, m - mu) for n, m, _ in stats.values()) / n_tot
+    Sw = Sw + 1e-6 * (np.trace(Sw) / d) * np.eye(d)
+    wv, wV = np.linalg.eigh(Sw)
+    isq = wV @ np.diag(1.0 / np.sqrt(np.maximum(wv, 1e-12))) @ wV.T
+    M = isq @ Sb @ isq
+    vals, vecs = np.linalg.eigh((M + M.T) / 2)
+    order = np.argsort(vals)[::-1][:k]
+    ref = (isq @ vecs[:, order]).T
+    for i in range(k):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    np.testing.assert_allclose(lda["components"], ref, atol=1e-7)
+    np.testing.assert_allclose(lda["eigvals"], vals[order], atol=1e-9)
+
+
+def test_lda_k_defaults_to_classes_minus_one_and_projects(spark, emb):
+    labeled = emb.withColumn("g", F.col("label").cast("string"))
+    n_classes = labeled.select("g").distinct().count()
+    lda = reduction.lda_train(labeled, "g")
+    assert lda["components"].shape[0] == n_classes - 1
+    out = reduction.project(
+        labeled, lda["components"], mean=lda["mean"], out_col="lda",
+        method="arrow",
+    )
+    row = out.select("lda").first()
+    assert len(row.lda) == n_classes - 1
+
+
+def test_lda_refuses_degenerate_input(spark, emb):
+    one_class = emb.withColumn("g", F.lit("all"))
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        reduction.lda_train(one_class, "g")
