@@ -722,6 +722,30 @@ HAVING COUNT(*) >= 2
 """
 
 
+
+def embeddings_lda_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-LDA projection scores (reduction.lda_train over the
+    grouped one-pass totals; k = C-1 supervised directions). Rows-only
+    by nature (eigendecomposition); whole-solve numpy parity and the
+    LDA-beats-PCA Fisher-criterion gate live in
+    tests/test_reduction.py."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "g", F.col("label").cast("string")
+    )
+    model = reduction.lda_train(emb, "g")
+    out = reduction.project(
+        emb, model["components"], mean=model["mean"], out_col="lda",
+        method="expr",
+    )
+    cols = [
+        F.round(F.element_at("lda", i + 1), 4).alias(f"ld{i + 1}")
+        for i in range(min(4, model["components"].shape[0]))
+    ]
+    return out.select("vec_id", "label", *cols)
+
+
 PCA_K = 8
 
 
@@ -748,6 +772,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embeddings_correlation": embeddings_correlation,
     "embeddings_label_variances": embeddings_label_variances,
     "embeddings_pca_scores": embeddings_pca_scores,
+    "embeddings_lda_scores": embeddings_lda_scores,
     "embeddings_mahalanobis_outliers": embeddings_mahalanobis_outliers,
     # round-12 build: contrastive hard-negative mining, exact baseline
     "embeddings_hard_negatives": embeddings_hard_negatives,
