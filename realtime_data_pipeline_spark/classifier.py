@@ -51,28 +51,63 @@ def hash_features(
 ) -> Column:
     """Hashed bag-of-words: one bucket index per whitespace token
     (repeats kept — term frequency is the bag multiplicity). JVM-side,
-    engine-deterministic; empty/NULL text → empty array."""
-    toks = text.words(col)
+    engine-deterministic; empty/NULL text → empty array. Zero-length
+    tokens are filtered BEFORE hashing: ``split(trim(x), '\\s+')``
+    returns ``[""]`` for empty/whitespace-only text, and without the
+    filter every empty doc would carry one phantom ``hash("")`` feature
+    (ADVICE r12) — the same ``length > 0`` stance as
+    ``tokenizer.word_counts``."""
+    toks = F.filter(text.words(col), lambda w: F.length(w) > 0)
     idx = F.transform(
         toks, lambda w: F.pmod(F.xxhash64(w, F.lit(seed)), F.lit(n_buckets))
     )
     return F.coalesce(idx, F.array().cast("array<bigint>"))
 
 
+def _flatten_bags(xs: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten an Arrow batch of index bags into ``(flat, starts, ends)``
+    so segment sums run as ONE numpy pass (cumsum + fancy-index diff)
+    instead of a per-row Python loop — the r12 verdict's vectorization
+    ask. Empty bags are natural: ``starts[i] == ends[i]``."""
+    lens = np.fromiter((len(ix) for ix in xs), dtype=np.int64, count=len(xs))
+    starts = np.zeros(len(xs), dtype=np.int64)
+    if len(xs) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    if lens.sum():
+        flat = np.concatenate(
+            [np.asarray(ix, dtype=np.int64) for ix in xs]
+        )
+    else:
+        flat = np.empty(0, dtype=np.int64)
+    return flat, starts, starts + lens
+
+
+def _segment_sums(vals: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray) -> np.ndarray:
+    """Per-bag sums over the flattened value vector: prefix-cumsum then
+    ``csum[ends] - csum[starts]`` — O(total) with no Python loop and
+    correct (0.0) on empty segments. Within float64 reassociation of
+    the previous per-row ``.sum()`` (parity pinned at 1e-9)."""
+    csum = np.zeros(len(vals) + 1, dtype=np.float64)
+    np.cumsum(vals, out=csum[1:])
+    return csum[ends] - csum[starts]
+
+
 def _margin_udf(w: np.ndarray, bias: float):
     """Arrow-batched σ(w·x + b) over index-bag feature arrays. The
     weight vector rides in the closure (dim float64s — query-sized, the
-    same contract as broadcast centroids)."""
+    same contract as broadcast centroids). Whole batch is scored as one
+    flattened gather + segment sum — no per-row Python."""
     wv = np.asarray(w, dtype=np.float64)
     b = float(bias)
 
     @pandas_udf(T.DoubleType())
     def prob(xs: pd.Series) -> pd.Series:
-        out = np.empty(len(xs), dtype=np.float64)
-        for i, idx in enumerate(xs):
-            z = b + (wv[np.asarray(idx, dtype=np.int64)].sum() if len(idx) else 0.0)
-            out[i] = 1.0 / (1.0 + np.exp(-z))
-        return pd.Series(out)
+        if not len(xs):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        flat, starts, ends = _flatten_bags(xs)
+        z = b + _segment_sums(wv[flat], starts, ends)
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return prob
 
@@ -160,19 +195,30 @@ def _softmax_resid_udf(W: np.ndarray, bias: np.ndarray):
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def resid(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = []
-        for idx, y in zip(xs, ys):
-            ii = np.asarray(idx, dtype=np.int64)
-            z = bv + (Wv[:, ii].sum(axis=1) if len(ii) else 0.0)
-            z -= z.max()  # stable softmax
-            p = np.exp(z)
-            p /= p.sum()
-            r = p.copy()
-            r[int(y)] -= 1.0
-            out.append(r.tolist())
-        return pd.Series(out)
+        if not len(xs):
+            return pd.Series([], dtype=object)
+        P = _softmax_batch(Wv, bv, xs)  # (n, C)
+        yi = ys.to_numpy().astype(np.int64)
+        P[np.arange(len(xs)), yi] -= 1.0
+        return pd.Series(list(P))
 
     return resid
+
+
+def _softmax_batch(Wv: np.ndarray, bv: np.ndarray, xs: pd.Series) -> np.ndarray:
+    """Batch softmax probabilities (n, C) via one flattened gather +
+    per-class segment sums — C cumsum passes over the flattened bag
+    vector, no per-row Python loop."""
+    flat, starts, ends = _flatten_bags(xs)
+    V = Wv[:, flat]  # (C, total)
+    Z = np.empty((Wv.shape[0], len(xs)), dtype=np.float64)
+    for c in range(Wv.shape[0]):  # C is small (class count), not rows
+        Z[c] = _segment_sums(V[c], starts, ends)
+    Z += bv[:, None]
+    Z -= Z.max(axis=0)  # stable softmax
+    P = np.exp(Z)
+    P /= P.sum(axis=0)
+    return P.T.copy()
 
 
 def _softmax_prob_udf(W: np.ndarray, bias: np.ndarray):
@@ -181,15 +227,9 @@ def _softmax_prob_udf(W: np.ndarray, bias: np.ndarray):
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def prob(xs: pd.Series) -> pd.Series:
-        out = []
-        for idx in xs:
-            ii = np.asarray(idx, dtype=np.int64)
-            z = bv + (Wv[:, ii].sum(axis=1) if len(ii) else 0.0)
-            z -= z.max()
-            p = np.exp(z)
-            p /= p.sum()
-            out.append(p.tolist())
-        return pd.Series(out)
+        if not len(xs):
+            return pd.Series([], dtype=object)
+        return pd.Series(list(_softmax_batch(Wv, bv, xs)))
 
     return prob
 

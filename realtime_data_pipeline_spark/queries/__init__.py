@@ -289,6 +289,40 @@ _ROTATE_OUT_R12 = [
     "events_keep_latest_per_user", # green r2-r11
 ]
 
+# ROUND-13 ROTATION — per the round-12 verdict (items #1 and #7): the
+# one-pass mergeable-moments family gets its first driver-grade rows —
+# embeddings_covariance (exact d×d covariance vs a COVAR_SAMP self-join
+# oracle), lineitem_measure_covariance (the same aggregate over the FACT
+# table's four numeric measures, fixed-shift centering vs catastrophic
+# cancellation at price magnitudes), and embeddings_label_variances
+# (GROUPED covariance diagonal vs VAR_SAMP) — plus two round-12
+# operator classes staged shelved-oracle: events_heavy_types_exact
+# (count-min-pruned EXACT heavy hitters, the Misra-Gries face) and
+# docs_decontaminated_train (eval-overlapping spans REMOVED from train,
+# cleaned-md5 oracle). All hash-equal locally at 3 SFs before
+# declaration. Five incumbents with 6 consecutive green driver rounds
+# (r7-r12) rotate out, keeping their pytest oracle hash checks shelved;
+# family coverage in the declared 50 is preserved: A2 keeps
+# dq_pricing_summary; J1 keeps q3/q7/q18; X4 keeps
+# docs_bigram_surprisal + 15 other text/curation queries;
+# docs_mixture_sample_exact stays for the sampling family; §2.5 keeps
+# events_sessions_30m / events_hot_user_share / top_orders_per_segment /
+# customer_balance_distribution / docs_curriculum_order.
+_ROTATE_IN_R13 = [
+    "embeddings_covariance",        # one-pass d×d moments vs COVAR_SAMP
+    "lineitem_measure_covariance",  # moments over fact-table measures
+    "embeddings_label_variances",   # grouped covariance diagonal
+    "events_heavy_types_exact",     # sketch-pruned exact heavy hitters
+    "docs_decontaminated_train",    # span-level decontamination output
+]
+_ROTATE_OUT_R13 = [
+    "late_shipment_priority_q12",  # green r7-r12
+    "small_quantity_revenue_q17",  # green r7-r12
+    "docs_unigram_surprisal",      # green r7-r12 (bigram twin declared)
+    "docs_mixture_sample",         # green r7-r12 (exact twin declared)
+    "events_top_paths",            # green r7-r12
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
@@ -297,6 +331,7 @@ for _in, _out in (
     (_ROTATE_IN_R10, _ROTATE_OUT_R10),
     (_ROTATE_IN_R11, _ROTATE_OUT_R11),
     (_ROTATE_IN_R12, _ROTATE_OUT_R12),
+    (_ROTATE_IN_R13, _ROTATE_OUT_R13),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)

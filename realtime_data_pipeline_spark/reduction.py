@@ -196,15 +196,27 @@ def pca_project(
     out_col: str = "pca",
     whiten: bool = False,
     method: str = "expr",
+    eig_floor: float | None = None,
 ) -> DataFrame:
     """Project onto a :func:`pca_train` model. ``whiten=True`` scales each
     component by ``λ^-1/2`` so the projected covariance is I_k (PCA
-    whitening) — zero-variance components are left unscaled rather than
-    dividing by ~0."""
+    whitening). Degenerate directions: by default zero-variance
+    components are left unscaled rather than dividing by ~0 (fine for
+    SemDeDup-style normalization, where those coordinates carry no
+    signal). Pass ``eig_floor`` for pseudo-inverse semantics instead:
+    eigenvalues clamp UP to the floor, so deviation along a
+    near-zero-variance direction is scaled by the LARGE factor
+    ``floor^-1/2`` — the behavior a Mahalanobis outlier gate needs,
+    since out-of-subspace anomalies live exactly there (ADVICE r12)."""
     comps = model["components"]
     if whiten:
         lam = np.asarray(model["eigvals"], dtype=np.float64)
-        scale = np.where(lam > 1e-12, 1.0 / np.sqrt(np.maximum(lam, 1e-12)), 1.0)
+        if eig_floor is not None:
+            scale = 1.0 / np.sqrt(np.maximum(lam, float(eig_floor)))
+        else:
+            scale = np.where(
+                lam > 1e-12, 1.0 / np.sqrt(np.maximum(lam, 1e-12)), 1.0
+            )
         comps = comps * scale[:, None]
     return project(
         df, comps, mean=model["mean"], vec_col=vec_col, out_col=out_col,
@@ -305,38 +317,95 @@ def _batch_totals(df: DataFrame, vec_col: str, d: int) -> np.ndarray:
     return tot
 
 
+def _hadoop_path(spark, path: str):
+    """(FileSystem, Path) via Spark's Hadoop conf — resolves local,
+    hdfs://, s3a://, anything the cluster can mount. ADVICE r12: the old
+    ``os.path.exists`` probe was always False off the local filesystem,
+    so every batch silently re-initialized the sketch to zero."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_state_versions(spark, path: str) -> list[int]:
+    fs, root = _hadoop_path(spark, f"{path}/state")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
 def save_moments_state(
     spark, tot: np.ndarray, dim: int, path: str, last_batch_id: int = -1
 ) -> None:
-    """Persist the additive totals as a reusable sketch:
-    ``{path}/totals`` ((pos, val) rows — 1+d+d² of them) and
-    ``{path}/meta`` (dim + the last applied streaming batch id, the
-    exactly-once bookmark). Plain parquet, engine-portable."""
+    """Persist the additive totals as a reusable sketch. Layout:
+    ``{path}/state/v=<N>/`` holding ONE one-row parquet file
+    ``(dim, last_batch_id, tot)`` — totals and the exactly-once
+    bookmark commit in a single write, never two (ADVICE r12: the old
+    totals-then-meta pair could crash between writes and leave new
+    totals under a stale bookmark → a replayed batch double-counts).
+    Each save writes a NEW version directory (no overwrite-in-place, so
+    a crash mid-write can only produce a torn v=N+1 that the loader
+    skips, never corrupt v=N), then best-effort prunes all but the two
+    newest readable versions. Plain parquet, engine-portable."""
+    versions = _list_state_versions(spark, path)
+    new_v = (versions[-1] + 1) if versions else 0
     _write_one_file(
         spark,
         pd.DataFrame(
-            {"pos": np.arange(len(tot), dtype=np.int64), "val": tot}
+            {
+                "dim": [dim],
+                "last_batch_id": [int(last_batch_id)],
+                "tot": [np.asarray(tot, dtype=np.float64).tolist()],
+            }
         ),
-        "pos long, val double",
-        f"{path}/totals",
+        "dim int, last_batch_id long, tot array<double>",
+        f"{path}/state/v={new_v}",
     )
-    _write_one_file(
-        spark,
-        pd.DataFrame({"dim": [dim], "last_batch_id": [int(last_batch_id)]}),
-        "dim int, last_batch_id long",
-        f"{path}/meta",
-    )
+    fs, _ = _hadoop_path(spark, path)
+    for v in versions[:-1]:  # keep previous + the one just written
+        try:
+            _, stale = _hadoop_path(spark, f"{path}/state/v={v}")
+            fs.delete(stale, True)
+        except Exception:
+            pass  # pruning is best-effort; stale versions are harmless
+
+
+def _try_load_moments_state(
+    spark, path: str
+) -> tuple[np.ndarray, int, int] | None:
+    """Newest READABLE state version, or None if no committed state
+    exists. A torn directory from a crash mid-write fails the read and
+    falls back to the previous version — that is the crash-safety
+    contract."""
+    for v in reversed(_list_state_versions(spark, path)):
+        try:
+            r = spark.read.parquet(f"{path}/state/v={v}").first()
+            if r is None:
+                continue
+            d = int(r["dim"])
+            tot = np.asarray(r["tot"], dtype=np.float64)
+            if len(tot) != 1 + d + d * d:
+                continue
+            return tot, d, int(r["last_batch_id"])
+        except Exception:
+            continue
+    return None
 
 
 def load_moments_state(spark, path: str) -> tuple[np.ndarray, int, int]:
-    """Returns (totals, dim, last_batch_id)."""
-    meta = spark.read.parquet(f"{path}/meta").first()
-    d = int(meta["dim"])
-    rows = spark.read.parquet(f"{path}/totals").collect()
-    tot = np.zeros(1 + d + d * d, dtype=np.float64)
-    for r in rows:
-        tot[int(r["pos"])] = r["val"]
-    return tot, d, int(meta["last_batch_id"])
+    """Returns (totals, dim, last_batch_id); raises if no committed
+    state exists."""
+    state = _try_load_moments_state(spark, path)
+    if state is None:
+        raise FileNotFoundError(f"no committed moments state under {path}")
+    return state
 
 
 def incremental_moments(
@@ -346,7 +415,8 @@ def incremental_moments(
     vec_col: str = "embedding",
     dim: int | None = None,
     batch_id: int | None = None,
-) -> tuple[int, np.ndarray, np.ndarray]:
+    strict: bool = True,
+) -> tuple[int, np.ndarray, np.ndarray] | None:
     """Fold one batch into a persisted moments sketch and return the
     updated (n, mean, cov). The totals are ADDITIVE, so incremental ≡
     full recompute up to float64 reassociation (pytest-pinned at 1e-9)
@@ -355,22 +425,39 @@ def incremental_moments(
     micro-batch (id ≤ the stored one) is skipped, so a restarted stream
     cannot double-count (same stance as the medallion sink's batch-id
     bookkeeping). Per batch: one scan of the BATCH only + a
-    driver-sized state read/write — history is never rescanned."""
-    import os
+    driver-sized state read/write — history is never rescanned.
 
-    have_state = os.path.exists(f"{path}/meta")
-    if have_state:
-        tot, d, last = load_moments_state(spark, path)
+    ``strict=False`` (the sink path) returns None instead of raising
+    while the cumulative sketch is still too small to yield stats
+    (n < 2) or the batch is empty with dim unknown — state is still
+    folded/saved, so warm-up batches accumulate instead of crash-looping
+    the streaming query (ADVICE r12)."""
+    state = _try_load_moments_state(spark, path)
+    if state is not None:
+        tot, d, last = state
         if batch_id is not None and batch_id <= last:
-            return _stats_from_totals(tot, d)  # replay: no double-count
+            # replay: no double-count; warm-up replays may still be n < 2
+            if not strict and int(tot[0]) < 2:
+                return None
+            return _stats_from_totals(tot, d)
     else:
-        d = dim if dim is not None else _infer_dim(batch, vec_col)
+        if dim is not None:
+            d = dim
+        else:
+            try:
+                d = _infer_dim(batch, vec_col)
+            except ValueError:
+                if strict:
+                    raise
+                return None  # empty first batch, dim unknown: no-op
         tot = np.zeros(1 + d + d * d, dtype=np.float64)
     tot = tot + _batch_totals(batch, vec_col, d)
     save_moments_state(
         spark, tot, d, path,
         last_batch_id=batch_id if batch_id is not None else -1,
     )
+    if not strict and int(tot[0]) < 2:
+        return None  # state saved; stats once enough data exists
     return _stats_from_totals(tot, d)
 
 
@@ -378,12 +465,15 @@ def moments_sink(spark, path: str, vec_col: str = "embedding",
                  dim: int | None = None):
     """``foreachBatch`` adapter: ``stream.writeStream.foreachBatch(
     moments_sink(spark, path))`` keeps a covariance/PCA model fresh as
-    data arrives, with replay-safe batch-id bookkeeping."""
+    data arrives, with replay-safe batch-id bookkeeping. Non-strict:
+    empty / sub-minimal warm-up batches fold state and return quietly
+    instead of raising inside foreachBatch (which would kill the
+    streaming query and crash-loop the restart — ADVICE r12)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         incremental_moments(
             spark, batch_df, path, vec_col=vec_col, dim=dim,
-            batch_id=int(epoch_id),
+            batch_id=int(epoch_id), strict=False,
         )
 
     return _sink
@@ -619,6 +709,7 @@ def mahalanobis_score(
     vec_col: str = "embedding",
     out_col: str = "maha2",
     method: str = "arrow",
+    rcond: float = 1e-9,
 ) -> DataFrame:
     """Squared Mahalanobis distance per vector — covariance-aware
     outlier scoring in embedding space (the multivariate anomaly pass a
@@ -629,13 +720,25 @@ def mahalanobis_score(
     map-only scoring pass, no shuffle. Under multivariate normality
     maha² ~ χ²(d) (mean d, var 2d) — a practical outlier gate is
     ``maha2 > d + 3·sqrt(2d)``; numpy parity ``(x-μ)ᵀΣ⁻¹(x-μ)`` is
-    pytest-pinned."""
+    pytest-pinned.
+
+    Degenerate directions use pseudo-inverse-with-penalty semantics:
+    eigenvalues below ``rcond · λ_max`` are clamped to that floor, so a
+    vector deviating along a zero-variance direction scores HUGE (it
+    left the training subspace — the strongest possible anomaly) rather
+    than having the deviation pass through unwhitened in raw units
+    (ADVICE r12). ``rcond`` trades penalty size against eigh noise;
+    1e-9·λ_max ⇒ a unit out-of-subspace step adds ~1e9/λ_max to maha²,
+    far past any χ² gate."""
     if model is None:
         d = _infer_dim(df, vec_col)
         model = pca_train(df, k=d, vec_col=vec_col)
+    lam = np.asarray(model["eigvals"], dtype=np.float64)
+    lam_max = float(lam.max()) if len(lam) else 0.0
+    floor = max(lam_max * float(rcond), np.finfo(np.float64).tiny)
     out = pca_project(
         df, model, vec_col=vec_col, out_col="__wz", whiten=True,
-        method=method,
+        method=method, eig_floor=floor,
     )
     maha = F.aggregate(
         F.col("__wz"), F.lit(0.0), lambda acc, x: acc + x * x

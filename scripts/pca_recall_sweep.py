@@ -36,16 +36,9 @@ K_CONFIGS = (8, 16, 24, 32)
 CAND_CONFIGS = (50, 100)
 
 
-def main() -> None:
+def _sweep(emb, X: np.ndarray, label: str) -> dict:
     from realtime_data_pipeline_spark import reduction
-    from realtime_data_pipeline_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark(app_name="pca-recall-sweep", shuffle_partitions=8)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    rows = emb.select("vec_id", "embedding").collect()
-    rows.sort(key=lambda r: r.vec_id)
-    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     q_idx = list(range(min(N_QUERIES, X.shape[0])))
     exact = {}
@@ -54,7 +47,7 @@ def main() -> None:
         exact[qi] = [int(i) for i in order if i != qi][:K]
 
     out: dict = {
-        "sf_dir": sf_dir,
+        "fixture": label,
         "dim": int(X.shape[1]),
         "corpus": int(X.shape[0]),
         "n_queries": len(q_idx),
@@ -89,14 +82,60 @@ def main() -> None:
                     "scan_frac_reduced": round(k / X.shape[1], 4),
                 }
             )
+    return out
+
+
+def decaying_spectrum_corpus(
+    n: int = 2000, d: int = 64, alpha: float = 1.5, seed: int = 313
+) -> np.ndarray:
+    """Synthetic corpus with a POWER-LAW covariance spectrum
+    (λ_i ∝ i^-alpha, rotated by a random orthogonal basis) — the
+    eigenvalue decay real text/image embedding models exhibit, unlike
+    the near-isotropic driver fixture (top-24/64 dims = 44% variance)
+    that structurally caps PCA-ANN recall (r12 verdict item #3).
+    Deterministic: seeded MT19937."""
+    rs = np.random.RandomState(seed)
+    lam = np.arange(1, d + 1, dtype=np.float64) ** (-alpha)
+    Q, _ = np.linalg.qr(rs.standard_normal((d, d)))
+    Z = rs.standard_normal((n, d))
+    return (Z * np.sqrt(lam)) @ Q.T
+
+
+def main() -> None:
+    from realtime_data_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="pca-recall-sweep", shuffle_partitions=8)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    out = _sweep(emb, X, label=sf_dir)
+    out["sf_dir"] = sf_dir
+
+    # decaying-spectrum twin: same operators, realistic spectrum
+    Xd = decaying_spectrum_corpus()
+    import pandas as pd
+
+    emb_d = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(Xd)), "embedding": list(map(list, Xd))}
+        ),
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    out_decay = _sweep(emb_d, Xd, label="synthetic_power_law_alpha1.5")
     spark.stop()
 
     art = os.path.join(_REPO_ROOT, "LSH_RECALL.json")
     doc = json.load(open(art)) if os.path.exists(art) else {}
     doc["pca_ann_recall"] = out
+    doc["pca_ann_recall_decay"] = out_decay
     with open(art, "w") as f:
         json.dump(doc, f, indent=1)
-    print(json.dumps({"pca_ann_recall": out}))
+    print(json.dumps(
+        {"pca_ann_recall": out, "pca_ann_recall_decay": out_decay}
+    ))
 
 
 if __name__ == "__main__":

@@ -556,3 +556,89 @@ def test_lda_refuses_degenerate_input(spark, emb):
     one_class = emb.withColumn("g", F.lit("all"))
     with pytest.raises(ValueError, match=">= 2 classes"):
         reduction.lda_train(one_class, "g")
+
+
+def test_mahalanobis_penalizes_out_of_subspace_deviation(spark, emb):
+    """ADVICE r12: with a degenerate (zero-variance) direction in the
+    training data, a vector deviating ONLY along that direction must
+    clear the chi-square gate — pseudo-inverse-with-penalty semantics,
+    not an unwhitened pass-through."""
+    import pandas as pd
+
+    d = len(emb.select("embedding").first().embedding)
+    # train on data with a constant extra dimension (value 7.0)
+    aug = emb.select(
+        "vec_id", F.concat("embedding", F.array(F.lit(7.0))).alias("embedding")
+    )
+    model = reduction.pca_train(aug, k=d + 1)
+    assert float(np.min(model["eigvals"])) < 1e-9  # fixture is degenerate
+    # anomaly: typical in every trained direction, off ONLY in the
+    # constant one (7.0 -> 8.0 — a modest 1.0-unit step)
+    mu = model["mean"].copy()
+    mu[d] = 8.0
+    planted = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999999], "embedding": [mu.tolist()]}),
+        "vec_id long, embedding array<double>",
+    )
+    scored = reduction.mahalanobis_score(
+        aug.unionByName(planted), model=model
+    )
+    gate = (d + 1) + 3 * (2 * (d + 1)) ** 0.5
+    row = {r.vec_id: r.maha2 for r in scored.collect()}
+    assert row[999999] > gate * 100  # huge, not raw-units ~1.0
+    # and the in-subspace rows are NOT inflated by the penalty
+    typical = [v for k, v in row.items() if k != 999999]
+    assert np.mean(typical) < 2 * (d + 1)
+
+
+def test_moments_sink_survives_warmup_batches(spark, emb, tmp_path):
+    """ADVICE r12: an empty first batch (dim unknown) and an n=1 batch
+    must not raise inside the sink path — state accumulates quietly and
+    stats appear once n >= 2."""
+    path = str(tmp_path / "mom_warmup")
+    d = len(emb.select("embedding").first().embedding)
+    sink = reduction.moments_sink(spark, path)  # dim NOT passed
+    empty = emb.select("embedding").limit(0)
+    sink(empty, 0)  # no state yet, no dim -> quiet no-op
+    one = emb.select("embedding").limit(1)
+    sink(one, 1)  # n=1 saved, stats not yet computable -> quiet
+    got = reduction._try_load_moments_state(spark, path)
+    assert got is not None and int(got[0][0]) == 1  # state DID accumulate
+    sink(one, 1)  # replayed warm-up batch: still quiet, still no raise
+    rest = emb.select("embedding")
+    sink(rest, 2)
+    n, mean, cov = reduction.moments_from_path(spark, path)
+    assert n == 1 + emb.count()
+    # strict readers still refuse a sub-minimal sketch loudly
+    path2 = str(tmp_path / "mom_strict")
+    with pytest.raises(ValueError, match=">= 2"):
+        reduction.incremental_moments(spark, one, path2, dim=d)
+
+
+def test_moments_state_survives_torn_write(spark, emb, tmp_path):
+    """Crash-safety: a torn (unreadable) newest version directory must
+    fall back to the last committed version — totals and bookmark can
+    never split (they live in one row of one file)."""
+    import os
+
+    path = str(tmp_path / "mom_torn")
+    half = emb.filter(F.col("vec_id") % 2 == 0).select("embedding")
+    d = len(emb.select("embedding").first().embedding)
+    reduction.incremental_moments(spark, half, path, dim=d, batch_id=0)
+    committed = reduction.load_moments_state(spark, path)
+    # simulate a crash mid-write: a newer version dir with garbage
+    versions = reduction._list_state_versions(spark, path)
+    torn = f"{path}/state/v={versions[-1] + 1}"
+    os.makedirs(torn)
+    with open(f"{torn}/part-00000.parquet", "wb") as f:
+        f.write(b"\x00not parquet")
+    tot2, d2, last2 = reduction.load_moments_state(spark, path)
+    np.testing.assert_array_equal(tot2, committed[0])
+    assert (d2, last2) == (committed[1], committed[2])
+    # and the next fold writes PAST the torn version, then reads back
+    reduction.incremental_moments(
+        spark, emb.filter(F.col("vec_id") % 2 == 1).select("embedding"),
+        path, dim=d, batch_id=1,
+    )
+    n, _, _ = reduction.moments_from_path(spark, path)
+    assert n == emb.count()
