@@ -781,6 +781,71 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Per-batch MARGINAL cost of the semdedup ingest (r12 verdict #4):
+    # the single-file leg above is dominated by pay-once costs (query
+    # start, RocksDB state init, inbox copy) that a real deployment
+    # amortizes over the stream's life. Split the embeddings into 4
+    # files -> 4 micro-batches through ONE started query; marginal
+    # per-batch ~= (this leg - single-batch leg) / 3 is the
+    # steady-state number. Recorded both raw (the 4-batch wall) and
+    # derived (the marginal) so rounds stay comparable.
+    with tempfile.TemporaryDirectory() as td:
+        emb_split_dir = os.path.join(td, "emb_split")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+            4
+        ).write.parquet(emb_split_dir)
+        emb_split_files = [
+            os.path.join(emb_split_dir, f)
+            for f in os.listdir(emb_split_dir)
+            if f.endswith(".parquet")
+        ]
+
+        def semdedup_multibatch_leg_once() -> float:
+            with tempfile.TemporaryDirectory() as td2:
+                inbox = os.path.join(td2, "inbox")
+                os.makedirs(inbox)
+                for i, f in enumerate(emb_split_files):
+                    shutil.copy(f, os.path.join(inbox, f"b{i}.parquet"))
+                t0 = time.perf_counter()
+                sq = streaming.semdedup_ingest_stream(
+                    streaming.read_file_stream(
+                        spark, inbox, emb_schema, fmt="parquet",
+                        max_files_per_trigger=1,
+                    ),
+                    os.path.join(td2, "sem_index"),
+                    os.path.join(td2, "silver"),
+                    checkpoint=os.path.join(td2, "ckpt"),
+                    id_col="vec_id",
+                    vec_col="embedding",
+                    threshold=0.35,
+                )
+                if not sq.awaitTermination(300):
+                    sq.stop()
+                    raise RuntimeError(
+                        "semdedup multibatch leg did not finish in 300s"
+                    )
+                return time.perf_counter() - t0
+
+        timings["streaming_semdedup_multibatch"] = _bench_timed(
+            "streaming_semdedup_multibatch", semdedup_multibatch_leg_once
+        )
+        timings["streaming_semdedup_marginal_batch"] = round(
+            max(
+                timings["streaming_semdedup_multibatch"]
+                - timings["streaming_semdedup_ingest"],
+                0.0,
+            )
+            / 3,
+            3,
+        )
+        print(
+            f"# streaming_semdedup_multibatch: "
+            f"{timings['streaming_semdedup_multibatch']}s "
+            f"(marginal/batch "
+            f"{timings['streaming_semdedup_marginal_batch']}s)",
+            file=sys.stderr,
+        )
+
     # Stream-stream OUTER interval join leg (round-9 surface, priced
     # round 10): clicks FULL OUTER purchases on user_id within a 10-min
     # event-time window, both sides watermarked file streams — the
@@ -2164,6 +2229,55 @@ def scale_ramp(factor: int = 10) -> None:
         print(
             f"# ivf_pq_index_search slope {pq_slope:.2f}x at {factor}x "
             f"corpus (cells 64 -> {64 * factor})",
+            file=sys.stderr,
+        )
+
+        # Classifier training slope (r12 verdict #5): each GD iteration
+        # is one scan of the cached featurized projection + a
+        # dim+1-group shuffle whose collect is geometry-bounded, so the
+        # slope at factor× labeled rows should track the scan share and
+        # the gradient-row count must stay constant (data-size-free
+        # communication — the design claim, now measured). 8 iterations,
+        # dim=1024, same weak label as the headline leg.
+        from realtime_data_pipeline_spark import classifier as _clf
+
+        clf_times = {}
+        clf_grad_rows = {}
+        for label, d in (("base", base_dir), ("ramp", ramp_dir)):
+            docs_feat = spark.read.parquet(f"{d}/documents.parquet").select(
+                "doc_id",
+                _clf.hash_features(F.col("text"), 1024).alias("__x"),
+                (F.length("text") > 200).cast("int").alias("__y"),
+            )
+
+            def clf_once(docs_feat=docs_feat, label=label) -> float:
+                st: dict = {}
+                t0 = time.perf_counter()
+                _clf.logreg_train(
+                    docs_feat, "__x", "__y", dim=1024, iters=8, lr=0.5,
+                    stats=st,
+                )
+                clf_grad_rows[label] = st["max_grad_rows"]
+                return time.perf_counter() - t0
+
+            clf_once()  # warm
+            clf_times[label] = _bench_timed(
+                f"logreg_train8[{label}]", clf_once
+            )
+        assert clf_grad_rows["base"] <= 1024 + 1
+        assert clf_grad_rows["ramp"] <= 1024 + 1, clf_grad_rows
+        clf_slope = clf_times["ramp"] / clf_times["base"]
+        legs["logreg_train8"] = {
+            "base_sec": clf_times["base"],
+            "ramp_sec": clf_times["ramp"],
+            "slope": round(clf_slope, 2),
+            "slope_vs_factor": round(clf_slope / factor, 2),
+            "grad_rows": clf_grad_rows,  # constant = flat communication
+        }
+        print(
+            f"# logreg_train8 slope {clf_slope:.2f}x at {factor}x labeled "
+            f"rows (grad rows base {clf_grad_rows['base']} / ramp "
+            f"{clf_grad_rows['ramp']}, bound {1024 + 1})",
             file=sys.stderr,
         )
 

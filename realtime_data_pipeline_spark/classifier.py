@@ -121,6 +121,7 @@ def logreg_train(
     lr: float = 0.5,
     l2: float = 1e-4,
     init: dict | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """Full-batch logistic regression. Each iteration: one distributed
     scan computing residuals, one geometry-bounded shuffle (``dim + 1``
@@ -129,7 +130,10 @@ def logreg_train(
     featurized projection, not the raw table). ``init`` warm-starts
     from a previous model (same dim — continual learning: fold a new
     labeled batch into yesterday's weights instead of retraining from
-    zero). Returns ``{"w", "bias", "dim", "n", "iters", "lr", "l2"}``."""
+    zero). Returns ``{"w", "bias", "dim", "n", "iters", "lr", "l2"}``.
+    Pass a ``stats`` dict to receive ``max_grad_rows`` — the largest
+    per-iteration gradient collect (≤ dim + 1 by construction, data-size
+    free; the scale-ramp bench asserts it stays constant at 10×)."""
     data = df.select(
         F.col(feat_col).alias("__x"),
         F.col(label_col).cast("double").alias("__y"),
@@ -166,6 +170,10 @@ def logreg_train(
                 .agg(F.sum("__r").alias("__g"))
                 .collect()  # bounded: <= dim + 1 rows, row-count-free
             )
+            if stats is not None:
+                stats["max_grad_rows"] = max(
+                    stats.get("max_grad_rows", 0), len(grad_rows)
+                )
             g = np.zeros(dim + 1, dtype=np.float64)
             for r in grad_rows:
                 g[int(r["__i"])] = r["__g"]

@@ -788,7 +788,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # driver checks at most 50 queries, and these approx variants (HLL sketch,
 # percentile_approx) have no SQL-exact oracle — their exact twins above hold
 # the driver slots; these stay smoke-tested via tests/test_queries_oracle.py.
+def lineitem_quantity_price_ols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(returnflag, linestatus) simple linear regression of extended
+    price on quantity — the one-pass grouped-OLS operator
+    (``reduction.grouped_ols``): six additive sums per group in a single
+    JVM-side groupBy, slope/intercept/r² assembled as column
+    expressions, no UDF and no collect. Fixed-shift centering (25 /
+    35000, the measures' typical scales) keeps the sum-of-products
+    numerically honest against DuckDB's Welford-stable REGR_* oracle.
+    The regression face a feature pipeline runs per segment over a
+    100 TB fact table at the cost of one grouped agg."""
+    from realtime_data_pipeline_spark import reduction
+
+    li = load(spark, sf_dir, "lineitem")
+    out = reduction.grouped_ols(
+        li, ["l_returnflag", "l_linestatus"],
+        "l_quantity", "l_extendedprice",
+        shift_x=25.0, shift_y=35000.0,
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+LINEITEM_QUANTITY_PRICE_OLS_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(REGR_SLOPE(CAST(l_extendedprice AS DOUBLE),
+                   CAST(l_quantity AS DOUBLE)), 4) AS slope,
+  ROUND(REGR_INTERCEPT(CAST(l_extendedprice AS DOUBLE),
+                       CAST(l_quantity AS DOUBLE)), 2) AS intercept,
+  ROUND(REGR_R2(CAST(l_extendedprice AS DOUBLE),
+                CAST(l_quantity AS DOUBLE)), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-13 build: one-pass grouped OLS vs the REGR_* oracle
+    "lineitem_quantity_price_ols": lineitem_quantity_price_ols,
     "lineitem_measure_covariance": lineitem_measure_covariance,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
@@ -810,6 +857,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "lineitem_quantity_price_ols": LINEITEM_QUANTITY_PRICE_OLS_SQL,
     "lineitem_measure_covariance": LINEITEM_MEASURE_COVARIANCE_SQL,
     "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,

@@ -766,7 +766,58 @@ def embeddings_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", *cols)
 
 
+def embeddings_dim_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Population Stability Index between the even-id
+    half (reference) and odd-id half (current) of the embedding corpus
+    — the ``reduction.drift_psi`` operator: fixed-range equal-width
+    histograms (10 bins over [-4, 4], edges clamp), proportion compare
+    with ε-smoothing, all JVM column expressions over posexplode rows
+    with (side, dim, bin)-bounded shuffle keys. The new-crawl drift
+    gate a training pipeline runs before retraining. Oracle: the same
+    histogram algebra in DuckDB over UNNEST."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return reduction.drift_psi(ref, cur).orderBy("dim")
+
+
+EMBEDDINGS_DIM_DRIFT_PSI_SQL = """
+WITH ex AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+         CAST(t.i - 1 AS INTEGER) AS dim,
+         CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+b AS (
+  SELECT side, dim,
+         LEAST(9, GREATEST(0,
+           CAST(FLOOR((x - (-4.0)) / 0.8) AS INTEGER))) AS bin
+  FROM ex
+),
+c AS (SELECT side, dim, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+tt AS (SELECT side, dim, SUM(cnt) AS tot FROM c GROUP BY 1, 2),
+p AS (
+  SELECT c.side, c.dim, c.bin, CAST(cnt AS DOUBLE) / tot AS p
+  FROM c JOIN tt USING (side, dim)
+),
+w AS (
+  SELECT dim, bin,
+         SUM(CASE WHEN side = 'ref' THEN p ELSE 0 END) AS p_ref,
+         SUM(CASE WHEN side = 'cur' THEN p ELSE 0 END) AS p_cur
+  FROM p GROUP BY 1, 2
+)
+SELECT dim,
+       ROUND(SUM((p_cur - p_ref) * LN((p_cur + 1e-6) / (p_ref + 1e-6))),
+             6) AS psi
+FROM w GROUP BY dim ORDER BY dim
+"""
+
+
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-13 build: PSI drift monitor vs the histogram-algebra oracle
+    "embeddings_dim_drift_psi": embeddings_dim_drift_psi,
     # round-12 build: exact covariance (oracle) + PCA scores (rows-only)
     "embeddings_covariance": embeddings_covariance,
     "embeddings_correlation": embeddings_correlation,
@@ -787,6 +838,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "embeddings_dim_drift_psi": EMBEDDINGS_DIM_DRIFT_PSI_SQL,
     "embeddings_covariance": EMBEDDINGS_COVARIANCE_SQL,
     "embeddings_correlation": EMBEDDINGS_CORRELATION_SQL,
     "embeddings_label_variances": EMBEDDINGS_LABEL_VARIANCES_SQL,

@@ -835,3 +835,124 @@ def covariance_rows(
     return n, [
         (i, j, round(float(cov[i, j]), 6)) for i in range(d) for j in range(d)
     ]
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    shift_x: float = 0.0,
+    shift_y: float = 0.0,
+) -> DataFrame:
+    """Per-group simple linear regression (y ~ slope·x + intercept) from
+    one-pass sufficient statistics — the regression face of the moments
+    family, spelled ENTIRELY in JVM column expressions: one groupBy
+    carrying six additive sums (n, Σx, Σy, Σxx, Σxy, Σyy), map-side
+    combined, whole-stage codegen, no UDF and no collect. Returns
+    ``group_cols + (n, slope, intercept, r2)``; groups where x has zero
+    variance get NULL slope/intercept/r2 (no line to fit).
+
+    ``shift_x``/``shift_y`` are fixed centering constants: slope and r²
+    are shift-invariant, and centering the raw sums near the data's
+    typical magnitude kills the catastrophic cancellation the
+    sum-of-products formula suffers at e.g. price scales (~1e4) against
+    an oracle's Welford-stable REGR_* aggregates (same trick as
+    ``lineitem_measure_covariance``). The intercept is mapped back to
+    ORIGINAL coordinates: b0 = b0' + shift_y − slope·shift_x.
+
+    Scale shape: one scan, one shuffle keyed by the group columns with
+    six-double partials — the same cost as any grouped agg; at 100 TB
+    the partial aggregation does the heavy lifting map-side.
+    """
+    x = F.col(x_col).cast("double") - F.lit(float(shift_x))
+    y = F.col(y_col).cast("double") - F.lit(float(shift_y))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")   # n²·var-ish
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(vx > 0, cxy / vx)
+    b0_shifted = (F.col("sy") - slope * F.col("sx")) / n
+    intercept = b0_shifted + F.lit(float(shift_y)) - slope * F.lit(
+        float(shift_x)
+    )
+    r2 = F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy))
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    n_bins: int = 10,
+    lo: float = -4.0,
+    hi: float = 4.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-dimension Population Stability Index between a reference and
+    a current embedding corpus — the drift monitor a training pipeline
+    runs when a new crawl lands, BEFORE retraining on it. For each
+    dimension: equal-width histograms over the fixed range [lo, hi]
+    (out-of-range values clamp to the edge bins, so mass never
+    disappears), then ``PSI = Σ_b (p_cur − p_ref)·ln((p_cur+ε)/(p_ref+ε))``.
+    Rule-of-thumb reading (credit-scoring literature): <0.1 stable,
+    0.1–0.25 moderate shift, >0.25 action.
+
+    FIXED bin edges (not reference quantiles) keep the operator one-pass
+    and mergeable — no quantile pre-scan, and two runs over different
+    partitions of the same data are comparable. Everything is built-in
+    column expressions over posexplode rows; the shuffle keys are
+    (side, dim, bin) — bounded by 2·d·n_bins regardless of corpus size.
+    Returns (dim, psi) rows, dim-ascending NOT enforced (order at read).
+    """
+    width = (hi - lo) / n_bins
+    ex = (
+        ref.select(F.lit("ref").alias("side"), F.col(vec_col))
+        .unionByName(cur.select(F.lit("cur").alias("side"), F.col(vec_col)))
+        .select(
+            "side",
+            F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x"),
+        )
+    )
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    counts = ex.groupBy("side", "dim", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy("side", "dim").agg(F.sum("cnt").alias("tot"))
+    p = counts.join(tot, ["side", "dim"]).select(
+        "side", "dim", "bin", (F.col("cnt") / F.col("tot")).alias("p")
+    )
+    wide = p.groupBy("dim", "bin").agg(
+        F.sum(F.when(F.col("side") == "ref", F.col("p")).otherwise(0.0)).alias(
+            "p_ref"
+        ),
+        F.sum(F.when(F.col("side") == "cur", F.col("p")).otherwise(0.0)).alias(
+            "p_cur"
+        ),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        (F.col("p_cur") + F.lit(eps)) / (F.col("p_ref") + F.lit(eps))
+    )
+    return wide.groupBy("dim").agg(
+        F.round(F.sum(term), 6).alias("psi")
+    )

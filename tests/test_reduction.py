@@ -642,3 +642,83 @@ def test_moments_state_survives_torn_write(spark, emb, tmp_path):
     )
     n, _, _ = reduction.moments_from_path(spark, path)
     assert n == emb.count()
+
+
+def test_grouped_ols_matches_numpy_polyfit(spark, sf_dir):
+    """Per-group slope/intercept/r2 from the one-pass sufficient
+    statistics must match numpy least squares per group."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in reduction.grouped_ols(
+            li, ["l_returnflag", "l_linestatus"],
+            "l_quantity", "l_extendedprice",
+            shift_x=25.0, shift_y=35000.0,
+        ).collect()
+    }
+    rows = li.select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r.l_returnflag, r.l_linestatus), []).append(
+            (float(r.l_quantity), float(r.l_extendedprice))
+        )
+    assert set(got) == set(groups)
+    for key, pts in groups.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope_ref, b0_ref = np.polyfit(x, y, 1)
+        r = got[key]
+        assert r.n == len(pts)
+        np.testing.assert_allclose(r.slope, slope_ref, rtol=1e-9)
+        np.testing.assert_allclose(r.intercept, b0_ref, rtol=1e-9)
+        r2_ref = np.corrcoef(x, y)[0, 1] ** 2
+        np.testing.assert_allclose(r.r2, r2_ref, rtol=1e-9)
+
+
+def test_grouped_ols_zero_variance_x_yields_nulls(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 3, "x": [2.0, 2.0, 2.0],
+                      "y": [1.0, 2.0, 3.0]})
+    )
+    r = reduction.grouped_ols(df, ["g"], "x", "y").first()
+    assert r.slope is None and r.intercept is None and r.r2 is None
+    assert r.n == 3
+
+
+def test_grouped_ols_stays_jvm_side(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = plan_str(
+        reduction.grouped_ols(li, ["l_returnflag"], "l_quantity",
+                              "l_extendedprice")
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_drift_psi_zero_on_identical_corpora(spark, emb):
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    got = reduction.drift_psi(half, half).collect()
+    assert len(got) == 64
+    assert all(abs(r.psi) < 1e-12 for r in got)
+
+
+def test_drift_psi_flags_planted_shift(spark, emb):
+    """Shifting ONE dimension of the 'current' corpus by 2σ-ish must
+    push that dimension's PSI past the 0.25 action threshold while the
+    untouched dimensions stay in the stable band (same-corpus halves
+    differ only by sampling noise)."""
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 7, x + 2.0).otherwise(x),
+        ),
+    )
+    psi = {r.dim: r.psi for r in reduction.drift_psi(ref, cur).collect()}
+    assert psi[7] > 0.25, psi[7]
+    others = [v for k, v in psi.items() if k != 7]
+    assert max(others) < 0.1, max(others)
