@@ -956,3 +956,133 @@ def drift_psi(
     return wide.groupBy("dim").agg(
         F.round(F.sum(term), 6).alias("psi")
     )
+
+
+def _hist_proportions(
+    df: DataFrame,
+    vec_col: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Per-(dim, bin) proportions of one corpus under the fixed-range
+    equal-width binning of :func:`drift_psi` — (dim, bin, p) rows,
+    geometry-bounded (d·n_bins). One scan; the explode fuses with the
+    first partial aggregation."""
+    width = (hi - lo) / n_bins
+    ex = df.select(
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x")
+    )
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    counts = ex.groupBy("dim", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy("dim").agg(F.sum("cnt").alias("tot"))
+    return counts.join(tot, "dim").select(
+        "dim", "bin", (F.col("cnt") / F.col("tot")).alias("p")
+    )
+
+
+def reference_histogram(
+    ref: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_bins: int = 10,
+    lo: float = -4.0,
+    hi: float = 4.0,
+) -> None:
+    """Persist a reference corpus's per-dimension histogram for the
+    streaming drift monitor: ``{path}/hist`` holds (dim, bin, p_ref,
+    n_bins, lo, hi) rows — the binning geometry rides IN the rows, so a
+    monitor reading the reference can never silently bin differently
+    than the corpus that built it. Write-once (train-time), re-built
+    only when the reference era changes — not incremental state, so no
+    bookmark/versioning machinery is needed."""
+    (
+        _hist_proportions(ref, vec_col, n_bins, lo, hi)
+        .select(
+            "dim", "bin", F.col("p").alias("p_ref"),
+            F.lit(n_bins).alias("n_bins"),
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+        )
+        .coalesce(1)  # d·n_bins rows — one small file
+        .write.mode("overwrite")
+        .parquet(f"{path}/hist")
+    )
+
+
+def batch_drift_psi(
+    spark,
+    batch: DataFrame,
+    ref_path: str,
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI of one batch against a :func:`reference_histogram` — (dim,
+    psi, n_rows) rows. The reference is d·n_bins rows (broadcast); the
+    batch gets one scan; bins unpopulated on either side contribute via
+    the ε-smoothed term exactly as in :func:`drift_psi` (full-outer
+    bin alignment, missing proportion = 0)."""
+    ref = spark.read.parquet(f"{ref_path}/hist")
+    geo = ref.select("n_bins", "lo", "hi").first()
+    n_bins, lo, hi = int(geo["n_bins"]), float(geo["lo"]), float(geo["hi"])
+    n_rows = batch.count()
+    cur = _hist_proportions(batch, vec_col, n_bins, lo, hi).select(
+        "dim", "bin", F.col("p").alias("p_cur")
+    )
+    joined = (
+        F.broadcast(ref.select("dim", "bin", "p_ref"))
+        .join(cur, ["dim", "bin"], "full_outer")
+        .select(
+            "dim",
+            F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+            F.coalesce("p_cur", F.lit(0.0)).alias("p_cur"),
+        )
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        (F.col("p_cur") + F.lit(eps)) / (F.col("p_ref") + F.lit(eps))
+    )
+    return joined.groupBy("dim").agg(
+        F.round(F.sum(term), 6).alias("psi")
+    ).withColumn("n_rows", F.lit(n_rows))
+
+
+def drift_monitor_sink(
+    spark,
+    ref_path: str,
+    out_path: str,
+    vec_col: str = "embedding",
+    eps: float = 1e-6,
+):
+    """``foreachBatch`` adapter: per micro-batch, PSI every embedding
+    dimension against the persisted reference histogram and land
+    (dim, psi, n_rows) under ``{out_path}/batch_id=N`` — the monitor
+    table an alerting job tails (psi > 0.25 on any dim ⇒ the crawl
+    shifted; stop and look before training on it). Exactly-once by
+    batch-scoped partition overwrite (a replayed micro-batch rewrites
+    its own partition, the medallion sinks' idempotency idiom). Empty
+    batches write nothing (warm-up stance, same as moments_sink)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = batch_drift_psi(
+            spark, batch_df, ref_path, vec_col=vec_col, eps=eps
+        )
+        (
+            out.withColumn("batch_id", F.lit(int(epoch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    return _sink

@@ -722,3 +722,41 @@ def test_drift_psi_flags_planted_shift(spark, emb):
     assert psi[7] > 0.25, psi[7]
     others = [v for k, v in psi.items() if k != 7]
     assert max(others) < 0.1, max(others)
+
+
+def test_streaming_drift_monitor_end_to_end(spark, emb, tmp_path):
+    """Reference histogram → file-stream batches → per-batch PSI rows
+    land batch-partitioned; a replayed batch rewrites its own partition
+    (idempotent); the shifted batch trips the 0.25 gate on the planted
+    dimension only."""
+    from realtime_data_pipeline_spark import streaming
+
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    ref_path = str(tmp_path / "drift_ref")
+    reduction.reference_histogram(ref, ref_path)
+
+    sink = reduction.drift_monitor_sink(spark, ref_path,
+                                        str(tmp_path / "monitor"))
+    # batch 0: the other half of the same corpus -> stable
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    sink(cur.select("embedding"), 0)
+    # batch 1: same rows with dim 7 shifted by 2.0 -> action on dim 7
+    shifted = cur.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 7, x + 2.0).otherwise(x),
+        ).alias("embedding")
+    )
+    sink(shifted, 1)
+    # empty batch: quiet no-op
+    sink(cur.select("embedding").limit(0), 2)
+    # replay of batch 1: rewrites its partition, no duplication
+    sink(shifted, 1)
+
+    mon = spark.read.parquet(str(tmp_path / "monitor"))
+    got = {(r.batch_id, r.dim): r.psi for r in mon.collect()}
+    assert len(got) == 2 * 64  # two real batches x 64 dims, no dupes
+    assert got[(1, 7)] > 0.25
+    stable = [v for (b, d), v in got.items() if not (b == 1 and d == 7)]
+    assert max(stable) < 0.1
+    assert {r.n_rows for r in mon.collect()} == {cur.count()}
