@@ -1043,6 +1043,102 @@ GROUP BY doc_id
 """
 
 
+
+
+def docs_source_signature_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source DISTINCTIVE vocabulary: the top-5 tokens by smoothed
+    log-odds ratio of in-source vs rest-of-corpus usage (add-1
+    smoothing; min in-source count 5 so rare tokens cannot dominate) —
+    the domain-signature pass a corpus audit runs to see WHAT each
+    source actually contributes before weighting it in the mixture
+    (Monroe et al. 2008 "Fightin' Words" shape, fixed-prior variant).
+
+    Scale shape: one explode feeds a single (source, term) grouped agg
+    (map-side combined); the per-term corpus counts and per-source
+    totals are Zipf-/geometry-tiny and BROADCAST back; top-5-per-source
+    is a row_number window over the already-aggregated counts
+    partitioned by source. No corpus tokens move twice. Ties rank
+    deterministically (score desc, term asc)."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.explode(text.words(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    )
+    term_tot = st.groupBy("term").agg(F.sum("a").alias("t_all"))
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("n_src"))
+    corpus = st.agg(F.sum("a").alias("n_all"))
+    j = (
+        st.join(F.broadcast(term_tot), "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus))
+    )
+    a = F.col("a")                       # w in source
+    b = F.col("n_src") - a               # other tokens in source
+    c = F.col("t_all") - a               # w outside source
+    d = F.col("n_all") - F.col("n_src") - c  # other tokens outside
+    score = (
+        F.log((a + 1.0) / (b + 1.0)) - F.log((c + 1.0) / (d + 1.0))
+    )
+    scored = j.filter(a >= 5).select(
+        "source", "term", F.round(score, 6).alias("log_odds")
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", F.col("rank").cast("int").alias("rank"),
+                "term", "log_odds")
+    )
+
+
+DOCS_SOURCE_SIGNATURE_TERMS_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT source, term FROM tok WHERE LENGTH(term) > 0
+), st AS (
+  SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS a
+  FROM tok2 GROUP BY source, term
+), term_tot AS (
+  SELECT term, SUM(a) AS t_all FROM st GROUP BY term
+), src_tot AS (
+  SELECT source, SUM(a) AS n_src FROM st GROUP BY source
+), corpus AS (SELECT SUM(a) AS n_all FROM st),
+scored AS (
+  SELECT st.source, st.term,
+         ROUND(
+           LN((st.a + 1.0) / (src_tot.n_src - st.a + 1.0))
+           - LN((term_tot.t_all - st.a + 1.0)
+                / (corpus.n_all - src_tot.n_src
+                   - (term_tot.t_all - st.a) + 1.0)),
+           6
+         ) AS log_odds
+  FROM st
+  JOIN term_tot USING (term)
+  JOIN src_tot USING (source)
+  CROSS JOIN corpus
+  WHERE st.a >= 5
+)
+SELECT source, CAST(rank AS INTEGER) AS rank, term, log_odds
+FROM (
+  SELECT source, term, log_odds,
+         row_number() OVER (
+           PARTITION BY source ORDER BY log_odds DESC, term
+         ) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redaction": docs_pii_redaction,
     "docs_repetition_profile": docs_repetition_profile,
@@ -1059,6 +1155,8 @@ ORACLE_SQL: dict[str, str] = {
 # declared curation slots stay with the redaction/repetition/contamination
 # trio the round-3 verdict graded).
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-13 build: per-source distinctive vocabulary (log-odds)
+    "docs_source_signature_terms": docs_source_signature_terms,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_bm25_search": docs_bm25_search,
@@ -1075,6 +1173,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "docs_source_signature_terms": DOCS_SOURCE_SIGNATURE_TERMS_SQL,
     "docs_contamination_spans": DOCS_CONTAMINATION_SPANS_SQL,
     "docs_decontaminated_train": DOCS_DECONTAMINATED_TRAIN_SQL,
     "docs_unigram_surprisal": DOCS_UNIGRAM_SURPRISAL_SQL,
