@@ -1586,6 +1586,8 @@ RAMP_LEGS = [
     "events_dau_wau",            # sliding distinct via explode, 10x events
     "embeddings_pca_scores",     # moments pass + eigh + map-only project,
                                  # 10x corpus (r12 reduction family)
+    "embeddings_dim_drift_psi",  # PSI drift: explode + geometry-bounded
+                                 # (side,dim,bin) aggs (r13 family)
 ]
 
 

@@ -815,9 +815,31 @@ FROM w GROUP BY dim ORDER BY dim
 """
 
 
+def embeddings_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by nature (driver-side d×d solve): closed-form linear
+    probe — ridge-regress the integer label on the embedding in ONE
+    distributed pass (``reduction.ridge_fit`` over the augmented
+    moments sketch), then score map-only. The "linear probe" a
+    representation audit runs to ask how much of a signal is linearly
+    decodable from the embedding space. Numpy parity + shrinkage
+    behavior gated in tests/test_reduction.py."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    data = emb.select("vec_id", "embedding", F.col("label").alias("y"))
+    model = reduction.ridge_fit(data, "embedding", "y", l2=1e-3)
+    return (
+        reduction.ridge_predict(data, model)
+        .select("vec_id", F.round("y_hat", 6).alias("y_hat"))
+        .orderBy("vec_id")
+    )
+
+
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-13 build: PSI drift monitor vs the histogram-algebra oracle
     "embeddings_dim_drift_psi": embeddings_dim_drift_psi,
+    # round-13 build: one-pass closed-form linear probe (rows-only)
+    "embeddings_ridge_probe": embeddings_ridge_probe,
     # round-12 build: exact covariance (oracle) + PCA scores (rows-only)
     "embeddings_covariance": embeddings_covariance,
     "embeddings_correlation": embeddings_correlation,

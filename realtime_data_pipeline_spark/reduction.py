@@ -1086,3 +1086,77 @@ def drift_monitor_sink(
         )
 
     return _sink
+
+
+def ridge_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    y_col: str = "y",
+    l2: float = 0.0,
+    dim: int | None = None,
+) -> dict:
+    """Closed-form (ridge) linear regression of a scalar target on a
+    vector column in ONE distributed pass: run :func:`moments` over the
+    augmented vector ``concat(x, [y])`` — its totals contain Σxxᵀ, Σxy,
+    Σy² and the means, i.e. the full normal equations — then solve
+    ``(Sxx + λI)·β = Sxy`` on the driver (a (d×d) solve; the INPUT is
+    never collected, same contract as PCA). Centering comes free from
+    the covariance form, so the intercept is exact:
+    ``b0 = ȳ − βᵀx̄``. λ=0 is plain OLS (requires Sxx nonsingular);
+    λ>0 is standard ridge on the CENTERED covariance (the intercept is
+    never penalized — the textbook parameterization).
+
+    Returns ``{"beta" (d,), "intercept", "n", "r2", "l2"}``; ``r2`` is
+    the in-sample fraction of variance explained (1 − SSE/SST assembled
+    from the same sufficient statistics, no second pass).
+
+    At 100 TB: identical cost to one covariance pass — a single scan,
+    one geometry-bounded merge, a driver-side d×d solve. Iterative GD
+    (``classifier.logreg_train``) exists for when d is too large for
+    d²-sized partials; this is the exact path while d² stays
+    driver-friendly."""
+    d = dim if dim is not None else _infer_dim(df, vec_col)
+    aug = df.select(
+        F.concat(
+            as_double_array(F.col(vec_col)),
+            F.array(F.col(y_col).cast("double")),
+        ).alias("__xy")
+    )
+    n, mean, cov = moments(aug, vec_col="__xy", dim=d + 1)
+    Sxx = cov[:d, :d]
+    Sxy = cov[:d, d]
+    Syy = float(cov[d, d])
+    A = Sxx + float(l2) * np.eye(d)
+    beta = np.linalg.solve(A, Sxy)
+    intercept = float(mean[d] - beta @ mean[:d])
+    # r² from the same statistics: explained = βᵀ·Sxy (OLS identity;
+    # with ridge it is the generalized-explained share of Syy)
+    r2 = float(beta @ Sxy / Syy) if Syy > 0 else float("nan")
+    return {
+        "beta": beta,
+        "intercept": intercept,
+        "n": int(n),
+        "r2": r2,
+        "l2": float(l2),
+    }
+
+
+def ridge_predict(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "y_hat",
+    method: str = "expr",
+) -> DataFrame:
+    """Map-only scoring for :func:`ridge_fit`: ŷ = βᵀx + b0 via the
+    shared projection core (1×d matrix, no mean shift — the intercept
+    carries the centering). No shuffle; JVM codegen under
+    ``method="expr"``."""
+    beta = np.asarray(model["beta"], dtype=np.float64)
+    out = project(
+        df, beta[None, :], mean=None, vec_col=vec_col, out_col="__p",
+        method=method,
+    )
+    return out.withColumn(
+        out_col, F.col("__p")[0] + F.lit(float(model["intercept"]))
+    ).drop("__p")

@@ -760,3 +760,57 @@ def test_streaming_drift_monitor_end_to_end(spark, emb, tmp_path):
     stable = [v for (b, d), v in got.items() if not (b == 1 and d == 7)]
     assert max(stable) < 0.1
     assert {r.n_rows for r in mon.collect()} == {cur.count()}
+
+
+def test_ridge_fit_matches_numpy_lstsq(spark, emb, X):
+    """OLS (l2=0) from the one-pass augmented moments must match the
+    numpy normal-equation solution on a synthetic linear target."""
+    rng = np.random.RandomState(5)
+    w_true = rng.standard_normal(X.shape[1])
+    y = X @ w_true + 0.5 + 0.01 * rng.standard_normal(X.shape[0])
+    import pandas as pd
+
+    ydf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(y)), "y": y}),
+        "vec_id long, y double",
+    )
+    data = emb.select("vec_id", "embedding").join(ydf, "vec_id")
+    model = reduction.ridge_fit(data, "embedding", "y")
+    Xc = np.column_stack([X, np.ones(len(X))])
+    ref, *_ = np.linalg.lstsq(Xc, y, rcond=None)
+    np.testing.assert_allclose(model["beta"], ref[:-1], atol=1e-7)
+    np.testing.assert_allclose(model["intercept"], ref[-1], atol=1e-7)
+    assert model["r2"] > 0.999  # near-noiseless linear target
+    assert model["n"] == len(y)
+    # scoring parity: distributed y_hat equals the numpy prediction
+    scored = reduction.ridge_predict(data, model).select(
+        "vec_id", "y_hat"
+    ).collect()
+    scored.sort(key=lambda r: r.vec_id)
+    got = np.array([r.y_hat for r in scored])
+    np.testing.assert_allclose(
+        got, Xc @ ref, atol=1e-6
+    )
+
+
+def test_ridge_l2_shrinks_coefficients(spark, emb, X):
+    rng = np.random.RandomState(6)
+    y = X @ rng.standard_normal(X.shape[1])
+    import pandas as pd
+
+    ydf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(y)), "y": y}),
+        "vec_id long, y double",
+    )
+    data = emb.select("vec_id", "embedding").join(ydf, "vec_id")
+    ols = reduction.ridge_fit(data, "embedding", "y", l2=0.0)
+    rr = reduction.ridge_fit(data, "embedding", "y", l2=10.0)
+    assert np.linalg.norm(rr["beta"]) < np.linalg.norm(ols["beta"])
+    # ridge reference: (Sxx + λI)β = Sxy on centered data
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    d = X.shape[1]
+    Sxx = (Xc.T @ Xc) / (len(X) - 1)
+    Sxy = (Xc.T @ yc) / (len(X) - 1)
+    ref = np.linalg.solve(Sxx + 10.0 * np.eye(d), Sxy)
+    np.testing.assert_allclose(rr["beta"], ref, atol=1e-8)
