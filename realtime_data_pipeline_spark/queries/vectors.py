@@ -815,6 +815,40 @@ FROM w GROUP BY dim ORDER BY dim
 """
 
 
+def embeddings_dim_drift_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Welch t-statistic between the even-id (reference)
+    and odd-id (current) corpus halves — ``reduction.drift_ttest``, the
+    mean-shift drift gate beside the PSI shape gate. Oracle: the same
+    statistic from AVG/VAR_SAMP over UNNEST."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return reduction.drift_ttest(ref, cur).orderBy("dim")
+
+
+EMBEDDINGS_DIM_DRIFT_TTEST_SQL = """
+WITH x AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+         CAST(t.i AS INTEGER) - 1 AS dim,
+         CAST(embedding[t.i] AS DOUBLE) AS xi
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+s AS (
+  SELECT side, dim, COUNT(*) AS n, AVG(xi) AS m, VAR_SAMP(xi) AS v
+  FROM x GROUP BY side, dim
+)
+SELECT r.dim,
+       ROUND((c.m - r.m) / SQRT(r.v / r.n + c.v / c.n), 6) AS t,
+       r.n AS n_ref, c.n AS n_cur
+FROM (SELECT * FROM s WHERE side = 'ref') r
+JOIN (SELECT * FROM s WHERE side = 'cur') c USING (dim)
+ORDER BY r.dim
+"""
+
+
+
 def embeddings_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only by nature (driver-side d×d solve): closed-form linear
     probe — ridge-regress the integer label on the embedding in ONE
@@ -838,6 +872,7 @@ def embeddings_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-13 build: PSI drift monitor vs the histogram-algebra oracle
     "embeddings_dim_drift_psi": embeddings_dim_drift_psi,
+    "embeddings_dim_drift_ttest": embeddings_dim_drift_ttest,
     # round-13 build: one-pass closed-form linear probe (rows-only)
     "embeddings_ridge_probe": embeddings_ridge_probe,
     # round-12 build: exact covariance (oracle) + PCA scores (rows-only)
@@ -861,6 +896,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_dim_drift_psi": EMBEDDINGS_DIM_DRIFT_PSI_SQL,
+    "embeddings_dim_drift_ttest": EMBEDDINGS_DIM_DRIFT_TTEST_SQL,
     "embeddings_covariance": EMBEDDINGS_COVARIANCE_SQL,
     "embeddings_correlation": EMBEDDINGS_CORRELATION_SQL,
     "embeddings_label_variances": EMBEDDINGS_LABEL_VARIANCES_SQL,

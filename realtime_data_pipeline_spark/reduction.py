@@ -1160,3 +1160,50 @@ def ridge_predict(
     return out.withColumn(
         out_col, F.col("__p")[0] + F.lit(float(model["intercept"]))
     ).drop("__p")
+
+
+def drift_ttest(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension Welch t-statistic between two embedding corpora —
+    the MEAN-SHIFT drift detector next to :func:`drift_psi`'s
+    distribution-shape one (a location shift inside the same bin grid
+    can hide from a coarse histogram; it cannot hide from t). Plain
+    grouped aggregation over posexplode rows: per (side, dim) count /
+    mean / unbiased variance, one join on dim, then
+    ``t = (m_cur − m_ref) / sqrt(v_ref/n_ref + v_cur/n_cur)``.
+    |t| ≳ 3 on any dimension is the look-before-training gate.
+    Shuffle keys are (side, dim) — geometry-bounded; one scan per side.
+    Returns (dim, t, n_ref, n_cur)."""
+
+    def side_stats(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(as_double_array(F.col(vec_col))).alias(
+                    "dim", "x"
+                )
+            )
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("x").alias("m"),
+                F.var_samp("x").alias("v"),
+            )
+        )
+    r = side_stats(ref).select(
+        "dim", F.col("n").alias("n_ref"), F.col("m").alias("m_ref"),
+        F.col("v").alias("v_ref"),
+    )
+    c = side_stats(cur).select(
+        "dim", F.col("n").alias("n_cur"), F.col("m").alias("m_cur"),
+        F.col("v").alias("v_cur"),
+    )
+    j = r.join(c, "dim")
+    t = (F.col("m_cur") - F.col("m_ref")) / F.sqrt(
+        F.col("v_ref") / F.col("n_ref") + F.col("v_cur") / F.col("n_cur")
+    )
+    return j.select(
+        "dim", F.round(t, 6).alias("t"), "n_ref", "n_cur"
+    )

@@ -814,3 +814,19 @@ def test_ridge_l2_shrinks_coefficients(spark, emb, X):
     Sxy = (Xc.T @ yc) / (len(X) - 1)
     ref = np.linalg.solve(Sxx + 10.0 * np.eye(d), Sxy)
     np.testing.assert_allclose(rr["beta"], ref, atol=1e-8)
+
+
+def test_drift_ttest_detects_planted_mean_shift(spark, emb):
+    """A 0.5-unit mean shift on one dimension must blow past |t|=3
+    while untouched dimensions stay below it (same-corpus halves)."""
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 3, x + 0.5).otherwise(x),
+        ),
+    )
+    t = {r.dim: r.t for r in reduction.drift_ttest(ref, cur).collect()}
+    assert t[3] > 3.0, t[3]
+    assert max(abs(v) for k, v in t.items() if k != 3) < 3.0
