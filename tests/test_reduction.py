@@ -830,3 +830,14 @@ def test_drift_ttest_detects_planted_mean_shift(spark, emb):
     t = {r.dim: r.t for r in reduction.drift_ttest(ref, cur).collect()}
     assert t[3] > 3.0, t[3]
     assert max(abs(v) for k, v in t.items() if k != 3) < 3.0
+
+
+def test_drift_family_stays_jvm_side(spark, emb):
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    for df in (reduction.drift_psi(ref, cur),
+               reduction.drift_ttest(ref, cur)):
+        plan = plan_str(df)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Generate" in plan  # the posexplode fuses map-side
