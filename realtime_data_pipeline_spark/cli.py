@@ -546,6 +546,26 @@ def main(argv: list[str] | None = None) -> int:
         help="exact COUNT DISTINCT instead of HLL approx",
     )
 
+    pdr = sub.add_parser(
+        "drift",
+        help="embedding drift gate: per-dim PSI + Welch t between two "
+        "corpora; nonzero exit if any dimension crosses a gate",
+    )
+    pdr.add_argument("--ref", required=True, help="reference parquet path")
+    pdr.add_argument("--cur", required=True, help="current parquet path")
+    pdr.add_argument("--vec-col", default="embedding")
+    pdr.add_argument("--psi-bins", type=int, default=10)
+    pdr.add_argument("--lo", type=float, default=-4.0)
+    pdr.add_argument("--hi", type=float, default=4.0)
+    pdr.add_argument(
+        "--gate-psi", type=float, default=0.25,
+        help="PSI action threshold (credit-scoring rule of thumb)",
+    )
+    pdr.add_argument(
+        "--gate-t", type=float, default=3.0,
+        help="|t| threshold for the mean-shift gate",
+    )
+
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
     )
@@ -1142,6 +1162,43 @@ def main(argv: list[str] | None = None) -> int:
             exact_ndv=args.exact_ndv,
         ).show(1000, truncate=False)
         return 0
+    if args.cmd == "drift":
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from realtime_data_pipeline_spark import reduction
+
+        ref = spark.read.parquet(args.ref)
+        cur = spark.read.parquet(args.cur)
+        psi = reduction.drift_psi(
+            ref, cur, vec_col=args.vec_col, n_bins=args.psi_bins,
+            lo=args.lo, hi=args.hi,
+        )
+        tt = reduction.drift_ttest(ref, cur, vec_col=args.vec_col)
+        both = psi.join(tt, "dim").orderBy("dim")
+        rows = both.collect()
+        flagged = sorted(
+            r.dim for r in rows
+            if r.psi > args.gate_psi or abs(r.t) > args.gate_t
+        )
+        worst_psi = max(rows, key=lambda r: r.psi)
+        worst_t = max(rows, key=lambda r: abs(r.t))
+        both.select(
+            "dim", "psi", "t",
+            (F.col("psi") > args.gate_psi).alias("psi_flag"),
+            (F.abs("t") > args.gate_t).alias("t_flag"),
+        ).show(10_000, truncate=False)
+        print(_json.dumps({
+            "n_dims": len(rows),
+            "flagged_dims": flagged,
+            "worst_psi": {"dim": worst_psi.dim, "psi": worst_psi.psi},
+            "worst_t": {"dim": worst_t.dim, "t": worst_t.t},
+            "gates": {"psi": args.gate_psi, "t": args.gate_t},
+            "n_ref": rows[0].n_ref if rows else 0,
+            "n_cur": rows[0].n_cur if rows else 0,
+        }))
+        return 1 if flagged else 0
     if args.cmd == "scd2":
         import json as _json
 

@@ -841,3 +841,34 @@ def test_drift_family_stays_jvm_side(spark, emb):
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
         assert "Generate" in plan  # the posexplode fuses map-side
+
+
+def test_cli_drift_gate_exit_codes(spark, emb, tmp_path, capsys):
+    """`rdp drift` exits 0 on same-corpus halves and 1 when a planted
+    shift crosses a gate; the JSON summary names the flagged dims."""
+    import json as _json
+
+    from realtime_data_pipeline_spark import cli
+
+    ref_p = str(tmp_path / "ref.parquet")
+    cur_p = str(tmp_path / "cur.parquet")
+    shift_p = str(tmp_path / "shifted.parquet")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    ref.write.parquet(ref_p)
+    cur.write.parquet(cur_p)
+    cur.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 5, x + 2.0).otherwise(x),
+        ),
+    ).write.parquet(shift_p)
+
+    assert cli.main(["drift", "--ref", ref_p, "--cur", cur_p]) == 0
+    capsys.readouterr()
+    assert cli.main(["drift", "--ref", ref_p, "--cur", shift_p]) == 1
+    out = capsys.readouterr().out
+    summary = _json.loads(out.strip().splitlines()[-1])
+    assert 5 in summary["flagged_dims"]
+    assert summary["worst_t"]["dim"] == 5 or summary["worst_psi"]["dim"] == 5
