@@ -720,3 +720,74 @@ def test_diff_versions_equals_snapshot_multiset_difference(
     assert dels == s_from - s_to
     # applying the diff moves from -> to exactly
     assert s_from + ins - dels == s_to
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_grouped_ols_matches_numpy_on_random_groups(spark, rows):
+    """For ANY grouped scatter, grouped_ols agrees with numpy polyfit
+    where x varies and returns NULLs where it cannot (zero x-variance),
+    never raising."""
+    import numpy as np
+
+    from realtime_data_pipeline_spark import reduction
+
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in reduction.grouped_ols(df, ["g"], "x", "y").collect()}
+    groups: dict = {}
+    for g, x, y in rows:
+        groups.setdefault(g, []).append((x, y))
+    assert set(got) == set(groups)
+    for g, pts in groups.items():
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        r = got[g]
+        assert r.n == len(pts)
+        if len(pts) >= 2 and np.ptp(xs) > 0:
+            slope_ref, b0_ref = np.polyfit(xs, ys, 1)
+            assert abs(r.slope - slope_ref) < 1e-6 * max(1, abs(slope_ref))
+            assert abs(r.intercept - b0_ref) < 1e-6 * max(1, abs(b0_ref))
+        else:
+            assert r.slope is None and r.r2 is None
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-6, max_value=6, allow_nan=False),
+            min_size=3, max_size=3,
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_drift_psi_identity_and_symmetry(spark, vecs):
+    """PSI(a, a) == 0 exactly for any corpus, and PSI is symmetric
+    (|PSI(a,b)| == |PSI(b,a)| term-for-term since each term flips
+    sign twice)."""
+    from realtime_data_pipeline_spark import reduction
+
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<double>")
+    same = reduction.drift_psi(df, df, n_bins=4).collect()
+    assert all(abs(r.psi) < 1e-12 for r in same)
+    half_a = spark.createDataFrame(
+        [(v,) for v in vecs[: len(vecs) // 2]], "embedding array<double>"
+    )
+    half_b = spark.createDataFrame(
+        [(v,) for v in vecs[len(vecs) // 2 :]], "embedding array<double>"
+    )
+    ab = {r.dim: r.psi for r in reduction.drift_psi(half_a, half_b, n_bins=4).collect()}
+    ba = {r.dim: r.psi for r in reduction.drift_psi(half_b, half_a, n_bins=4).collect()}
+    for d in ab:
+        assert abs(ab[d] - ba[d]) < 1e-9
