@@ -1346,6 +1346,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Drift-gate leg (round-13): per-dimension PSI + Welch t between the
+    # corpus halves — two scans of the embeddings plus aggregations whose
+    # shuffle keys are geometry (side x dim x bins), never data; the
+    # pre-retrain gate a pipeline runs when a new crawl lands.
+    def drift_leg():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ref = emb.filter(F.col("vec_id") % 2 == 0)
+        cur = emb.filter(F.col("vec_id") % 2 == 1)
+        return reduction.drift_psi(ref, cur).join(
+            reduction.drift_ttest(ref, cur), "dim"
+        )
+
+    timings["embeddings_drift_gate"] = _bench_leg(
+        "embeddings_drift_gate",
+        lambda: drift_leg().write.format("noop").mode("overwrite").save(),
+    )
+    print(
+        f"# embeddings_drift_gate: {timings['embeddings_drift_gate']}s",
+        file=sys.stderr,
+    )
+
     # Trained-classifier leg (round-12): 8 full-batch GD iterations on
     # hashed features over documents + one map-only scoring pass. Each
     # iteration is one scan + a dim+1-group shuffle, so the leg prices
