@@ -551,8 +551,21 @@ def main(argv: list[str] | None = None) -> int:
         help="embedding drift gate: per-dim PSI + Welch t between two "
         "corpora; nonzero exit if any dimension crosses a gate",
     )
-    pdr.add_argument("--ref", required=True, help="reference parquet path")
+    pdr.add_argument(
+        "--ref", default=None,
+        help="reference corpus parquet path (PSI + t gates)",
+    )
+    pdr.add_argument(
+        "--ref-hist", default=None,
+        help="persisted reference_histogram path (PSI gate only — the "
+        "streaming monitor's reference; mutually exclusive with --ref)",
+    )
     pdr.add_argument("--cur", required=True, help="current parquet path")
+    pdr.add_argument(
+        "--save-ref-hist", default=None,
+        help="with --ref: also persist the reference histogram here "
+        "for later --ref-hist / streaming-monitor runs",
+    )
     pdr.add_argument("--vec-col", default="embedding")
     pdr.add_argument("--psi-bins", type=int, default=10)
     pdr.add_argument("--lo", type=float, default=-4.0)
@@ -1169,35 +1182,59 @@ def main(argv: list[str] | None = None) -> int:
 
         from realtime_data_pipeline_spark import reduction
 
-        ref = spark.read.parquet(args.ref)
+        if (args.ref is None) == (args.ref_hist is None):
+            raise SystemExit("drift: exactly one of --ref / --ref-hist")
         cur = spark.read.parquet(args.cur)
-        psi = reduction.drift_psi(
-            ref, cur, vec_col=args.vec_col, n_bins=args.psi_bins,
-            lo=args.lo, hi=args.hi,
-        )
-        tt = reduction.drift_ttest(ref, cur, vec_col=args.vec_col)
-        both = psi.join(tt, "dim").orderBy("dim")
-        rows = both.collect()
-        flagged = sorted(
-            r.dim for r in rows
-            if r.psi > args.gate_psi or abs(r.t) > args.gate_t
-        )
+        summary: dict = {"gates": {"psi": args.gate_psi}}
+        if args.ref is not None:
+            ref = spark.read.parquet(args.ref)
+            if args.save_ref_hist:
+                reduction.reference_histogram(
+                    ref, args.save_ref_hist, vec_col=args.vec_col,
+                    n_bins=args.psi_bins, lo=args.lo, hi=args.hi,
+                )
+                summary["saved_ref_hist"] = args.save_ref_hist
+            psi = reduction.drift_psi(
+                ref, cur, vec_col=args.vec_col, n_bins=args.psi_bins,
+                lo=args.lo, hi=args.hi,
+            )
+            both = psi.join(
+                reduction.drift_ttest(ref, cur, vec_col=args.vec_col), "dim"
+            ).orderBy("dim")
+            rows = both.collect()
+            flagged = sorted(
+                r.dim for r in rows
+                if r.psi > args.gate_psi or abs(r.t) > args.gate_t
+            )
+            worst_t = max(rows, key=lambda r: abs(r.t))
+            summary["gates"]["t"] = args.gate_t
+            summary["worst_t"] = {"dim": worst_t.dim, "t": worst_t.t}
+            summary["n_ref"] = rows[0].n_ref if rows else 0
+            summary["n_cur"] = rows[0].n_cur if rows else 0
+            both.select(
+                "dim", "psi", "t",
+                (F.col("psi") > args.gate_psi).alias("psi_flag"),
+                (F.abs("t") > args.gate_t).alias("t_flag"),
+            ).show(10_000, truncate=False)
+        else:
+            # persisted-reference mode: PSI only (the histogram carries
+            # no per-dim mean/variance, by design — it is the streaming
+            # monitor's exact reference, so CLI and monitor agree)
+            psi = reduction.batch_drift_psi(
+                spark, cur, args.ref_hist, vec_col=args.vec_col
+            ).orderBy("dim")
+            rows = psi.collect()
+            flagged = sorted(r.dim for r in rows if r.psi > args.gate_psi)
+            summary["n_cur"] = rows[0].n_rows if rows else 0
+            psi.select(
+                "dim", "psi",
+                (F.col("psi") > args.gate_psi).alias("psi_flag"),
+            ).show(10_000, truncate=False)
         worst_psi = max(rows, key=lambda r: r.psi)
-        worst_t = max(rows, key=lambda r: abs(r.t))
-        both.select(
-            "dim", "psi", "t",
-            (F.col("psi") > args.gate_psi).alias("psi_flag"),
-            (F.abs("t") > args.gate_t).alias("t_flag"),
-        ).show(10_000, truncate=False)
-        print(_json.dumps({
-            "n_dims": len(rows),
-            "flagged_dims": flagged,
-            "worst_psi": {"dim": worst_psi.dim, "psi": worst_psi.psi},
-            "worst_t": {"dim": worst_t.dim, "t": worst_t.t},
-            "gates": {"psi": args.gate_psi, "t": args.gate_t},
-            "n_ref": rows[0].n_ref if rows else 0,
-            "n_cur": rows[0].n_cur if rows else 0,
-        }))
+        summary["n_dims"] = len(rows)
+        summary["flagged_dims"] = flagged
+        summary["worst_psi"] = {"dim": worst_psi.dim, "psi": worst_psi.psi}
+        print(_json.dumps(summary))
         return 1 if flagged else 0
     if args.cmd == "scd2":
         import json as _json

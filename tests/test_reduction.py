@@ -872,3 +872,44 @@ def test_cli_drift_gate_exit_codes(spark, emb, tmp_path, capsys):
     summary = _json.loads(out.strip().splitlines()[-1])
     assert 5 in summary["flagged_dims"]
     assert summary["worst_t"]["dim"] == 5 or summary["worst_psi"]["dim"] == 5
+
+
+def test_cli_drift_persisted_reference_mode(spark, emb, tmp_path, capsys):
+    """--ref ... --save-ref-hist persists the reference; --ref-hist then
+    gates PSI-only against it with the same exit-code contract."""
+    import json as _json
+
+    from realtime_data_pipeline_spark import cli
+
+    ref_p = str(tmp_path / "ref.parquet")
+    shift_p = str(tmp_path / "shifted.parquet")
+    hist_p = str(tmp_path / "ref_hist")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    ref.write.parquet(ref_p)
+    cur.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 9, x + 2.0).otherwise(x),
+        ),
+    ).write.parquet(shift_p)
+
+    # build + save the reference in one clean pass (exit 0: ref vs ref)
+    assert cli.main([
+        "drift", "--ref", ref_p, "--cur", ref_p,
+        "--save-ref-hist", hist_p,
+    ]) == 0
+    capsys.readouterr()
+    # persisted-reference mode flags the shifted corpus
+    assert cli.main(["drift", "--ref-hist", hist_p, "--cur", shift_p]) == 1
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 9 in summary["flagged_dims"]
+    # both refs given -> loud refusal
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["drift", "--ref", ref_p, "--ref-hist", hist_p,
+                  "--cur", shift_p])
+    with _pytest.raises(SystemExit):
+        cli.main(["drift", "--cur", shift_p])
