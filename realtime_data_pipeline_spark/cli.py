@@ -1202,13 +1202,18 @@ def main(argv: list[str] | None = None) -> int:
                 reduction.drift_ttest(ref, cur, vec_col=args.vec_col), "dim"
             ).orderBy("dim")
             rows = both.collect()
+            # NULL t (n=1 on either side for that dim → var_samp NULL)
+            # is "no evidence", not "flagged" (ADVICE r13)
             flagged = sorted(
                 r.dim for r in rows
-                if r.psi > args.gate_psi or abs(r.t) > args.gate_t
+                if r.psi > args.gate_psi
+                or (r.t is not None and abs(r.t) > args.gate_t)
             )
-            worst_t = max(rows, key=lambda r: abs(r.t))
             summary["gates"]["t"] = args.gate_t
-            summary["worst_t"] = {"dim": worst_t.dim, "t": worst_t.t}
+            t_rows = [r for r in rows if r.t is not None]
+            if t_rows:
+                worst_t = max(t_rows, key=lambda r: abs(r.t))
+                summary["worst_t"] = {"dim": worst_t.dim, "t": worst_t.t}
             summary["n_ref"] = rows[0].n_ref if rows else 0
             summary["n_cur"] = rows[0].n_cur if rows else 0
             both.select(
@@ -1230,10 +1235,16 @@ def main(argv: list[str] | None = None) -> int:
                 "dim", "psi",
                 (F.col("psi") > args.gate_psi).alias("psi_flag"),
             ).show(10_000, truncate=False)
-        worst_psi = max(rows, key=lambda r: r.psi)
+        # empty/dim-less corpora produce zero rows: emit the summary
+        # with no worst_* and exit clean (nothing measured ⇒ nothing
+        # flagged) instead of crashing on max() (ADVICE r13)
+        if rows:
+            worst_psi = max(rows, key=lambda r: r.psi)
+            summary["worst_psi"] = {
+                "dim": worst_psi.dim, "psi": worst_psi.psi
+            }
         summary["n_dims"] = len(rows)
         summary["flagged_dims"] = flagged
-        summary["worst_psi"] = {"dim": worst_psi.dim, "psi": worst_psi.psi}
         print(_json.dumps(summary))
         return 1 if flagged else 0
     if args.cmd == "scd2":

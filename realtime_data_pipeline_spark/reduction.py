@@ -377,13 +377,46 @@ def save_moments_state(
             pass  # pruning is best-effort; stale versions are harmless
 
 
+def _migrate_legacy_moments_state(spark, path: str) -> None:
+    """One-time upgrade of the pre-r13 ``{path}/totals`` + ``{path}/meta``
+    two-file layout into ``state/v=0`` (ADVICE r13: without this, a
+    pre-upgrade sketch read through the new loader looked like fresh
+    state and was silently re-zeroed — the exact failure the versioned
+    layout exists to prevent). Only runs when NO versioned state exists;
+    the legacy files are left in place (read-only safety — a rollback to
+    the old code still finds them)."""
+    fs, meta = _hadoop_path(spark, f"{path}/meta")
+    _, totals = _hadoop_path(spark, f"{path}/totals")
+    if not (fs.exists(meta) and fs.exists(totals)):
+        return
+    m = spark.read.parquet(f"{path}/meta").first()
+    d = int(m["dim"])
+    tot = np.zeros(1 + d + d * d, dtype=np.float64)
+    for r in spark.read.parquet(f"{path}/totals").collect():
+        tot[int(r["pos"])] = float(r["val"])  # bounded: 1+d+d² rows
+    save_moments_state(
+        spark, tot, d, path, last_batch_id=int(m["last_batch_id"])
+    )
+
+
 def _try_load_moments_state(
     spark, path: str
 ) -> tuple[np.ndarray, int, int] | None:
     """Newest READABLE state version, or None if no committed state
     exists. A torn directory from a crash mid-write fails the read and
     falls back to the previous version — that is the crash-safety
-    contract."""
+    contract. A legacy (pre-versioned) two-file layout is migrated into
+    ``state/v=0`` on first load instead of being mistaken for fresh
+    state."""
+    if not _list_state_versions(spark, path):
+        try:
+            _migrate_legacy_moments_state(spark, path)
+        except Exception as e:  # corrupt legacy files: fail LOUD —
+            # falling through would silently re-zero accumulated history
+            raise RuntimeError(
+                f"legacy moments state under {path} exists but could not "
+                f"be migrated; refusing to re-initialize over it"
+            ) from e
     for v in reversed(_list_state_versions(spark, path)):
         try:
             r = spark.read.parquet(f"{path}/state/v={v}").first()
@@ -853,6 +886,12 @@ def grouped_ols(
     ``group_cols + (n, slope, intercept, r2)``; groups where x has zero
     variance get NULL slope/intercept/r2 (no line to fit).
 
+    NULL handling matches SQL's ``REGR_*`` family (ADVICE r13): a row
+    where EITHER x or y is NULL is excluded from every statistic —
+    including ``n`` — so the counts and the sums always describe the
+    same row set. Groups whose rows are all-NULL still appear, with
+    n = 0 and NULL fit columns.
+
     ``shift_x``/``shift_y`` are fixed centering constants: slope and r²
     are shift-invariant, and centering the raw sums near the data's
     typical magnitude kills the catastrophic cancellation the
@@ -865,10 +904,11 @@ def grouped_ols(
     six-double partials — the same cost as any grouped agg; at 100 TB
     the partial aggregation does the heavy lifting map-side.
     """
-    x = F.col(x_col).cast("double") - F.lit(float(shift_x))
-    y = F.col(y_col).cast("double") - F.lit(float(shift_y))
+    pair = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x = F.when(pair, F.col(x_col).cast("double") - F.lit(float(shift_x)))
+    y = F.when(pair, F.col(y_col).cast("double") - F.lit(float(shift_y)))
     agg = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(x).alias("n"),  # REGR_COUNT: non-null PAIRS only
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
         F.sum(x * x).alias("sxx"),
@@ -1026,10 +1066,15 @@ def batch_drift_psi(
     eps: float = 1e-6,
 ) -> DataFrame:
     """PSI of one batch against a :func:`reference_histogram` — (dim,
-    psi, n_rows) rows. The reference is d·n_bins rows (broadcast); the
-    batch gets one scan; bins unpopulated on either side contribute via
-    the ε-smoothed term exactly as in :func:`drift_psi` (full-outer
-    bin alignment, missing proportion = 0)."""
+    psi, n_rows) rows. The batch gets one scan (fused into the
+    histogram partial agg); after that everything is geometry-bounded.
+    Bin alignment is via a generated full (dim, bin) grid with LEFT
+    joins — broadcast hash join does not support full outer (ADVICE
+    r13), so the grid keeps both probe joins broadcastable; (dim, bin)
+    cells unpopulated on BOTH sides contribute exactly 0 to the sum, so
+    the grid changes nothing numerically. Bins unpopulated on one side
+    contribute via the ε-smoothed term exactly as in :func:`drift_psi`
+    (missing proportion = 0)."""
     ref = spark.read.parquet(f"{ref_path}/hist")
     geo = ref.select("n_bins", "lo", "hi").first()
     n_bins, lo, hi = int(geo["n_bins"]), float(geo["lo"]), float(geo["hi"])
@@ -1037,9 +1082,25 @@ def batch_drift_psi(
     cur = _hist_proportions(batch, vec_col, n_bins, lo, hi).select(
         "dim", "bin", F.col("p").alias("p_cur")
     )
+    # full (dim, bin) grid from the REFERENCE geometry: the persisted
+    # histogram defines which dims are monitored (re-deriving dims from
+    # the batch too would force a second batch scan per micro-batch);
+    # bins are 0..n_bins-1 from the stored geometry.
+    grid = (
+        ref.select("dim")
+        .distinct()
+        .select(
+            "dim",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+    )
     joined = (
-        F.broadcast(ref.select("dim", "bin", "p_ref"))
-        .join(cur, ["dim", "bin"], "full_outer")
+        grid.join(
+            F.broadcast(ref.select("dim", "bin", "p_ref")),
+            ["dim", "bin"],
+            "left",
+        )
+        .join(F.broadcast(cur), ["dim", "bin"], "left")
         .select(
             "dim",
             F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),

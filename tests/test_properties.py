@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -726,8 +726,16 @@ def test_diff_versions_equals_snapshot_multiset_difference(
     rows=st.lists(
         st.tuples(
             st.sampled_from(["a", "b"]),
-            st.floats(min_value=-100, max_value=100, allow_nan=False),
-            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            # no subnormals: LAPACK's scaling step rejects them (the
+            # np.polyfit ORACLE crashes, not the operator — r13 verdict)
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_subnormal=False,
+            ),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_subnormal=False,
+            ),
         ),
         min_size=2,
         max_size=40,
@@ -737,7 +745,10 @@ def test_diff_versions_equals_snapshot_multiset_difference(
 def test_grouped_ols_matches_numpy_on_random_groups(spark, rows):
     """For ANY grouped scatter, grouped_ols agrees with numpy polyfit
     where x varies and returns NULLs where it cannot (zero x-variance),
-    never raising."""
+    never raising. The NULL branch is decided by the ENGINE's own
+    float64 criterion (vx = n·Σxx − (Σx)² > 0), not np.ptp — a span can
+    be nonzero while vx underflows to 0.0, and the engine's documented
+    contract keys on vx (r13 verdict)."""
     import numpy as np
 
     from realtime_data_pipeline_spark import reduction
@@ -753,8 +764,18 @@ def test_grouped_ols_matches_numpy_on_random_groups(spark, rows):
         ys = np.array([p[1] for p in pts])
         r = got[g]
         assert r.n == len(pts)
-        if len(pts) >= 2 and np.ptp(xs) > 0:
-            slope_ref, b0_ref = np.polyfit(xs, ys, 1)
+        n = np.float64(len(pts))
+        vx = float(n * np.sum(xs * xs) - np.sum(xs) ** 2)
+        # borderline vx (positive but negligible vs the sums' magnitude)
+        # is summation-order territory where Spark's partial-agg order
+        # and numpy's may legitimately disagree — not a property to pin
+        assume(vx <= 0 or vx > 1e-9 * max(1.0, float(n * np.sum(xs * xs))))
+        if vx > 0:
+            try:
+                slope_ref, b0_ref = np.polyfit(xs, ys, 1)
+            except np.linalg.LinAlgError:
+                # residual LAPACK fragility is an oracle limit
+                assume(False)
             assert abs(r.slope - slope_ref) < 1e-6 * max(1, abs(slope_ref))
             assert abs(r.intercept - b0_ref) < 1e-6 * max(1, abs(b0_ref))
         else:

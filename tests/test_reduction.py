@@ -913,3 +913,147 @@ def test_cli_drift_persisted_reference_mode(spark, emb, tmp_path, capsys):
                   "--cur", shift_p])
     with _pytest.raises(SystemExit):
         cli.main(["drift", "--cur", shift_p])
+
+
+def test_grouped_ols_null_pairs_excluded_like_regr(spark):
+    """ADVICE r13: a row with NULL x or y is excluded from EVERY
+    statistic including n (REGR_* semantics), and an all-NULL group
+    still appears with n=0 and NULL fit columns."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": ["a", "a", "a", "a", "b", "b"],
+                "x": [1.0, 2.0, None, 3.0, None, 4.0],
+                "y": [2.0, 4.0, 9.0, None, 1.0, None],
+            }
+        )
+    )
+    got = {r.g: r for r in reduction.grouped_ols(df, ["g"], "x", "y").collect()}
+    # group a: only (1,2) and (2,4) are complete pairs -> slope 2, b0 0
+    assert got["a"].n == 2
+    np.testing.assert_allclose(got["a"].slope, 2.0, rtol=1e-12)
+    np.testing.assert_allclose(got["a"].intercept, 0.0, atol=1e-12)
+    # group b: zero complete pairs -> present, n=0, NULL fit
+    assert got["b"].n == 0
+    assert got["b"].slope is None and got["b"].r2 is None
+
+
+def test_grouped_ols_subnormal_span_returns_nulls_not_raise(spark):
+    """The r13 falsifying input: a subnormal x-span whose float64
+    vx = n*sxx - sx**2 underflows to exactly 0.0 takes the documented
+    zero-x-variance NULL branch — no raise, no bogus slope."""
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 2.2e-309, 0.0)], "g string, x double, y double"
+    )
+    r = reduction.grouped_ols(df, ["g"], "x", "y").first()
+    assert r.n == 2
+    assert r.slope is None and r.intercept is None and r.r2 is None
+
+
+def test_moments_state_legacy_layout_migrates(spark, emb, tmp_path):
+    """ADVICE r13: a pre-versioned {path}/totals + {path}/meta sketch
+    must be read as EXISTING state (migrated into state/v=0), never
+    silently re-zeroed; a corrupt legacy layout fails loudly."""
+    import pandas as pd
+
+    path = str(tmp_path / "mom_legacy")
+    half = emb.filter(F.col("vec_id") % 2 == 0).select("embedding")
+    d = len(emb.select("embedding").first().embedding)
+    tot = reduction._batch_totals(half, "embedding", d)
+    # write the legacy two-file layout exactly as pre-r13 code did
+    reduction._write_one_file(
+        spark,
+        pd.DataFrame({"pos": np.arange(len(tot), dtype=np.int64), "val": tot}),
+        "pos long, val double",
+        f"{path}/totals",
+    )
+    reduction._write_one_file(
+        spark,
+        pd.DataFrame({"dim": [d], "last_batch_id": [7]}),
+        "dim int, last_batch_id long",
+        f"{path}/meta",
+    )
+    got_tot, got_d, got_last = reduction.load_moments_state(spark, path)
+    np.testing.assert_allclose(got_tot, tot, rtol=1e-12)
+    assert (got_d, got_last) == (d, 7)
+    assert reduction._list_state_versions(spark, path) == [0]
+    # replay guard carried over: batch_id <= migrated bookmark is a no-op
+    n0 = int(got_tot[0])
+    reduction.incremental_moments(spark, half, path, dim=d, batch_id=7)
+    assert int(reduction.load_moments_state(spark, path)[0][0]) == n0
+    # and a NEW batch folds on top of the migrated history
+    rest = emb.filter(F.col("vec_id") % 2 == 1).select("embedding")
+    n, _, _ = reduction.incremental_moments(
+        spark, rest, path, dim=d, batch_id=8
+    )
+    assert n == emb.count()
+    # corrupt legacy layout: loud error, not silent re-init
+    import os
+
+    bad = str(tmp_path / "mom_legacy_bad")
+    os.makedirs(f"{bad}/meta")
+    os.makedirs(f"{bad}/totals")
+    with open(f"{bad}/meta/part-00000.parquet", "wb") as f:
+        f.write(b"\x00not parquet")
+    with open(f"{bad}/totals/part-00000.parquet", "wb") as f:
+        f.write(b"\x00not parquet")
+    with pytest.raises(RuntimeError, match="legacy moments state"):
+        reduction._try_load_moments_state(spark, bad)
+
+
+def test_batch_drift_psi_matches_two_corpus_psi_and_broadcasts(
+    spark, emb, tmp_path
+):
+    """The persisted-reference PSI must equal the two-corpus operator
+    bin-for-bin (same geometry, same ε), and its executed plan must be
+    broadcast joins over the generated (dim, bin) grid — no full-outer
+    fallback to a shuffled join (ADVICE r13: the old broadcast hint on a
+    full_outer join was silently ignored)."""
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ref_hist")
+    reduction.reference_histogram(ref, path)
+    got = {
+        r.dim: r.psi
+        for r in reduction.batch_drift_psi(spark, cur, path).collect()
+    }
+    want = {r.dim: r.psi for r in reduction.drift_psi(ref, cur).collect()}
+    assert set(got) == set(want)
+    for dim, psi in want.items():
+        assert abs(got[dim] - psi) < 2e-6  # both sides round to 1e-6
+    plan = plan_str(reduction.batch_drift_psi(spark, cur, path))
+    assert "BroadcastHashJoin" in plan
+    assert "FullOuter" not in plan and "full_outer" not in plan
+
+
+def test_cli_drift_edge_inputs_no_crash(spark, emb, tmp_path, capsys):
+    """ADVICE r13 edge cases: a single-row reference makes Welch t NULL
+    on every dim (var_samp undefined) — NULL t is 'no evidence', never a
+    TypeError and never a flag; empty corpora produce a summary with no
+    worst_* and exit 0 instead of ValueError on max()."""
+    import json as _json
+
+    from realtime_data_pipeline_spark import cli
+
+    one_p = str(tmp_path / "one.parquet")
+    cur_p = str(tmp_path / "cur.parquet")
+    empty_p = str(tmp_path / "empty.parquet")
+    emb.limit(1).write.parquet(one_p)
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(cur_p)
+    emb.limit(0).write.parquet(empty_p)
+
+    # NULL t path: must not raise; psi still gates
+    rc = cli.main(["drift", "--ref", one_p, "--cur", cur_p])
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 1)
+    assert "worst_t" not in summary  # every t NULL -> no worst_t
+    assert "worst_psi" in summary
+
+    # empty-vs-empty: zero dims measured -> exit 0, no worst_*
+    rc = cli.main(["drift", "--ref", empty_p, "--cur", empty_p])
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert summary["n_dims"] == 0 and summary["flagged_dims"] == []
+    assert "worst_psi" not in summary and "worst_t" not in summary
