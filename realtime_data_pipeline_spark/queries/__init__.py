@@ -323,6 +323,37 @@ _ROTATE_OUT_R13 = [
     "events_top_paths",            # green r7-r12
 ]
 
+# ROUND-14 ROTATION — per the round-13 verdict (item #2): the r13
+# regression/drift tier gets its driver-grade rows —
+# lineitem_quantity_price_ols (grouped one-pass OLS vs DuckDB's
+# Welford-stable REGR_SLOPE/INTERCEPT/R2), embeddings_dim_drift_psi
+# (per-dimension PSI vs a histogram-algebra oracle),
+# embeddings_dim_drift_ttest (per-dimension Welch t vs AVG/VAR_SAMP),
+# and docs_source_signature_terms (per-source smoothed log-odds
+# distinctive vocabulary). All shelved-oracle, hash-equal locally at 3
+# SFs before declaration. Four incumbents with 6 consecutive green
+# driver rounds (r8-r13) rotate out, keeping their pytest oracle hash
+# checks shelved; family coverage in the declared 50 is preserved:
+# docs_source_signature_terms REPLACES docs_tfidf_top_terms within the
+# distinctive-terms family; drift_ttest carries the statistical-gate
+# shape orders_price_anomalies_zscore covered (A6 keeps
+# orders_price_histogram + customer_balance_distribution); X4 keeps 14
+# other text/curation queries after docs_bigram_surprisal leaves; L2
+# keeps shipping_priority_q3's TakeOrderedAndProject after
+# top_supplier_q15 leaves.
+_ROTATE_IN_R14 = [
+    "lineitem_quantity_price_ols",   # grouped one-pass OLS vs REGR_*
+    "embeddings_dim_drift_psi",      # per-dim PSI drift gate
+    "embeddings_dim_drift_ttest",    # per-dim Welch t drift gate
+    "docs_source_signature_terms",   # per-source log-odds vocabulary
+]
+_ROTATE_OUT_R14 = [
+    "docs_tfidf_top_terms",           # green r8-r13
+    "orders_price_anomalies_zscore",  # green r8-r13
+    "docs_bigram_surprisal",          # green r8-r13 (unigram twin shelved)
+    "top_supplier_q15",               # green r8-r13
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
@@ -332,6 +363,7 @@ for _in, _out in (
     (_ROTATE_IN_R11, _ROTATE_OUT_R11),
     (_ROTATE_IN_R12, _ROTATE_OUT_R12),
     (_ROTATE_IN_R13, _ROTATE_OUT_R13),
+    (_ROTATE_IN_R14, _ROTATE_OUT_R14),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)
