@@ -1524,6 +1524,18 @@ def main() -> None:
     # this script for the judge to read.
     steal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_STEAL.json")
+    # Run-level contention stamp (round-13 verdict #2): the per-leg
+    # retry gate keys off the run's OWN mt floor, so a run contended
+    # END-TO-END never trips it — the floor itself rises. Comparing the
+    # run floor against the historical idle constant puts that caveat
+    # IN the headline JSON instead of only in the sidecar: a
+    # cross-round reader sees `contended_run: true` without opening
+    # BENCH_STEAL.json. 1.5x: ambient mt scatter on a clean box stays
+    # within ~1.3x of idle (r10-r12 sidecars); the r13 contended run
+    # read 1.9-3x.
+    mt_floor = _MT_RUN_FLOOR["min"]
+    ambient = round(mt_floor / _MT_IDLE_REF, 3) if mt_floor else None
+    contended = bool(ambient and ambient > 1.5)
     try:
         with open(steal_path, "w") as fh:
             json.dump(
@@ -1533,6 +1545,8 @@ def main() -> None:
                     "ncpu": _NCPU,
                     "clk_tck": _CLK_TCK,
                     "sf": sf,
+                    "ambient_mt_ratio": ambient,
+                    "contended_run": contended,
                     "legs": STEAL,
                 },
                 fh,
@@ -1551,6 +1565,8 @@ def main() -> None:
             "shared_legs_n": shared_n,
             "timing_policy": "min_of_3__min_of_5_subsecond",
             "steal_evidence": "BENCH_STEAL.json",
+            "ambient_mt_ratio": ambient,
+            "contended_run": contended,
         }
     )
     if len(line) > 1900:  # keep the final line inside the driver's
@@ -1564,6 +1580,8 @@ def main() -> None:
                 "sf": sf,
                 "shared_legs_total": shared_prev,
                 "shared_legs_n": shared_n,
+                "ambient_mt_ratio": ambient,
+                "contended_run": contended,
             }
         )
     print(line)

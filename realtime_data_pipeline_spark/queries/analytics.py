@@ -816,6 +816,76 @@ def lineitem_quantity_price_ols(
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def lineitem_ridge_price_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The closed-form ridge path made driver-checkable (r13 verdict
+    #7): a single-feature ridge at λ=0 IS ordinary least squares, so
+    ``reduction.ridge_fit`` + ``ridge_predict`` — the same augmented-
+    moments sketch, driver solve, and map-only scoring the λ>0 linear
+    probe uses — can be hash-checked end-to-end against DuckDB's
+    Welford-stable REGR_SLOPE/REGR_INTERCEPT. Fit extended price on
+    quantity (inputs pre-centered at the measures' typical scales, 25 /
+    35000, against sum-of-products cancellation; slope is
+    shift-invariant and the intercept is mapped back to raw
+    coordinates), then SCORE the distinct quantity grid through
+    ``ridge_predict`` so the prediction path, not just the solve, is
+    under the oracle. The λ>0 shrinkage path stays numpy-parity-gated
+    in tests/test_reduction.py."""
+    from realtime_data_pipeline_spark import reduction
+
+    li = load(spark, sf_dir, "lineitem")
+    centered = li.select(
+        F.array(F.col("l_quantity").cast("double") - F.lit(25.0)).alias(
+            "x"
+        ),
+        (F.col("l_extendedprice").cast("double") - F.lit(35000.0)).alias(
+            "y"
+        ),
+    )
+    model = reduction.ridge_fit(centered, "x", "y", l2=0.0)
+    slope = float(model["beta"][0])
+    # un-shift: y − 35000 = slope·(q − 25) + b0′  ⇒  raw intercept
+    raw_model = {
+        "beta": model["beta"],
+        "intercept": model["intercept"] + 35000.0 - 25.0 * slope,
+    }
+    grid = li.select(
+        F.col("l_quantity").cast("double").alias("quantity")
+    ).distinct().select(
+        "quantity", F.array(F.col("quantity")).alias("x")
+    )
+    return (
+        reduction.ridge_predict(grid, raw_model, vec_col="x")
+        .select(
+            "quantity",
+            F.round("y_hat", 4).alias("y_hat"),
+            F.lit(model["n"]).cast("long").alias("n"),
+        )
+        .orderBy("quantity")
+    )
+
+
+LINEITEM_RIDGE_PRICE_CURVE_SQL = """
+WITH fit AS (
+  SELECT
+    REGR_SLOPE(CAST(l_extendedprice AS DOUBLE),
+               CAST(l_quantity AS DOUBLE)) AS slope,
+    REGR_INTERCEPT(CAST(l_extendedprice AS DOUBLE),
+                   CAST(l_quantity AS DOUBLE)) AS b0,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+)
+SELECT
+  q.quantity,
+  ROUND(fit.slope * q.quantity + fit.b0, 4) AS y_hat,
+  fit.n AS n
+FROM (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS quantity
+      FROM lineitem) q, fit
+ORDER BY q.quantity
+"""
+
+
 LINEITEM_QUANTITY_PRICE_OLS_SQL = """
 SELECT
   l_returnflag,
@@ -836,6 +906,9 @@ ORDER BY l_returnflag, l_linestatus
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-13 build: one-pass grouped OLS vs the REGR_* oracle
     "lineitem_quantity_price_ols": lineitem_quantity_price_ols,
+    # round-14 build: the ridge λ=0 path under the REGR_* oracle
+    # (fit + predict end-to-end; λ>0 stays numpy-parity-gated)
+    "lineitem_ridge_price_curve": lineitem_ridge_price_curve,
     "lineitem_measure_covariance": lineitem_measure_covariance,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
@@ -858,6 +931,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "lineitem_quantity_price_ols": LINEITEM_QUANTITY_PRICE_OLS_SQL,
+    "lineitem_ridge_price_curve": LINEITEM_RIDGE_PRICE_CURVE_SQL,
     "lineitem_measure_covariance": LINEITEM_MEASURE_COVARIANCE_SQL,
     "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,
