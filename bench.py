@@ -800,12 +800,15 @@ def main() -> None:
             if f.endswith(".parquet")
         ]
 
+        _sem_stage_maps: list[dict] = []
+
         def semdedup_multibatch_leg_once() -> float:
             with tempfile.TemporaryDirectory() as td2:
                 inbox = os.path.join(td2, "inbox")
                 os.makedirs(inbox)
                 for i, f in enumerate(emb_split_files):
                     shutil.copy(f, os.path.join(inbox, f"b{i}.parquet"))
+                streaming.LAST_SEMDEDUP_STAGES.clear()
                 t0 = time.perf_counter()
                 sq = streaming.semdedup_ingest_stream(
                     streaming.read_file_stream(
@@ -824,11 +827,27 @@ def main() -> None:
                     raise RuntimeError(
                         "semdedup multibatch leg did not finish in 300s"
                     )
+                # per-stage decomposition of the 4 batches (r13 verdict
+                # #6): which floor dominates the steady-state marginal —
+                # in-batch pairs, index probe, or the two sink writes
+                _sem_stage_maps.append(
+                    dict(streaming.LAST_SEMDEDUP_STAGES)
+                )
                 return time.perf_counter() - t0
 
         timings["streaming_semdedup_multibatch"] = _bench_timed(
             "streaming_semdedup_multibatch", semdedup_multibatch_leg_once
         )
+        if _sem_stage_maps:
+            STEAL["streaming_semdedup_multibatch"][
+                "stages_per_pass"
+            ] = _sem_stage_maps
+            print(
+                f"# streaming_semdedup_multibatch stages (last pass, "
+                f"cumulative over 4 batches): "
+                f"{json.dumps(_sem_stage_maps[-1])}",
+                file=sys.stderr,
+            )
         timings["streaming_semdedup_marginal_batch"] = round(
             max(
                 timings["streaming_semdedup_multibatch"]
@@ -1700,6 +1719,52 @@ def scale_ramp(factor: int = 10) -> None:
                 f"of {factor}x data)",
                 file=sys.stderr,
             )
+        # Drift-gate COMPOSITE ramp (r13 verdict #5): the headline
+        # `embeddings_drift_gate` leg is PSI + Welch t joined on dim —
+        # not a registry query, so it gets its own twin here. The
+        # design claim under measure: shuffle keys are geometry
+        # (2·d·n_bins for PSI, 2·d for t), so at 10x corpus the leg
+        # should scale with the SCAN share only. vec_id parity halves
+        # survive the ramp build (RAMP_OFFSET is even).
+        from pyspark.sql import functions as _F
+
+        from realtime_data_pipeline_spark import reduction as _red
+
+        def gate_leg(d: str):
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            ref = emb.filter(_F.col("vec_id") % 2 == 0)
+            cur = emb.filter(_F.col("vec_id") % 2 == 1)
+            return _red.drift_psi(ref, cur).join(
+                _red.drift_ttest(ref, cur), "dim"
+            )
+
+        gate_times = {}
+        for label, d in (("base", base_dir), ("ramp", ramp_dir)):
+            gate_times[label] = _bench_leg(
+                f"embeddings_drift_gate[{label}]",
+                lambda d=d: gate_leg(d)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        g_slope = (
+            gate_times["ramp"] / gate_times["base"]
+            if gate_times["base"] > 0
+            else float("inf")
+        )
+        legs["embeddings_drift_gate"] = {
+            "base_sec": round(gate_times["base"], 3),
+            "ramp_sec": round(gate_times["ramp"], 3),
+            "slope": round(g_slope, 2),
+            "slope_vs_factor": round(g_slope / factor, 2),
+        }
+        print(
+            f"# embeddings_drift_gate: {gate_times['base']}s -> "
+            f"{gate_times['ramp']}s (slope {round(g_slope, 2)}x of "
+            f"{factor}x data)",
+            file=sys.stderr,
+        )
+
         worst = max(v["slope_vs_factor"] for v in legs.values())
 
         # incremental-vs-full slope (the point of the persisted indexes):

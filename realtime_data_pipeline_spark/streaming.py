@@ -22,6 +22,7 @@ Scale/ops posture:
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1162,6 +1163,22 @@ def fuzzy_ingest_stream(
     return writer.start()
 
 
+# Per-stage wall clock of the LAST semdedup ingest batches, keyed
+# stage -> cumulative seconds (+ "batches" count) since the last
+# clear() — the decomposition bench.py records so the steady-state
+# marginal names its dominant term instead of guessing (r13 verdict
+# #6; same pattern as cli.LAST_ASSEMBLE_STAGES). Updated per batch by
+# semdedup_ingest_batch; callers clear() before a run they want
+# isolated. Diagnostic only — never read by the operator itself.
+LAST_SEMDEDUP_STAGES: dict[str, float] = {}
+
+
+def _sem_stage(stage: str, dt: float) -> None:
+    LAST_SEMDEDUP_STAGES[stage] = round(
+        LAST_SEMDEDUP_STAGES.get(stage, 0.0) + dt, 3
+    )
+
+
 def semdedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -1220,6 +1237,7 @@ def semdedup_ingest_batch(
         slim = staged.select(
             F.col(id_col).alias("__id"), "__bucket", "__vec", "__norm"
         )
+        _t = time.perf_counter()
         in_batch_dropped = (
             _sim._similar_pairs(slim, slim, threshold)
             .filter(F.col("__id_a") < F.col("__id_b"))
@@ -1227,6 +1245,7 @@ def semdedup_ingest_batch(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        _sem_stage("in_batch_pairs", time.perf_counter() - _t)
         batch_kept = staged.join(in_batch_dropped, id_col, "left_anti")
         kept_slim = slim.join(
             in_batch_dropped.select(F.col(id_col).alias("__id")),
@@ -1234,6 +1253,7 @@ def semdedup_ingest_batch(
             "left_anti",
         )
         with _merge_lock(index_path, op="semdedup-ingest"):
+            _t = time.perf_counter()
             _recover_semdedup_swap(index_path)
             if os.path.exists(index_path):
                 buckets = [
@@ -1275,6 +1295,7 @@ def semdedup_ingest_batch(
                         corpus_dups, id_col, "left_anti"
                     )
             fresh = batch_kept.localCheckpoint(eager=True)
+            _sem_stage("index_probe", time.perf_counter() - _t)
 
             def _bwrite(
                 df: DataFrame, path: str, parts: list[str]
@@ -1287,6 +1308,7 @@ def semdedup_ingest_batch(
                     .parquet(path)
                 )
 
+            _t = time.perf_counter()
             _bwrite(
                 fresh.drop("__vec", "__bucket", "__norm").unionByName(
                     null_vec
@@ -1294,6 +1316,8 @@ def semdedup_ingest_batch(
                 silver_path,
                 ["batch_id"],
             )
+            _sem_stage("silver_write", time.perf_counter() - _t)
+            _t = time.perf_counter()
             _bwrite(
                 # repartition ON the bucket key before the partitioned
                 # write (the same discipline as build_ivf_index's cell
@@ -1315,6 +1339,8 @@ def semdedup_ingest_batch(
                 index_path,
                 ["bucket", "batch_id"],
             )
+            _sem_stage("index_write", time.perf_counter() - _t)
+            _sem_stage("batches", 1.0)
     finally:
         batch_df.unpersist()
 
