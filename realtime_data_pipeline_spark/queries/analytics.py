@@ -866,6 +866,103 @@ def lineitem_ridge_price_curve(
     )
 
 
+def lineitem_price_residual_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Regression-residual anomaly detection (round-14 build on the
+    grouped-OLS tier): the 15 lineitems whose extended price sits
+    furthest (in residual standard deviations, rounded for cross-engine
+    tie-break) off their (returnflag, linestatus) group's
+    price~quantity OLS line — the CONDITIONAL outlier a marginal
+    z-score can't see (a high price is normal at high quantity). One
+    grouped agg for the six sums, the per-group fit broadcast back onto
+    the scan, scoring as pure column arithmetic
+    (``reduction.grouped_ols_outliers``), top-k via
+    TakeOrderedAndProject. Oracle: DuckDB
+    REGR_SLOPE/INTERCEPT/SXX/SXY/SYY with s² = SSE/(n−2) joined back —
+    the textbook spelling only the oracle runs."""
+    from realtime_data_pipeline_spark import reduction
+
+    li = load(spark, sf_dir, "lineitem")
+    out = reduction.grouped_ols_outliers(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_extendedprice",
+        ),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity", "l_extendedprice",
+        # TPC-H price residuals are bounded (max |z| ≈ 1.8 at every
+        # SF), so the absolute gate stays open here and the face takes
+        # the TOP-K by ROUNDED |z| instead — deterministic across
+        # engines (tie-break on the line keys), never empty, and the
+        # plan is TakeOrderedAndProject, not a global sort
+        z_gate=0.0, shift_x=25.0, shift_y=35000.0,
+    )
+    zabs = F.round(F.abs("z"), 3)
+    return (
+        out.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.round("y_hat", 2).alias("y_hat"),
+            zabs.alias("z_abs"),
+        )
+        .orderBy(
+            F.col("z_abs").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(15)
+    )
+
+
+LINEITEM_PRICE_RESIDUAL_OUTLIERS_SQL = """
+WITH fit AS (
+  SELECT
+    l_returnflag, l_linestatus,
+    REGR_SLOPE(CAST(l_extendedprice AS DOUBLE),
+               CAST(l_quantity AS DOUBLE)) AS slope,
+    REGR_INTERCEPT(CAST(l_extendedprice AS DOUBLE),
+                   CAST(l_quantity AS DOUBLE)) AS b0,
+    REGR_COUNT(CAST(l_extendedprice AS DOUBLE),
+               CAST(l_quantity AS DOUBLE)) AS n,
+    SQRT(GREATEST(0.0,
+      (REGR_SYY(CAST(l_extendedprice AS DOUBLE),
+                CAST(l_quantity AS DOUBLE))
+       - POW(REGR_SXY(CAST(l_extendedprice AS DOUBLE),
+                      CAST(l_quantity AS DOUBLE)), 2)
+         / REGR_SXX(CAST(l_extendedprice AS DOUBLE),
+                    CAST(l_quantity AS DOUBLE)))
+      / (REGR_COUNT(CAST(l_extendedprice AS DOUBLE),
+                    CAST(l_quantity AS DOUBLE)) - 2))) AS s
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag, l_linestatus
+  HAVING n > 2
+     AND REGR_SXX(CAST(l_extendedprice AS DOUBLE),
+                  CAST(l_quantity AS DOUBLE)) > 0
+)
+SELECT
+  li.l_orderkey,
+  li.l_linenumber,
+  li.l_returnflag,
+  li.l_linestatus,
+  CAST(li.l_quantity AS DOUBLE) AS quantity,
+  CAST(li.l_extendedprice AS DOUBLE) AS price,
+  ROUND(fit.slope * CAST(li.l_quantity AS DOUBLE) + fit.b0, 2) AS y_hat,
+  ROUND(ABS((CAST(li.l_extendedprice AS DOUBLE)
+             - (fit.slope * CAST(li.l_quantity AS DOUBLE) + fit.b0))
+            / fit.s), 3) AS z_abs
+FROM lineitem li
+JOIN fit
+  ON li.l_returnflag = fit.l_returnflag
+ AND li.l_linestatus = fit.l_linestatus
+WHERE li.l_quantity IS NOT NULL
+  AND li.l_extendedprice IS NOT NULL
+  AND fit.s > 0
+ORDER BY z_abs DESC, li.l_orderkey, li.l_linenumber
+LIMIT 15
+"""
+
+
 LINEITEM_RIDGE_PRICE_CURVE_SQL = """
 WITH fit AS (
   SELECT
@@ -909,6 +1006,9 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-14 build: the ridge λ=0 path under the REGR_* oracle
     # (fit + predict end-to-end; λ>0 stays numpy-parity-gated)
     "lineitem_ridge_price_curve": lineitem_ridge_price_curve,
+    # round-14 build: regression-residual anomaly gate (conditional
+    # outliers vs the per-group OLS line)
+    "lineitem_price_residual_outliers": lineitem_price_residual_outliers,
     "lineitem_measure_covariance": lineitem_measure_covariance,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
@@ -932,6 +1032,9 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "lineitem_quantity_price_ols": LINEITEM_QUANTITY_PRICE_OLS_SQL,
     "lineitem_ridge_price_curve": LINEITEM_RIDGE_PRICE_CURVE_SQL,
+    "lineitem_price_residual_outliers": (
+        LINEITEM_PRICE_RESIDUAL_OUTLIERS_SQL
+    ),
     "lineitem_measure_covariance": LINEITEM_MEASURE_COVARIANCE_SQL,
     "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,

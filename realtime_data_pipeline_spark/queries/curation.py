@@ -1139,6 +1139,101 @@ WHERE rank <= 5
 """
 
 
+def docs_token_lang_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """χ² token–label association (round-14 build): the 20 tokens whose
+    DOCUMENT PRESENCE is most dependent on the document's language —
+    the feature-selection pass a pipeline runs before training a
+    lang-ID / domain classifier (sklearn ``chi2`` semantics: per token,
+    observed presence count per class vs expected from class priors,
+    χ² = Σ_c (O_c − E_c)²/E_c over ALL classes).
+
+    The absent-cell algebra keeps it grid-free: classes where the token
+    never appears contribute exactly E_c, and Σ_c E_c = n_t, so
+    χ² = n_t + Σ_present ((O−E)²/E − E) — only OBSERVED (token, lang)
+    cells ever materialize. Scale shape: one explode of per-doc DISTINCT
+    tokens feeds a single (token, lang) grouped agg (map-side combined);
+    per-token totals ride a second tiny agg; the per-class doc counts
+    are a K-row broadcast. min_df 10 keeps rare tokens from riding
+    small-count noise; ranking on the ROUNDED score with token
+    tie-break is engine-deterministic."""
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    n_by_class = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_c")
+    )
+    n_total = docs.count()
+    pres = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.array_distinct(text.words(F.col("text")))
+            ).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("token", "lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    tok_tot = pres.groupBy("token").agg(F.sum("o").alias("n_t"))
+    e = F.col("n_t") * F.col("n_c") / F.lit(float(n_total))
+    cell = (F.col("o") - e) * (F.col("o") - e) / e - e
+    chi2 = (
+        pres.join(F.broadcast(n_by_class), "lang")
+        .join(tok_tot, "token")
+        .groupBy("token")
+        .agg(
+            (F.first("n_t") + F.sum(cell)).alias("chi2_raw"),
+            F.first("n_t").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 10)
+        .select(
+            "token",
+            F.round("chi2_raw", 6).alias("chi2"),
+            "n_docs",
+        )
+    )
+    return chi2.orderBy(F.col("chi2").desc(), "token").limit(20)
+
+
+DOCS_TOKEN_LANG_CHI2_SQL = r"""
+WITH class_tot AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_c FROM documents GROUP BY lang
+), n_total AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), pres AS (
+  SELECT token, lang, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM (
+    SELECT DISTINCT doc_id, lang,
+           unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+  )
+  WHERE LENGTH(token) > 0
+  GROUP BY token, lang
+), tok_tot AS (
+  SELECT token, SUM(o) AS n_t FROM pres GROUP BY token
+), scored AS (
+  SELECT pres.token,
+         ANY_VALUE(tok_tot.n_t)
+         + SUM(
+             POW(pres.o - tok_tot.n_t * class_tot.n_c / n_total.n, 2)
+             / (tok_tot.n_t * class_tot.n_c / n_total.n)
+             - tok_tot.n_t * class_tot.n_c / n_total.n
+           ) AS chi2_raw,
+         CAST(ANY_VALUE(tok_tot.n_t) AS BIGINT) AS n_docs
+  FROM pres
+  JOIN class_tot USING (lang)
+  JOIN tok_tot USING (token)
+  CROSS JOIN n_total
+  GROUP BY pres.token
+)
+SELECT token, ROUND(chi2_raw, 6) AS chi2, n_docs
+FROM scored
+WHERE n_docs >= 10
+ORDER BY chi2 DESC, token
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redaction": docs_pii_redaction,
     "docs_repetition_profile": docs_repetition_profile,
@@ -1155,6 +1250,8 @@ ORACLE_SQL: dict[str, str] = {
 # declared curation slots stay with the redaction/repetition/contamination
 # trio the round-3 verdict graded).
 SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-14 build: χ² token–language feature selection
+    "docs_token_lang_chi2": docs_token_lang_chi2,
     # round-13 build: per-source distinctive vocabulary (log-odds)
     "docs_source_signature_terms": docs_source_signature_terms,
     "docs_unigram_surprisal": docs_unigram_surprisal,
@@ -1173,6 +1270,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "docs_token_lang_chi2": DOCS_TOKEN_LANG_CHI2_SQL,
     "docs_source_signature_terms": DOCS_SOURCE_SIGNATURE_TERMS_SQL,
     "docs_contamination_spans": DOCS_CONTAMINATION_SPANS_SQL,
     "docs_decontaminated_train": DOCS_DECONTAMINATED_TRAIN_SQL,

@@ -934,6 +934,83 @@ def grouped_ols(
     )
 
 
+def grouped_ols_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    z_gate: float = 6.0,
+    shift_x: float = 0.0,
+    shift_y: float = 0.0,
+) -> DataFrame:
+    """Rows whose y deviates from their group's fitted OLS line by more
+    than ``z_gate`` residual standard deviations — regression-based
+    anomaly detection, the conditional sibling of a plain z-score (a
+    600-unit order is normal at quantity 50 and wild at quantity 2; a
+    marginal z-score can't see the difference, the residual can).
+
+    Everything falls out of the SAME six additive sums as
+    :func:`grouped_ols`: with centered second moments vx, vy, cxy the
+    sum of squared residuals is SSE = (vy − cxy²/vx)/n, and the
+    unbiased residual std is s = sqrt(SSE/(n−2)). Cost shape: ONE
+    grouped agg over the scan (map-side combined six-double partials),
+    then the tiny per-group fit rows join BACK onto the data — a
+    broadcast when groups are few, a key shuffle otherwise; scoring is
+    pure column arithmetic. NULL-pair rows (either coordinate NULL)
+    can't score and are dropped; groups with n ≤ 2 or zero x-variance
+    have no residual scale and flag nothing. Returns the flagged rows
+    with ``y_hat`` and ``z`` appended.
+
+    ``shift_x``/``shift_y``: same fixed-centering defense against
+    sum-of-products cancellation as :func:`grouped_ols` (z is
+    shift-invariant; ``y_hat`` is mapped back to raw coordinates)."""
+    pair = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    xs = F.when(pair, F.col(x_col).cast("double") - F.lit(float(shift_x)))
+    ys = F.when(pair, F.col(y_col).cast("double") - F.lit(float(shift_y)))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(xs).alias("__n"),
+        F.sum(xs).alias("__sx"),
+        F.sum(ys).alias("__sy"),
+        F.sum(xs * xs).alias("__sxx"),
+        F.sum(xs * ys).alias("__sxy"),
+        F.sum(ys * ys).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when((F.col("__n") > 2) & (vx > 0), cxy / vx)
+    b0 = (F.col("__sy") - slope * F.col("__sx")) / n + F.lit(
+        float(shift_y)
+    ) - slope * F.lit(float(shift_x))
+    # SSE/n = (vy − cxy²/vx)/n²  (vx, vy, cxy are n²-scaled central
+    # moments); s² = SSE/(n−2). greatest(0, ·): float64 cancellation can
+    # leave a tiny negative where the fit is exact.
+    s = F.sqrt(
+        F.greatest(F.lit(0.0), (vy - cxy * cxy / vx) / (n * n))
+        * n / (n - 2)
+    )
+    fit = agg.select(
+        *group_cols,
+        slope.alias("__slope"),
+        b0.alias("__b0"),
+        F.when(F.col("__n") > 2, s).alias("__s"),
+    )
+    scored = df.where(pair).join(fit, group_cols)
+    y_hat = F.col("__slope") * F.col(x_col).cast("double") + F.col("__b0")
+    z = (F.col(y_col).cast("double") - y_hat) / F.col("__s")
+    return (
+        scored.withColumn("y_hat", y_hat)
+        .withColumn("z", z)
+        .where(
+            F.col("__s").isNotNull()
+            & (F.col("__s") > 0)
+            & (F.abs(F.col("z")) > F.lit(float(z_gate)))
+        )
+        .drop("__slope", "__b0", "__s")
+    )
+
+
 def drift_psi(
     ref: DataFrame,
     cur: DataFrame,

@@ -856,3 +856,38 @@ def test_no_pickled_local_relation_writes_in_package_source():
         "pandas/Arrow — see similarity._write_local):\n"
         + "\n".join(offenders)
     )
+
+
+def test_residual_outliers_topk_and_broadcast_fit(spark, sf_dir):
+    """The regression-residual face must broadcast the tiny per-group
+    fit table back onto the scan (6 groups — never a fact-fact
+    shuffle), take its top-15 as TakeOrderedAndProject (never a global
+    sort), and stay Python-free."""
+    df = qfn("lineitem_price_residual_outliers")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ridge_price_curve_python_free_scoring(spark, sf_dir):
+    """The ridge λ=0 face scores the quantity grid with pure column
+    arithmetic — the literal-coefficient projection core, no Python in
+    the plan."""
+    df = qfn("lineitem_ridge_price_curve")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_token_lang_chi2_pruned_scan_and_broadcast_classes(spark, sf_dir):
+    """χ² feature selection reads only (text, lang) from documents
+    (ReadSchema-pruned), broadcasts the K-row class counts, and ranks
+    via TakeOrderedAndProject — never a global sort of the token
+    table."""
+    df = qfn("docs_token_lang_chi2")(spark, sf_dir)
+    plan = plan_str(df)
+    scans = [s for s in plan.splitlines() if "ReadSchema" in s]
+    assert scans and all("n_chars" not in s for s in scans)
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1057,3 +1057,44 @@ def test_cli_drift_edge_inputs_no_crash(spark, emb, tmp_path, capsys):
     assert rc == 0
     assert summary["n_dims"] == 0 and summary["flagged_dims"] == []
     assert "worst_psi" not in summary and "worst_t" not in summary
+
+
+def test_grouped_ols_outliers_flags_conditional_anomaly(spark):
+    """A row far off its group's fitted LINE must be flagged even when
+    its y is unremarkable MARGINALLY (the point of regression residuals
+    vs a plain z-score), clean rows must not be, and NULL-pair /
+    degenerate groups contribute nothing."""
+    import pandas as pd
+
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(1, 21)]
+    rows[7] = ("a", 8.0, 2.0 * 8 + 1.0 + 25.0)  # off the line by +25
+    # y=42 is INSIDE group a's marginal y range [3, 41+25] — only the
+    # residual sees it; x=2 predicts y=5
+    rows.append(("a", 2.0, 42.0))
+    rows += [("b", 1.0, 1.0), ("b", 1.0, 9.0)]      # n<=2: no scale
+    rows += [("c", None, 1.0), ("c", 2.0, None)]    # null pairs drop
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = reduction.grouped_ols_outliers(df, ["g"], "x", "y", z_gate=2.0)
+    flagged = {(r.g, r.x, r.y) for r in got.collect()}
+    assert ("a", 8.0, 42.0) in flagged
+    assert ("a", 2.0, 42.0) in flagged
+    assert all(g == "a" for g, _, _ in flagged)
+    assert len(flagged) == 2  # the 20 on-line rows stay quiet
+    # a marginal z-score would NOT flag (2.0, 42.0): y=42 sits inside
+    # the group's y spread
+    ys = [y for g, x, y in rows if g == "a" and y is not None]
+    import numpy as np
+
+    z_marginal = abs(42.0 - np.mean(ys)) / np.std(ys)
+    assert z_marginal < 2.0
+
+
+def test_grouped_ols_outliers_stays_jvm_side(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = plan_str(
+        reduction.grouped_ols_outliers(
+            li, ["l_returnflag"], "l_quantity", "l_extendedprice",
+            z_gate=0.0,
+        )
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
