@@ -963,6 +963,72 @@ LIMIT 15
 """
 
 
+def lineitem_price_prediction_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(returnflag, linestatus) OLS fit PLUS empirical 90%
+    prediction bands (round-14 build): the 5th/95th exact residual
+    quantiles around the fitted price~quantity line — the
+    split-conformal-style interval a feature pipeline ships next to a
+    point prediction (``reduction.grouped_ols_bands``; audit spelling,
+    fit and calibration on the same data). Two scans: the six-sum fit,
+    then exact ``percentile`` over the join-back residuals — Spark's
+    exact percentile interpolates identically to DuckDB's
+    QUANTILE_CONT (the MAD-anomaly precedent)."""
+    from realtime_data_pipeline_spark import reduction
+
+    li = load(spark, sf_dir, "lineitem")
+    out = reduction.grouped_ols_bands(
+        li, ["l_returnflag", "l_linestatus"],
+        "l_quantity", "l_extendedprice",
+        coverage=0.9, shift_x=25.0, shift_y=35000.0,
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r_lo", 2).alias("r_lo"),
+        F.round("r_hi", 2).alias("r_hi"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+LINEITEM_PRICE_PREDICTION_BANDS_SQL = """
+WITH fit AS (
+  SELECT
+    l_returnflag, l_linestatus,
+    REGR_SLOPE(CAST(l_extendedprice AS DOUBLE),
+               CAST(l_quantity AS DOUBLE)) AS slope,
+    REGR_INTERCEPT(CAST(l_extendedprice AS DOUBLE),
+                   CAST(l_quantity AS DOUBLE)) AS b0,
+    CAST(REGR_COUNT(CAST(l_extendedprice AS DOUBLE),
+                    CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+), r AS (
+  SELECT li.l_returnflag, li.l_linestatus,
+         CAST(li.l_extendedprice AS DOUBLE)
+         - (fit.slope * CAST(li.l_quantity AS DOUBLE) + fit.b0) AS resid
+  FROM lineitem li
+  JOIN fit ON li.l_returnflag = fit.l_returnflag
+          AND li.l_linestatus = fit.l_linestatus
+  WHERE li.l_quantity IS NOT NULL AND li.l_extendedprice IS NOT NULL
+)
+SELECT
+  fit.l_returnflag,
+  fit.l_linestatus,
+  fit.n,
+  ROUND(fit.slope, 4) AS slope,
+  ROUND(fit.b0, 2) AS intercept,
+  ROUND(QUANTILE_CONT(r.resid, 0.05), 2) AS r_lo,
+  ROUND(QUANTILE_CONT(r.resid, 0.95), 2) AS r_hi
+FROM r
+JOIN fit ON r.l_returnflag = fit.l_returnflag
+        AND r.l_linestatus = fit.l_linestatus
+GROUP BY fit.l_returnflag, fit.l_linestatus, fit.n, fit.slope, fit.b0
+ORDER BY fit.l_returnflag, fit.l_linestatus
+"""
+
+
 LINEITEM_RIDGE_PRICE_CURVE_SQL = """
 WITH fit AS (
   SELECT
@@ -1009,6 +1075,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-14 build: regression-residual anomaly gate (conditional
     # outliers vs the per-group OLS line)
     "lineitem_price_residual_outliers": lineitem_price_residual_outliers,
+    # round-14 build: OLS fit + empirical 90% prediction bands
+    "lineitem_price_prediction_bands": lineitem_price_prediction_bands,
     "lineitem_measure_covariance": lineitem_measure_covariance,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
@@ -1034,6 +1102,9 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "lineitem_ridge_price_curve": LINEITEM_RIDGE_PRICE_CURVE_SQL,
     "lineitem_price_residual_outliers": (
         LINEITEM_PRICE_RESIDUAL_OUTLIERS_SQL
+    ),
+    "lineitem_price_prediction_bands": (
+        LINEITEM_PRICE_PREDICTION_BANDS_SQL
     ),
     "lineitem_measure_covariance": LINEITEM_MEASURE_COVARIANCE_SQL,
     "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,

@@ -723,6 +723,53 @@ HAVING COUNT(*) >= 2
 
 
 
+def embeddings_label_anova_f(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension one-way ANOVA F across labels (round-14 build):
+    which embedding dimensions carry label signal — the
+    feature-relevance audit before a linear probe, and the k-class
+    generalization of the Welch-t drift gate. One posexplode scan into
+    a (label, dim) grouped agg (shuffle keys bounded at k·d), then a
+    d-group combine; pure JVM arithmetic
+    (``reduction.label_anova_f``). Oracle: the same between/within
+    decomposition over unnested positions."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = reduction.label_anova_f(emb, "label", "embedding")
+    return out.select(
+        "dim", "k", "n", F.round("f", 6).alias("f")
+    ).orderBy("dim")
+
+
+EMBEDDINGS_LABEL_ANOVA_F_SQL = """
+WITH x AS (
+  SELECT label, CAST(t.i AS INTEGER) - 1 AS dim,
+         CAST(embedding[t.i] AS DOUBLE) AS xi
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  WHERE label IS NOT NULL
+), g AS (
+  SELECT dim, label, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(xi) AS s, SUM(xi * xi) AS ss
+  FROM x GROUP BY dim, label
+), d AS (
+  SELECT dim, SUM(n) AS nn, SUM(s) AS ss_sum, COUNT(*) AS k,
+         SUM(ss - s * s / n) AS ssw, SUM(s * s / n) AS sum_nm2
+  FROM g GROUP BY dim
+)
+SELECT dim,
+       CAST(k AS INTEGER) AS k,
+       CAST(nn AS BIGINT) AS n,
+       CASE WHEN k >= 2 AND nn > k AND ssw > 0
+            THEN ROUND(((sum_nm2 - ss_sum * ss_sum / nn) / (k - 1))
+                       / (ssw / (nn - k)), 6)
+       END AS f
+FROM d
+ORDER BY dim
+"""
+
+
 def embeddings_lda_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher-LDA projection scores (reduction.lda_train over the
     grouped one-pass totals; k = C-1 supervised directions). Rows-only
@@ -879,6 +926,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embeddings_covariance": embeddings_covariance,
     "embeddings_correlation": embeddings_correlation,
     "embeddings_label_variances": embeddings_label_variances,
+    # round-14 build: per-dim one-way ANOVA F across labels
+    "embeddings_label_anova_f": embeddings_label_anova_f,
     "embeddings_pca_scores": embeddings_pca_scores,
     "embeddings_lda_scores": embeddings_lda_scores,
     "embeddings_mahalanobis_outliers": embeddings_mahalanobis_outliers,
@@ -900,6 +949,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_covariance": EMBEDDINGS_COVARIANCE_SQL,
     "embeddings_correlation": EMBEDDINGS_CORRELATION_SQL,
     "embeddings_label_variances": EMBEDDINGS_LABEL_VARIANCES_SQL,
+    "embeddings_label_anova_f": EMBEDDINGS_LABEL_ANOVA_F_SQL,
     "embeddings_hard_negatives": EMBEDDINGS_HARD_NEGATIVES_SQL,
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,

@@ -1300,6 +1300,104 @@ def ridge_predict(
     ).drop("__p")
 
 
+def label_anova_f(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension one-way ANOVA F-statistic across labels — "which
+    embedding dimensions carry label signal" (the feature-relevance
+    audit run before a linear probe; the k-class generalization of
+    :func:`drift_ttest`'s two-corpus t). From per-(label, dim)
+    count/sum/sum-of-squares partials only: with per-group m_g = s_g/n_g,
+    SSW = Σ_g (ss_g − n_g·m_g²), SSB = Σ_g n_g·m_g² − S²/N, and
+    F = (SSB/(k−1)) / (SSW/(N−k)).
+
+    Scale shape: one posexplode scan into a (label, dim) grouped agg —
+    shuffle keys bounded at k·d regardless of corpus size — then a
+    d-group combine. Pure JVM column arithmetic; returns (dim, k, n, f)
+    with NULL f where it is undefined (k < 2, N ≤ k, or zero
+    within-group variance)."""
+    ex = df.select(
+        F.col(label_col).alias("__label"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x"),
+    ).where(F.col("__label").isNotNull())
+    g = ex.groupBy("__label", "dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    per_dim = g.groupBy("dim").agg(
+        F.sum("n").alias("N"),
+        F.sum("s").alias("S"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias(
+            "ssw"
+        ),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sum_nm2"),
+    )
+    ssb = F.col("sum_nm2") - F.col("S") * F.col("S") / F.col("N")
+    k = F.col("k").cast("double")
+    f = F.when(
+        (F.col("k") >= 2) & (F.col("N") > k) & (F.col("ssw") > 0),
+        (ssb / (k - 1)) / (F.col("ssw") / (F.col("N") - k)),
+    )
+    return per_dim.select(
+        "dim",
+        F.col("k").cast("int").alias("k"),
+        F.col("N").cast("long").alias("n"),
+        f.alias("f"),
+    )
+
+
+def grouped_ols_bands(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    coverage: float = 0.9,
+    shift_x: float = 0.0,
+    shift_y: float = 0.0,
+) -> DataFrame:
+    """Per-group OLS fit PLUS empirical prediction bands: the
+    [(1−coverage)/2, (1+coverage)/2] exact quantiles of the fit's
+    residuals — split-conformal-style intervals with the fit and the
+    calibration residuals taken from the same data (the audit spelling;
+    a production conformal pipeline would feed a held-out calibration
+    split as ``df``). ŷ ± band is then a map-only scoring expression.
+
+    Cost shape: the six-sum fit is one grouped agg; the residual
+    quantiles need the residuals, so a SECOND pass joins the tiny fit
+    table back (broadcast for low-cardinality groups) and runs Spark's
+    exact ``percentile`` — two scans total, both shuffle-bounded by the
+    group keys. Returns group_cols + (n, slope, intercept, r_lo, r_hi).
+    Groups where the fit is undefined (zero x-variance, n ≤ 2) are
+    returned with NULL slope/intercept/bands."""
+    lo = (1.0 - float(coverage)) / 2.0
+    hi = 1.0 - lo
+    fit = grouped_ols(
+        df, group_cols, x_col, y_col, shift_x=shift_x, shift_y=shift_y
+    ).select(*group_cols, "n", "slope", "intercept")
+    pair = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    scored = df.where(pair).join(F.broadcast(fit), group_cols)
+    resid = (
+        F.col(y_col).cast("double")
+        - (
+            F.col("slope") * F.col(x_col).cast("double")
+            + F.col("intercept")
+        )
+    )
+    bands = (
+        scored.where(F.col("slope").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.percentile(resid, F.lit(lo)).alias("r_lo"),
+            F.percentile(resid, F.lit(hi)).alias("r_hi"),
+        )
+    )
+    return fit.join(bands, group_cols, "left")
+
+
 def drift_ttest(
     ref: DataFrame,
     cur: DataFrame,

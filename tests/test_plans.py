@@ -891,3 +891,23 @@ def test_token_lang_chi2_pruned_scan_and_broadcast_classes(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_label_anova_f_bounded_aggs_python_free(spark, sf_dir):
+    """The per-dim ANOVA F runs as two bounded grouped aggs over one
+    posexplode scan — no Python, no window, no join of exploded rows."""
+    df = qfn("embeddings_label_anova_f")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the posexplode
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_prediction_bands_broadcast_fit_python_free(spark, sf_dir):
+    """The bands face joins the 6-row fit table back by BROADCAST and
+    stays Python-free; the only shuffles hash on the group keys."""
+    df = qfn("lineitem_price_prediction_bands")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

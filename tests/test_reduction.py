@@ -1098,3 +1098,65 @@ def test_grouped_ols_outliers_stays_jvm_side(spark, sf_dir):
         )
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_label_anova_f_matches_scipy_formula(spark, emb):
+    """F per dimension equals the textbook between/within decomposition
+    computed in numpy over the same data (and the planted separable
+    dimension scores far above the noise dims)."""
+    rows = emb.select("label", "embedding").collect()
+    got = {r.dim: r for r in reduction.label_anova_f(emb).collect()}
+    import collections
+
+    by_label = collections.defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(np.asarray(r.embedding, dtype=np.float64))
+    groups = {g: np.vstack(v) for g, v in by_label.items()}
+    d = next(iter(groups.values())).shape[1]
+    assert set(got) == set(range(d))
+    all_x = np.vstack(list(groups.values()))
+    for dim in range(d):
+        xs = [m[:, dim] for m in groups.values()]
+        k = len(xs)
+        n_tot = sum(len(x) for x in xs)
+        grand = all_x[:, dim].mean()
+        ssb = sum(len(x) * (x.mean() - grand) ** 2 for x in xs)
+        ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+        f_ref = (ssb / (k - 1)) / (ssw / (n_tot - k))
+        np.testing.assert_allclose(got[dim].f, f_ref, rtol=1e-9)
+        assert got[dim].k == k and got[dim].n == n_tot
+
+
+def test_grouped_ols_bands_cover_and_match_numpy_quantiles(spark):
+    """The bands are the exact residual quantiles (numpy linear
+    interpolation ≡ Spark exact percentile) and bracket ~coverage of
+    the data; degenerate groups return NULL bands."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 10, 400)
+    y = 3.0 * x + 2.0 + rng.normal(0, 1.5, 400)
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 400, "x": x, "y": y})
+    )
+    const = spark.createDataFrame(
+        pd.DataFrame({"g": ["z"] * 3, "x": [1.0] * 3, "y": [1.0, 2.0, 3.0]})
+    )
+    out = {
+        r.g: r
+        for r in reduction.grouped_ols_bands(
+            df.unionByName(const), ["g"], "x", "y", coverage=0.9
+        ).collect()
+    }
+    a = out["a"]
+    resid = y - (a.slope * x + a.intercept)
+    np.testing.assert_allclose(
+        a.r_lo, np.quantile(resid, 0.05), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        a.r_hi, np.quantile(resid, 0.95), rtol=1e-9
+    )
+    inside = ((resid >= a.r_lo) & (resid <= a.r_hi)).mean()
+    assert 0.85 <= inside <= 0.95
+    z = out["z"]  # zero x-variance: fit undefined, bands NULL
+    assert z.slope is None and z.r_lo is None and z.r_hi is None
