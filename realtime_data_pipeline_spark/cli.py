@@ -1222,19 +1222,51 @@ def main(argv: list[str] | None = None) -> int:
                 (F.abs("t") > args.gate_t).alias("t_flag"),
             ).show(10_000, truncate=False)
         else:
-            # persisted-reference mode: PSI only (the histogram carries
-            # no per-dim mean/variance, by design — it is the streaming
-            # monitor's exact reference, so CLI and monitor agree)
+            # persisted-reference mode: PSI always; Welch t too when
+            # the reference carries the round-14 per-dim stats file —
+            # the SAME columns the streaming monitor lands, so CLI and
+            # monitor agree in both eras (pre-r14 references: PSI only)
             psi = reduction.batch_drift_psi(
                 spark, cur, args.ref_hist, vec_col=args.vec_col
-            ).orderBy("dim")
+            )
+            if reduction._reference_has_stats(spark, args.ref_hist):
+                psi = psi.join(
+                    reduction.batch_drift_ttest(
+                        spark, cur, args.ref_hist, vec_col=args.vec_col
+                    ).select("dim", "t"),
+                    "dim",
+                    "left",
+                )
+                summary["gates"]["t"] = args.gate_t
+            psi = psi.orderBy("dim")
             rows = psi.collect()
-            flagged = sorted(r.dim for r in rows if r.psi > args.gate_psi)
+            has_t = "t" in psi.columns
+            flagged = sorted(
+                r.dim for r in rows
+                if r.psi > args.gate_psi
+                or (
+                    has_t
+                    and r.t is not None
+                    and abs(r.t) > args.gate_t
+                )
+            )
+            if has_t:
+                t_rows = [r for r in rows if r.t is not None]
+                if t_rows:
+                    worst_t = max(t_rows, key=lambda r: abs(r.t))
+                    summary["worst_t"] = {
+                        "dim": worst_t.dim, "t": worst_t.t
+                    }
             summary["n_cur"] = rows[0].n_rows if rows else 0
-            psi.select(
-                "dim", "psi",
-                (F.col("psi") > args.gate_psi).alias("psi_flag"),
-            ).show(10_000, truncate=False)
+            cols = ["dim", "psi"] + (["t"] if has_t else [])
+            flags = [
+                (F.col("psi") > args.gate_psi).alias("psi_flag")
+            ] + (
+                [(F.abs("t") > args.gate_t).alias("t_flag")]
+                if has_t
+                else []
+            )
+            psi.select(*cols, *flags).show(10_000, truncate=False)
         # empty/dim-less corpora produce zero rows: emit the summary
         # with no worst_* and exit clean (nothing measured ⇒ nothing
         # flagged) instead of crashing on max() (ADVICE r13)

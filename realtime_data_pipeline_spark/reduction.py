@@ -1120,7 +1120,15 @@ def reference_histogram(
     monitor reading the reference can never silently bin differently
     than the corpus that built it. Write-once (train-time), re-built
     only when the reference era changes — not incremental state, so no
-    bookmark/versioning machinery is needed."""
+    bookmark/versioning machinery is needed.
+
+    Round 14: a sibling ``{path}/stats`` file (dim, n_ref, m_ref,
+    v_ref — per-dim count/mean/unbiased variance) lands next to the
+    histogram, so monitors can ALSO run the Welch-t mean-shift gate: a
+    location shift smaller than one bin width is invisible to PSI but
+    not to t. One extra scan at reference-build time; references built
+    by older code simply lack the file and the monitor stays
+    PSI-only."""
     (
         _hist_proportions(ref, vec_col, n_bins, lo, hi)
         .select(
@@ -1132,6 +1140,59 @@ def reference_histogram(
         .coalesce(1)  # d·n_bins rows — one small file
         .write.mode("overwrite")
         .parquet(f"{path}/hist")
+    )
+    (
+        ref.select(
+            F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_ref"),
+            F.avg("x").alias("m_ref"),
+            F.var_samp("x").alias("v_ref"),
+        )
+        .coalesce(1)  # d rows — one small file
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
+def _reference_has_stats(spark, ref_path: str) -> bool:
+    fs, p = _hadoop_path(spark, f"{ref_path}/stats")
+    return bool(fs.exists(p))
+
+
+def batch_drift_ttest(
+    spark,
+    batch: DataFrame,
+    ref_path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Welch t of one batch against a :func:`reference_histogram`'s
+    persisted per-dim stats — the mean-shift half of the streaming
+    drift gate (:func:`batch_drift_psi` is the shape half; a location
+    shift inside one bin hides from PSI, not from t). One scan of the
+    batch into a d-group agg, then a broadcast join against the d-row
+    reference stats. Returns (dim, t, n_ref, n_cur); t is NULL where
+    undefined (n=1 on either side)."""
+    ref = spark.read.parquet(f"{ref_path}/stats")
+    cur = (
+        batch.select(
+            F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_cur"),
+            F.avg("x").alias("m_cur"),
+            F.var_samp("x").alias("v_cur"),
+        )
+    )
+    j = cur.join(F.broadcast(ref), "dim")
+    t = (F.col("m_cur") - F.col("m_ref")) / F.sqrt(
+        F.col("v_ref") / F.col("n_ref") + F.col("v_cur") / F.col("n_cur")
+    )
+    return j.select(
+        "dim", F.round(t, 6).alias("t"), "n_ref", "n_cur"
     )
 
 
@@ -1203,10 +1264,14 @@ def drift_monitor_sink(
     dimension against the persisted reference histogram and land
     (dim, psi, n_rows) under ``{out_path}/batch_id=N`` — the monitor
     table an alerting job tails (psi > 0.25 on any dim ⇒ the crawl
-    shifted; stop and look before training on it). Exactly-once by
-    batch-scoped partition overwrite (a replayed micro-batch rewrites
-    its own partition, the medallion sinks' idempotency idiom). Empty
-    batches write nothing (warm-up stance, same as moments_sink)."""
+    shifted; stop and look before training on it). When the reference
+    carries the round-14 per-dim stats file, the Welch t column rides
+    along (dim, psi, t, n_rows) — the mean-shift gate PSI cannot see;
+    a pre-r14 reference stays PSI-only. Exactly-once by batch-scoped
+    partition overwrite (a replayed micro-batch rewrites its own
+    partition, the medallion sinks' idempotency idiom). Empty batches
+    write nothing (warm-up stance, same as moments_sink)."""
+    has_stats = _reference_has_stats(spark, ref_path)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1214,6 +1279,16 @@ def drift_monitor_sink(
         out = batch_drift_psi(
             spark, batch_df, ref_path, vec_col=vec_col, eps=eps
         )
+        if has_stats:
+            # one extra scan of the MICRO-BATCH (not the corpus) for
+            # the moment agg; both aggs are geometry-bounded joins
+            out = out.join(
+                batch_drift_ttest(
+                    spark, batch_df, ref_path, vec_col=vec_col
+                ).select("dim", "t"),
+                "dim",
+                "left",
+            ).select("dim", "psi", "t", "n_rows")
         (
             out.withColumn("batch_id", F.lit(int(epoch_id)))
             .coalesce(1)

@@ -1160,3 +1160,57 @@ def test_grouped_ols_bands_cover_and_match_numpy_quantiles(spark):
     assert 0.85 <= inside <= 0.95
     z = out["z"]  # zero x-variance: fit undefined, bands NULL
     assert z.slope is None and z.r_lo is None and z.r_hi is None
+
+
+def test_streaming_monitor_welch_t_catches_within_bin_shift(
+    spark, tmp_path
+):
+    """Round-14: the monitor reference persists per-dim stats next to
+    the histogram, so the streaming gate gains the Welch-t mean-shift
+    check. The motivating blind spot, constructed exactly: a corpus
+    whose mass sits MID-BIN (N(0.4, 0.05) inside the [0, 0.8) bin)
+    shifted by +0.1 — every value stays in the same bin, PSI reads ~0,
+    the t gate fires. A pre-r14 reference (no stats file) keeps the
+    sink PSI-only."""
+    import shutil
+
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    d, n = 4, 260
+    base = 0.4 + 0.05 * rng.randn(2 * n, d)
+    ref_x, cur_x = base[:n], base[n:].copy()
+    cur_x[:, 1] += 0.1  # within-bin shift on dim 1
+    mk = lambda m: spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    )
+    ref_path = str(tmp_path / "ref")
+    out_path = str(tmp_path / "mon")
+    reduction.reference_histogram(mk(ref_x), ref_path)
+    cur = mk(cur_x)
+    psi = {r.dim: r.psi for r in
+           reduction.batch_drift_psi(spark, cur, ref_path).collect()}
+    assert abs(psi[1]) < 0.01  # mass never leaves the bin: PSI blind
+    t = {r.dim: r.t for r in
+         reduction.batch_drift_ttest(spark, cur, ref_path).collect()}
+    assert abs(t[1]) > 3.0  # ...but the mean-shift gate fires
+    quiet = [abs(v) for dd, v in t.items() if dd != 1 and v is not None]
+    assert max(quiet) < 3.0  # untouched dims stay under the gate
+    # monitor sink lands (dim, psi, t, n_rows) exactly-once
+    sink = reduction.drift_monitor_sink(spark, ref_path, out_path)
+    sink(cur, 0)
+    landed = spark.read.parquet(out_path)
+    assert set(landed.columns) == {"dim", "psi", "t", "n_rows", "batch_id"}
+    r1 = landed.filter(F.col("dim") == 1).first()
+    assert abs(r1.t) > 3.0 and abs(r1.psi) < 0.01
+    sink(cur, 0)  # replay: rewrites its own partition, no duplication
+    assert spark.read.parquet(out_path).count() == d  # fresh read: the
+    # overwrite replaced the files the old DataFrame handle pointed at
+    # pre-r14 reference: no stats file -> PSI-only schema, no crash
+    shutil.rmtree(f"{ref_path}/stats")
+    out2 = str(tmp_path / "mon2")
+    sink2 = reduction.drift_monitor_sink(spark, ref_path, out2)
+    sink2(cur, 0)
+    assert set(spark.read.parquet(out2).columns) == {
+        "dim", "psi", "n_rows", "batch_id"
+    }
