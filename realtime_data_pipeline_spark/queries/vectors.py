@@ -770,6 +770,58 @@ ORDER BY dim
 """
 
 
+def embeddings_label_mi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension binned mutual information with the label (round-14
+    build): the nonlinear member of the feature-relevance triad —
+    ANOVA's F reads ≈0 on equal-mean classes however different their
+    shapes; MI does not. drift_psi's fixed-range binning, one
+    posexplode scan, every shuffle bounded at d·k·n_bins
+    (``reduction.label_mi``). Oracle: the same binned-MI algebra over
+    unnested positions."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = reduction.label_mi(emb)
+    return out.select(
+        "dim", F.round("mi", 6).alias("mi"), "n"
+    ).orderBy("dim")
+
+
+EMBEDDINGS_LABEL_MI_SQL = """
+WITH x AS (
+  SELECT label,
+         CAST(t.i AS INTEGER) - 1 AS dim,
+         LEAST(9, GREATEST(0, CAST(FLOOR(
+           (CAST(embedding[t.i] AS DOUBLE) - (-4.0)) / 0.8
+         ) AS INTEGER))) AS bin
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  WHERE label IS NOT NULL
+), joint AS (
+  SELECT dim, label, bin, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM x GROUP BY dim, label, bin
+), marg_c AS (
+  SELECT dim, label, SUM(cnt) AS c_cnt FROM joint GROUP BY dim, label
+), marg_b AS (
+  SELECT dim, bin, SUM(cnt) AS b_cnt FROM joint GROUP BY dim, bin
+), tot AS (
+  SELECT dim, SUM(cnt) AS n FROM joint GROUP BY dim
+)
+SELECT joint.dim,
+       ROUND(SUM((joint.cnt / tot.n)
+                 * LN(joint.cnt * tot.n / (marg_c.c_cnt * marg_b.b_cnt))),
+             6) AS mi,
+       CAST(ANY_VALUE(tot.n) AS BIGINT) AS n
+FROM joint
+JOIN marg_c USING (dim, label)
+JOIN marg_b USING (dim, bin)
+JOIN tot USING (dim)
+GROUP BY joint.dim
+ORDER BY joint.dim
+"""
+
+
 def embeddings_lda_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher-LDA projection scores (reduction.lda_train over the
     grouped one-pass totals; k = C-1 supervised directions). Rows-only
@@ -928,6 +980,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embeddings_label_variances": embeddings_label_variances,
     # round-14 build: per-dim one-way ANOVA F across labels
     "embeddings_label_anova_f": embeddings_label_anova_f,
+    # round-14 build: per-dim binned mutual information with labels
+    "embeddings_label_mi": embeddings_label_mi,
     "embeddings_pca_scores": embeddings_pca_scores,
     "embeddings_lda_scores": embeddings_lda_scores,
     "embeddings_mahalanobis_outliers": embeddings_mahalanobis_outliers,
@@ -950,6 +1004,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_correlation": EMBEDDINGS_CORRELATION_SQL,
     "embeddings_label_variances": EMBEDDINGS_LABEL_VARIANCES_SQL,
     "embeddings_label_anova_f": EMBEDDINGS_LABEL_ANOVA_F_SQL,
+    "embeddings_label_mi": EMBEDDINGS_LABEL_MI_SQL,
     "embeddings_hard_negatives": EMBEDDINGS_HARD_NEGATIVES_SQL,
     "embeddings_quantize_int8": EMBEDDINGS_QUANTIZE_INT8_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,

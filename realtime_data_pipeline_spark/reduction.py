@@ -1425,6 +1425,63 @@ def label_anova_f(
     )
 
 
+def label_mi(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    n_bins: int = 10,
+    lo: float = -4.0,
+    hi: float = 4.0,
+) -> DataFrame:
+    """Per-dimension binned mutual information between an embedding
+    dimension and the label — the NONLINEAR member of the
+    feature-relevance triad (:func:`label_anova_f` tests mean
+    separation, per-label variances test scale; MI sees ANY
+    distributional dependence, e.g. equal-mean different-variance
+    classes that read F ≈ 0). Same fixed-range equal-width binning as
+    :func:`drift_psi` (out-of-range clamps to edge bins), MI in nats:
+    ``Σ_cells p(c,b)·ln(p(c,b)/(p(c)·p(b)))`` — unobserved cells
+    contribute exactly 0, so only OBSERVED (dim, label, bin) cells ever
+    materialize (grid-free, like the χ² face's absent-cell algebra).
+
+    Scale shape: one posexplode scan into a (dim, label, bin) grouped
+    agg — shuffle keys bounded at d·k·n_bins regardless of corpus size
+    — then marginals as two more bounded aggs joined back. Pure JVM
+    arithmetic; returns (dim, mi, n)."""
+    width = (hi - lo) / n_bins
+    ex = df.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("__label"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x"),
+    )
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    joint = ex.groupBy("dim", "__label", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    marg_c = joint.groupBy("dim", "__label").agg(
+        F.sum("cnt").alias("c_cnt")
+    )
+    marg_b = joint.groupBy("dim", "bin").agg(F.sum("cnt").alias("b_cnt"))
+    tot = joint.groupBy("dim").agg(F.sum("cnt").alias("n"))
+    j = (
+        joint.join(marg_c, ["dim", "__label"])
+        .join(marg_b, ["dim", "bin"])
+        .join(F.broadcast(tot), "dim")
+    )
+    term = (F.col("cnt") / F.col("n")) * F.log(
+        F.col("cnt") * F.col("n") / (F.col("c_cnt") * F.col("b_cnt"))
+    )
+    return j.groupBy("dim").agg(
+        F.sum(term).alias("mi"),
+        F.first("n").cast("long").alias("n"),
+    )
+
+
 def grouped_ols_bands(
     df: DataFrame,
     group_cols: list[str],

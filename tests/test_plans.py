@@ -911,3 +911,14 @@ def test_prediction_bands_broadcast_fit_python_free(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_mi_bounded_aggs_python_free(spark, sf_dir):
+    """Binned MI runs as bounded grouped aggs + joins of
+    geometry-sized marginal tables over one posexplode scan — no
+    Python, no cartesian, no sort-merge join of exploded data."""
+    df = qfn("embeddings_label_mi")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan

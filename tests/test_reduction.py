@@ -1214,3 +1214,33 @@ def test_streaming_monitor_welch_t_catches_within_bin_shift(
     assert set(spark.read.parquet(out2).columns) == {
         "dim", "psi", "n_rows", "batch_id"
     }
+
+
+def test_label_mi_sees_dependence_anova_cannot(spark):
+    """The triad's division of labor, constructed exactly: a dimension
+    whose classes share the SAME mean but differ in spread reads
+    ANOVA F ≈ small (no mean separation) while binned MI fires; an
+    independent dimension reads ≈ 0 on both."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    n = 400
+    labels = np.repeat([0, 1], n // 2)
+    # dim 0: independent of label. dim 1: equal means, sigma 0.2 vs 2.0
+    d0 = rng.randn(n)
+    d1 = np.where(labels == 0, 0.2 * rng.randn(n), 2.0 * rng.randn(n))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "label": labels.tolist(),
+                "embedding": [list(v) for v in np.column_stack([d0, d1])],
+            }
+        )
+    )
+    f = {r.dim: r.f for r in reduction.label_anova_f(df).collect()}
+    mi = {r.dim: r.mi for r in reduction.label_mi(df).collect()}
+    # scale shift without mean shift: F stays small, MI separates hard
+    assert f[1] < 4.0  # no mean separation for ANOVA to see
+    assert mi[1] > 0.2
+    assert mi[0] < 0.05  # independent dim: MI ~ 0
+    assert mi[1] > 10 * max(mi[0], 1e-9)
