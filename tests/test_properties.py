@@ -812,3 +812,36 @@ def test_drift_psi_identity_and_symmetry(spark, vecs):
     ba = {r.dim: r.psi for r in reduction.drift_psi(half_b, half_a, n_bins=4).collect()}
     for d in ab:
         assert abs(ab[d] - ba[d]) < 1e-9
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([0, 1, 2]),
+            st.lists(
+                st.floats(
+                    min_value=-6, max_value=6,
+                    allow_nan=False, allow_subnormal=False,
+                ),
+                min_size=2, max_size=2,
+            ),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_label_mi_nonnegative_and_zero_on_single_label(spark, rows):
+    """Mutual information is nonnegative for ANY corpus (up to float
+    summation dust), and exactly zero when only one label exists (the
+    joint equals the product of marginals cell-for-cell)."""
+    from realtime_data_pipeline_spark import reduction
+
+    df = spark.createDataFrame(
+        rows, "label int, embedding array<double>"
+    )
+    for r in reduction.label_mi(df).collect():
+        assert r.mi > -1e-9
+    one = df.withColumn("label", df.label * 0)
+    for r in reduction.label_mi(one).collect():
+        assert abs(r.mi) < 1e-12

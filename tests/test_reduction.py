@@ -1244,3 +1244,13 @@ def test_label_mi_sees_dependence_anova_cannot(spark):
     assert mi[1] > 0.2
     assert mi[0] < 0.05  # independent dim: MI ~ 0
     assert mi[1] > 10 * max(mi[0], 1e-9)
+
+
+def test_grouped_ols_outliers_exact_fit_flags_nothing(spark):
+    """A group whose y is EXACTLY linear in x has zero residual scale —
+    the operator must flag no rows (s=0 exclusion), not divide by
+    zero."""
+    rows = [("g", float(x), 2.0 * x + 1.0) for x in range(1, 12)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = reduction.grouped_ols_outliers(df, ["g"], "x", "y", z_gate=0.0)
+    assert got.count() == 0
