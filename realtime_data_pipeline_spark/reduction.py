@@ -43,12 +43,16 @@ part of the declared LLM-training-data extension surface.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark.similarity import as_double_array
+
+_LOG = logging.getLogger(__name__)
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -387,8 +391,19 @@ def _migrate_legacy_moments_state(spark, path: str) -> None:
     the old code still finds them)."""
     fs, meta = _hadoop_path(spark, f"{path}/meta")
     _, totals = _hadoop_path(spark, f"{path}/totals")
-    if not (fs.exists(meta) and fs.exists(totals)):
+    has_meta, has_totals = fs.exists(meta), fs.exists(totals)
+    if not (has_meta or has_totals):
         return
+    if has_meta != has_totals:
+        # Torn legacy layout (exactly one of meta/totals): falling
+        # through would re-initialize fresh state over the wreck of
+        # accumulated history — the silent re-zeroing this migration
+        # exists to prevent (ADVICE r14). Fail loud instead.
+        raise RuntimeError(
+            f"torn legacy moments state under {path}: "
+            f"meta={'present' if has_meta else 'MISSING'}, "
+            f"totals={'present' if has_totals else 'MISSING'}"
+        )
     m = spark.read.parquet(f"{path}/meta").first()
     d = int(m["dim"])
     tot = np.zeros(1 + d + d * d, dtype=np.float64)
@@ -985,7 +1000,10 @@ def grouped_ols_outliers(
     ) - slope * F.lit(float(shift_x))
     # SSE/n = (vy − cxy²/vx)/n²  (vx, vy, cxy are n²-scaled central
     # moments); s² = SSE/(n−2). greatest(0, ·): float64 cancellation can
-    # leave a tiny negative where the fit is exact.
+    # leave a tiny negative where the fit is exact. The CASE guard must
+    # include vx > 0 (ADVICE r14): a >2-row constant-x group otherwise
+    # evaluates cxy²/vx with vx = 0 and ANSI mode raises DIVIDE_BY_ZERO
+    # instead of the documented "flags nothing".
     s = F.sqrt(
         F.greatest(F.lit(0.0), (vy - cxy * cxy / vx) / (n * n))
         * n / (n - 2)
@@ -994,7 +1012,7 @@ def grouped_ols_outliers(
         *group_cols,
         slope.alias("__slope"),
         b0.alias("__b0"),
-        F.when(F.col("__n") > 2, s).alias("__s"),
+        F.when((F.col("__n") > 2) & (vx > 0), s).alias("__s"),
     )
     scored = df.where(pair).join(fit, group_cols)
     y_hat = F.col("__slope") * F.col(x_col).cast("double") + F.col("__b0")
@@ -1188,9 +1206,15 @@ def batch_drift_ttest(
         )
     )
     j = cur.join(F.broadcast(ref), "dim")
-    t = (F.col("m_cur") - F.col("m_ref")) / F.sqrt(
+    # Guarded division (ADVICE r14): a dimension constant on BOTH sides
+    # (e.g. a zero-padded dim) has v_ref = v_cur = 0 → denom 0, and
+    # Spark 4 ANSI mode turns the bare division into a DIVIDE_BY_ZERO
+    # crash-loop in the streaming sink. t is NULL where undefined —
+    # n = 1 on either side (var_samp NULL) or zero variance on both.
+    denom = F.sqrt(
         F.col("v_ref") / F.col("n_ref") + F.col("v_cur") / F.col("n_cur")
     )
+    t = F.when(denom > 0, (F.col("m_cur") - F.col("m_ref")) / denom)
     return j.select(
         "dim", F.round(t, 6).alias("t"), "n_ref", "n_cur"
     )
@@ -1216,7 +1240,25 @@ def batch_drift_psi(
     ref = spark.read.parquet(f"{ref_path}/hist")
     geo = ref.select("n_bins", "lo", "hi").first()
     n_bins, lo, hi = int(geo["n_bins"]), float(geo["lo"]), float(geo["hi"])
-    n_rows = batch.count()
+    # One pre-pass action over the batch (same single scan the old bare
+    # .count() paid) now also fetches the max vector length, so a
+    # geometry mismatch — the batch emitting LONGER vectors than the
+    # monitored reference, e.g. after a model change — is flagged
+    # instead of those extra dims being silently unmonitored (ADVICE
+    # r14: the (dim, bin) grid is built from reference dims only).
+    pre = batch.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.size(as_double_array(F.col(vec_col)))).alias("max_len"),
+    ).first()
+    n_rows = int(pre["n_rows"] or 0)
+    d_ref = int(ref.agg(F.countDistinct("dim")).first()[0])
+    if pre["max_len"] is not None and int(pre["max_len"]) > d_ref:
+        _LOG.warning(
+            "batch_drift_psi: batch vectors have up to %d dims but the "
+            "reference at %s monitors only %d — dims >= %d are NOT "
+            "monitored; rebuild the reference to match the new geometry",
+            int(pre["max_len"]), ref_path, d_ref, d_ref,
+        )
     cur = _hist_proportions(batch, vec_col, n_bins, lo, hi).select(
         "dim", "bin", F.col("p").alias("p_cur")
     )

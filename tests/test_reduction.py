@@ -1001,6 +1001,17 @@ def test_moments_state_legacy_layout_migrates(spark, emb, tmp_path):
         f.write(b"\x00not parquet")
     with pytest.raises(RuntimeError, match="legacy moments state"):
         reduction._try_load_moments_state(spark, bad)
+    # torn legacy layout (exactly ONE of meta/totals, ADVICE r14): loud
+    # error too — falling through would re-zero accumulated history
+    torn = str(tmp_path / "mom_legacy_torn")
+    reduction._write_one_file(
+        spark,
+        pd.DataFrame({"dim": [d], "last_batch_id": [7]}),
+        "dim int, last_batch_id long",
+        f"{torn}/meta",
+    )
+    with pytest.raises(RuntimeError, match="legacy moments state"):
+        reduction._try_load_moments_state(spark, torn)
 
 
 def test_batch_drift_psi_matches_two_corpus_psi_and_broadcasts(
@@ -1254,3 +1265,87 @@ def test_grouped_ols_outliers_exact_fit_flags_nothing(spark):
     df = spark.createDataFrame(rows, "g string, x double, y double")
     got = reduction.grouped_ols_outliers(df, ["g"], "x", "y", z_gate=0.0)
     assert got.count() == 0
+
+
+def test_grouped_ols_outliers_constant_x_group_flags_nothing(spark):
+    """ADVICE r14: a group with MORE than 2 rows and constant x has
+    vx = 0 — the fit is undefined, the operator must flag nothing, and
+    under Spark 4 ANSI mode the cxy²/vx term must never be evaluated
+    (the old guard only checked n > 2, so the CASE branch was taken
+    and DIVIDE_BY_ZERO raised). A healthy sibling group still scores."""
+    rows = [("const", 5.0, float(y)) for y in (1, 9, 4, 7)]  # vx = 0
+    rows += [("ok", float(x), 2.0 * x) for x in range(1, 21)]
+    rows.append(("ok", 3.0, 500.0))  # wildly off the line
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = reduction.grouped_ols_outliers(df, ["g"], "x", "y", z_gate=2.0)
+    flagged = [(r.g, r.x, r.y) for r in got.collect()]  # must not raise
+    assert ("ok", 3.0, 500.0) in flagged
+    assert all(g == "ok" for g, _, _ in flagged)
+
+
+def test_batch_drift_ttest_constant_dim_null_t(spark, tmp_path):
+    """ADVICE r14: a dimension constant in BOTH the reference and the
+    batch (e.g. a zero-padded dim) has v_ref = v_cur = 0, so the Welch
+    denominator is 0 — t must be NULL ('no evidence'), not an ANSI
+    DIVIDE_BY_ZERO that crash-loops drift_monitor_sink."""
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    mk = lambda m: spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    )
+    ref_x = np.column_stack([rng.randn(120), np.zeros(120)])
+    cur_x = np.column_stack([rng.randn(80) + 1.5, np.zeros(80)])
+    ref_path = str(tmp_path / "ref")
+    reduction.reference_histogram(mk(ref_x), ref_path)
+    t = {
+        r.dim: r.t
+        for r in reduction.batch_drift_ttest(
+            spark, mk(cur_x), ref_path
+        ).collect()
+    }
+    assert t[1] is None          # zero variance on both sides: NULL
+    assert abs(t[0]) > 3.0       # the live dim still gates
+    # and the streaming sink survives the constant dim end-to-end
+    out = str(tmp_path / "mon")
+    reduction.drift_monitor_sink(spark, ref_path, out)(mk(cur_x), 0)
+    landed = {r.dim: r.t for r in spark.read.parquet(out).collect()}
+    assert landed[1] is None and abs(landed[0]) > 3.0
+
+
+def test_batch_drift_psi_longer_batch_vectors_warn(
+    spark, emb, tmp_path, caplog
+):
+    """ADVICE r14: the (dim, bin) grid is built from reference dims
+    only, so a batch emitting LONGER vectors (model change) must flag
+    the geometry mismatch instead of silently not monitoring the extra
+    dims. Monitored dims keep their values; the warning names both
+    widths."""
+    import logging as _logging
+
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ref_hist")
+    reduction.reference_histogram(ref, path)
+    d_ref = len(emb.select("embedding").first().embedding)
+    wide = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.concat(
+            F.col("embedding"), F.array(F.lit(9.9), F.lit(9.9))
+        ).alias("embedding")
+    )
+    with caplog.at_level(
+        _logging.WARNING, logger="realtime_data_pipeline_spark.reduction"
+    ):
+        got = reduction.batch_drift_psi(spark, wide, path).collect()
+    assert {r.dim for r in got} == set(range(d_ref))  # extras dropped...
+    assert any(
+        str(d_ref + 2) in m and str(d_ref) in m for m in caplog.messages
+    )  # ...but loudly
+    # a same-width batch stays quiet
+    caplog.clear()
+    with caplog.at_level(
+        _logging.WARNING, logger="realtime_data_pipeline_spark.reduction"
+    ):
+        reduction.batch_drift_psi(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), path
+        ).collect()
+    assert not caplog.messages
