@@ -354,6 +354,47 @@ _ROTATE_OUT_R14 = [
     "top_supplier_q15",               # green r8-r13
 ]
 
+# ROUND-15 ROTATION — per the round-14 verdict (item #1): the full r14
+# feature/regression tier gets its driver-grade rows —
+# lineitem_ridge_price_curve (ridge λ=0 fit + grid scoring ≡ OLS, the
+# whole fit/solve/predict path under the REGR_* oracle),
+# lineitem_price_residual_outliers (conditional anomalies from the
+# same six sums vs REGR_SXX/SXY/SYY), lineitem_price_prediction_bands
+# (exact residual-quantile bands around the fit),
+# docs_token_lang_chi2 (sklearn-chi2-shaped token–label feature
+# selection; its eager count() folded into the plan first, verdict
+# nit #1), and the label-signal pair embeddings_label_anova_f /
+# embeddings_label_mi (per-dim one-way ANOVA F and binned MI). All
+# shelved-oracle, hash-equal locally at 3 SFs before declaration. Six
+# incumbents with ≥6 consecutive green driver rounds (r9-r14) rotate
+# out, keeping their pytest oracle hash checks shelved; family
+# coverage in the declared 50 is preserved: X4 text/curation keeps 9
+# faces (curated_trainset, domain_cap, pack_manifest, curriculum,
+# signature_terms, decontaminated_train, mixture_sample_exact, + the
+# incoming chi2) after strip_boilerplate / rag_chunks / the bloom
+# contamination twin leave (decontaminated_train carries the
+# contamination family); J4 keeps shipments_in_order_windows after
+# overlapping_order_windows leaves; X3 keeps embeddings_cosine_pairs +
+# embeddings_label_centroid_confusion + embeddings_semantic_dedup
+# after embedding_knn_bruteforce leaves; S9 keeps events_props_stats
+# after the VARIANT twin leaves.
+_ROTATE_IN_R15 = [
+    "lineitem_ridge_price_curve",        # ridge λ=0 fit+predict vs REGR_*
+    "lineitem_price_residual_outliers",  # regression-residual anomalies
+    "lineitem_price_prediction_bands",   # residual-quantile bands
+    "docs_token_lang_chi2",              # χ² token–label selection
+    "embeddings_label_anova_f",          # per-dim one-way ANOVA F
+    "embeddings_label_mi",               # per-dim binned MI
+]
+_ROTATE_OUT_R15 = [
+    "docs_strip_boilerplate",         # green r9-r14
+    "docs_rag_chunks",                # green r9-r14
+    "overlapping_order_windows",      # green r9-r14 (J4 twin declared)
+    "embedding_knn_bruteforce",       # green r9-r14
+    "events_props_variant",           # green r9-r14 (stats twin declared)
+    "docs_contamination_check_bloom", # green r9-r14
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
@@ -364,6 +405,7 @@ for _in, _out in (
     (_ROTATE_IN_R12, _ROTATE_OUT_R12),
     (_ROTATE_IN_R13, _ROTATE_OUT_R13),
     (_ROTATE_IN_R14, _ROTATE_OUT_R14),
+    (_ROTATE_IN_R15, _ROTATE_OUT_R15),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)
