@@ -1572,6 +1572,69 @@ def grouped_ols_bands(
     return fit.join(bands, group_cols, "left")
 
 
+def grouped_ols_conformal_bands(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    split_col: str,
+    coverage: float = 0.9,
+    shift_x: float = 0.0,
+    shift_y: float = 0.0,
+) -> DataFrame:
+    """True SPLIT-conformal prediction bands (round-15, verdict r14
+    item #6): :func:`grouped_ols_bands` is the audit spelling — fit and
+    calibration share the data, so the bands understate out-of-sample
+    error. This sibling is the spelling a production pipeline ships:
+    a deterministic hash split sends each row to EITHER the fit half
+    (``substr(md5(split_col), 1, 1) <= '7'`` — 8 of 16 hex leads, ~50%)
+    or the calibration half; the OLS line is fit on the fit half only,
+    and the band quantiles are EXACT residual quantiles on the held-out
+    calibration half, whose residuals are exchangeable with a future
+    row's (Papadopoulos et al. 2002 inductive conformal / Lei et al.
+    2018 split conformal). The md5 gate makes the split reproducible
+    across runs, engines and partitionings — the same discipline as the
+    curation train/eval splits — so the whole face is
+    DuckDB-oracle-checkable.
+
+    Cost shape: identical to :func:`grouped_ols_bands` — one grouped
+    six-sum agg over the fit half, one broadcast join-back + exact
+    ``percentile`` agg over the calibration half; both scans prune to
+    (group, x, y, split) columns, both shuffles are bounded by the
+    group keys. Returns ``group_cols + (n_fit, slope, intercept, n_cal,
+    r_lo, r_hi)``; groups whose fit half is degenerate (zero
+    x-variance, n ≤ 2) surface with NULL fit/bands, and a group with an
+    empty calibration half keeps its fit with NULL bands (LEFT join)."""
+    lo = (1.0 - float(coverage)) / 2.0
+    hi = 1.0 - lo
+    gate = F.substring(F.md5(F.col(split_col).cast("string")), 1, 1) <= "7"
+    fit = grouped_ols(
+        df.where(gate), group_cols, x_col, y_col,
+        shift_x=shift_x, shift_y=shift_y,
+    ).select(
+        *group_cols, F.col("n").alias("n_fit"), "slope", "intercept"
+    )
+    pair = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    calib = df.where(~gate).where(pair).join(F.broadcast(fit), group_cols)
+    resid = (
+        F.col(y_col).cast("double")
+        - (
+            F.col("slope") * F.col(x_col).cast("double")
+            + F.col("intercept")
+        )
+    )
+    bands = (
+        calib.where(F.col("slope").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.percentile(resid, F.lit(lo)).alias("r_lo"),
+            F.percentile(resid, F.lit(hi)).alias("r_hi"),
+        )
+    )
+    return fit.join(bands, group_cols, "left")
+
+
 def drift_ttest(
     ref: DataFrame,
     cur: DataFrame,
@@ -1611,9 +1674,13 @@ def drift_ttest(
         F.col("v").alias("v_cur"),
     )
     j = r.join(c, "dim")
-    t = (F.col("m_cur") - F.col("m_ref")) / F.sqrt(
+    # Same ANSI guard as :func:`batch_drift_ttest` (ADVICE r14): a dim
+    # constant in BOTH corpora has denom 0 — t is NULL, never a
+    # DIVIDE_BY_ZERO.
+    denom = F.sqrt(
         F.col("v_ref") / F.col("n_ref") + F.col("v_cur") / F.col("n_cur")
     )
+    t = F.when(denom > 0, (F.col("m_cur") - F.col("m_ref")) / denom)
     return j.select(
         "dim", F.round(t, 6).alias("t"), "n_ref", "n_cur"
     )

@@ -913,6 +913,18 @@ def test_prediction_bands_broadcast_fit_python_free(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_conformal_bands_broadcast_fit_python_free(spark, sf_dir):
+    """The split-conformal sibling keeps the same plan shape as the
+    audit-spelling face: tiny fit table broadcast back onto the
+    held-out half, Python-free, no cartesian — the md5 split is a
+    scan-side filter, never a shuffle key."""
+    df = qfn("lineitem_price_conformal_bands")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_label_mi_bounded_aggs_python_free(spark, sf_dir):
     """Binned MI runs as bounded grouped aggs + joins of
     geometry-sized marginal tables over one posexplode scan — no

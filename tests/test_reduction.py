@@ -1173,6 +1173,59 @@ def test_grouped_ols_bands_cover_and_match_numpy_quantiles(spark):
     assert z.slope is None and z.r_lo is None and z.r_hi is None
 
 
+def test_grouped_ols_conformal_bands_holds_out_calibration(spark):
+    """Round-15 (verdict r14 item #6): the split-conformal sibling must
+    fit on EXACTLY the md5 fit half and take band quantiles on EXACTLY
+    the held-out calibration half — verified against numpy replicating
+    the md5 gate row by row — and held-out coverage must sit near the
+    nominal level. Degenerate fit halves return NULL fit and bands."""
+    import hashlib
+
+    import pandas as pd
+
+    rng = np.random.RandomState(13)
+    n = 600
+    x = rng.uniform(0, 10, n)
+    y = 3.0 * x + 2.0 + rng.normal(0, 1.5, n)
+    key = [f"k{i}" for i in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * n, "k": key, "x": x, "y": y})
+    )
+    const = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["z"] * 4, "k": [f"c{i}" for i in range(4)],
+             "x": [1.0] * 4, "y": [1.0, 2.0, 3.0, 4.0]}
+        )
+    )
+    out = {
+        r.g: r
+        for r in reduction.grouped_ols_conformal_bands(
+            df.unionByName(const), ["g"], "x", "y", "k", coverage=0.9
+        ).collect()
+    }
+    a = out["a"]
+    is_fit = np.array(
+        [hashlib.md5(s.encode()).hexdigest()[0] <= "7" for s in key]
+    )
+    assert a.n_fit == int(is_fit.sum())
+    assert a.n_cal == int((~is_fit).sum())
+    slope_ref, b0_ref = np.polyfit(x[is_fit], y[is_fit], 1)
+    np.testing.assert_allclose(a.slope, slope_ref, rtol=1e-9)
+    np.testing.assert_allclose(a.intercept, b0_ref, rtol=1e-8)
+    resid_cal = y[~is_fit] - (a.slope * x[~is_fit] + a.intercept)
+    np.testing.assert_allclose(
+        a.r_lo, np.quantile(resid_cal, 0.05), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        a.r_hi, np.quantile(resid_cal, 0.95), rtol=1e-9
+    )
+    # held-out coverage ≈ nominal (exchangeability, not reuse)
+    inside = ((resid_cal >= a.r_lo) & (resid_cal <= a.r_hi)).mean()
+    assert 0.85 <= inside <= 0.95
+    z = out["z"]  # constant x in the fit half: NULL fit + bands
+    assert z.slope is None and z.r_lo is None and z.r_hi is None
+
+
 def test_streaming_monitor_welch_t_catches_within_bin_shift(
     spark, tmp_path
 ):
@@ -1306,6 +1359,12 @@ def test_batch_drift_ttest_constant_dim_null_t(spark, tmp_path):
     }
     assert t[1] is None          # zero variance on both sides: NULL
     assert abs(t[0]) > 3.0       # the live dim still gates
+    # the two-corpus variant shares the guard
+    t2 = {
+        r.dim: r.t
+        for r in reduction.drift_ttest(mk(ref_x), mk(cur_x)).collect()
+    }
+    assert t2[1] is None and abs(t2[0]) > 3.0
     # and the streaming sink survives the constant dim end-to-end
     out = str(tmp_path / "mon")
     reduction.drift_monitor_sink(spark, ref_path, out)(mk(cur_x), 0)
