@@ -1343,6 +1343,24 @@ def drift_monitor_sink(
     return _sink
 
 
+def read_drift_monitor(spark, out_path: str) -> DataFrame:
+    """Reader for the :func:`drift_monitor_sink` table that survives a
+    MIXED fleet (round-15, verdict r14 item #7): partitions landed
+    before the reference carried per-dim stats are PSI-only
+    (dim, psi, n_rows); partitions landed after the reference was
+    rebuilt with stats carry the Welch-t column too. A bare parquet
+    read adopts whichever file's footer it samples — the t column can
+    vanish for the whole table. ``mergeSchema`` unions the two eras,
+    pre-upgrade rows surfacing ``t`` as NULL (the monitor's own
+    'no evidence' spelling), so an in-place upgrade loses neither the
+    old partitions nor the new column. Columns are projected into a
+    fixed order so downstream consumers see one stable schema."""
+    df = spark.read.option("mergeSchema", "true").parquet(out_path)
+    if "t" not in df.columns:  # all-pre-upgrade table: keep the shape
+        df = df.withColumn("t", F.lit(None).cast("double"))
+    return df.select("dim", "psi", "t", "n_rows", "batch_id")
+
+
 def ridge_fit(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1280,6 +1280,61 @@ def test_streaming_monitor_welch_t_catches_within_bin_shift(
     }
 
 
+def test_drift_monitor_mixed_fleet_upgrades_in_place(spark, tmp_path):
+    """Round-15 (verdict r14 item #7): the upgrade story end-to-end —
+    a PSI-only era (pre-r14 reference, no stats file) lands batches 0
+    and 1; the reference is rebuilt in place WITH stats; a new monitor
+    (query restart) lands batch 2 with the Welch-t column. The merged
+    read must keep ALL three partitions (no replay loss), surface t as
+    NULL for the old era and real for the new, and a replay of an old
+    batch through the upgraded monitor must rewrite only its own
+    partition."""
+    import shutil
+
+    import pandas as pd
+
+    rng = np.random.RandomState(21)
+    mk = lambda m: spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    )
+    d = 3
+    ref_x = 0.4 + 0.05 * rng.randn(300, d)
+    batches = [0.4 + 0.05 * rng.randn(120, d) for _ in range(3)]
+    batches[2][:, 1] += 0.1  # the new era has something for t to see
+    ref_path, out = str(tmp_path / "ref"), str(tmp_path / "mon")
+    reduction.reference_histogram(mk(ref_x), ref_path)
+    shutil.rmtree(f"{ref_path}/stats")  # pre-r14 era reference
+    old_sink = reduction.drift_monitor_sink(spark, ref_path, out)
+    old_sink(mk(batches[0]), 0)
+    old_sink(mk(batches[1]), 1)
+    # reference rebuilt IN PLACE with stats; monitor restarts on top
+    reduction.reference_histogram(mk(ref_x), ref_path)
+    new_sink = reduction.drift_monitor_sink(spark, ref_path, out)
+    new_sink(mk(batches[2]), 2)
+    got = reduction.read_drift_monitor(spark, out)
+    assert got.columns == ["dim", "psi", "t", "n_rows", "batch_id"]
+    rows = {(r.batch_id, r.dim): r for r in got.collect()}
+    assert len(rows) == 3 * d  # all three eras present: no replay loss
+    assert all(rows[(b, i)].t is None for b in (0, 1) for i in range(d))
+    assert abs(rows[(2, 1)].t) > 3.0  # the new era gates on t
+    assert rows[(0, 0)].psi is not None
+    # replay of an OLD batch through the UPGRADED monitor: rewrites its
+    # own partition (now with t), other partitions untouched
+    new_sink(mk(batches[1]), 1)
+    again = reduction.read_drift_monitor(spark, out)
+    rows2 = {(r.batch_id, r.dim): r for r in again.collect()}
+    assert len(rows2) == 3 * d
+    assert all(rows2[(1, i)].t is not None for i in range(d))
+    assert all(rows2[(0, i)].t is None for i in range(d))
+    # an all-old-era table still reads with the stable 5-column shape
+    out2 = str(tmp_path / "mon_old_only")
+    shutil.rmtree(f"{ref_path}/stats")
+    reduction.drift_monitor_sink(spark, ref_path, out2)(mk(batches[0]), 0)
+    old_only = reduction.read_drift_monitor(spark, out2)
+    assert old_only.columns == ["dim", "psi", "t", "n_rows", "batch_id"]
+    assert all(r.t is None for r in old_only.collect())
+
+
 def test_label_mi_sees_dependence_anova_cannot(spark):
     """The triad's division of labor, constructed exactly: a dimension
     whose classes share the SAME mean but differ in spread reads
