@@ -793,6 +793,7 @@ def main() -> None:
                 id_col="vec_id",
                 vec_col="embedding",
                 threshold=0.35,
+                index_layout="flat",
             )
             if not sq.awaitTermination(300):
                 sq.stop()
@@ -829,14 +830,20 @@ def main() -> None:
             if f.endswith(".parquet")
         ]
 
-        _sem_stage_maps: list[dict] = []
+        _sem_stage_maps: dict[str, list[dict]] = {}
 
-        def semdedup_multibatch_leg_once() -> float:
+        def semdedup_multibatch_leg_once(layout: str) -> float:
             with tempfile.TemporaryDirectory() as td2:
                 inbox = os.path.join(td2, "inbox")
                 os.makedirs(inbox)
                 for i, f in enumerate(emb_split_files):
-                    shutil.copy(f, os.path.join(inbox, f"b{i}.parquet"))
+                    dst = os.path.join(inbox, f"b{i}.parquet")
+                    shutil.copy(f, dst)
+                    # pin strict file-source ordering: mtime ties would
+                    # let the batch order (and the greedy-kept chain)
+                    # drift between passes
+                    tt = 1_700_000_000 + i * 10
+                    os.utime(dst, (tt, tt))
                 streaming.LAST_SEMDEDUP_STAGES.clear()
                 t0 = time.perf_counter()
                 sq = streaming.semdedup_ingest_stream(
@@ -850,6 +857,7 @@ def main() -> None:
                     id_col="vec_id",
                     vec_col="embedding",
                     threshold=0.35,
+                    index_layout=layout,
                 )
                 if not sq.awaitTermination(300):
                     sq.stop()
@@ -859,24 +867,38 @@ def main() -> None:
                 # per-stage decomposition of the 4 batches (r13 verdict
                 # #6): which floor dominates the steady-state marginal —
                 # in-batch pairs, index probe, or the two sink writes
-                _sem_stage_maps.append(
+                _sem_stage_maps.setdefault(layout, []).append(
                     dict(streaming.LAST_SEMDEDUP_STAGES)
                 )
                 return time.perf_counter() - t0
 
+        # Round-15 (r14 verdict #2): the measured layout probe
+        # (BENCH_semdedup_layout_r15.json) showed the flat batch_id-only
+        # index layout removes the ~256-dir commit floor that was 80% of
+        # this leg — flat is now the leg's configured default at bench
+        # batch sizes; the bucket twin keeps the r8-r14 series
+        # comparable and prices the dir-pruned layout a large corpus
+        # would choose (BASELINE.md round-15 notes for the crossover).
         timings["streaming_semdedup_multibatch"] = _bench_timed(
-            "streaming_semdedup_multibatch", semdedup_multibatch_leg_once
+            "streaming_semdedup_multibatch",
+            lambda: semdedup_multibatch_leg_once("flat"),
         )
-        if _sem_stage_maps:
-            STEAL["streaming_semdedup_multibatch"][
-                "stages_per_pass"
-            ] = _sem_stage_maps
-            print(
-                f"# streaming_semdedup_multibatch stages (last pass, "
-                f"cumulative over 4 batches): "
-                f"{json.dumps(_sem_stage_maps[-1])}",
-                file=sys.stderr,
-            )
+        timings["streaming_semdedup_multibatch_bucket"] = _bench_timed(
+            "streaming_semdedup_multibatch_bucket",
+            lambda: semdedup_multibatch_leg_once("bucket"),
+        )
+        for layout, key in (
+            ("flat", "streaming_semdedup_multibatch"),
+            ("bucket", "streaming_semdedup_multibatch_bucket"),
+        ):
+            maps = _sem_stage_maps.get(layout)
+            if maps:
+                STEAL[key]["stages_per_pass"] = maps
+                print(
+                    f"# {key} stages (last pass, cumulative over 4 "
+                    f"batches): {json.dumps(maps[-1])}",
+                    file=sys.stderr,
+                )
         timings["streaming_semdedup_marginal_batch"] = round(
             max(
                 timings["streaming_semdedup_multibatch"]
@@ -2316,6 +2338,55 @@ def scale_ramp(factor: int = 10) -> None:
             f"{ww_times[28]}s (slope {ww_slope:.2f}x of 4x width)",
             file=sys.stderr,
         )
+
+        # Label-CARDINALITY ramp (round-15 verdict #4): the label-signal
+        # pair's shuffle keys scale with k·d (ANOVA F) and d·k·n_bins
+        # (binned MI) — the data ramp can't see the k axis because the
+        # fixture has a handful of labels. Same corpus (base SF),
+        # synthetic k=8 vs k=256 labels from a hash of vec_id; the
+        # design claim under measure: the cost is the posexplode SCAN,
+        # the grouped keys stay geometry-sized — so a 32× k blowup
+        # should read slope ≈ 1, and a super-linear jump means the agg
+        # stopped being key-bounded (e.g. a join of exploded rows crept
+        # in).
+        lab_emb_base = spark.read.parquet(
+            f"{base_dir}/embeddings.parquet"
+        )
+        lk_times: dict[str, dict[int, float]] = {"anova_f": {}, "mi": {}}
+        for k_lab in (8, 256):
+            lab_df = lab_emb_base.select(
+                _F.pmod(_F.xxhash64("vec_id"), _F.lit(k_lab)).alias(
+                    "label"
+                ),
+                "embedding",
+            )
+            for op_name, op_fn in (
+                ("anova_f", _red.label_anova_f),
+                ("mi", _red.label_mi),
+            ):
+                lk_times[op_name][k_lab] = _bench_leg(
+                    f"label_{op_name}[k{k_lab}]",
+                    lambda df=lab_df, fn=op_fn: fn(df)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+        for op_name in ("anova_f", "mi"):
+            t8, t256 = lk_times[op_name][8], lk_times[op_name][256]
+            k_slope = t256 / t8 if t8 > 0 else -1.0
+            legs[f"label_{op_name}_cardinality"] = {
+                "base_sec": t8,
+                "ramp_sec": t256,
+                "slope": round(k_slope, 2),
+                # the axis factor is 32 (k 8 -> 256), not the data factor
+                "slope_vs_factor": round(k_slope / 32.0, 2),
+                "ramp_axis": "labels_k_8_to_256",
+            }
+            print(
+                f"# label_{op_name} k=8 {t8}s -> k=256 {t256}s "
+                f"(slope {k_slope:.2f}x of 32x labels)",
+                file=sys.stderr,
+            )
 
         # IVF×PQ persisted-index SEARCH slope (round 12 — the r11 star
         # operator had headline legs but no ramp evidence): the probe

@@ -1189,6 +1189,7 @@ def semdedup_ingest_batch(
     threshold: float = 0.35,
     n_bits: int = 8,
     centroids=None,
+    index_layout: str = "bucket",
 ) -> None:
     """Route ONE micro-batch through SEMANTIC (embedding-space) dedup
     against the persisted kept-vector index — the third member of the
@@ -1211,6 +1212,26 @@ def semdedup_ingest_batch(
     unindexed. ``centroids=`` swaps in the trained quantizer — the
     documented default for τ < 0.5 (LSH_RECALL.json).
 
+    ``index_layout`` (round-15, verdict r14 item #2 — the measured
+    answer to the index_write floor the r14 stage decomposition named):
+    ``"bucket"`` (default) lays the index out ``bucket=M/batch_id=N``
+    — the probe dir-prunes to the batch's buckets, but every batch's
+    dynamic-overwrite commit walks ~2^n_bits partition directories
+    (~23 ms/dir: the constant-per-batch floor that dominated the
+    multibatch leg at bench batch sizes). ``"flat"`` partitions by
+    ``batch_id`` ONLY (bucket becomes a plain column, files clustered
+    on it via repartition+sortWithinPartitions so parquet min/max
+    stats still prune row groups): the commit touches ONE directory
+    per batch, trading dir-pruned probes for a footer-read of the
+    whole index — the right trade while the index is small or batches
+    are frequent; at a large index the bucket layout's probe pruning
+    wins back. Crossover measured in BENCH_semdedup_layout_r15.json /
+    BASELINE.md round-15 notes. Exactly-once semantics are identical
+    (own-``batch_id``-partition overwrite + replay exclusion ride the
+    batch_id partition column in both layouts), and
+    :func:`compact_semdedup_index` detects the layout and folds
+    either.
+
     The corpus probe and the index write run under
     :func:`medallion._merge_lock` on the index path — the lock
     :func:`compact_semdedup_index` holds for its rename swap — so a
@@ -1226,6 +1247,10 @@ def semdedup_ingest_batch(
         _merge_lock,
     )
 
+    if index_layout not in ("bucket", "flat"):
+        raise ValueError(
+            f"index_layout must be 'bucket' or 'flat', got {index_layout!r}"
+        )
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
@@ -1256,6 +1281,25 @@ def semdedup_ingest_batch(
             _t = time.perf_counter()
             _recover_semdedup_swap(index_path)
             if os.path.exists(index_path):
+                # layout guard: writing flat batch_id= dirs into a
+                # bucket-partitioned index (or vice versa) would leave
+                # conflicting hive partition columns at the top level —
+                # unreadable, and silently so only at the NEXT probe.
+                # Fail loudly at the mismatch instead.
+                existing_flat = not any(
+                    e.startswith("bucket=")
+                    for e in os.listdir(index_path)
+                    if os.path.isdir(os.path.join(index_path, e))
+                )
+                want_flat = index_layout == "flat"
+                if existing_flat != want_flat:
+                    raise ValueError(
+                        f"semdedup index at {index_path} is laid out as "
+                        f"{'flat' if existing_flat else 'bucket'} but "
+                        f"index_layout={index_layout!r} was requested; "
+                        f"an index keeps its layout for life — compact "
+                        f"and rebuild to change it"
+                    )
                 buckets = [
                     r["__bucket"]
                     for r in kept_slim.select("__bucket")
@@ -1263,18 +1307,31 @@ def semdedup_ingest_batch(
                     .collect()
                 ]
                 index = None
-                dirs = _hive_partition_dirs(index_path, "bucket", buckets)
-                if dirs is not None:
-                    existing = [d for _, d in dirs if os.path.isdir(d)]
-                    if existing:
-                        index = (
-                            spark.read.option("basePath", index_path)
-                            .parquet(*existing)
-                        )
-                else:  # unprovable hive names (impossible for int buckets)
+                if index_layout == "flat":
+                    # one batch_id dir per batch: no bucket dirs to
+                    # prune — the bucket predicate prunes ROW GROUPS
+                    # via the write-side clustering instead
                     index = spark.read.parquet(index_path).filter(
                         F.col("bucket").isin(buckets)
                     )
+                else:
+                    dirs = _hive_partition_dirs(
+                        index_path, "bucket", buckets
+                    )
+                    if dirs is not None:
+                        existing = [
+                            d for _, d in dirs if os.path.isdir(d)
+                        ]
+                        if existing:
+                            index = (
+                                spark.read.option(
+                                    "basePath", index_path
+                                ).parquet(*existing)
+                            )
+                    else:  # unprovable hive names (impossible for ints)
+                        index = spark.read.parquet(index_path).filter(
+                            F.col("bucket").isin(buckets)
+                        )
                 if index is not None:
                     index = index.filter(
                         F.col("batch_id") != batch_id  # replay exclusion
@@ -1318,7 +1375,25 @@ def semdedup_ingest_batch(
             )
             _sem_stage("silver_write", time.perf_counter() - _t)
             _t = time.perf_counter()
-            _bwrite(
+            idx_rows = fresh.select(
+                F.col(id_col),
+                F.col("__vec").alias("vec"),
+                F.col("__norm").alias("norm"),
+                F.col("__bucket").alias("bucket"),
+            )
+            if index_layout == "flat":
+                # ONE partition dir per batch: the commit floor is a
+                # single directory, not 2^n_bits. A few bucket-hashed
+                # files, each sorted on bucket, keep parquet min/max
+                # stats tight so the probe's bucket filter prunes row
+                # groups instead of directories.
+                _bwrite(
+                    idx_rows.repartition(4, F.col("bucket"))
+                    .sortWithinPartitions("bucket"),
+                    index_path,
+                    ["batch_id"],
+                )
+            else:
                 # repartition ON the bucket key before the partitioned
                 # write (the same discipline as build_ivf_index's cell
                 # write and this index's own compactor): a multi-
@@ -1330,15 +1405,11 @@ def semdedup_ingest_batch(
                 # constant in batch size: the leg's floor, amortizing
                 # once each dir holds real data) — but it bounds file
                 # count to one per bucket at any batch size.
-                fresh.select(
-                    F.col(id_col),
-                    F.col("__vec").alias("vec"),
-                    F.col("__norm").alias("norm"),
-                    F.col("__bucket").alias("bucket"),
-                ).repartition("bucket"),
-                index_path,
-                ["bucket", "batch_id"],
-            )
+                _bwrite(
+                    idx_rows.repartition("bucket"),
+                    index_path,
+                    ["bucket", "batch_id"],
+                )
             _sem_stage("index_write", time.perf_counter() - _t)
             _sem_stage("batches", 1.0)
     finally:
@@ -1356,6 +1427,7 @@ def semdedup_ingest_stream(
     threshold: float = 0.35,
     n_bits: int = 8,
     centroids=None,
+    index_layout: str = "bucket",
 ) -> StreamingQuery:
     """Streaming SEMANTIC dedup ingest: each micro-batch of embedded rows
     is deduplicated in embedding space against every prior batch via the
@@ -1371,6 +1443,7 @@ def semdedup_ingest_stream(
         semdedup_ingest_batch(
             batch_df, batch_id, index_path, silver_path, id_col, vec_col,
             threshold=threshold, n_bits=n_bits, centroids=centroids,
+            index_layout=index_layout,
         )
 
     writer = (
@@ -1447,13 +1520,20 @@ def _count_batch_dirs(root: str) -> int:
 
 
 def _fold_batch_partitions(
-    spark: SparkSession, data_dir: str, partition_cols: list[str]
+    spark: SparkSession,
+    data_dir: str,
+    partition_cols: list[str],
+    cluster_cols: list[str] | None = None,
 ) -> int:
     """Fold every ``batch_id=N`` partition under ``data_dir`` into a
     single ``batch_id=-1`` (rows are immutable facts — a pure relayout,
     no merge algebra), written through a temp dir and swapped in with
     two renames. The caller holds :func:`medallion._merge_lock` and has
-    run :func:`_recover_index_swap`. Returns the folded row count."""
+    run :func:`_recover_index_swap`. ``cluster_cols``: when the layout
+    has no non-batch PARTITION columns (the flat layouts), re-cluster
+    the folded files on these plain columns so parquet min/max stats
+    keep pruning row groups after compaction. Returns the folded row
+    count."""
     import shutil
 
     data_dir = os.path.normpath(data_dir)
@@ -1465,6 +1545,10 @@ def _fold_batch_partitions(
     non_batch = [c for c in partition_cols if c != "batch_id"]
     if non_batch:
         folded = folded.repartition(*non_batch)
+    elif cluster_cols:
+        folded = folded.repartition(
+            4, *[F.col(c) for c in cluster_cols]
+        ).sortWithinPartitions(*cluster_cols)
     tmp = f"{data_dir}__compact_tmp"
     folded.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
     rows = spark.read.parquet(tmp).count()
@@ -1515,9 +1599,23 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
                 "rows": 0,
             }
         before = _count_batch_dirs(index_path)
-        rows = _fold_batch_partitions(
-            spark, index_path, ["bucket", "batch_id"]
+        # layout detection (round-15): a flat index
+        # (``index_layout="flat"``, batch_id= dirs at the top level)
+        # folds on batch_id alone, re-clustering files on the plain
+        # bucket column; the default bucket layout folds per bucket dir
+        flat = not any(
+            e.startswith("bucket=")
+            for e in os.listdir(index_path)
+            if os.path.isdir(os.path.join(index_path, e))
         )
+        if flat:
+            rows = _fold_batch_partitions(
+                spark, index_path, ["batch_id"], cluster_cols=["bucket"]
+            )
+        else:
+            rows = _fold_batch_partitions(
+                spark, index_path, ["bucket", "batch_id"]
+            )
         return {
             "batch_partitions_before": before,
             "batch_partitions_after": _count_batch_dirs(index_path),

@@ -1275,13 +1275,21 @@ def test_running_stats_per_key_v2_state_accumulates_across_batches(
     assert final[2] == (2, 9.0, 1.0, 8.0)
 
 
-def test_semdedup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
+@pytest.mark.parametrize("layout", ["bucket", "flat"])
+def test_semdedup_ingest_stream_cross_batch_exactly_once(
+    spark, tmp_path, layout
+):
     """Streaming SEMANTIC dedup ingest (the third streaming ingest
     sibling): cross-batch near-identical embeddings are dropped against
     the persisted kept-vector index; NULL embeddings pass through
     unindexed; replaying a batch whose OWN vectors already sit in the
     index (crash after index write, before checkpoint commit) reproduces
-    the identical silver partition instead of emptying it."""
+    the identical silver partition instead of emptying it. Round-15:
+    the SAME contract must hold under both index layouts — the default
+    ``bucket=M/batch_id=N`` and the ``flat`` batch_id-only layout that
+    trades dir-pruned probes for a one-dir-per-batch commit (verdict
+    r14 item #2) — and the layout-detecting compactor must fold either
+    without changing the probe's answers."""
     import os
 
     inbox = str(tmp_path / "sdi_inbox")
@@ -1328,8 +1336,11 @@ def test_semdedup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
         ),
         index, silver, str(tmp_path / "sdi_ck"),
         id_col="vec_id", vec_col="embedding", threshold=0.9, n_bits=2,
+        index_layout=layout,
     )
     assert sq.awaitTermination(120)
+    top = {e.split("=")[0] for e in os.listdir(index) if "=" in e}
+    assert top == ({"batch_id"} if layout == "flat" else {"bucket"})
 
     def silver_ids():
         return {
@@ -1350,9 +1361,37 @@ def test_semdedup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
     streaming.semdedup_ingest_batch(
         b1, batch_of_11, index, silver,
         id_col="vec_id", vec_col="embedding", threshold=0.9, n_bits=2,
+        index_layout=layout,
     )
     assert silver_ids() == got
     assert {r["vec_id"] for r in spark.read.parquet(index).collect()} == {1, 3, 11}
+
+    # layout is for life: ingesting with the OTHER layout into this
+    # index must fail loudly, not interleave conflicting hive dirs
+    other = "bucket" if layout == "flat" else "flat"
+    with pytest.raises(ValueError, match="laid out as"):
+        streaming.semdedup_ingest_batch(
+            b1, 50, index, silver,
+            id_col="vec_id", vec_col="embedding", threshold=0.9,
+            n_bits=2, index_layout=other,
+        )
+
+    # layout-detecting compaction folds either layout; a post-compaction
+    # batch still dedups against the folded corpus
+    stats = streaming.compact_semdedup_index(spark, index)
+    assert stats["batch_partitions_after"] == 1 and stats["rows"] == 3
+    b2 = spark.createDataFrame(
+        [(20, [1.0, 1.02, 0.0, 0.0]), (21, [0.0, 0.0, 1.0, 0.0])], schema
+    )
+    streaming.semdedup_ingest_batch(
+        b2, 99, index, silver,
+        id_col="vec_id", vec_col="embedding", threshold=0.9, n_bits=2,
+        index_layout=layout,
+    )
+    assert {v for v, _ in silver_ids()} == {1, 3, 11, 12, 21}
+    assert {
+        r["vec_id"] for r in spark.read.parquet(index).collect()
+    } == {1, 3, 11, 21}
 
 
 def test_rollup_histogram_quantiles_merge_exactly(spark, tmp_path):
