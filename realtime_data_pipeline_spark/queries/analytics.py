@@ -1029,6 +1029,144 @@ ORDER BY fit.l_returnflag, fit.l_linestatus
 """
 
 
+def lineitem_price_ols2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(returnflag, linestatus) TWO-regressor OLS (round-15 build):
+    extendedprice ~ quantity + discount via the closed-form 2×2 normal
+    equations (``reduction.grouped_ols2``) — the omitted-variable
+    upgrade over the single-feature fit (`lineitem_quantity_price_ols`
+    forces the discount signal into the quantity slope; here each gets
+    its own coefficient). Both engines solve from the SAME
+    Welford-stable VAR_SAMP/COVAR_SAMP aggregates — the (n−1) factors
+    cancel in the solution — so the face is oracle-checkable without
+    centering shifts."""
+    from realtime_data_pipeline_spark import reduction
+
+    li = load(spark, sf_dir, "lineitem")
+    out = reduction.grouped_ols2(
+        li, ["l_returnflag", "l_linestatus"],
+        "l_quantity", "l_discount", "l_extendedprice",
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round("b1", 4).alias("qty_slope"),
+        F.round("b2", 2).alias("discount_slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+LINEITEM_PRICE_OLS2_SQL = """
+WITH s AS (
+  SELECT
+    l_returnflag, l_linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    AVG(CAST(l_quantity AS DOUBLE)) AS m1,
+    AVG(CAST(l_discount AS DOUBLE)) AS m2,
+    AVG(CAST(l_extendedprice AS DOUBLE)) AS my,
+    VAR_SAMP(CAST(l_quantity AS DOUBLE)) AS v11,
+    VAR_SAMP(CAST(l_discount AS DOUBLE)) AS v22,
+    VAR_SAMP(CAST(l_extendedprice AS DOUBLE)) AS vyy,
+    COVAR_SAMP(CAST(l_quantity AS DOUBLE),
+               CAST(l_discount AS DOUBLE)) AS c12,
+    COVAR_SAMP(CAST(l_quantity AS DOUBLE),
+               CAST(l_extendedprice AS DOUBLE)) AS c1y,
+    COVAR_SAMP(CAST(l_discount AS DOUBLE),
+               CAST(l_extendedprice AS DOUBLE)) AS c2y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag, l_linestatus
+), fit AS (
+  SELECT *,
+    v11 * v22 - c12 * c12 AS det,
+    CASE WHEN n > 2 AND v11 * v22 - c12 * c12 > 0
+         THEN (v22 * c1y - c12 * c2y) / (v11 * v22 - c12 * c12)
+    END AS b1,
+    CASE WHEN n > 2 AND v11 * v22 - c12 * c12 > 0
+         THEN (v11 * c2y - c12 * c1y) / (v11 * v22 - c12 * c12)
+    END AS b2
+  FROM s
+)
+SELECT
+  l_returnflag, l_linestatus, n,
+  ROUND(b1, 4) AS qty_slope,
+  ROUND(b2, 2) AS discount_slope,
+  ROUND(my - b1 * m1 - b2 * m2, 2) AS intercept,
+  ROUND(CASE WHEN b1 IS NOT NULL AND vyy > 0
+             THEN (b1 * c1y + b2 * c2y) / vyy END, 6) AS r2
+FROM fit
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def lineitem_partial_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(returnflag, linestatus) partial correlation of quantity and
+    extendedprice CONTROLLING for discount (round-15 build,
+    ``reduction.grouped_partial_corr``): the "is the association real
+    or a shared driver?" audit next to `lineitem_price_ols2`'s
+    coefficient view. Both engines build the three pairwise
+    correlations with the same Welford-stable CORR aggregate, so the
+    face is oracle-checkable with plain rounding."""
+    from realtime_data_pipeline_spark import reduction
+
+    li = load(spark, sf_dir, "lineitem")
+    out = reduction.grouped_partial_corr(
+        li, ["l_returnflag", "l_linestatus"],
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round("r_xy", 6).alias("r_qty_price"),
+        F.round("r_xy_z", 6).alias("r_qty_price_given_disc"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+LINEITEM_PARTIAL_CORR_SQL = """
+WITH m AS (
+  SELECT
+    l_returnflag, l_linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    VAR_SAMP(CAST(l_quantity AS DOUBLE)) AS vx,
+    VAR_SAMP(CAST(l_extendedprice AS DOUBLE)) AS vy,
+    VAR_SAMP(CAST(l_discount AS DOUBLE)) AS vz,
+    COVAR_SAMP(CAST(l_quantity AS DOUBLE),
+               CAST(l_extendedprice AS DOUBLE)) AS cxy,
+    COVAR_SAMP(CAST(l_quantity AS DOUBLE),
+               CAST(l_discount AS DOUBLE)) AS cxz,
+    COVAR_SAMP(CAST(l_discount AS DOUBLE),
+               CAST(l_extendedprice AS DOUBLE)) AS czy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+  GROUP BY l_returnflag, l_linestatus
+), s AS (
+  SELECT
+    l_returnflag, l_linestatus, n,
+    CASE WHEN vx > 0 AND vy > 0
+         THEN cxy / (SQRT(vx) * SQRT(vy)) END AS rxy,
+    CASE WHEN vx > 0 AND vz > 0
+         THEN cxz / (SQRT(vx) * SQRT(vz)) END AS rxz,
+    CASE WHEN vz > 0 AND vy > 0
+         THEN czy / (SQRT(vz) * SQRT(vy)) END AS rzy
+  FROM m
+)
+SELECT
+  l_returnflag, l_linestatus, n,
+  ROUND(rxy, 6) AS r_qty_price,
+  ROUND(CASE WHEN n > 3
+              AND (1 - rxz * rxz) * (1 - rzy * rzy) > 0
+             THEN (rxy - rxz * rzy)
+                  / SQRT((1 - rxz * rxz) * (1 - rzy * rzy))
+        END, 6) AS r_qty_price_given_disc
+FROM s
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def lineitem_price_conformal_bands(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1163,6 +1301,11 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-15 build: TRUE split-conformal bands — held-out md5-split
     # calibration half (verdict r14 item #6)
     "lineitem_price_conformal_bands": lineitem_price_conformal_bands,
+    # round-15 build: closed-form two-regressor OLS (2x2 normal
+    # equations from Welford-stable VAR_SAMP/COVAR_SAMP)
+    "lineitem_price_ols2": lineitem_price_ols2,
+    # round-15 build: partial correlation controlling for a covariate
+    "lineitem_partial_corr": lineitem_partial_corr,
     "lineitem_measure_covariance": lineitem_measure_covariance,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
@@ -1195,6 +1338,8 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "lineitem_price_conformal_bands": (
         LINEITEM_PRICE_CONFORMAL_BANDS_SQL
     ),
+    "lineitem_price_ols2": LINEITEM_PRICE_OLS2_SQL,
+    "lineitem_partial_corr": LINEITEM_PARTIAL_CORR_SQL,
     "lineitem_measure_covariance": LINEITEM_MEASURE_COVARIANCE_SQL,
     "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,

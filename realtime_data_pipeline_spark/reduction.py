@@ -1590,6 +1590,169 @@ def grouped_ols_bands(
     return fit.join(bands, group_cols, "left")
 
 
+def grouped_ols2(
+    df: DataFrame,
+    group_cols: list[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group TWO-regressor OLS (y ~ b0 + b1·x1 + b2·x2) in closed
+    form — the smallest multiple regression, solved entirely inside one
+    JVM grouped aggregation (round-15 build; the 2×2 normal equations
+    the single-feature :func:`grouped_ols` can't express: e.g. price on
+    quantity AND discount, where the one-feature slope absorbs the
+    omitted variable).
+
+    Numerics: the (n−1) factors of the sample (co)variances cancel in
+    the normal-equation solution, so the coefficients come straight
+    from Welford-stable ``var_samp``/``covar_samp`` aggregates — no
+    raw sum-of-products cancellation, no centering shifts needed, and
+    the same aggregates exist verbatim in DuckDB for the oracle:
+
+        det = V11·V22 − C12²
+        b1  = (V22·C1y − C12·C2y) / det
+        b2  = (V11·C2y − C12·C1y) / det
+        b0  = ȳ − b1·x̄1 − b2·x̄2
+        r²  = (b1·C1y + b2·C2y) / Vyy
+
+    NULL handling is REGR_*-style: a row where ANY of x1/x2/y is NULL
+    is excluded from every statistic including n, so all ten aggregates
+    describe the same row set. Groups with n ≤ 2, collinear or constant
+    regressors (det ≤ 0), or zero y-variance get NULL coefficients —
+    the guard keeps ANSI mode from ever evaluating the division.
+
+    Cost shape: ONE grouped agg over the scan (map-side combined
+    Welford partials), column arithmetic after — no join, no second
+    pass, shuffle bounded by the group keys. Scales like
+    :func:`grouped_ols`. Returns ``group_cols + (n, b1, b2, intercept,
+    r2)``."""
+    pair = (
+        F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    x1 = F.when(pair, F.col(x1_col).cast("double"))
+    x2 = F.when(pair, F.col(x2_col).cast("double"))
+    y = F.when(pair, F.col(y_col).cast("double"))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(x1).alias("n"),
+        F.avg(x1).alias("__m1"),
+        F.avg(x2).alias("__m2"),
+        F.avg(y).alias("__my"),
+        F.var_samp(x1).alias("__v11"),
+        F.var_samp(x2).alias("__v22"),
+        F.var_samp(y).alias("__vyy"),
+        F.covar_samp(x1, x2).alias("__c12"),
+        F.covar_samp(x1, y).alias("__c1y"),
+        F.covar_samp(x2, y).alias("__c2y"),
+    )
+    det = (
+        F.col("__v11") * F.col("__v22") - F.col("__c12") * F.col("__c12")
+    )
+    ok = (F.col("n") > 2) & (det > 0)
+    b1 = F.when(
+        ok,
+        (
+            F.col("__v22") * F.col("__c1y")
+            - F.col("__c12") * F.col("__c2y")
+        )
+        / det,
+    )
+    b2 = F.when(
+        ok,
+        (
+            F.col("__v11") * F.col("__c2y")
+            - F.col("__c12") * F.col("__c1y")
+        )
+        / det,
+    )
+    b0 = F.col("__my") - b1 * F.col("__m1") - b2 * F.col("__m2")
+    r2 = F.when(
+        ok & (F.col("__vyy") > 0),
+        (b1 * F.col("__c1y") + b2 * F.col("__c2y")) / F.col("__vyy"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        b1.alias("b1"),
+        b2.alias("b2"),
+        b0.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def grouped_partial_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """Per-group PARTIAL correlation of x and y CONTROLLING for z —
+    ``r_xy.z = (r_xy − r_xz·r_zy) / sqrt((1−r_xz²)(1−r_zy²))`` — the
+    "is the x–y association real or just z in both?" audit (round-15
+    build; first-order partial correlation, the correlational face of
+    the same 2×2 normal equations :func:`grouped_ols2` solves). The
+    three pairwise correlations are assembled from Welford-stable
+    ``var_samp``/``covar_samp`` aggregates in ONE grouped pass —
+    deliberately NOT Spark's ``corr`` aggregate, whose internal
+    division raises ANSI DIVIDE_BY_ZERO on a constant column (caught
+    by the degenerate-group test; DuckDB's CORR returns NULL there),
+    where the explicit spelling keeps the guard in OUR hands and
+    mirrors verbatim into the oracle. REGR_*-style NULL handling:
+    rows with ANY of x/y/z NULL are excluded from every statistic
+    including n. Degenerate groups — n ≤ 3, any constant coordinate,
+    or |r_xz| or |r_zy| = 1 (z explains one variable exactly, the
+    denominator vanishes) — return NULL behind the guard.
+    Returns ``group_cols + (n, r_xy, r_xy_z)``."""
+    pair = (
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+    x = F.when(pair, F.col(x_col).cast("double"))
+    y = F.when(pair, F.col(y_col).cast("double"))
+    z = F.when(pair, F.col(z_col).cast("double"))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(x).alias("n"),
+        F.var_samp(x).alias("__vx"),
+        F.var_samp(y).alias("__vy"),
+        F.var_samp(z).alias("__vz"),
+        F.covar_samp(x, y).alias("__cxy"),
+        F.covar_samp(x, z).alias("__cxz"),
+        F.covar_samp(z, y).alias("__czy"),
+    )
+
+    def _r(c: Column, va: Column, vb: Column) -> Column:
+        return F.when(
+            (va > 0) & (vb > 0), c / (F.sqrt(va) * F.sqrt(vb))
+        )
+
+    agg = agg.select(
+        *group_cols,
+        "n",
+        _r(F.col("__cxy"), F.col("__vx"), F.col("__vy")).alias("__rxy"),
+        _r(F.col("__cxz"), F.col("__vx"), F.col("__vz")).alias("__rxz"),
+        _r(F.col("__czy"), F.col("__vz"), F.col("__vy")).alias("__rzy"),
+    )
+    den2 = (1.0 - F.col("__rxz") * F.col("__rxz")) * (
+        1.0 - F.col("__rzy") * F.col("__rzy")
+    )
+    ok = (F.col("n") > 3) & (den2 > 0)
+    r_xy_z = F.when(
+        ok,
+        (F.col("__rxy") - F.col("__rxz") * F.col("__rzy"))
+        / F.sqrt(den2),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col("__rxy").alias("r_xy"),
+        r_xy_z.alias("r_xy_z"),
+    )
+
+
 def grouped_ols_conformal_bands(
     df: DataFrame,
     group_cols: list[str],

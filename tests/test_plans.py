@@ -913,6 +913,29 @@ def test_prediction_bands_broadcast_fit_python_free(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ols2_single_agg_no_join_python_free(spark, sf_dir):
+    """The two-regressor OLS face is ONE grouped aggregation over the
+    scan — no join, no window, no Python; the shuffle hashes on the
+    group keys only."""
+    df = qfn("lineitem_price_ols2")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for node in ("Join", "Window", "CartesianProduct"):
+        assert node not in plan, node
+    scans = [s for s in plan.splitlines() if "ReadSchema" in s]
+    assert scans and all("l_shipdate" not in s for s in scans)
+
+
+def test_partial_corr_single_agg_no_join_python_free(spark, sf_dir):
+    """The partial-correlation face is one grouped aggregation of three
+    Welford corr states — no join, no window, no Python."""
+    df = qfn("lineitem_partial_corr")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for node in ("Join", "Window", "CartesianProduct"):
+        assert node not in plan, node
+
+
 def test_conformal_bands_broadcast_fit_python_free(spark, sf_dir):
     """The split-conformal sibling keeps the same plan shape as the
     audit-spelling face: tiny fit table broadcast back onto the
