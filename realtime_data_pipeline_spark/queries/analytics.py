@@ -1101,6 +1101,146 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def customer_revenue_gini(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation Gini coefficient of customer order revenue
+    (round-15 build, ``reduction.grouped_gini``): the concentration
+    audit — is a nation's revenue owned by a few customers? The rank
+    ordered by (revenue, custkey) is deterministic in BOTH engines, so
+    the textbook rank-formula Gini is exactly reproducible, not just
+    in expectation. Customers without orders are out of scope (inner
+    join: Gini over the revenue-HOLDING population; the zero-revenue
+    variant is a different, also-valid audit)."""
+    from realtime_data_pipeline_spark import reduction
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("double")).alias("rev"))
+        .join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_custkey", "rev")
+    )
+    out = reduction.grouped_gini(rev, ["n_name"], "rev", "c_custkey")
+    return out.select(
+        "n_name",
+        "n",
+        F.round("total", 2).alias("total_revenue"),
+        F.round("gini", 6).alias("gini"),
+    ).orderBy("n_name")
+
+
+CUSTOMER_REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS n_name, c.c_custkey AS k,
+         SUM(CAST(o.o_totalprice AS DOUBLE)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+), ranked AS (
+  SELECT n_name, rev,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY n_name ORDER BY rev ASC, k ASC
+         ) AS DOUBLE) AS i
+  FROM rev
+), g AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rev) AS total,
+         SUM(i * rev) AS ix
+  FROM ranked
+  GROUP BY n_name
+)
+SELECT
+  n_name, n,
+  ROUND(total, 2) AS total_revenue,
+  ROUND(CASE WHEN n > 0 AND total > 0
+             THEN 2.0 * ix / (n * total) - (n + 1.0) / n
+        END, 6) AS gini
+FROM g
+ORDER BY n_name
+"""
+
+
+def events_type_hour_cramers_v(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramér's V between event type and hour-of-day (round-15 build,
+    ``reduction.cramers_v``): does WHEN an event happens depend on
+    WHAT it is — the [0,1]-normalized contingency association a
+    pipeline checks before trusting time-sliced samples to be
+    type-balanced. Grid-free absent-cell χ² (only observed
+    (type, hour) cells materialize), marginals broadcast, one-row
+    result."""
+    from realtime_data_pipeline_spark import reduction
+
+    ev = load_events(spark, sf_dir)
+    out = reduction.cramers_v(
+        ev.where(F.col("ts").isNotNull()), "event_type", F.hour("ts")
+    )
+    return out.select(
+        "n", "r", "c",
+        F.round("chi2", 4).alias("chi2"),
+        F.round("v", 6).alias("v"),
+    )
+
+
+EVENTS_TYPE_HOUR_CRAMERS_V_SQL = """
+WITH obs AS (
+  SELECT event_type AS a,
+         EXTRACT(hour FROM ts) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), ma AS (
+  SELECT a, SUM(o) AS na FROM obs GROUP BY a
+), mb AS (
+  SELECT b, SUM(o) AS nb FROM obs GROUP BY b
+), tot AS (
+  SELECT SUM(o) AS n,
+         CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+         CAST(COUNT(DISTINCT b) AS DOUBLE) AS c
+  FROM obs
+), s AS (
+  SELECT
+    ANY_VALUE(tot.n) AS n,
+    ANY_VALUE(tot.r) AS r,
+    ANY_VALUE(tot.c) AS c,
+    ANY_VALUE(tot.n) + SUM(
+      POW(obs.o - ma.na * mb.nb / tot.n, 2)
+        / (ma.na * mb.nb / tot.n)
+      - ma.na * mb.nb / tot.n
+    ) AS chi2
+  FROM obs
+  JOIN ma USING (a)
+  JOIN mb USING (b)
+  CROSS JOIN tot
+)
+SELECT
+  CAST(n AS BIGINT) AS n,
+  CAST(r AS INTEGER) AS r,
+  CAST(c AS INTEGER) AS c,
+  ROUND(chi2, 4) AS chi2,
+  ROUND(CASE WHEN LEAST(r, c) - 1 > 0 AND n > 0
+             THEN SQRT(GREATEST(chi2, 0) / (n * (LEAST(r, c) - 1)))
+        END, 6) AS v
+FROM s
+"""
+
+
 def lineitem_partial_corr(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1306,6 +1446,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_ols2": lineitem_price_ols2,
     # round-15 build: partial correlation controlling for a covariate
     "lineitem_partial_corr": lineitem_partial_corr,
+    # round-15 build: per-nation revenue concentration (rank-formula
+    # Gini with deterministic tie-break)
+    "customer_revenue_gini": customer_revenue_gini,
+    # round-15 build: contingency association strength (grid-free
+    # absent-cell chi2, normalized to Cramer's V)
+    "events_type_hour_cramers_v": events_type_hour_cramers_v,
     "lineitem_measure_covariance": lineitem_measure_covariance,
     "events_user_cardinality_approx": events_user_cardinality_approx,
     "dq_threshold_calibration": dq_threshold_calibration,
@@ -1340,6 +1486,8 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     ),
     "lineitem_price_ols2": LINEITEM_PRICE_OLS2_SQL,
     "lineitem_partial_corr": LINEITEM_PARTIAL_CORR_SQL,
+    "customer_revenue_gini": CUSTOMER_REVENUE_GINI_SQL,
+    "events_type_hour_cramers_v": EVENTS_TYPE_HOUR_CRAMERS_V_SQL,
     "lineitem_measure_covariance": LINEITEM_MEASURE_COVARIANCE_SQL,
     "events_heavy_types_exact": EVENTS_HEAVY_TYPES_EXACT_SQL,
     "orders_yoy_growth": ORDERS_YOY_GROWTH_SQL,

@@ -1237,6 +1237,61 @@ LIMIT 20
 """
 
 
+def docs_source_lang_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source Shannon entropy of the language distribution
+    (round-15 build, ``reduction.grouped_entropy``): the diversity
+    audit a curation pipeline runs before trusting a domain cap or a
+    mixture weight — a source whose 'diversity' is one language 99.9%
+    of the time behaves like a single-language source no matter its
+    row count. Two geometry-bounded aggs (source×lang, then source);
+    evenness = H / log2(n_langs) normalizes across sources with
+    different language counts."""
+    from realtime_data_pipeline_spark import reduction
+
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    out = reduction.grouped_entropy(docs, ["source"], "lang")
+    return out.select(
+        "source",
+        "n",
+        "n_cats",
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+        F.round("evenness", 6).alias("evenness"),
+    ).orderBy("source")
+
+
+DOCS_SOURCE_LANG_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents
+  WHERE lang IS NOT NULL
+  GROUP BY source, lang
+), tot AS (
+  SELECT source, SUM(c) AS n, CAST(COUNT(*) AS INTEGER) AS n_cats
+  FROM counts
+  GROUP BY source
+), h AS (
+  SELECT counts.source,
+         CAST(ANY_VALUE(tot.n) AS BIGINT) AS n,
+         ANY_VALUE(tot.n_cats) AS n_cats,
+         -SUM((counts.c / tot.n) * LOG2(counts.c / tot.n))
+           AS entropy_bits
+  FROM counts
+  JOIN tot USING (source)
+  GROUP BY counts.source
+)
+SELECT
+  source, n, n_cats,
+  ROUND(entropy_bits, 6) AS entropy_bits,
+  ROUND(CASE WHEN n_cats > 1
+             THEN entropy_bits / LOG2(CAST(n_cats AS DOUBLE)) END,
+        6) AS evenness
+FROM h
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redaction": docs_pii_redaction,
     "docs_repetition_profile": docs_repetition_profile,
@@ -1257,6 +1312,9 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_lang_chi2": docs_token_lang_chi2,
     # round-13 build: per-source distinctive vocabulary (log-odds)
     "docs_source_signature_terms": docs_source_signature_terms,
+    # round-15 build: per-source language-diversity audit (Shannon
+    # entropy + evenness)
+    "docs_source_lang_entropy": docs_source_lang_entropy,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_bm25_search": docs_bm25_search,
@@ -1275,6 +1333,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_token_lang_chi2": DOCS_TOKEN_LANG_CHI2_SQL,
     "docs_source_signature_terms": DOCS_SOURCE_SIGNATURE_TERMS_SQL,
+    "docs_source_lang_entropy": DOCS_SOURCE_LANG_ENTROPY_SQL,
     "docs_contamination_spans": DOCS_CONTAMINATION_SPANS_SQL,
     "docs_decontaminated_train": DOCS_DECONTAMINATED_TRAIN_SQL,
     "docs_unigram_surprisal": DOCS_UNIGRAM_SURPRISAL_SQL,

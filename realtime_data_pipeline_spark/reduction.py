@@ -49,6 +49,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from realtime_data_pipeline_spark.similarity import as_double_array
 
@@ -1679,6 +1680,173 @@ def grouped_ols2(
         b2.alias("b2"),
         b0.alias("intercept"),
         r2.alias("r2"),
+    )
+
+
+def grouped_gini(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a nonnegative value — the
+    concentration audit (round-15 build): "is this nation's revenue /
+    this source's token budget owned by a few members?" — the same
+    question a training-data pipeline asks before capping domains
+    (:func:`~realtime_data_pipeline_spark.queries.curation` caps what
+    this measures). Textbook rank formula on ascending-sorted values:
+
+        G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+
+    with ``i = row_number`` ordered by ``(value, tie_col)`` — the
+    explicit deterministic tie-break makes the rank (and therefore G,
+    exactly, not just in the limit) identical across runs, engines and
+    partitionings; DuckDB mirrors the same ROW_NUMBER ordering. G = 0
+    is perfect equality; → 1 is total concentration. Groups with
+    Σx ≤ 0 or n = 0 return NULL (Gini is defined for nonnegative
+    totals; a negative-value audit should winsorize first).
+
+    Scale shape: ONE shuffle on the group key brings each group
+    together for the rank window, then a grouped agg over the same
+    partitioning (no second exchange — the window and the agg share
+    hash keys). Per-group state is the running rank, not the group;
+    at 100 TB the cost is the sort within each group (Spark spills
+    sorts; a skewed giant group sorts on disk, never OOMs). Returns
+    ``group_cols + (n, total, gini)``."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__x").asc(), F.col("__t").asc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(tie_col).alias("__t"),
+    ).where(F.col("__x").isNotNull()).withColumn(
+        "__i", F.row_number().over(w).cast("double")
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
+    )
+    n = F.col("n").cast("double")
+    g = F.when(
+        (F.col("n") > 0) & (F.col("total") > 0),
+        2.0 * F.col("__ix") / (n * F.col("total"))
+        - (n + 1.0) / n,
+    )
+    return agg.select(*group_cols, "n", "total", g.alias("gini"))
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: Column | str,
+    b_col: Column | str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    [0, 1]-normalized strength of a contingency-table dependence
+    (round-15 build; the categorical sibling of the χ² feature
+    selector: χ² says "dependent or not", V says "how much", comparable
+    across table shapes). ``V = sqrt(χ² / (n·(min(r,c)−1)))``.
+
+    Grid-free absent-cell algebra, same as :func:`docs_token_lang_chi2
+    <realtime_data_pipeline_spark.queries.curation>`'s: over ALL r·c
+    cells χ² = Σ(O−E)²/E, absent cells contribute exactly E and
+    Σ_all E = n, so χ² = n + Σ_observed((O−E)²/E − E) — only observed
+    cells ever materialize. Scale shape: one (a, b) grouped agg over
+    the scan (map-side combined), two marginal aggs of THAT (bounded
+    by the distinct counts), broadcast joins, a 1-row result. NULL
+    categories are excluded (a NULL is a missing observation, not a
+    level). Returns one row (n, r, c, chi2, v)."""
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    obs = (
+        df.select(a.alias("__a"), b.alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    ma = obs.groupBy("__a").agg(F.sum("o").alias("na"))
+    mb = obs.groupBy("__b").agg(F.sum("o").alias("nb"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("__a").cast("double").alias("r"),
+        F.countDistinct("__b").cast("double").alias("c"),
+    )
+    e = F.col("na") * F.col("nb") / F.col("n")
+    cell = (F.col("o") - e) * (F.col("o") - e) / e - e
+    scored = (
+        obs.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .join(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("__n"),
+            F.first("r").alias("__r"),
+            F.first("c").alias("__c"),
+            (F.first("n") + F.sum(cell)).alias("__chi2"),
+        )
+    )
+    k = F.least(F.col("__r"), F.col("__c")) - 1.0
+    v = F.when(
+        (k > 0) & (F.col("__n") > 0),
+        F.sqrt(F.greatest(F.lit(0.0), F.col("__chi2")) / (F.col("__n") * k)),
+    )
+    return scored.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__r").cast("int").alias("r"),
+        F.col("__c").cast("int").alias("c"),
+        F.col("__chi2").alias("chi2"),
+        v.alias("v"),
+    )
+
+
+def grouped_entropy(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Shannon entropy (bits) of a categorical column — the
+    diversity audit (round-15 build): "how language-diverse is each
+    source?" is the question a curation pipeline asks before trusting
+    a domain cap or a mixture weight (a source whose 'diversity' is
+    one language 99.9% of the time behaves like a single-language
+    source no matter its row count). ``H = −Σ p·log2(p)`` over the
+    group's category distribution; also returns ``n_cats`` and the
+    normalized ``evenness = H / log2(n_cats)`` (NULL for single-
+    category groups, where evenness is undefined).
+
+    Scale shape: one (group, category) grouped agg (map-side
+    combined), one (group) agg of THAT — both shuffles bounded by
+    groups × categories, never data-sized. NULL categories excluded.
+    Pure JVM. Returns ``group_cols + (n, n_cats, entropy_bits,
+    evenness)``."""
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*group_cols, cat_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    tot = counts.groupBy(*group_cols).agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("n_cats"),
+    )
+    p = F.col("__c") / F.col("__n")
+    h = (
+        counts.join(tot, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.first("__n").cast("long").alias("n"),
+            F.first("n_cats").cast("int").alias("n_cats"),
+            (-F.sum(p * F.log2(p))).alias("entropy_bits"),
+        )
+    )
+    return h.select(
+        *group_cols,
+        "n",
+        "n_cats",
+        "entropy_bits",
+        F.when(
+            F.col("n_cats") > 1,
+            F.col("entropy_bits") / F.log2(F.col("n_cats").cast("double")),
+        ).alias("evenness"),
     )
 
 

@@ -936,6 +936,43 @@ def test_partial_corr_single_agg_no_join_python_free(spark, sf_dir):
         assert node not in plan, node
 
 
+def test_gini_single_group_exchange_python_free(spark, sf_dir):
+    """The Gini face's rank window and final agg share the nation key:
+    after the per-customer pre-agg, ONE exchange brings each nation
+    together and both the row_number and the grouped agg run on it —
+    no second data-sized shuffle, dims broadcast, no Python."""
+    df = qfn("customer_revenue_gini")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # customer + nation dims
+    assert "CartesianProduct" not in plan
+    scans = [s for s in plan.splitlines() if "ReadSchema" in s]
+    assert scans and all("o_orderdate" not in s for s in scans)
+
+
+def test_cramers_v_bounded_aggs_python_free(spark, sf_dir):
+    """Cramér's V is grouped aggs of the observed contingency cells
+    plus broadcast marginal joins — no Python, no cartesian blowup
+    beyond the deliberate 1-row totals join."""
+    df = qfn("events_type_hour_cramers_v")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    scans = [s for s in plan.splitlines() if "ReadSchema" in s]
+    assert scans and all("props" not in s for s in scans)
+
+
+def test_entropy_bounded_aggs_python_free(spark, sf_dir):
+    """Per-source language entropy is two geometry-bounded aggs over a
+    (text-free) pruned scan — no Python, no window, no cartesian."""
+    df = qfn("docs_source_lang_entropy")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    scans = [s for s in plan.splitlines() if "ReadSchema" in s]
+    assert scans and all("text" not in s.split("ReadSchema")[1] for s in scans)
+
+
 def test_conformal_bands_broadcast_fit_python_free(spark, sf_dir):
     """The split-conformal sibling keeps the same plan shape as the
     audit-spelling face: tiny fit table broadcast back onto the

@@ -1219,6 +1219,104 @@ def test_grouped_ols2_matches_numpy_lstsq(spark):
     assert c.b1 is None and c.b2 is None and c.r2 is None
 
 
+def test_grouped_gini_matches_mean_abs_difference_formula(spark):
+    """Round-15: the rank-formula Gini must equal the independent
+    mean-absolute-difference definition G = Σ|xi−xj| / (2n²·mean) on
+    random data, read 0 on perfect equality, (n−1)/n on total
+    concentration, and NULL on a zero-total group."""
+    import pandas as pd
+
+    rng = np.random.RandomState(23)
+    x = rng.exponential(100.0, 300)
+    rows = [("r", f"k{i}", float(v)) for i, v in enumerate(x)]
+    rows += [("eq", f"k{i}", 5.0) for i in range(10)]
+    rows += [("one", "a", 0.0), ("one", "b", 0.0),
+             ("one", "c", 0.0), ("one", "d", 10.0)]
+    rows += [("zero", "a", 0.0), ("zero", "b", 0.0)]
+    df = spark.createDataFrame(rows, "g string, k string, x double")
+    out = {
+        r.g: r
+        for r in reduction.grouped_gini(df, ["g"], "x", "k").collect()
+    }
+    gini_ref = np.abs(x[:, None] - x[None, :]).sum() / (
+        2 * len(x) ** 2 * x.mean()
+    )
+    np.testing.assert_allclose(out["r"].gini, gini_ref, rtol=1e-9)
+    assert abs(out["eq"].gini) < 1e-12
+    np.testing.assert_allclose(out["one"].gini, 0.75, rtol=1e-12)
+    assert out["zero"].gini is None  # zero total: undefined, not 0/0
+
+
+def test_cramers_v_extremes_and_numpy_chi2(spark):
+    """Round-15: V = 1 on a perfect mapping, ≈ 0 under independence,
+    and the absent-cell χ² equals the numpy full-grid contingency χ²
+    exactly on a table WITH empty cells."""
+    import itertools
+
+    import pandas as pd
+
+    # perfect association: b = f(a)
+    perfect = spark.createDataFrame(
+        [(f"a{i % 3}", f"b{i % 3}") for i in range(90)], "a string, b string"
+    )
+    v1 = reduction.cramers_v(perfect, "a", "b").first()
+    np.testing.assert_allclose(v1.v, 1.0, rtol=1e-9)
+    assert (v1.r, v1.c) == (3, 3)
+    # independence: uniform product measure
+    indep = spark.createDataFrame(
+        [
+            (f"a{i}", f"b{j}")
+            for i, j in itertools.product(range(3), range(4))
+            for _ in range(25)
+        ],
+        "a string, b string",
+    )
+    v0 = reduction.cramers_v(indep, "a", "b").first()
+    assert abs(v0.v) < 1e-9 and v0.n == 300
+    # sparse table with EMPTY cells: absent-cell algebra == full grid
+    rng = np.random.RandomState(31)
+    rows = [
+        (f"a{rng.randint(4)}", f"b{rng.randint(5)}") for _ in range(400)
+    ]
+    rows = [r for r in rows if not (r[0] == "a0" and r[1] == "b0")]
+    sparse = spark.createDataFrame(rows, "a string, b string")
+    got = reduction.cramers_v(sparse, "a", "b").first()
+    avals = sorted({r[0] for r in rows})
+    bvals = sorted({r[1] for r in rows})
+    obs = np.zeros((len(avals), len(bvals)))
+    for a, b in rows:
+        obs[avals.index(a), bvals.index(b)] += 1
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    chi2_ref = ((obs - e) ** 2 / e).sum()
+    np.testing.assert_allclose(got.chi2, chi2_ref, rtol=1e-9)
+
+
+def test_grouped_entropy_uniform_and_degenerate(spark):
+    """Round-15: uniform 4-way split reads exactly 2 bits with
+    evenness 1; a single-category group reads 0 bits with NULL
+    evenness (log2(1) denominator); NULL categories are excluded."""
+    rows = [("u", c) for c in ("a", "b", "c", "d") for _ in range(25)]
+    rows += [("mono", "only")] * 10
+    rows += [("skew", "x")] * 99 + [("skew", "y")]
+    rows += [("u", None)]  # excluded, not a category
+    df = spark.createDataFrame(rows, "g string, cat string")
+    out = {
+        r.g: r
+        for r in reduction.grouped_entropy(df, ["g"], "cat").collect()
+    }
+    u = out["u"]
+    assert (u.n, u.n_cats) == (100, 4)
+    np.testing.assert_allclose(u.entropy_bits, 2.0, rtol=1e-12)
+    np.testing.assert_allclose(u.evenness, 1.0, rtol=1e-12)
+    m = out["mono"]
+    assert m.entropy_bits == 0.0 and m.evenness is None
+    s = out["skew"]
+    p = np.array([0.99, 0.01])
+    np.testing.assert_allclose(
+        s.entropy_bits, -(p * np.log2(p)).sum(), rtol=1e-12
+    )
+
+
 def test_grouped_partial_corr_matches_numpy_and_kills_confounder(spark):
     """Round-15: the partial correlation must match the textbook
     formula on numpy-computed pairwise correlations, and on a
