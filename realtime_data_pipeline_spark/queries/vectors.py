@@ -948,6 +948,56 @@ ORDER BY r.dim
 
 
 
+def embeddings_dim_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension two-sample Kolmogorov–Smirnov statistic between
+    the even-id (reference) and odd-id (current) corpus halves —
+    ``reduction.drift_ks``, the DISTRIBUTION-FREE drift gate beside
+    PSI (binned shape) and Welch t (mean): the exact sup-distance
+    between the two empirical CDFs, blind to nothing a fixed bin grid
+    or a moment can hide. Oracle: the same running-CDF max over
+    distinct values via a window in DuckDB."""
+    from realtime_data_pipeline_spark import reduction
+
+    emb = load(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return reduction.drift_ks(ref, cur).orderBy("dim")
+
+
+EMBEDDINGS_DIM_DRIFT_KS_SQL = """
+WITH x AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref,
+         CAST(t.i AS INTEGER) - 1 AS dim,
+         CAST(embedding[t.i] AS DOUBLE) AS xi
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+), counts AS (
+  SELECT dim, xi,
+         CAST(SUM(is_ref) AS DOUBLE) AS cr,
+         CAST(SUM(1 - is_ref) AS DOUBLE) AS cc
+  FROM x
+  GROUP BY dim, xi
+), tot AS (
+  SELECT dim, SUM(cr) AS n_ref_d, SUM(cc) AS n_cur_d
+  FROM counts GROUP BY dim
+), stepped AS (
+  SELECT dim, xi,
+         SUM(cr) OVER (PARTITION BY dim ORDER BY xi) AS cum_r,
+         SUM(cc) OVER (PARTITION BY dim ORDER BY xi) AS cum_c
+  FROM counts
+)
+SELECT s.dim,
+       ROUND(MAX(ABS(s.cum_r / t.n_ref_d - s.cum_c / t.n_cur_d)), 6)
+         AS ks,
+       CAST(ANY_VALUE(t.n_ref_d) AS BIGINT) AS n_ref,
+       CAST(ANY_VALUE(t.n_cur_d) AS BIGINT) AS n_cur
+FROM stepped s
+JOIN tot t USING (dim)
+WHERE t.n_ref_d > 0 AND t.n_cur_d > 0
+GROUP BY s.dim
+ORDER BY s.dim
+"""
+
+
 def embeddings_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only by nature (driver-side d×d solve): closed-form linear
     probe — ridge-regress the integer label on the embedding in ONE
@@ -972,6 +1022,9 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-13 build: PSI drift monitor vs the histogram-algebra oracle
     "embeddings_dim_drift_psi": embeddings_dim_drift_psi,
     "embeddings_dim_drift_ttest": embeddings_dim_drift_ttest,
+    # round-15 build: distribution-free KS drift gate (exact CDF
+    # sup-distance over distinct values)
+    "embeddings_dim_drift_ks": embeddings_dim_drift_ks,
     # round-13 build: one-pass closed-form linear probe (rows-only)
     "embeddings_ridge_probe": embeddings_ridge_probe,
     # round-12 build: exact covariance (oracle) + PCA scores (rows-only)
@@ -1000,6 +1053,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "embeddings_dim_drift_psi": EMBEDDINGS_DIM_DRIFT_PSI_SQL,
     "embeddings_dim_drift_ttest": EMBEDDINGS_DIM_DRIFT_TTEST_SQL,
+    "embeddings_dim_drift_ks": EMBEDDINGS_DIM_DRIFT_KS_SQL,
     "embeddings_covariance": EMBEDDINGS_COVARIANCE_SQL,
     "embeddings_correlation": EMBEDDINGS_CORRELATION_SQL,
     "embeddings_label_variances": EMBEDDINGS_LABEL_VARIANCES_SQL,

@@ -1221,6 +1221,76 @@ def batch_drift_ttest(
     )
 
 
+def drift_ks(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension two-sample Kolmogorov–Smirnov statistic between
+    two embedding corpora — the DISTRIBUTION-FREE member of the drift
+    family (round-15 build): :func:`drift_psi` sees shape through a
+    fixed bin grid (a shift smaller than a bin hides),
+    :func:`drift_ttest` sees the mean only (a variance or tail change
+    hides); KS is the exact sup-distance between the two empirical
+    CDFs, ``D = max_x |F_ref(x) − F_cur(x)|``, with no binning and no
+    moment assumptions. Rule of thumb: flag when
+    ``D > c(α)·sqrt((n1+n2)/(n1·n2))`` with c(0.01) ≈ 1.63.
+
+    Exactly computable in one pass over distinct values: per (dim, x)
+    count each side, running-sum both counts over x ascending within
+    each dim (ties collapse into one distinct-value row, so tie order
+    can't change the answer — the CDF is evaluated AFTER all rows
+    ≤ x), and take the max of |cum_ref/n_ref − cum_cur/n_cur|. The
+    window partitions by dim and sorts the DISTINCT values only —
+    at 100 TB the sort input is bounded by distinct (dim, value)
+    pairs, and Spark spills window sorts per partition rather than
+    OOMing; shuffle keys are (dim, value). Returns
+    (dim, ks, n_ref, n_cur); dims with either side empty don't
+    appear (inner semantics over observed dims, like drift_ttest)."""
+    def ex(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.posexplode(as_double_array(F.col(vec_col))).alias(
+                "dim", "x"
+            )
+        ).select(
+            "dim", "x",
+            F.lit(1 if side == "ref" else 0).alias("__r"),
+            F.lit(0 if side == "ref" else 1).alias("__c"),
+        )
+
+    u = ex(ref, "ref").unionByName(ex(cur, "cur"))
+    counts = u.groupBy("dim", "x").agg(
+        F.sum("__r").cast("double").alias("cr"),
+        F.sum("__c").cast("double").alias("cc"),
+    )
+    w = Window.partitionBy("dim").orderBy("x")
+    tot = counts.groupBy("dim").agg(
+        F.sum("cr").alias("n_ref_d"), F.sum("cc").alias("n_cur_d")
+    )
+    stepped = counts.withColumn(
+        "cum_r", F.sum("cr").over(w)
+    ).withColumn("cum_c", F.sum("cc").over(w))
+    d = (
+        stepped.join(tot, "dim")
+        .where((F.col("n_ref_d") > 0) & (F.col("n_cur_d") > 0))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_r") / F.col("n_ref_d")
+                        - F.col("cum_c") / F.col("n_cur_d")
+                    )
+                ),
+                6,
+            ).alias("ks"),
+            F.first("n_ref_d").cast("long").alias("n_ref"),
+            F.first("n_cur_d").cast("long").alias("n_cur"),
+        )
+    )
+    return d
+
+
 def batch_drift_psi(
     spark,
     batch: DataFrame,

@@ -936,6 +936,19 @@ def test_partial_corr_single_agg_no_join_python_free(spark, sf_dir):
         assert node not in plan, node
 
 
+def test_drift_ks_window_over_distinct_values_python_free(spark, sf_dir):
+    """The KS face's running-CDF window sorts DISTINCT (dim, value)
+    rows (the groupBy collapses ties before the window), stays
+    Python-free, and never crosses a cartesian."""
+    df = qfn("embeddings_dim_drift_ks")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # the aggregate that collapses ties must sit BELOW the window
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
 def test_gini_single_group_exchange_python_free(spark, sf_dir):
     """The Gini face's rank window and final agg share the nation key:
     after the per-customer pre-agg, ONE exchange brings each nation

@@ -1219,6 +1219,50 @@ def test_grouped_ols2_matches_numpy_lstsq(spark):
     assert c.b1 is None and c.b2 is None and c.r2 is None
 
 
+def test_drift_ks_matches_numpy_and_sees_variance_shift(spark):
+    """Round-15: the two-sample KS must equal the numpy empirical-CDF
+    sup-distance exactly (ties collapse to distinct values, so the
+    statistic is order-free), read ~0 on identical corpora, and fire
+    on a VARIANCE-ONLY change — the shift Welch t is blind to (equal
+    means) and a coarse bin grid can underread."""
+    import pandas as pd
+
+    rng = np.random.RandomState(29)
+    n, d = 400, 3
+    ref_x = rng.randn(n, d)
+    cur_x = rng.randn(n, d)
+    cur_x[:, 1] *= 3.0  # variance blowup, mean unchanged (dim 1)
+    mk = lambda m: spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    )
+    got = {
+        r.dim: r
+        for r in reduction.drift_ks(mk(ref_x), mk(cur_x)).collect()
+    }
+    assert got[0].n_ref == n and got[0].n_cur == n
+
+    def ks_np(a, b):
+        xs = np.sort(np.unique(np.concatenate([a, b])))
+        fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        return np.abs(fa - fb).max()
+
+    for dim in range(d):
+        np.testing.assert_allclose(
+            got[dim].ks, ks_np(ref_x[:, dim], cur_x[:, dim]), atol=5e-7
+        )
+    gate = 1.63 * np.sqrt(2 * n / (n * n))  # c(0.01) two-sample gate
+    assert got[1].ks > gate          # the variance shift fires...
+    assert got[0].ks < gate and got[2].ks < gate  # ...quiet dims don't
+    # and the mean gate is blind to it, as designed
+    t = {r.dim: r.t for r in
+         reduction.drift_ttest(mk(ref_x), mk(cur_x)).collect()}
+    assert abs(t[1]) < 3.0
+    # identical corpora: D == 0 exactly
+    same = reduction.drift_ks(mk(ref_x), mk(ref_x)).collect()
+    assert all(r.ks == 0.0 for r in same)
+
+
 def test_grouped_gini_matches_mean_abs_difference_formula(spark):
     """Round-15: the rank-formula Gini must equal the independent
     mean-absolute-difference definition G = Σ|xi−xj| / (2n²·mean) on
