@@ -578,6 +578,12 @@ def main(argv: list[str] | None = None) -> int:
         "--gate-t", type=float, default=3.0,
         help="|t| threshold for the mean-shift gate",
     )
+    pdr.add_argument(
+        "--ks-alpha", type=float, default=0.01,
+        help="with --ref: significance level for the distribution-free "
+        "KS gate (flag at D > c(alpha)*sqrt((n1+n2)/(n1*n2)); "
+        "c(0.01)=1.628, c(0.05)=1.358)",
+    )
 
     pp = sub.add_parser(
         "pipeline", help="fetch >> bronze >> DQ-gated silver (daily run)"
@@ -1198,26 +1204,64 @@ def main(argv: list[str] | None = None) -> int:
                 ref, cur, vec_col=args.vec_col, n_bins=args.psi_bins,
                 lo=args.lo, hi=args.hi,
             )
-            both = psi.join(
-                reduction.drift_ttest(ref, cur, vec_col=args.vec_col), "dim"
-            ).orderBy("dim")
+            both = (
+                psi.join(
+                    reduction.drift_ttest(
+                        ref, cur, vec_col=args.vec_col
+                    ),
+                    "dim",
+                )
+                .join(
+                    # round-15: the distribution-free third gate — a
+                    # variance/tail change with an unmoved mean inside
+                    # one bin hides from BOTH psi and t, not from KS
+                    reduction.drift_ks(
+                        ref, cur, vec_col=args.vec_col
+                    ).select("dim", "ks"),
+                    "dim",
+                    "left",
+                )
+                .orderBy("dim")
+            )
             rows = both.collect()
+            c_alpha = {0.05: 1.358, 0.01: 1.628, 0.001: 1.949}.get(
+                args.ks_alpha, 1.628
+            )
+
+            def ks_gate(r):
+                if r.ks is None or not r.n_ref or not r.n_cur:
+                    return None  # no evidence, like NULL t
+                return c_alpha * (
+                    (r.n_ref + r.n_cur) / (r.n_ref * r.n_cur)
+                ) ** 0.5
+
             # NULL t (n=1 on either side for that dim → var_samp NULL)
-            # is "no evidence", not "flagged" (ADVICE r13)
+            # is "no evidence", not "flagged" (ADVICE r13); same stance
+            # for NULL ks
             flagged = sorted(
                 r.dim for r in rows
                 if r.psi > args.gate_psi
                 or (r.t is not None and abs(r.t) > args.gate_t)
+                or (
+                    ks_gate(r) is not None and r.ks > ks_gate(r)
+                )
             )
             summary["gates"]["t"] = args.gate_t
+            summary["gates"]["ks_alpha"] = args.ks_alpha
             t_rows = [r for r in rows if r.t is not None]
             if t_rows:
                 worst_t = max(t_rows, key=lambda r: abs(r.t))
                 summary["worst_t"] = {"dim": worst_t.dim, "t": worst_t.t}
+            ks_rows = [r for r in rows if r.ks is not None]
+            if ks_rows:
+                worst_ks = max(ks_rows, key=lambda r: r.ks)
+                summary["worst_ks"] = {
+                    "dim": worst_ks.dim, "ks": worst_ks.ks
+                }
             summary["n_ref"] = rows[0].n_ref if rows else 0
             summary["n_cur"] = rows[0].n_cur if rows else 0
             both.select(
-                "dim", "psi", "t",
+                "dim", "psi", "t", "ks",
                 (F.col("psi") > args.gate_psi).alias("psi_flag"),
                 (F.abs("t") > args.gate_t).alias("t_flag"),
             ).show(10_000, truncate=False)

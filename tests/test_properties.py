@@ -845,3 +845,96 @@ def test_label_mi_nonnegative_and_zero_on_single_label(spark, rows):
     one = df.withColumn("label", df.label * 0)
     for r in reduction.label_mi(one).collect():
         assert abs(r.mi) < 1e-12
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False,
+                  allow_subnormal=False),
+        min_size=2, max_size=25,
+    ),
+    scale=st.floats(min_value=1e-3, max_value=1e3, allow_nan=False,
+                    allow_subnormal=False),
+)
+@settings(**SETTINGS)
+def test_gini_is_scale_invariant_and_bounded(spark, xs, scale):
+    """Round-15 invariants of the rank-formula Gini: multiplying every
+    value by a positive constant cannot change G (it is a pure
+    concentration measure), and G always lies in [0, (n−1)/n]. Groups
+    whose total is 0 read NULL."""
+    from realtime_data_pipeline_spark import reduction
+
+    assume(sum(xs) > 0)
+    rows = [("a", f"k{i}", float(v)) for i, v in enumerate(xs)]
+    rows += [("b", f"k{i}", float(v * scale)) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, k string, x double")
+    out = {
+        r.g: r.gini
+        for r in reduction.grouped_gini(df, ["g"], "x", "k").collect()
+    }
+    n = len(xs)
+    assert out["a"] is not None
+    assert abs(out["a"] - out["b"]) < 1e-9
+    assert -1e-12 <= out["a"] <= (n - 1) / n + 1e-12
+
+
+@given(
+    cats=st.lists(st.integers(min_value=0, max_value=5),
+                  min_size=1, max_size=30),
+    perm_seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**SETTINGS)
+def test_entropy_is_label_renaming_invariant_and_bounded(
+    spark, cats, perm_seed
+):
+    """Round-15 invariants of grouped_entropy: renaming categories (any
+    permutation of the label alphabet) cannot change H, and
+    0 ≤ H ≤ log2(n_cats) (so evenness ∈ [0, 1] where defined)."""
+    import math
+    import random
+
+    from realtime_data_pipeline_spark import reduction
+
+    perm = list(range(6))
+    random.Random(perm_seed).shuffle(perm)
+    rows = [("a", f"c{c}") for c in cats]
+    rows += [("b", f"c{perm[c]}") for c in cats]
+    df = spark.createDataFrame(rows, "g string, cat string")
+    out = {
+        r.g: r
+        for r in reduction.grouped_entropy(df, ["g"], "cat").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a.n_cats == b.n_cats
+    assert abs(a.entropy_bits - b.entropy_bits) < 1e-9
+    assert -1e-12 <= a.entropy_bits <= math.log2(max(a.n_cats, 1)) + 1e-9
+    if a.n_cats > 1:
+        assert -1e-12 <= a.evenness <= 1 + 1e-12
+    else:
+        assert a.evenness is None
+
+
+@given(
+    a=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False,
+                         allow_subnormal=False),
+               min_size=1, max_size=20),
+    b=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False,
+                         allow_subnormal=False),
+               min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_drift_ks_symmetric_and_bounded(spark, a, b):
+    """Round-15 invariants of the two-sample KS: D is symmetric in the
+    two corpora, lies in [0, 1], and is 0 iff the empirical
+    distributions coincide (checked via the multiset equality case)."""
+    from realtime_data_pipeline_spark import reduction
+
+    mk = lambda vs: spark.createDataFrame(
+        [(list([float(v)]),) for v in vs], "embedding array<double>"
+    )
+    d1 = reduction.drift_ks(mk(a), mk(b)).first()
+    d2 = reduction.drift_ks(mk(b), mk(a)).first()
+    assert d1.ks == d2.ks
+    assert 0.0 <= d1.ks <= 1.0
+    same = reduction.drift_ks(mk(a), mk(a)).first()
+    assert same.ks == 0.0

@@ -1070,6 +1070,43 @@ def test_cli_drift_edge_inputs_no_crash(spark, emb, tmp_path, capsys):
     assert "worst_psi" not in summary and "worst_t" not in summary
 
 
+def test_cli_drift_ks_gate_catches_variance_only_shift(
+    spark, tmp_path, capsys
+):
+    """Round-15: the CLI's two-corpus mode gains the distribution-free
+    KS column — a variance-only change with an unmoved mean INSIDE one
+    PSI bin is invisible to both existing gates and must be caught by
+    KS alone (exit 1, the dim in flagged_dims, worst_ks in the
+    summary)."""
+    import json as _json
+
+    import pandas as pd
+
+    from realtime_data_pipeline_spark import cli
+
+    rng = np.random.RandomState(37)
+    n, d = 400, 3
+    ref_x = 0.4 + 0.02 * rng.randn(n, d)       # all mass mid-bin
+    cur_x = 0.4 + 0.02 * rng.randn(n, d)
+    cur_x[:, 1] = 0.4 + 0.06 * rng.randn(n)    # 3x sigma, same mean,
+    # still inside the [0, 0.8) bin
+    mk = lambda m: spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    )
+    ref_p, cur_p = str(tmp_path / "ref.parquet"), str(tmp_path / "cur.parquet")
+    mk(ref_x).write.parquet(ref_p)
+    mk(cur_x).write.parquet(cur_p)
+    rc = cli.main(["drift", "--ref", ref_p, "--cur", cur_p])
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert summary["flagged_dims"] == [1]
+    assert summary["worst_ks"]["dim"] == 1
+    # the existing gates were indeed blind to it
+    assert summary["worst_psi"]["psi"] <= 0.25
+    assert "worst_t" not in summary or abs(summary["worst_t"]["t"]) <= 3.0
+    assert summary["gates"]["ks_alpha"] == 0.01
+
+
 def test_grouped_ols_outliers_flags_conditional_anomaly(spark):
     """A row far off its group's fitted LINE must be flagged even when
     its y is unremarkable MARGINALLY (the point of regression residuals
