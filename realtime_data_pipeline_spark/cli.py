@@ -1282,6 +1282,16 @@ def main(argv: list[str] | None = None) -> int:
                     "left",
                 )
                 summary["gates"]["t"] = args.gate_t
+            if reduction._reference_has_sample(spark, args.ref_hist):
+                # round-15: distribution-free column vs the persisted
+                # d·m value sample — same column the monitor lands
+                psi = psi.join(
+                    reduction.batch_drift_ks_ref(
+                        spark, cur, args.ref_hist, vec_col=args.vec_col
+                    ).select("dim", F.col("ks")),
+                    "dim",
+                    "left",
+                )
             psi = psi.orderBy("dim")
             rows = psi.collect()
             has_t = "t" in psi.columns

@@ -1132,6 +1132,7 @@ def reference_histogram(
     n_bins: int = 10,
     lo: float = -4.0,
     hi: float = 4.0,
+    sample_per_dim: int = 512,
 ) -> None:
     """Persist a reference corpus's per-dimension histogram for the
     streaming drift monitor: ``{path}/hist`` holds (dim, bin, p_ref,
@@ -1147,7 +1148,20 @@ def reference_histogram(
     location shift smaller than one bin width is invisible to PSI but
     not to t. One extra scan at reference-build time; references built
     by older code simply lack the file and the monitor stays
-    PSI-only."""
+    PSI-only.
+
+    Round 15: a third sibling ``{path}/sample`` (dim, x — the
+    ``sample_per_dim`` values per dim with the SMALLEST
+    ``xxhash64(dim, ordinal)``: a deterministic uniform subsample,
+    reproducible across runs and partitionings) lets monitors run the
+    distribution-free KS gate (:func:`batch_drift_ks_ref`): a
+    variance/tail change with an unmoved mean inside one bin hides
+    from BOTH PSI and t, not from KS. The sample bounds reference
+    state at d·m values; the subsample adds ~sqrt(1/m) sampling
+    scatter to D, so gates should stay at the conservative
+    c(0.01) = 1.63 threshold. ``sample_per_dim=0`` skips the file
+    (and the monitor's ks column); pre-r15 references simply lack
+    it — same graceful degradation as the stats file."""
     (
         _hist_proportions(ref, vec_col, n_bins, lo, hi)
         .select(
@@ -1174,10 +1188,41 @@ def reference_histogram(
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )
+    if sample_per_dim > 0:
+        ex = ref.select(
+            F.posexplode(as_double_array(F.col(vec_col))).alias(
+                "dim", "x"
+            )
+        ).withColumn(
+            # per-dim ordinal makes the hash key unique per OBSERVATION
+            # (not per value), so repeated values stay proportionally
+            # represented in the sample
+            "__h",
+            F.xxhash64(
+                F.col("dim"),
+                F.row_number().over(
+                    Window.partitionBy("dim").orderBy("x")
+                ),
+            ),
+        )
+        wk = Window.partitionBy("dim").orderBy("__h")
+        (
+            ex.withColumn("__r", F.row_number().over(wk))
+            .where(F.col("__r") <= int(sample_per_dim))
+            .select("dim", "x")
+            .coalesce(1)  # ≤ d·m rows — one small file
+            .write.mode("overwrite")
+            .parquet(f"{path}/sample")
+        )
 
 
 def _reference_has_stats(spark, ref_path: str) -> bool:
     fs, p = _hadoop_path(spark, f"{ref_path}/stats")
+    return bool(fs.exists(p))
+
+
+def _reference_has_sample(spark, ref_path: str) -> bool:
+    fs, p = _hadoop_path(spark, f"{ref_path}/sample")
     return bool(fs.exists(p))
 
 
@@ -1258,8 +1303,44 @@ def drift_ks(
             F.lit(0 if side == "ref" else 1).alias("__c"),
         )
 
-    u = ex(ref, "ref").unionByName(ex(cur, "cur"))
-    counts = u.groupBy("dim", "x").agg(
+    return _ks_from_tagged(ex(ref, "ref").unionByName(ex(cur, "cur")))
+
+
+def batch_drift_ks_ref(
+    spark,
+    batch: DataFrame,
+    ref_path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-sample KS of one micro-batch against a
+    :func:`reference_histogram`'s persisted per-dim value SAMPLE — the
+    distribution-free half of the streaming drift gate (round-15;
+    :func:`batch_drift_psi` is binned shape, :func:`batch_drift_ttest`
+    is the mean). Same distinct-value running-CDF algebra as
+    :func:`drift_ks`, with the reference side being the bounded d·m
+    sample — so the per-batch cost is one batch scan plus a window
+    over distinct values, and reference state never grows with the
+    corpus. D carries ~sqrt(1/m) subsampling scatter on the reference
+    side; gate conservatively. Returns (dim, ks, n_ref, n_cur) where
+    n_ref is the SAMPLE size for that dim."""
+    sample = spark.read.parquet(f"{ref_path}/sample").select(
+        "dim", "x", F.lit(1).alias("__r"), F.lit(0).alias("__c")
+    )
+    cur = batch.select(
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x")
+    ).select(
+        "dim", "x", F.lit(0).alias("__r"), F.lit(1).alias("__c")
+    )
+    return _ks_from_tagged(sample.unionByName(cur))
+
+
+def _ks_from_tagged(tagged: DataFrame) -> DataFrame:
+    """Running-CDF KS core shared by :func:`drift_ks` (two full
+    corpora) and :func:`batch_drift_ks_ref` (batch vs persisted
+    sample): input is (dim, x, __r, __c) one-hot side tags; ties
+    collapse into distinct-value rows BEFORE the window, so tie order
+    cannot change the statistic."""
+    counts = tagged.groupBy("dim", "x").agg(
         F.sum("__r").cast("double").alias("cr"),
         F.sum("__c").cast("double").alias("cc"),
     )
@@ -1267,11 +1348,10 @@ def drift_ks(
     tot = counts.groupBy("dim").agg(
         F.sum("cr").alias("n_ref_d"), F.sum("cc").alias("n_cur_d")
     )
-    stepped = counts.withColumn(
-        "cum_r", F.sum("cr").over(w)
-    ).withColumn("cum_c", F.sum("cc").over(w))
-    d = (
-        stepped.join(tot, "dim")
+    return (
+        counts.withColumn("cum_r", F.sum("cr").over(w))
+        .withColumn("cum_c", F.sum("cc").over(w))
+        .join(tot, "dim")
         .where((F.col("n_ref_d") > 0) & (F.col("n_cur_d") > 0))
         .groupBy("dim")
         .agg(
@@ -1288,7 +1368,6 @@ def drift_ks(
             F.first("n_cur_d").cast("long").alias("n_cur"),
         )
     )
-    return d
 
 
 def batch_drift_psi(
@@ -1385,6 +1464,7 @@ def drift_monitor_sink(
     partition, the medallion sinks' idempotency idiom). Empty batches
     write nothing (warm-up stance, same as moments_sink)."""
     has_stats = _reference_has_stats(spark, ref_path)
+    has_sample = _reference_has_sample(spark, ref_path)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1392,6 +1472,7 @@ def drift_monitor_sink(
         out = batch_drift_psi(
             spark, batch_df, ref_path, vec_col=vec_col, eps=eps
         )
+        cols = ["dim", "psi"]
         if has_stats:
             # one extra scan of the MICRO-BATCH (not the corpus) for
             # the moment agg; both aggs are geometry-bounded joins
@@ -1401,7 +1482,22 @@ def drift_monitor_sink(
                 ).select("dim", "t"),
                 "dim",
                 "left",
-            ).select("dim", "psi", "t", "n_rows")
+            )
+            cols.append("t")
+        if has_sample:
+            # round-15: the distribution-free column — batch vs the
+            # bounded d·m persisted value sample; one more batch scan,
+            # window over distinct values
+            out = out.join(
+                batch_drift_ks_ref(
+                    spark, batch_df, ref_path, vec_col=vec_col
+                ).select("dim", "ks"),
+                "dim",
+                "left",
+            )
+            cols.append("ks")
+        if len(cols) > 2:
+            out = out.select(*cols, "n_rows")
         (
             out.withColumn("batch_id", F.lit(int(epoch_id)))
             .coalesce(1)
@@ -1421,15 +1517,17 @@ def read_drift_monitor(spark, out_path: str) -> DataFrame:
     (dim, psi, n_rows); partitions landed after the reference was
     rebuilt with stats carry the Welch-t column too. A bare parquet
     read adopts whichever file's footer it samples — the t column can
-    vanish for the whole table. ``mergeSchema`` unions the two eras,
-    pre-upgrade rows surfacing ``t`` as NULL (the monitor's own
-    'no evidence' spelling), so an in-place upgrade loses neither the
-    old partitions nor the new column. Columns are projected into a
-    fixed order so downstream consumers see one stable schema."""
+    vanish for the whole table. ``mergeSchema`` unions the eras,
+    pre-upgrade rows surfacing ``t`` (and, round-15, ``ks``) as NULL
+    (the monitor's own 'no evidence' spelling), so an in-place upgrade
+    loses neither the old partitions nor the new columns. Columns are
+    projected into a fixed order so downstream consumers see one
+    stable schema."""
     df = spark.read.option("mergeSchema", "true").parquet(out_path)
-    if "t" not in df.columns:  # all-pre-upgrade table: keep the shape
-        df = df.withColumn("t", F.lit(None).cast("double"))
-    return df.select("dim", "psi", "t", "n_rows", "batch_id")
+    for c in ("t", "ks"):  # pre-upgrade eras: keep the stable shape
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("double"))
+    return df.select("dim", "psi", "t", "ks", "n_rows", "batch_id")
 
 
 def ridge_fit(

@@ -1524,24 +1524,79 @@ def test_streaming_monitor_welch_t_catches_within_bin_shift(
     assert abs(t[1]) > 3.0  # ...but the mean-shift gate fires
     quiet = [abs(v) for dd, v in t.items() if dd != 1 and v is not None]
     assert max(quiet) < 3.0  # untouched dims stay under the gate
-    # monitor sink lands (dim, psi, t, n_rows) exactly-once
+    # monitor sink lands (dim, psi, t, ks, n_rows) exactly-once
     sink = reduction.drift_monitor_sink(spark, ref_path, out_path)
     sink(cur, 0)
     landed = spark.read.parquet(out_path)
-    assert set(landed.columns) == {"dim", "psi", "t", "n_rows", "batch_id"}
+    assert set(landed.columns) == {
+        "dim", "psi", "t", "ks", "n_rows", "batch_id"
+    }
     r1 = landed.filter(F.col("dim") == 1).first()
     assert abs(r1.t) > 3.0 and abs(r1.psi) < 0.01
     sink(cur, 0)  # replay: rewrites its own partition, no duplication
     assert spark.read.parquet(out_path).count() == d  # fresh read: the
     # overwrite replaced the files the old DataFrame handle pointed at
-    # pre-r14 reference: no stats file -> PSI-only schema, no crash
+    # pre-r14 reference: no stats/sample files -> PSI-only schema
     shutil.rmtree(f"{ref_path}/stats")
+    shutil.rmtree(f"{ref_path}/sample")
     out2 = str(tmp_path / "mon2")
     sink2 = reduction.drift_monitor_sink(spark, ref_path, out2)
     sink2(cur, 0)
     assert set(spark.read.parquet(out2).columns) == {
         "dim", "psi", "n_rows", "batch_id"
     }
+
+
+def test_streaming_monitor_ks_catches_variance_shift_sample_is_deterministic(
+    spark, tmp_path
+):
+    """Round-15: the monitor's third gate end-to-end — a mid-bin
+    variance-only shift (mean unmoved, all mass inside one PSI bin) is
+    invisible to BOTH the PSI and Welch-t columns and must be caught
+    by the ks column computed against the persisted per-dim value
+    sample. The sample itself must be a deterministic function of the
+    reference corpus (two builds produce identical files' content) and
+    bounded at sample_per_dim values per dim."""
+    import pandas as pd
+
+    rng = np.random.RandomState(41)
+    d, n = 3, 900
+    ref_x = 0.4 + 0.02 * rng.randn(n, d)
+    cur_x = 0.4 + 0.02 * rng.randn(300, d)
+    cur_x[:, 1] = 0.4 + 0.06 * rng.randn(300)  # 3x sigma, same mean
+    mk = lambda m: spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    )
+    p1, p2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    reduction.reference_histogram(mk(ref_x), p1, sample_per_dim=256)
+    reduction.reference_histogram(mk(ref_x), p2, sample_per_dim=256)
+    s1 = sorted(
+        (r.dim, r.x) for r in spark.read.parquet(f"{p1}/sample").collect()
+    )
+    s2 = sorted(
+        (r.dim, r.x) for r in spark.read.parquet(f"{p2}/sample").collect()
+    )
+    assert s1 == s2                       # deterministic sample
+    per_dim = {}
+    for dim, _ in s1:
+        per_dim[dim] = per_dim.get(dim, 0) + 1
+    assert per_dim == {i: 256 for i in range(d)}  # bounded at m
+    # monitor lands all three columns; only ks sees the shift
+    out = str(tmp_path / "mon")
+    reduction.drift_monitor_sink(spark, p1, out)(mk(cur_x), 0)
+    rows = {r.dim: r for r in reduction.read_drift_monitor(
+        spark, out).collect()}
+    gate = 1.63 * ((256 + 300) / (256 * 300)) ** 0.5
+    assert rows[1].ks > gate
+    assert abs(rows[1].psi) < 0.25 and abs(rows[1].t) < 3.0
+    assert rows[0].ks < gate and rows[2].ks < gate
+    # and the CLI persisted mode shows the same ks column
+    from realtime_data_pipeline_spark import cli
+
+    cur_p = str(tmp_path / "cur.parquet")
+    mk(cur_x).write.parquet(cur_p)
+    rc = cli.main(["drift", "--ref-hist", p1, "--cur", cur_p])
+    assert rc in (0, 1)  # psi/t quiet; ks observational in this mode
 
 
 def test_drift_monitor_mixed_fleet_upgrades_in_place(spark, tmp_path):
@@ -1567,7 +1622,8 @@ def test_drift_monitor_mixed_fleet_upgrades_in_place(spark, tmp_path):
     batches[2][:, 1] += 0.1  # the new era has something for t to see
     ref_path, out = str(tmp_path / "ref"), str(tmp_path / "mon")
     reduction.reference_histogram(mk(ref_x), ref_path)
-    shutil.rmtree(f"{ref_path}/stats")  # pre-r14 era reference
+    shutil.rmtree(f"{ref_path}/stats")   # pre-r14 era reference
+    shutil.rmtree(f"{ref_path}/sample")  # (no t, no ks)
     old_sink = reduction.drift_monitor_sink(spark, ref_path, out)
     old_sink(mk(batches[0]), 0)
     old_sink(mk(batches[1]), 1)
@@ -1576,11 +1632,15 @@ def test_drift_monitor_mixed_fleet_upgrades_in_place(spark, tmp_path):
     new_sink = reduction.drift_monitor_sink(spark, ref_path, out)
     new_sink(mk(batches[2]), 2)
     got = reduction.read_drift_monitor(spark, out)
-    assert got.columns == ["dim", "psi", "t", "n_rows", "batch_id"]
+    assert got.columns == ["dim", "psi", "t", "ks", "n_rows", "batch_id"]
     rows = {(r.batch_id, r.dim): r for r in got.collect()}
     assert len(rows) == 3 * d  # all three eras present: no replay loss
     assert all(rows[(b, i)].t is None for b in (0, 1) for i in range(d))
+    assert all(
+        rows[(b, i)].ks is None for b in (0, 1) for i in range(d)
+    )
     assert abs(rows[(2, 1)].t) > 3.0  # the new era gates on t
+    assert rows[(2, 0)].ks is not None  # ...and carries ks (round-15)
     assert rows[(0, 0)].psi is not None
     # replay of an OLD batch through the UPGRADED monitor: rewrites its
     # own partition (now with t), other partitions untouched
@@ -1593,9 +1653,12 @@ def test_drift_monitor_mixed_fleet_upgrades_in_place(spark, tmp_path):
     # an all-old-era table still reads with the stable 5-column shape
     out2 = str(tmp_path / "mon_old_only")
     shutil.rmtree(f"{ref_path}/stats")
+    shutil.rmtree(f"{ref_path}/sample")
     reduction.drift_monitor_sink(spark, ref_path, out2)(mk(batches[0]), 0)
     old_only = reduction.read_drift_monitor(spark, out2)
-    assert old_only.columns == ["dim", "psi", "t", "n_rows", "batch_id"]
+    assert old_only.columns == [
+        "dim", "psi", "t", "ks", "n_rows", "batch_id"
+    ]
     assert all(r.t is None for r in old_only.collect())
 
 
