@@ -580,9 +580,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pdr.add_argument(
         "--ks-alpha", type=float, default=0.01,
-        help="with --ref: significance level for the distribution-free "
-        "KS gate (flag at D > c(alpha)*sqrt((n1+n2)/(n1*n2)); "
-        "c(0.01)=1.628, c(0.05)=1.358)",
+        help="significance level for the distribution-free KS gate in "
+        "BOTH --ref and --ref-hist modes (flag at D > "
+        "c(alpha)*sqrt((n1+n2)/(n1*n2)), c(alpha)=sqrt(-ln(alpha/2)/2) "
+        "so any level in (0,1) works; c(0.01)=1.628, c(0.05)=1.358; "
+        "in --ref-hist mode n1 is the persisted per-dim sample size)",
     )
 
     pp = sub.add_parser(
@@ -1183,6 +1185,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "drift":
         import json as _json
+        import math as _math
 
         from pyspark.sql import functions as F
 
@@ -1190,8 +1193,24 @@ def main(argv: list[str] | None = None) -> int:
 
         if (args.ref is None) == (args.ref_hist is None):
             raise SystemExit("drift: exactly one of --ref / --ref-hist")
+        if not (0.0 < args.ks_alpha < 1.0):
+            raise SystemExit("drift: --ks-alpha must be in (0, 1)")
         cur = spark.read.parquet(args.cur)
         summary: dict = {"gates": {"psi": args.gate_psi}}
+        # closed form c(alpha) = sqrt(-ln(alpha/2)/2) — matches the
+        # tabulated constants (1.358/1.628/1.949 at .05/.01/.001) and
+        # honours ANY requested level instead of silently falling back
+        # to c(0.01) for unlisted alphas (ADVICE r15)
+        c_alpha = _math.sqrt(-_math.log(args.ks_alpha / 2.0) / 2.0)
+
+        def ks_gate(r):
+            # NULL ks, or missing counts → "no evidence", like NULL t
+            if getattr(r, "ks", None) is None or not r.n_ref or not r.n_cur:
+                return None
+            return c_alpha * (
+                (r.n_ref + r.n_cur) / (r.n_ref * r.n_cur)
+            ) ** 0.5
+
         if args.ref is not None:
             ref = spark.read.parquet(args.ref)
             if args.save_ref_hist:
@@ -1224,17 +1243,6 @@ def main(argv: list[str] | None = None) -> int:
                 .orderBy("dim")
             )
             rows = both.collect()
-            c_alpha = {0.05: 1.358, 0.01: 1.628, 0.001: 1.949}.get(
-                args.ks_alpha, 1.628
-            )
-
-            def ks_gate(r):
-                if r.ks is None or not r.n_ref or not r.n_cur:
-                    return None  # no evidence, like NULL t
-                return c_alpha * (
-                    (r.n_ref + r.n_cur) / (r.n_ref * r.n_cur)
-                ) ** 0.5
-
             # NULL t (n=1 on either side for that dim → var_samp NULL)
             # is "no evidence", not "flagged" (ADVICE r13); same stance
             # for NULL ks
@@ -1264,6 +1272,14 @@ def main(argv: list[str] | None = None) -> int:
                 "dim", "psi", "t", "ks",
                 (F.col("psi") > args.gate_psi).alias("psi_flag"),
                 (F.abs("t") > args.gate_t).alias("t_flag"),
+                (
+                    F.col("ks")
+                    > F.lit(c_alpha)
+                    * F.sqrt(
+                        (F.col("n_ref") + F.col("n_cur"))
+                        / (F.col("n_ref") * F.col("n_cur"))
+                    )
+                ).alias("ks_flag"),
             ).show(10_000, truncate=False)
         else:
             # persisted-reference mode: PSI always; Welch t too when
@@ -1284,17 +1300,23 @@ def main(argv: list[str] | None = None) -> int:
                 summary["gates"]["t"] = args.gate_t
             if reduction._reference_has_sample(spark, args.ref_hist):
                 # round-15: distribution-free column vs the persisted
-                # d·m value sample — same column the monitor lands
+                # d·m value sample — same column the monitor lands.
+                # Keep n_ref/n_cur: the KS threshold c(alpha)*
+                # sqrt((n1+n2)/(n1*n2)) needs both sample sizes, and
+                # n_ref here is the persisted SAMPLE size (ADVICE r15:
+                # previously dropped, leaving the ks column ungated).
                 psi = psi.join(
                     reduction.batch_drift_ks_ref(
                         spark, cur, args.ref_hist, vec_col=args.vec_col
-                    ).select("dim", F.col("ks")),
+                    ).select("dim", "ks", "n_ref", "n_cur"),
                     "dim",
                     "left",
                 )
+                summary["gates"]["ks_alpha"] = args.ks_alpha
             psi = psi.orderBy("dim")
             rows = psi.collect()
             has_t = "t" in psi.columns
+            has_ks = "ks" in psi.columns
             flagged = sorted(
                 r.dim for r in rows
                 if r.psi > args.gate_psi
@@ -1302,6 +1324,11 @@ def main(argv: list[str] | None = None) -> int:
                     has_t
                     and r.t is not None
                     and abs(r.t) > args.gate_t
+                )
+                or (
+                    has_ks
+                    and ks_gate(r) is not None
+                    and r.ks > ks_gate(r)
                 )
             )
             if has_t:
@@ -1311,13 +1338,36 @@ def main(argv: list[str] | None = None) -> int:
                     summary["worst_t"] = {
                         "dim": worst_t.dim, "t": worst_t.t
                     }
+            if has_ks:
+                ks_rows = [r for r in rows if r.ks is not None]
+                if ks_rows:
+                    worst_ks = max(ks_rows, key=lambda r: r.ks)
+                    summary["worst_ks"] = {
+                        "dim": worst_ks.dim, "ks": worst_ks.ks
+                    }
+                    summary["n_ref_sample"] = worst_ks.n_ref
             summary["n_cur"] = rows[0].n_rows if rows else 0
-            cols = ["dim", "psi"] + (["t"] if has_t else [])
+            cols = ["dim", "psi"] + (["t"] if has_t else []) + (
+                ["ks"] if has_ks else []
+            )
             flags = [
                 (F.col("psi") > args.gate_psi).alias("psi_flag")
             ] + (
                 [(F.abs("t") > args.gate_t).alias("t_flag")]
                 if has_t
+                else []
+            ) + (
+                [
+                    (
+                        F.col("ks")
+                        > F.lit(c_alpha)
+                        * F.sqrt(
+                            (F.col("n_ref") + F.col("n_cur"))
+                            / (F.col("n_ref") * F.col("n_cur"))
+                        )
+                    ).alias("ks_flag")
+                ]
+                if has_ks
                 else []
             )
             psi.select(*cols, *flags).show(10_000, truncate=False)

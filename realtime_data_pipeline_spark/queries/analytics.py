@@ -1121,9 +1121,12 @@ def customer_revenue_gini(
         orders.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("double")).alias("rev"))
         .join(
-            F.broadcast(
-                cust.select("c_custkey", "c_nationkey")
-            ),
+            # customer grows with SF — let the optimizer (AQE at
+            # runtime sizes) pick the strategy rather than pinning a
+            # broadcast that turns into driver pressure at large SFs;
+            # nation below is geometry-bounded (25 rows) so ITS
+            # broadcast stays pinned (ADVICE r15)
+            cust.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

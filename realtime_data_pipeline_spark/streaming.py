@@ -1286,13 +1286,21 @@ def semdedup_ingest_batch(
                 # conflicting hive partition columns at the top level —
                 # unreadable, and silently so only at the NEXT probe.
                 # Fail loudly at the mismatch instead.
-                existing_flat = not any(
-                    e.startswith("bucket=")
+                subdirs = [
+                    e
                     for e in os.listdir(index_path)
                     if os.path.isdir(os.path.join(index_path, e))
-                )
+                ]
+                has_bucket = any(e.startswith("bucket=") for e in subdirs)
+                has_batch = any(e.startswith("batch_id=") for e in subdirs)
+                # only enforce when the layout is DETERMINATE: a first
+                # batch whose fresh set was empty writes only _SUCCESS
+                # (no partition dirs), which must not pin the index to
+                # either layout — treating it as flat made every later
+                # bucket-layout batch raise forever (ADVICE r15)
+                existing_flat = has_batch and not has_bucket
                 want_flat = index_layout == "flat"
-                if existing_flat != want_flat:
+                if (has_bucket or has_batch) and existing_flat != want_flat:
                     raise ValueError(
                         f"semdedup index at {index_path} is laid out as "
                         f"{'flat' if existing_flat else 'bucket'} but "
@@ -1307,7 +1315,12 @@ def semdedup_ingest_batch(
                     .collect()
                 ]
                 index = None
-                if index_layout == "flat":
+                if not (has_bucket or has_batch):
+                    # dir exists but holds no data (the empty-first-
+                    # batch case above): nothing to probe, and a bare
+                    # read would die on schema inference
+                    pass
+                elif index_layout == "flat":
                     # one batch_id dir per batch: no bucket dirs to
                     # prune — the bucket predicate prunes ROW GROUPS
                     # via the write-side clustering instead
@@ -1603,11 +1616,25 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
         # (``index_layout="flat"``, batch_id= dirs at the top level)
         # folds on batch_id alone, re-clustering files on the plain
         # bucket column; the default bucket layout folds per bucket dir
-        flat = not any(
-            e.startswith("bucket=")
+        subdirs = [
+            e
             for e in os.listdir(index_path)
             if os.path.isdir(os.path.join(index_path, e))
-        )
+        ]
+        if not any(
+            e.startswith("bucket=") or e.startswith("batch_id=")
+            for e in subdirs
+        ):
+            # dir exists but holds no partition dirs (first batch had an
+            # empty fresh set → only _SUCCESS): layout indeterminate,
+            # nothing to fold (ADVICE r15 — same stance as the ingest
+            # guard)
+            return {
+                "batch_partitions_before": before,
+                "batch_partitions_after": before,
+                "rows": 0,
+            }
+        flat = not any(e.startswith("bucket=") for e in subdirs)
         if flat:
             rows = _fold_batch_partitions(
                 spark, index_path, ["batch_id"], cluster_cols=["bucket"]

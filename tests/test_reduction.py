@@ -1548,7 +1548,7 @@ def test_streaming_monitor_welch_t_catches_within_bin_shift(
 
 
 def test_streaming_monitor_ks_catches_variance_shift_sample_is_deterministic(
-    spark, tmp_path
+    spark, tmp_path, capsys
 ):
     """Round-15: the monitor's third gate end-to-end — a mid-bin
     variance-only shift (mean unmoved, all mass inside one PSI bin) is
@@ -1590,13 +1590,45 @@ def test_streaming_monitor_ks_catches_variance_shift_sample_is_deterministic(
     assert rows[1].ks > gate
     assert abs(rows[1].psi) < 0.25 and abs(rows[1].t) < 3.0
     assert rows[0].ks < gate and rows[2].ks < gate
-    # and the CLI persisted mode shows the same ks column
+    # and the CLI persisted mode GATES on the same ks column (ADVICE
+    # r15: it used to show-and-drop it) — psi/t are quiet on this
+    # shift, so the exit-1 can only come from the KS gate, and the
+    # summary must carry the gate level, the worst dim and the
+    # persisted-sample size the threshold used
+    import json as _json
+
     from realtime_data_pipeline_spark import cli
 
     cur_p = str(tmp_path / "cur.parquet")
     mk(cur_x).write.parquet(cur_p)
+    capsys.readouterr()
     rc = cli.main(["drift", "--ref-hist", p1, "--cur", cur_p])
-    assert rc in (0, 1)  # psi/t quiet; ks observational in this mode
+    out = capsys.readouterr().out
+    summary = _json.loads(out.strip().splitlines()[-1])
+    assert rc == 1
+    assert summary["flagged_dims"] == [1]
+    assert summary["gates"]["ks_alpha"] == 0.01
+    assert summary["worst_ks"]["dim"] == 1
+    assert summary["n_ref_sample"] == 256
+    # the shown table carries the ks/ks_flag columns
+    assert " ks_flag" in out or "|ks_flag" in out
+    # a permissive alpha uses the closed-form c(alpha), not a silent
+    # c(0.01) fallback (ADVICE r15): at alpha=0.5 the threshold is
+    # LOWER, so the same shift must still flag
+    capsys.readouterr()
+    assert cli.main([
+        "drift", "--ref-hist", p1, "--cur", cur_p, "--ks-alpha", "0.5",
+    ]) == 1
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["gates"]["ks_alpha"] == 0.5
+    # out-of-range alpha refuses loudly instead of gating at c(0.01)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main([
+            "drift", "--ref-hist", p1, "--cur", cur_p,
+            "--ks-alpha", "0",
+        ])
 
 
 def test_drift_monitor_mixed_fleet_upgrades_in_place(spark, tmp_path):

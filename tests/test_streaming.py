@@ -1394,6 +1394,68 @@ def test_semdedup_ingest_stream_cross_batch_exactly_once(
     } == {1, 3, 11, 21}
 
 
+@pytest.mark.parametrize("layout", ["bucket", "flat"])
+def test_semdedup_empty_first_batch_does_not_pin_layout(
+    spark, tmp_path, layout
+):
+    """ADVICE r15: a first batch whose fresh set is EMPTY (here:
+    all-NULL embeddings, which pass through to silver unindexed) writes
+    an index dir holding only _SUCCESS — no partition subdirs. The
+    layout guard used to classify that as 'flat', so every later batch
+    under the default bucket layout raised 'laid out as flat' forever —
+    a permanent streaming crash loop. A no-partition-dirs index must be
+    layout-INDETERMINATE: the next batch (either layout) ingests
+    cleanly and pins the layout, and compaction on the empty dir is a
+    clean no-op."""
+    import os
+
+    schema = "vec_id long, embedding array<double>"
+    index = str(tmp_path / "e_index")
+    silver = str(tmp_path / "e_silver")
+    b0 = spark.createDataFrame([(1, None), (2, None)], schema)
+    streaming.semdedup_ingest_batch(
+        b0, 0, index, silver,
+        id_col="vec_id", vec_col="embedding", threshold=0.9, n_bits=2,
+        index_layout=layout,
+    )
+    # empty fresh set: dir exists, no hive partition dirs
+    assert os.path.isdir(index)
+    assert not any(
+        "=" in e
+        for e in os.listdir(index)
+        if os.path.isdir(os.path.join(index, e))
+    )
+    # NULL rows still landed in silver
+    assert {
+        r["vec_id"] for r in spark.read.parquet(silver).collect()
+    } == {1, 2}
+    # compaction on the indeterminate dir: clean no-op, not a crash
+    stats = streaming.compact_semdedup_index(spark, index)
+    assert stats["rows"] == 0
+    # the next REAL batch must not hit the layout guard
+    b1 = spark.createDataFrame(
+        [(10, [1.0, 1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    streaming.semdedup_ingest_batch(
+        b1, 1, index, silver,
+        id_col="vec_id", vec_col="embedding", threshold=0.9, n_bits=2,
+        index_layout=layout,
+    )
+    top = {e.split("=")[0] for e in os.listdir(index) if "=" in e}
+    assert top == ({"batch_id"} if layout == "flat" else {"bucket"})
+    assert {
+        r["vec_id"] for r in spark.read.parquet(index).collect()
+    } == {10, 11}
+    # and NOW the layout is pinned: the other layout fails loudly
+    other = "bucket" if layout == "flat" else "flat"
+    with pytest.raises(ValueError, match="laid out as"):
+        streaming.semdedup_ingest_batch(
+            b1, 2, index, silver,
+            id_col="vec_id", vec_col="embedding", threshold=0.9,
+            n_bits=2, index_layout=other,
+        )
+
+
 def test_rollup_histogram_quantiles_merge_exactly(spark, tmp_path):
     """Incremental approx quantiles: per-batch fixed-bin histogram map
     partials sum to EXACTLY the one-shot histogram over all events
