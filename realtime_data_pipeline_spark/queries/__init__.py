@@ -395,6 +395,63 @@ _ROTATE_OUT_R15 = [
     "docs_contamination_check_bloom", # green r9-r14
 ]
 
+# ROUND-16 ROTATION — per the round-15 verdict (items #1 and #2): the
+# full r15 staged tier gets its driver-grade rows — lineitem_price_ols2
+# (closed-form two-regressor OLS from Welford aggregates),
+# lineitem_partial_corr (confounder-audit partial correlation),
+# lineitem_price_conformal_bands (held-out md5-split conformal bands),
+# customer_revenue_gini (per-nation revenue concentration),
+# events_type_hour_cramers_v (contingency association strength),
+# docs_source_lang_entropy (per-source Shannon entropy + evenness), and
+# embeddings_dim_drift_ks (distribution-free two-sample KS drift gate)
+# — PLUS the first four of the r11 shelved-oracle backlog (verdict #2:
+# drain 8-10/round, the queue grows faster than 3-6 slots retire it):
+# customer_spend_anomalies_mad (median/MAD modified z-score),
+# docs_pps_sample (Poisson PPS + Horvitz-Thompson weights),
+# orders_price_histogram_equidepth (exact-decile equi-depth histogram),
+# and orders_price_winsorized (global p01/p99 capping). All hash-equal
+# locally at 3 SFs before declaration. Eleven incumbents with >=6
+# consecutive green driver rounds (r2-r15) rotate out, keeping their
+# pytest oracle hash checks shelved; family coverage in the declared 50
+# is preserved: A6 quantiles/histograms hands orders_price_histogram /
+# customer_balance_distribution to the incoming equidepth + winsorized
+# pair; the sampling family hands docs_mixture_sample_exact to the
+# incoming docs_pps_sample; J1 keeps shipping_priority_q3 +
+# large_order_customers_q18 after volume_shipping_q7 leaves; J3 keeps
+# idle_rich_customers_q22 after waiting_suppliers_q21 and the q16
+# NOT-IN analog leave; X4 text/curation keeps docs_curated_trainset,
+# docs_decontaminated_train, docs_source_signature_terms,
+# docs_token_lang_chi2 (+ incoming docs_source_lang_entropy) after
+# domain_cap / pack_manifest / curriculum_order leave; SS2.5
+# analytic-window keeps top_orders_per_segment + events_sessions_30m
+# after events_hot_user_share / events_recency_weighted_value leave.
+_ROTATE_IN_R16 = [
+    "lineitem_price_ols2",              # two-regressor closed-form OLS
+    "lineitem_partial_corr",            # partial correlation audit
+    "lineitem_price_conformal_bands",   # held-out conformal bands
+    "customer_revenue_gini",            # per-nation Gini concentration
+    "events_type_hour_cramers_v",       # Cramér's V association
+    "docs_source_lang_entropy",         # per-source Shannon entropy
+    "embeddings_dim_drift_ks",          # two-sample KS drift gate
+    "customer_spend_anomalies_mad",     # median/MAD robust outliers
+    "docs_pps_sample",                  # PPS + Horvitz-Thompson
+    "orders_price_histogram_equidepth", # exact-decile equi-depth hist
+    "orders_price_winsorized",          # p01/p99 winsorization
+]
+_ROTATE_OUT_R16 = [
+    "orders_price_histogram",         # green r3-r15
+    "customer_balance_distribution",  # green r7-r15
+    "docs_mixture_sample_exact",      # green r7-r15 (pps twin incoming)
+    "docs_pack_manifest",             # green r7-r15
+    "docs_domain_cap",                # green r8-r15
+    "volume_shipping_q7",             # green r7-r15
+    "waiting_suppliers_q21",          # green r7-r15
+    "events_hot_user_share",          # green r7-r15
+    "events_recency_weighted_value",  # green r7-r15
+    "parts_supplier_breadth_q16",     # green r10-r15
+    "docs_curriculum_order",          # green r10-r15
+]
+
 for _in, _out in (
     (_ROTATE_IN, _ROTATE_OUT),
     (_ROTATE_IN_R7, _ROTATE_OUT_R7),
@@ -406,6 +463,7 @@ for _in, _out in (
     (_ROTATE_IN_R13, _ROTATE_OUT_R13),
     (_ROTATE_IN_R14, _ROTATE_OUT_R14),
     (_ROTATE_IN_R15, _ROTATE_OUT_R15),
+    (_ROTATE_IN_R16, _ROTATE_OUT_R16),
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)
