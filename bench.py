@@ -1437,6 +1437,28 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # KS drift leg (round-16, verdict r15 item #3): the
+    # distribution-free third gate ALONE, as a twin so the composite
+    # leg above stays round-over-round comparable. Different cost
+    # shape from both siblings: PSI shuffles d x bins binned counts, t
+    # shuffles d moment rows, KS shuffles the DISTINCT (dim, value)
+    # set and runs a running-CDF window over it — cost tracks value
+    # cardinality per dim, not corpus size, once ties collapse.
+    def ks_leg():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ref = emb.filter(F.col("vec_id") % 2 == 0)
+        cur = emb.filter(F.col("vec_id") % 2 == 1)
+        return reduction.drift_ks(ref, cur)
+
+    timings["embeddings_drift_ks"] = _bench_leg(
+        "embeddings_drift_ks",
+        lambda: ks_leg().write.format("noop").mode("overwrite").save(),
+    )
+    print(
+        f"# embeddings_drift_ks: {timings['embeddings_drift_ks']}s",
+        file=sys.stderr,
+    )
+
     # Trained-classifier leg (round-12): 8 full-batch GD iterations on
     # hashed features over documents + one map-only scoring pass. Each
     # iteration is one scan + a dim+1-group shuffle, so the leg prices
@@ -1810,6 +1832,45 @@ def scale_ramp(factor: int = 10) -> None:
         print(
             f"# embeddings_drift_gate: {gate_times['base']}s -> "
             f"{gate_times['ramp']}s (slope {round(g_slope, 2)}x of "
+            f"{factor}x data)",
+            file=sys.stderr,
+        )
+
+        # KS ramp twin (round-16, verdict r15 item #3): the claim
+        # under measure — the window runs over DISTINCT (dim, value)
+        # rows, so a 10x corpus of continuous embeddings grows the
+        # window linearly (few ties) while the shuffle stays
+        # (dim,value)-keyed; the slope should track the scan+distinct
+        # cost, not blow up on the single-dim window partitions.
+        def ks_ramp_leg(d: str):
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            ref = emb.filter(_F.col("vec_id") % 2 == 0)
+            cur = emb.filter(_F.col("vec_id") % 2 == 1)
+            return _red.drift_ks(ref, cur)
+
+        ks_times = {}
+        for label, d in (("base", base_dir), ("ramp", ramp_dir)):
+            ks_times[label] = _bench_leg(
+                f"embeddings_drift_ks[{label}]",
+                lambda d=d: ks_ramp_leg(d)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+        k_slope = (
+            ks_times["ramp"] / ks_times["base"]
+            if ks_times["base"] > 0
+            else float("inf")
+        )
+        legs["embeddings_drift_ks"] = {
+            "base_sec": round(ks_times["base"], 3),
+            "ramp_sec": round(ks_times["ramp"], 3),
+            "slope": round(k_slope, 2),
+            "slope_vs_factor": round(k_slope / factor, 2),
+        }
+        print(
+            f"# embeddings_drift_ks: {ks_times['base']}s -> "
+            f"{ks_times['ramp']}s (slope {round(k_slope, 2)}x of "
             f"{factor}x data)",
             file=sys.stderr,
         )

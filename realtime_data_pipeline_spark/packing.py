@@ -303,6 +303,51 @@ def pps_sample(
     )
 
 
+def weighted_sample_aes(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """FIXED-SIZE weighted sample without replacement — the
+    Efraimidis–Spirakis A-ES design (IPL 2006): each row draws
+    ``u_i ∈ (0,1)`` and scores ``key_i = u_i^(1/w_i)``; the k largest
+    keys are a without-replacement sample where inclusion tracks
+    weight. The deterministic complement to :func:`pps_sample`
+    (Poisson: EXPECTED size target_n, rows independent) — use A-ES
+    when the contract is "exactly k rows" (eval sets, fixed-budget
+    audits), PPS when unbiased HT totals matter more than exact size.
+
+    Determinism: ``u_i`` is the first 8 md5 hex chars of the id
+    (+0.5, /2^32 — never 0 or 1), and the rank key is the MONOTONE
+    log form ``ln(u_i)/w_i`` ROUNDED to 1e-6 with the id as
+    tie-break, so both engines pick the identical k rows (the repo's
+    rank-on-the-rounded-score rule; the 1e-6 grid absorbs the ≤1-ulp
+    cross-engine ``ln`` scatter). Rows with NULL or non-positive
+    weight can never be sampled and are excluded up front.
+
+    Scale shape: one per-row projection (md5 + ln) over the scan,
+    then top-k = TakeOrderedAndProject — no global sort, no shuffle
+    beyond the k-row reduction."""
+    if k < 1:
+        raise ValueError(f"weighted_sample_aes requires k >= 1, got {k}")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 6
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("aes_key", key)
+        .orderBy(F.col("aes_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -198,6 +198,28 @@ def dq_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/sketch: order-price deciles from the KLL-shaped mergeable
+    rank sketch (``sketches.kll_build``, round-16) — the NO-geometry
+    quantile partial: unlike ``histogram_build`` (needs lo/hi up front)
+    and ``percentile_approx`` (not exposed as a reusable partial), this
+    sketch needs nothing known about the column, persists, and merges
+    across days/streams with a deterministic ≤ 2H·n/k rank bound.
+    Rows-only by nature (sketch estimates are engine-specific);
+    tolerance vs DuckDB exact quantiles gated in
+    tests/test_sketches.py::test_kll_face_within_rank_tolerance.
+    Scale shape: one pass over orders emitting ≤ k·H rows per
+    partition, one sketch-sized merge, quantile query = a window over
+    ≤ k·H rows."""
+    from realtime_data_pipeline_spark import sketches
+
+    orders = load(spark, sf_dir, "orders")
+    sk = sketches.kll_build(orders, "o_totalprice", k=256)
+    return sketches.kll_quantile(
+        sk, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    ).select("q", F.round("estimate", 2).alias("estimate"))
+
+
 def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 completion: cube — all 2^k grouping-set combinations (status-only
     and priority-only marginals included, unlike rollup's hierarchy) in ONE
@@ -1473,6 +1495,9 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-12 build: the MG oracle face — sketch-pruned EXACT heavy
     # hitters, deterministic by the survival guarantee
     "events_heavy_types_exact": events_heavy_types_exact,
+    # round-16 build: KLL-shaped mergeable rank sketch deciles
+    # (rows-only; rank-error tolerance gated in tests/test_sketches.py)
+    "orders_price_quantiles_kll": orders_price_quantiles_kll,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {

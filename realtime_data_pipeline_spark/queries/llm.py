@@ -867,6 +867,51 @@ def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_aes_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE weighted sample (round-16 build,
+    `packing.weighted_sample_aes` — Efraimidis–Spirakis A-ES): exactly
+    50 docs drawn without replacement with inclusion tracking character
+    length, the fourth member of the sampling family — hash-split
+    (uniform), mixture (per-source budget), PPS (∝ weight, Poisson
+    size), A-ES (∝ weight, EXACT size — the eval-set/fixed-budget
+    contract Poisson can't give). Deterministic md5 uniforms and a
+    rounded rank key with id tie-break: identical 50 rows on both
+    engines. One projection + TakeOrderedAndProject, no global sort."""
+    from realtime_data_pipeline_spark import packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    return (
+        packing.weighted_sample_aes(docs, "doc_id", "w", k=50)
+        .select("doc_id", "w", "aes_key")
+        .orderBy("doc_id")
+    )
+
+
+DOCS_AES_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), kk AS (
+  SELECT doc_id, w,
+         ROUND(
+           LN((CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) + 0.5) / 4294967296.0) / w,
+           6
+         ) AS aes_key
+  FROM t
+), top AS (
+  SELECT doc_id, w, aes_key
+  FROM kk
+  ORDER BY aes_key DESC, doc_id
+  LIMIT 50
+)
+SELECT doc_id, w, aes_key FROM top ORDER BY doc_id
+"""
+
+
 DOCS_PPS_SAMPLE_SQL = """
 WITH t AS (
   SELECT doc_id, source,
@@ -1213,6 +1258,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curriculum_order": docs_curriculum_order,
     # round-11 build: Poisson-PPS importance sampling with HT weights
     "docs_pps_sample": docs_pps_sample,
+    # round-16 build: fixed-size A-ES weighted sample
+    "docs_aes_sample": docs_aes_sample,
     # round-11 build: banded budget selection + temperature mixing
     "docs_budget_selection": docs_budget_selection,
     "docs_budget_per_source": docs_budget_per_source,
@@ -1223,6 +1270,7 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the driver's 50-row budget
 SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_pps_sample": DOCS_PPS_SAMPLE_SQL,
+    "docs_aes_sample": DOCS_AES_SAMPLE_SQL,
     "docs_budget_selection": DOCS_BUDGET_SELECTION_SQL,
     "docs_budget_per_source": DOCS_BUDGET_PER_SOURCE_SQL,
     "docs_temperature_mixture": DOCS_TEMPERATURE_MIXTURE_SQL,

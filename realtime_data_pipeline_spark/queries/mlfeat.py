@@ -534,6 +534,78 @@ ORDER BY custkey
 """
 
 
+def lineitem_quantity_return_woe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-of-evidence / information-value of line-item quantity
+    against the returned flag (round-16 build,
+    ``reduction.binned_woe_iv``) — the credit-scoring screen beside
+    the ANOVA-F/MI/χ² relevance tier: per-bin WOE gives the direction
+    and monotonicity of the quantity→return relationship, IV the
+    single scalar screeners threshold. Fixed [0, 50) geometry (the
+    TPC-H quantity domain; 50 clamps into the top bin on both
+    engines), eps=0.5 Laplace smoothing over observed bins so the
+    statistic is total and engine-exact. One scan into a ≤ 10-row
+    agg; totals ride a K-row unpartitioned window (bounded by
+    construction)."""
+    from realtime_data_pipeline_spark import reduction
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
+    )
+    woe = reduction.binned_woe_iv(
+        li, "l_quantity", "is_return", n_bins=10, lo=0.0, hi=50.0
+    )
+    return woe.select(
+        "bin",
+        "bin_lo",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    ).orderBy("bin")
+
+
+LINEITEM_QUANTITY_RETURN_WOE_SQL = """
+WITH b AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(FLOOR(CAST(l_quantity AS DOUBLE) / 5.0) AS INT)
+         )) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+), g AS (
+  SELECT bin,
+         COUNT(*) AS n,
+         SUM(y) AS n_pos,
+         COUNT(*) - SUM(y) AS n_neg
+  FROM b GROUP BY bin
+), t AS (
+  SELECT bin, n, n_pos, n_neg,
+         SUM(n_pos) OVER () AS p_tot,
+         SUM(n_neg) OVER () AS n_tot,
+         COUNT(*) OVER () AS k
+  FROM g
+)
+SELECT CAST(bin AS INT) AS bin,
+       bin * 5.0 AS bin_lo,
+       n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       ROUND(LN(((n_pos + 0.5) / (p_tot + 0.5 * k))
+              / ((n_neg + 0.5) / (n_tot + 0.5 * k))), 6) AS woe,
+       ROUND(SUM(((n_pos + 0.5) / (p_tot + 0.5 * k)
+                  - (n_neg + 0.5) / (n_tot + 0.5 * k))
+                 * LN(((n_pos + 0.5) / (p_tot + 0.5 * k))
+                    / ((n_neg + 0.5) / (n_tot + 0.5 * k))))
+             OVER (), 6) AS iv
+FROM t
+ORDER BY bin
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -544,9 +616,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_winsorized": orders_price_winsorized,
     "events_recency_weighted_value": events_recency_weighted_value,
     "customer_rfm_segments": customer_rfm_segments,
+    # round-16 build: WOE/IV binned feature relevance
+    "lineitem_quantity_return_woe": lineitem_quantity_return_woe,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "lineitem_quantity_return_woe": LINEITEM_QUANTITY_RETURN_WOE_SQL,
     "orders_price_winsorized": ORDERS_PRICE_WINSORIZED_SQL,
     "orders_price_anomalies_zscore": ORDERS_PRICE_ANOMALIES_ZSCORE_SQL,
     "customer_spend_anomalies_zscore": CUSTOMER_SPEND_ANOMALIES_ZSCORE_SQL,

@@ -677,3 +677,247 @@ def bloom_prefilter(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
             F.getbit(word, F.pmod(pos, F.lit(64)).cast("int")) == 1
         )
     return probed.filter(cond).drop("__bloom_words", "__a", "__b")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable RANK sketch — a deterministic KLL-shaped compactor hierarchy
+# as a plain DataFrame, closing the unbounded-range quantile gap the
+# fixed-bin histogram above cannot: `histogram_build` needs (lo, hi)
+# known up front, so a never-seen column (DQ threshold calibration,
+# streaming percentiles over open-ended domains) has no mergeable
+# quantile partial. This sketch needs NO geometry: the sketch IS a
+# ``(level, x)`` table where a row at level L stands for 2^L input rows
+# near x. Same discipline as every sketch in this module: map-side
+# partials bounded by geometry (≤ k·levels rows per partition, whatever
+# the input size), merge = union + re-compact on sketch-sized data, all
+# queries plain DataFrame ops.
+#
+# Shape: the compactor hierarchy of Karnin–Lang–Liberty (KLL, FOCS'16) /
+# Agarwal et al. "Mergeable Summaries" (PODS'12), with two deliberate
+# deviations, both for DETERMINISM (same input partitioning ⇒ bit-equal
+# sketch, the property every oracle/same-config-same-answer test in this
+# repo leans on):
+#   * fixed capacity k at EVERY level (the Munro–Paterson layout) instead
+#     of KLL's geometrically-shrinking lower levels — space k·H rows
+#     (H ≈ log2(n/k) levels; 40 levels at 10^12 rows ⋅ k=256 ≈ 10⁴ rows,
+#     still nothing) in exchange for a clean deterministic bound;
+#   * compaction keeps alternating even/odd ranks via a per-level toggle
+#     instead of a coin flip. Each compaction of a weight-w level
+#     perturbs any rank by ≤ w; with ≤ n/(k·2^L)·2 compactions at level
+#     L the worst-case rank error is ≤ 2·H·n/k (the deterministic
+#     Munro–Paterson-style bound; the alternating toggle cancels
+#     adjacent errors so observed error sits far below it — the tests
+#     pin BOTH: the proven 2H/k worst case always, and a 1/k-scale
+#     typical envelope on mixed workloads).
+#
+# Weight is conserved EXACTLY: a compaction pairs off an even count of
+# items (an odd straggler stays at its level), so Σ 2^level == n with no
+# drift — total-count questions answered by the sketch are exact, and
+# the merge-then-query path can assert it.
+# ---------------------------------------------------------------------------
+
+
+def _kll_compact(levels, toggles, k):
+    """In-place compaction pass over ``levels`` (level -> np.ndarray,
+    UNSORTED) until every level holds ≤ k items. Deterministic: sort,
+    pair off the even-length prefix (odd straggler stays), keep ranks
+    ``offset::2`` with the per-level alternating ``offset`` toggle, and
+    promote the survivors — now standing for twice the weight — one
+    level up. Shared verbatim by the per-partition build and the merge,
+    so "merge = re-compact of the unioned sketch rows" is true by
+    construction."""
+    import numpy as np
+
+    lv = 0
+    while lv <= max(levels, default=0):
+        buf = levels.get(lv)
+        if buf is None or len(buf) <= k:
+            lv += 1
+            continue
+        buf = np.sort(buf)
+        if len(buf) % 2:
+            levels[lv] = buf[-1:]  # odd straggler keeps its level/weight
+            buf = buf[:-1]
+        else:
+            levels[lv] = buf[:0]
+        off = toggles.get(lv, 0)
+        toggles[lv] = 1 - off
+        kept = buf[off::2]
+        nxt = levels.get(lv + 1)
+        levels[lv + 1] = (
+            kept if nxt is None or not len(nxt) else np.concatenate([nxt, kept])
+        )
+        # the promotion may overflow lv+1; loop continues upward and
+        # re-checks — never recurses, H iterations max per overflow
+    # prune emptied buffers so max(levels) stays honest
+    for e in [l for l, b in levels.items() if not len(b)]:
+        del levels[e]
+
+
+def kll_partials(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Per-partition rank-sketch partials: ≤ k·H rows ``(level, x,
+    __k)`` per input partition, one streaming pass, bounded memory —
+    the quantile dual of :func:`misra_gries_partials`. NULLs are
+    dropped (report them via `ops.profile_table`, not here); values are
+    cast to double. Like the MG partials, the exact rows depend on the
+    partition layout; the rank-error guarantee holds for ANY layout."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if k < 2:
+        raise ValueError(f"kll_partials requires k >= 2, got {k}")
+    out_schema = T.StructType(
+        [
+            T.StructField("level", T.IntegerType(), False),
+            T.StructField("x", T.DoubleType(), False),
+            T.StructField("__k", T.IntegerType(), False),
+        ]
+    )
+
+    def summarize(batches):
+        levels: dict = {}
+        toggles: dict = {}
+        for pdf in batches:
+            vals = pdf[col].to_numpy(dtype="float64", na_value=np.nan)
+            vals = vals[~np.isnan(vals)]
+            if not len(vals):
+                continue
+            l0 = levels.get(0)
+            levels[0] = (
+                vals if l0 is None or not len(l0) else np.concatenate([l0, vals])
+            )
+            _kll_compact(levels, toggles, k)
+        rows = [
+            (lv, float(x), k) for lv, buf in levels.items() for x in buf
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["level", "x", "__k"])
+
+    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        summarize, schema=out_schema
+    )
+
+
+def kll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge rank sketches: union the ``(level, x)`` rows and re-run the
+    SAME compactor over them, seeding each item at its carried level so
+    its 2^level weight is preserved. Runs on sketch-sized data only
+    (≤ k·H rows per input sketch — the one-group ``applyInPandas`` is
+    bounded by geometry, the same stance as ``misra_gries_merge``'s
+    single-partition window). Mixed-k sketches are rejected; the merged
+    sketch keeps exact weight conservation and the 2H/k worst-case rank
+    bound (H of the MERGED size)."""
+    import numpy as np
+    import pandas as pd
+
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    geo = out.agg(F.count_distinct("__k").alias("ks")).first()
+    if (geo["ks"] or 0) > 1:
+        raise ValueError("kll_merge: sketches built with different k")
+
+    def remerge(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(pdf["__k"].iloc[0])
+        levels: dict = {}
+        for lv, grp in pdf.groupby("level"):
+            levels[int(lv)] = grp["x"].to_numpy(dtype="float64")
+        _kll_compact(levels, {}, k)
+        rows = [
+            (lv, float(x), k) for lv, buf in levels.items() for x in buf
+        ]
+        return pd.DataFrame(rows, columns=["level", "x", "__k"])
+
+    return out.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        remerge, schema="level int, x double, __k int"
+    )
+
+
+def kll_build(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """End-to-end rank sketch of ``col``: distributed per-partition
+    partials folded by one sketch-sized merge. The returned ``(level,
+    x, __k)`` table answers any-quantile / any-rank questions with
+    worst-case rank error ≤ 2·H·n/k (H = #levels ≈ log2(n/k)) and NO
+    up-front geometry — persist it, merge it across days/streams, query
+    it long after the data is gone."""
+    return kll_merge(kll_partials(df, col, k))
+
+
+def kll_quantile(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from a rank sketch: weight items 2^level, one
+    cumulative window over the ≤ k·H-row table (geometry-bounded, like
+    every sketch query here), report the first x whose cumulative
+    weight reaches ceil(q·W). Exact on an uncompacted sketch (all rows
+    still at level 0 — then it IS the order statistic); ≤ 2H/k rank
+    error otherwise."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"kll_quantile: q must be in [0, 1], got {q}")
+    geo = sketch.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")).alias("w"),
+        F.count_distinct("__k").alias("ks"),
+    ).first()
+    if (geo["ks"] or 0) > 1:
+        raise ValueError("kll_quantile: mixed-k sketch — merge rejected it?")
+    if not geo["w"]:
+        raise ValueError("kll_quantile: empty sketch")
+    total = int(geo["w"])
+    cum = sketch.select(
+        "x",
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)"))
+        .over(
+            Window.orderBy("x", "level").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("__cum"),
+    )
+    probes = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    ).withColumn(
+        "__rank",
+        F.greatest(F.ceil(F.col("q") * F.lit(float(total))), F.lit(1)),
+    )
+    return (
+        probes.join(cum, F.col("__cum") >= F.col("__rank"))
+        .groupBy("q")
+        .agg(F.min("x").alias("estimate"))
+        .orderBy("q")
+    )
+
+
+def kll_rank(sketch: DataFrame, vals: list[float]) -> DataFrame:
+    """Approximate CDF at the probe values: ``(x, rank_est, frac)``
+    where rank_est = Σ weights of sketch items ≤ x (within ± 2H·n/k of
+    the true rank) and frac = rank_est / n. The inverse query of
+    :func:`kll_quantile` — "what fraction of the corpus sits below this
+    DQ threshold" without rescanning the corpus."""
+    geo = sketch.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")).alias("w")
+    ).first()
+    if not geo["w"]:
+        raise ValueError("kll_rank: empty sketch")
+    total = int(geo["w"])
+    probes = sketch.sparkSession.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    )
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), level)")
+    return (
+        probes.join(
+            sketch.select(F.col("x").alias("__sx"), w.alias("__w")),
+            F.col("__sx") <= F.col("x"),
+            "left",
+        )
+        .groupBy("x")
+        .agg(
+            F.coalesce(F.sum("__w"), F.lit(0)).alias("rank_est"),
+            F.round(
+                F.coalesce(F.sum("__w"), F.lit(0)) / F.lit(float(total)), 6
+            ).alias("frac"),
+        )
+        .orderBy("x")
+    )

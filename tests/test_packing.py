@@ -284,3 +284,43 @@ def test_pps_sample_sub_granularity_rows_stay_sampleable(spark):
     # the heavy row is kept with near-certainty (p ≈ 1 after the light
     # rows' 3 tokens, pg=65535 → ht=65536/65535)
     assert 11 in out and out[11] < 1.001
+
+
+def test_weighted_sample_aes_fixed_size_weight_biased_deterministic(spark):
+    """Round-16 A-ES sampler: exactly k rows without replacement;
+    inclusion tracks weight (a 100:1 weight class dominates the
+    sample); the draw is a per-row function of the id so partition
+    layout cannot change the sample; zero/NULL/negative weights are
+    never sampleable; TakeOrderedAndProject in the plan (top-k, not a
+    global sort); k < 1 refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import packing
+    from tests.test_plans import plan_str
+
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = packing.weighted_sample_aes(df, "id", "w", k=50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.w == 100.0)
+    assert heavy >= 40  # weight-proportional inclusion, deterministic
+    # layout-independent: different partitioning, identical sample
+    got2 = packing.weighted_sample_aes(
+        df.repartition(13, "w"), "id", "w", k=50
+    ).collect()
+    assert sorted(r.id for r in got) == sorted(r.id for r in got2)
+    # unsampleable weights
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    kept = packing.weighted_sample_aes(bad, "id", "w", k=10).collect()
+    assert [r.id for r in kept] == [4]
+    # population smaller than k: all sampleable rows, no crash
+    assert len(
+        packing.weighted_sample_aes(df.limit(5), "id", "w", k=50).collect()
+    ) == 5
+    plan = plan_str(packing.weighted_sample_aes(df, "id", "w", k=50))
+    assert "TakeOrderedAndProject" in plan
+    with _pytest.raises(ValueError, match="k >= 1"):
+        packing.weighted_sample_aes(df, "id", "w", k=0)

@@ -532,3 +532,238 @@ def test_countmin_self_join_size_is_f2_skew_signal(spark):
     assert f2["uniform"] == 10 * 10 * 10      # 10 keys x 10^2
     assert f2["skewed"] == 91 * 91 + 9        # hot key dominates
     assert f2["skewed"] > 8 * f2["uniform"]   # the skew signal fires
+
+
+# --- KLL-shaped mergeable rank sketch --------------------------------------
+
+
+def _kll_true_rank_err(sketch_df, data, qs):
+    """Max |true_rank(estimate) - q*n| over the probe quantiles, via
+    numpy searchsorted on the exact sorted data."""
+    import numpy as np
+
+    est = {
+        r.q: r.estimate
+        for r in sketches.kll_quantile(sketch_df, qs).collect()
+    }
+    srt = np.sort(data)
+    n = len(srt)
+    worst = 0.0
+    for q in qs:
+        v = est[q]
+        lo = np.searchsorted(srt, v, side="left")
+        hi = np.searchsorted(srt, v, side="right")
+        target = q * n
+        # any position within the tie block is a valid rank for v
+        err = 0.0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target)
+        )
+        worst = max(worst, err)
+    return worst
+
+
+def _kll_bound(sketch_df, n, k):
+    """The documented deterministic worst case: 2*H*n/k with H = number
+    of levels actually present in the sketch."""
+    h = sketches and max(
+        r.level for r in sketch_df.select("level").distinct().collect()
+    ) + 1
+    return 2.0 * h * n / k
+
+
+def test_kll_weight_conservation_and_bounded_size(spark):
+    """Sum of 2^level over the sketch is EXACTLY n (odd stragglers keep
+    their level; compaction pairs evenly), and the sketch row count is
+    bounded by k * levels regardless of input size."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 257, 4097, 60_001):
+        df = spark.createDataFrame(
+            [(float(v),) for v in rng.lognormal(0, 2, n)], "x double"
+        ).repartition(8)
+        sk = sketches.kll_build(df, "x", k=128).cache()
+        w = sk.select(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)"))
+        ).first()[0]
+        assert w == n, (n, w)
+        h = sk.agg(F.max("level")).first()[0] + 1
+        assert sk.count() <= 128 * h + 128  # k per level (+ slack for top)
+
+
+def test_kll_rank_error_within_deterministic_bound(spark):
+    """The 2*H*n/k worst case holds on adversarial and benign inputs:
+    pre-sorted, reverse-sorted, heavy ties, lognormal — the shapes that
+    break naive sampling. Typical error on the benign shapes sits an
+    order of magnitude under the bound (pinned loosely so the toggle's
+    cancellation is actually exercised, not just the worst case)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n, k = 60_000, 256
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    shapes = {
+        "sorted": np.arange(n, dtype="float64"),
+        "reverse": np.arange(n, dtype="float64")[::-1],
+        "ties": np.repeat(np.arange(60, dtype="float64"), n // 60),
+        "lognormal": rng.lognormal(0, 3, n),
+    }
+    for name, data in shapes.items():
+        df = spark.createDataFrame(
+            [(float(v),) for v in data], "x double"
+        ).repartition(8)
+        sk = sketches.kll_build(df, "x", k=k).cache()
+        err = _kll_true_rank_err(sk, data, qs)
+        bound = _kll_bound(sk, n, k)
+        assert err <= bound, (name, err, bound)
+    # benign distribution: observed error well under the worst case
+    assert _kll_true_rank_err(sk, shapes["lognormal"], qs) <= n * 8 / k
+
+
+def test_kll_exact_when_uncompacted_and_null_handling(spark):
+    """n <= k in one partition: nothing ever compacts, every row stays
+    at level 0, and the quantile IS the exact order statistic (rank
+    ceil(q*n)). NULLs drop out of the sketch entirely."""
+    vals = [5.0, None, 1.0, 9.0, None, 3.0, 7.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").coalesce(1)
+    sk = sketches.kll_build(df, "x", k=64).cache()
+    assert {r.level for r in sk.collect()} == {0}
+    assert sk.count() == 5  # NULLs dropped
+    got = {
+        r.q: r.estimate
+        for r in sketches.kll_quantile(sk, [0.2, 0.4, 0.6, 0.8, 1.0]).collect()
+    }
+    assert got == {0.2: 1.0, 0.4: 3.0, 0.6: 5.0, 0.8: 7.0, 1.0: 9.0}
+
+
+def test_kll_merge_guarantee_and_stream_partials(spark, tmp_path):
+    """The mergeable-summary contract: per-batch partials persisted
+    under batch_id=N, merged on read LONG after the data is gone, still
+    inside the deterministic rank bound over the union — and exact
+    weight conservation proves no rows were lost or double-counted.
+    Mixed-k merges are rejected loudly."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    rng = np.random.RandomState(3)
+    batches = [rng.normal(100, 15, 9_000), rng.normal(130, 5, 7_000),
+               rng.lognormal(2, 1, 4_000)]
+    out = str(tmp_path / "kll_partials")
+    for i, data in enumerate(batches):
+        df = spark.createDataFrame(
+            [(float(v),) for v in data], "x double"
+        ).repartition(4)
+        (
+            sketches.kll_partials(df, "x", k=256)
+            .withColumn("batch_id", F.lit(i))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+    merged = sketches.kll_merge(
+        spark.read.parquet(out).drop("batch_id")
+    ).cache()
+    union = np.concatenate(batches)
+    n = len(union)
+    w = merged.select(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)"))
+    ).first()[0]
+    assert w == n
+    err = _kll_true_rank_err(merged, union, [0.1, 0.5, 0.9])
+    assert err <= _kll_bound(merged, n, 256)
+    other = sketches.kll_build(
+        spark.createDataFrame([(1.0,)], "x double"), "x", k=128
+    )
+    with _pytest.raises(ValueError, match="different k"):
+        sketches.kll_merge(merged, other).collect()
+
+
+def test_kll_determinism_and_rank_inverse(spark):
+    """Same input, same partitioning => bit-equal sketch rows (the
+    deterministic toggle, not a coin flip). kll_rank is the monotone
+    inverse of kll_quantile: frac at the q-quantile estimate ~ q, and
+    probes below/above the domain clamp to 0/1."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    rng = np.random.RandomState(5)
+    data = rng.gamma(2.0, 10.0, 30_000)
+    df = spark.createDataFrame(
+        [(float(v),) for v in data], "x double"
+    ).repartition(8, "x")
+    s1 = sorted(
+        (r.level, r.x) for r in sketches.kll_build(df, "x", k=256).collect()
+    )
+    s2 = sorted(
+        (r.level, r.x) for r in sketches.kll_build(df, "x", k=256).collect()
+    )
+    assert s1 == s2
+    sk = sketches.kll_build(df, "x", k=256).cache()
+    med = sketches.kll_quantile(sk, [0.5]).first().estimate
+    ranks = {
+        r.x: r.frac
+        for r in sketches.kll_rank(
+            sk, [float(data.min()) - 1.0, med, float(data.max()) + 1.0]
+        ).collect()
+    }
+    assert ranks[float(data.min()) - 1.0] == 0.0
+    assert ranks[float(data.max()) + 1.0] == 1.0
+    assert abs(ranks[med] - 0.5) <= 2 * 10 * 256 / 30_000  # ~2H/k slack
+    with _pytest.raises(ValueError, match="q must be in"):
+        sketches.kll_quantile(sk, [1.5]).collect()
+    with _pytest.raises(ValueError, match="empty sketch"):
+        sketches.kll_quantile(
+            sketches.kll_build(
+                spark.createDataFrame([], "x double"), "x"
+            ),
+            [0.5],
+        ).collect()
+    with _pytest.raises(ValueError, match="k >= 2"):
+        sketches.kll_partials(df, "x", k=1)
+
+
+def test_kll_face_within_rank_tolerance(spark, sf_dir):
+    """The staged rows-only face: every KLL decile estimate of
+    o_totalprice must sit within the deterministic rank bound of the
+    true rank (checked against DuckDB's exact CDF on the same parquet)
+    — the tolerance gate a hash check can't provide for an approximate
+    operator."""
+    import duckdb
+
+    from realtime_data_pipeline_spark.queries import analytics
+
+    got = {
+        r.q: r.estimate
+        for r in analytics.orders_price_quantiles_kll(
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(got) == [
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9
+    ]
+    # estimates must be monotone in q
+    ests = [got[q] for q in sorted(got)]
+    assert ests == sorted(ests)
+    con = duckdb.connect()
+    n, = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()
+    # H from the sketch geometry at this n, k=256 (face default)
+    import math
+
+    h = max(1, math.ceil(math.log2(max(n / 256, 2))) + 1)
+    bound = 2.0 * h * n / 256
+    for q, v in got.items():
+        lo, hi = con.execute(
+            f"""SELECT COUNT(*) FILTER (WHERE o_totalprice < {v}),
+                       COUNT(*) FILTER (WHERE o_totalprice <= {v})
+                FROM read_parquet('{sf_dir}/orders.parquet')"""
+        ).fetchone()
+        target = q * n
+        err = 0.0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target)
+        )
+        assert err <= bound, (q, v, err, bound)
