@@ -1225,8 +1225,21 @@ def semdedup_ingest_batch(
     per batch, trading dir-pruned probes for a footer-read of the
     whole index — the right trade while the index is small or batches
     are frequent; at a large index the bucket layout's probe pruning
-    wins back. Crossover measured in BENCH_semdedup_layout_r15.json /
-    BASELINE.md round-15 notes. Exactly-once semantics are identical
+    wins back. Crossover MEASURED (round-16, perturbed-copy indexes,
+    BENCH_semdedup_layout_r16.json): with bench-shaped batches
+    (~500 rows covering ~86% of 256 buckets) the flat/bucket ratio
+    climbs monotonically with compacted-index size — 0.32x at 2k
+    kept vectors, 0.79x at 20k, 0.92x at 60k, 1.25x at 200k — so
+    bucket first wins at roughly 1-2*10^5 kept vectors (~100 MB at
+    d=64) and the gap keeps widening with the index. Narrow batches
+    (~50 rows, ~18% bucket coverage) only reach parity at 200k
+    (0.98x): row-group clustering lets flat skip almost as well as
+    dirs when little of the index is relevant. Rule: default to
+    "flat" below ~10^5 kept vectors or for high-frequency small
+    batches; switch to "bucket" (compact + rebuild) once the
+    compacted index passes ~10^5-10^6 vectors. Earlier bench-scale
+    numbers in BENCH_semdedup_layout_r15.json / BASELINE.md
+    round-15 notes. Exactly-once semantics are identical
     (own-``batch_id``-partition overwrite + replay exclusion ride the
     batch_id partition column in both layouts), and
     :func:`compact_semdedup_index` detects the layout and folds
