@@ -786,6 +786,43 @@ def test_winsorized_broadcast_percentiles_no_window(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_woe_iv_pruned_scan_bounded_window_python_free(spark, sf_dir):
+    """WOE/IV (r16): one data-sized exchange (the <= n_bins groupBy);
+    the totals window runs over the K-row aggregate AFTER it —
+    bounded by construction, the chi2-face stance — and the scan is
+    ReadSchema-pruned to the two input columns (the fact table's other
+    14 columns never read). Pure JVM arithmetic."""
+    df = qfn("lineitem_quantity_return_woe")(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"l_quantity", "l_returnflag"}
+
+
+def test_kll_build_is_arrow_batched_and_quantile_window_is_sketch_sized(
+    spark, sf_dir
+):
+    """The KLL face (r16, shelved rows-only): partials are Arrow-batched
+    mapInPandas (never row-at-a-time BatchEvalPython), and the quantile
+    query's window sorts only sketch rows — the orders scan is pruned
+    to the single sketched column."""
+    from realtime_data_pipeline_spark.queries import analytics
+
+    df = analytics.orders_price_quantiles_kll(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(":")[0] == "o_totalprice"
+
+
 def test_budget_selection_no_global_row_window(spark, sf_dir):
     """budget_select's banded decomposition: the doc-carrying window must
     partition BY band (never a global ORDER BY window funneling the
