@@ -220,6 +220,81 @@ def orders_price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q", F.round("estimate", 2).alias("estimate"))
 
 
+def orders_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order prices (round-16 build) —
+    the classic fabricated-numbers DQ screen: natural multi-magnitude
+    amounts follow P(d) = log10(1+1/d); a synthetic or truncated feed
+    deviates, and the χ² against the Benford expectation is the
+    one-scalar alarm. First digit extracted via STRING of the floored
+    integer part (FLOOR is exact IEEE and bigint→string renders
+    identically in both engines — never floor(log10(v)), whose 1-ulp
+    scatter at exact powers of ten can flip the digit); rows < 1
+    excluded (no leading digit). One scan into a ≤ 9-row agg, totals
+    and χ² via the K-row unpartitioned window (bounded by
+    construction), expected p as column arithmetic rounded with the
+    output. Returns (digit, n, p_obs, p_benford, chi2) with chi2 the
+    TOTAL repeated per row."""
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    digit = F.substring(
+        F.floor(v).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        orders.where(v >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy()
+    p_ben = F.log(10.0, 1.0 + 1.0 / F.col("digit"))
+    g = g.select(
+        "digit",
+        "n",
+        (F.col("n") / F.sum("n").over(w)).alias("__p_obs"),
+        p_ben.alias("__p_ben"),
+        F.sum("n").over(w).alias("__N"),
+    )
+    term = (
+        (F.col("__p_obs") - F.col("__p_ben"))
+        * (F.col("__p_obs") - F.col("__p_ben"))
+        / F.col("__p_ben")
+        * F.col("__N")
+    )
+    return g.select(
+        "digit",
+        "n",
+        F.round("__p_obs", 6).alias("p_obs"),
+        F.round("__p_ben", 6).alias("p_benford"),
+        F.round(F.sum(term).over(W.partitionBy()), 6).alias("chi2"),
+    ).orderBy("digit")
+
+
+ORDERS_PRICE_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE))
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE CAST(o_totalprice AS DOUBLE) >= 1
+), g AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), t AS (
+  SELECT digit, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER () AS p_obs,
+         LOG10(1.0 + 1.0 / digit) AS p_ben,
+         SUM(n) OVER () AS total
+  FROM g
+)
+SELECT digit, n,
+       ROUND(p_obs, 6) AS p_obs,
+       ROUND(p_ben, 6) AS p_benford,
+       ROUND(SUM((p_obs - p_ben) * (p_obs - p_ben) / p_ben * total)
+             OVER (), 6) AS chi2
+FROM t
+ORDER BY digit
+"""
+
+
 def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 completion: cube — all 2^k grouping-set combinations (status-only
     and priority-only marginals included, unlike rollup's hierarchy) in ONE
@@ -1498,6 +1573,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-16 build: KLL-shaped mergeable rank sketch deciles
     # (rows-only; rank-error tolerance gated in tests/test_sketches.py)
     "orders_price_quantiles_kll": orders_price_quantiles_kll,
+    # round-16 build: Benford first-digit DQ audit
+    "orders_price_benford": orders_price_benford,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
@@ -1526,6 +1603,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "events_funnel_counts": EVENTS_FUNNEL_COUNTS_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_COHORTS_SQL,
     "events_props_variant": EVENTS_PROPS_VARIANT_SQL,
+    "orders_price_benford": ORDERS_PRICE_BENFORD_SQL,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -1298,6 +1298,63 @@ ORDER BY source
 """
 
 
+def docs_source_lang_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence from the corpus language
+    mix (round-16 build, ``reduction.grouped_js_divergence``) — the
+    representativeness audit beside the entropy face's diversity
+    audit: a source can be internally diverse yet far from the corpus
+    distribution, and JS (symmetric, bounded [0,1] bits — finite even
+    when the source misses languages, unlike raw KL) is the number a
+    mixture-weight decision needs. Grid-free absent-cell algebra,
+    three geometry-bounded aggs, ≤-languages marginal broadcast
+    back."""
+    from realtime_data_pipeline_spark import reduction
+
+    docs = ops.spread(load(spark, sf_dir, "documents"), "doc_id")
+    out = reduction.grouped_js_divergence(docs, ["source"], "lang")
+    return out.select(
+        "source",
+        "n",
+        F.round("js_bits", 6).alias("js_bits"),
+    ).orderBy("source")
+
+
+DOCS_SOURCE_LANG_JS_SQL = """
+WITH counts AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents
+  WHERE lang IS NOT NULL
+  GROUP BY source, lang
+), tot AS (
+  SELECT source, SUM(c) AS n FROM counts GROUP BY source
+), gl AS (
+  SELECT lang, SUM(c) AS g FROM counts GROUP BY lang
+), gtot AS (
+  SELECT SUM(g) AS nn FROM gl
+), cells AS (
+  SELECT counts.source,
+         tot.n,
+         counts.c / tot.n AS p,
+         gl.g / gtot.nn AS q
+  FROM counts
+  JOIN tot USING (source)
+  JOIN gl USING (lang)
+  CROSS JOIN gtot
+), agg AS (
+  SELECT source,
+         CAST(ANY_VALUE(n) AS BIGINT) AS n,
+         SUM(0.5 * (p * LN(p / ((p + q) / 2))
+                    + q * LN(q / ((p + q) / 2))))
+           + 0.5 * LN(2) * (1.0 - SUM(q)) AS js_nats
+  FROM cells
+  GROUP BY source
+)
+SELECT source, n, ROUND(js_nats / LN(2), 6) AS js_bits
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redaction": docs_pii_redaction,
     "docs_repetition_profile": docs_repetition_profile,
@@ -1321,6 +1378,8 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-15 build: per-source language-diversity audit (Shannon
     # entropy + evenness)
     "docs_source_lang_entropy": docs_source_lang_entropy,
+    # round-16 build: per-source JS divergence from the corpus mix
+    "docs_source_lang_js": docs_source_lang_js,
     "docs_unigram_surprisal": docs_unigram_surprisal,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_bm25_search": docs_bm25_search,
@@ -1340,6 +1399,7 @@ SHELVED_ORACLE_SQL: dict[str, str] = {
     "docs_token_lang_chi2": DOCS_TOKEN_LANG_CHI2_SQL,
     "docs_source_signature_terms": DOCS_SOURCE_SIGNATURE_TERMS_SQL,
     "docs_source_lang_entropy": DOCS_SOURCE_LANG_ENTROPY_SQL,
+    "docs_source_lang_js": DOCS_SOURCE_LANG_JS_SQL,
     "docs_contamination_spans": DOCS_CONTAMINATION_SPANS_SQL,
     "docs_decontaminated_train": DOCS_DECONTAMINATED_TRAIN_SQL,
     "docs_unigram_surprisal": DOCS_UNIGRAM_SURPRISAL_SQL,

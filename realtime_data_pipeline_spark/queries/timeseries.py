@@ -240,6 +240,127 @@ ORDER BY day
 """
 
 
+def orders_daily_revenue_acf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample autocorrelation of daily order revenue at lags 1-7
+    (round-16 build) — the seasonality screen a forecasting pipeline
+    runs before choosing features (a weekly cycle shows as a lag-7
+    spike): ``acf_k = Σ(r_t−μ)(r_{t+k}−μ) / Σ(r_t−μ)²`` over the
+    OBSERVED daily series in row order (gap days collapse; the
+    gap-filled variant composes with events_hourly_ffill's
+    calendar-spine idiom). Scale shape: the data-sized work is ONE
+    daily pre-aggregate (map-side combined, DECIMAL-exact revenue per
+    day); the LEAD window and the moment aggregate run over the
+    ≤-calendar-days series — bounded by the calendar, never the fact
+    table (the χ²-face bounded-window stance). The acf ratio is
+    double arithmetic rounded at 1e-6 (sum order is engine-dependent;
+    the grid absorbs it, the repo's standing double-agg policy)."""
+    from pyspark.sql.window import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = W.partitionBy().orderBy("day")
+    lead_cols = [
+        F.lead("rev", k).over(w).alias(f"__l{k}") for k in range(1, 8)
+    ]
+    led = daily.select("rev", *lead_cols)
+    stats = led.agg(
+        F.avg("rev").alias("__mu"),
+        F.sum(F.col("rev") * F.col("rev")).alias("__s2"),
+        F.sum("rev").alias("__s1"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    ss = F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n")
+    acfs = led.crossJoin(F.broadcast(stats)).agg(
+        *[
+            F.sum(
+                (F.col("rev") - F.col("__mu"))
+                * (F.col(f"__l{k}") - F.col("__mu"))
+            ).alias(f"__num{k}")
+            for k in range(1, 8)
+        ],
+        *[
+            F.count(F.col(f"__l{k}")).alias(f"__np{k}")
+            for k in range(1, 8)
+        ],
+        F.first(ss).alias("__ss"),
+    )
+    pairs = ", ".join(
+        f"{k}, __np{k}, CAST(__num{k} / __ss AS DOUBLE)"
+        for k in range(1, 8)
+    )
+    return (
+        acfs.selectExpr(
+            f"stack(7, {pairs}) AS (lag, n_pairs, __acf)"
+        )
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round("__acf", 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ORDERS_DAILY_REVENUE_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS rev
+  FROM orders GROUP BY day
+), led AS (
+  SELECT rev,
+         LEAD(rev, 1) OVER (ORDER BY day) AS l1,
+         LEAD(rev, 2) OVER (ORDER BY day) AS l2,
+         LEAD(rev, 3) OVER (ORDER BY day) AS l3,
+         LEAD(rev, 4) OVER (ORDER BY day) AS l4,
+         LEAD(rev, 5) OVER (ORDER BY day) AS l5,
+         LEAD(rev, 6) OVER (ORDER BY day) AS l6,
+         LEAD(rev, 7) OVER (ORDER BY day) AS l7
+  FROM daily
+), stats AS (
+  SELECT AVG(rev) AS mu,
+         SUM(rev * rev) - SUM(rev) * SUM(rev) / COUNT(*) AS ss
+  FROM led
+), agg AS (
+  SELECT
+    SUM((rev - mu) * (l1 - mu)) AS num1, COUNT(l1) AS np1,
+    SUM((rev - mu) * (l2 - mu)) AS num2, COUNT(l2) AS np2,
+    SUM((rev - mu) * (l3 - mu)) AS num3, COUNT(l3) AS np3,
+    SUM((rev - mu) * (l4 - mu)) AS num4, COUNT(l4) AS np4,
+    SUM((rev - mu) * (l5 - mu)) AS num5, COUNT(l5) AS np5,
+    SUM((rev - mu) * (l6 - mu)) AS num6, COUNT(l6) AS np6,
+    SUM((rev - mu) * (l7 - mu)) AS num7, COUNT(l7) AS np7,
+    ANY_VALUE(ss) AS ss
+  FROM led CROSS JOIN stats
+)
+SELECT lag, n_pairs, acf FROM (
+  SELECT 1 AS lag, CAST(np1 AS BIGINT) AS n_pairs,
+         ROUND(CAST(num1 / ss AS DOUBLE), 6) AS acf FROM agg
+  UNION ALL SELECT 2, CAST(np2 AS BIGINT),
+         ROUND(CAST(num2 / ss AS DOUBLE), 6) FROM agg
+  UNION ALL SELECT 3, CAST(np3 AS BIGINT),
+         ROUND(CAST(num3 / ss AS DOUBLE), 6) FROM agg
+  UNION ALL SELECT 4, CAST(np4 AS BIGINT),
+         ROUND(CAST(num4 / ss AS DOUBLE), 6) FROM agg
+  UNION ALL SELECT 5, CAST(np5 AS BIGINT),
+         ROUND(CAST(num5 / ss AS DOUBLE), 6) FROM agg
+  UNION ALL SELECT 6, CAST(np6 AS BIGINT),
+         ROUND(CAST(num6 / ss AS DOUBLE), 6) FROM agg
+  UNION ALL SELECT 7, CAST(np7 AS BIGINT),
+         ROUND(CAST(num7 / ss AS DOUBLE), 6) FROM agg
+)
+ORDER BY lag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -247,9 +368,12 @@ SHELVED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_ffill": events_hourly_ffill,
     "events_rolling_1h_stats": events_rolling_1h_stats,
     "events_dau_wau": events_dau_wau,
+    # round-16 build: lag-1..7 sample autocorrelation (seasonality)
+    "orders_daily_revenue_acf": orders_daily_revenue_acf,
 }
 
 SHELVED_ORACLE_SQL: dict[str, str] = {
+    "orders_daily_revenue_acf": ORDERS_DAILY_REVENUE_ACF_SQL,
     "events_hourly_ffill": EVENTS_HOURLY_FFILL_SQL,
     "events_rolling_1h_stats": EVENTS_ROLLING_1H_STATS_SQL,
     "events_dau_wau": EVENTS_DAU_WAU_SQL,

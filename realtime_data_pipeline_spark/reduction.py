@@ -2125,6 +2125,63 @@ def grouped_entropy(
     )
 
 
+def grouped_js_divergence(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (bits, ∈ [0, 1]) between
+    the group's categorical distribution and the GLOBAL one — the
+    representativeness audit beside :func:`grouped_entropy`'s
+    diversity audit (round-16): entropy says how spread a source's
+    language mix is; JS says how far it sits from the corpus mix, the
+    number a mixture-weight or domain-cap decision actually needs
+    (symmetric and bounded, unlike raw KL which is infinite on any
+    missing category).
+
+    Grid-free absent-cell algebra (the χ²-face stance): with
+    ``p`` = in-group share, ``q`` = global share, ``m = (p+q)/2``,
+    observed (group, category) cells carry
+    ``p·ln(p/m) + q·ln(q/m)`` and the categories a group never saw
+    contribute EXACTLY ``ln2 · Σ_absent q = ln2 · (1 − Σ_present q)``
+    to the q-side — so only observed cells materialize. Scale shape:
+    one (group, category) agg (map-side combined), a (group) agg and
+    a category-marginal agg OF THAT (all bounded by groups ×
+    categories), the ≤-categories marginal broadcast back. Pure JVM.
+    Returns ``group_cols + (n, js_bits)``."""
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*group_cols, cat_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    tot = counts.groupBy(*group_cols).agg(F.sum("__c").alias("__n"))
+    glob = counts.groupBy(cat_col).agg(F.sum("__c").alias("__g"))
+    gtot = glob.agg(F.sum("__g").alias("__gtot"))
+    p = F.col("__c") / F.col("__n")
+    q = F.col("__g") / F.col("__gtot")
+    m = (p + q) / 2.0
+    cell = 0.5 * (p * F.log(p / m) + q * F.log(q / m))
+    ln2 = 0.6931471805599453
+    out = (
+        counts.join(tot, group_cols)
+        .join(F.broadcast(glob), cat_col)
+        .crossJoin(F.broadcast(gtot))
+        .groupBy(*group_cols)
+        .agg(
+            F.first("__n").cast("long").alias("n"),
+            (
+                F.sum(cell)
+                + F.lit(0.5 * ln2) * (F.lit(1.0) - F.sum(q))
+            ).alias("__js_nats"),
+        )
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        (F.col("__js_nats") / F.lit(ln2)).alias("js_bits"),
+    )
+
+
 def grouped_partial_corr(
     df: DataFrame,
     group_cols: list[str],

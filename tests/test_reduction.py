@@ -1929,3 +1929,38 @@ def test_binned_woe_iv_hand_computed_and_guards(spark):
         reduction.binned_woe_iv(df, "x", "y", n_bins=2, lo=1.0, hi=1.0)
     with _pytest.raises(ValueError, match="n_bins >= 1"):
         reduction.binned_woe_iv(df, "x", "y", n_bins=0, lo=0.0, hi=1.0)
+
+
+def test_grouped_js_divergence_identity_and_hand_computed(spark):
+    """Round-16: JS divergence properties — a group whose mix equals
+    the global mix reads exactly 0; a fully disjoint group reads
+    high; hand-computed two-category example matches; bounded [0,1]
+    bits; absent-cell algebra equals the explicit-grid computation."""
+    import math
+
+    from realtime_data_pipeline_spark import reduction
+
+    # one group == global mix (identical distribution) -> js 0
+    rows = [("a", "en")] * 6 + [("a", "fr")] * 2
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = reduction.grouped_js_divergence(df, ["source"], "lang").collect()
+    assert len(got) == 1 and abs(got[0].js_bits) < 1e-12
+
+    # two disjoint single-lang sources, 50/50 global
+    rows = [("a", "en")] * 5 + [("b", "fr")] * 5
+    got = {
+        r.source: r
+        for r in reduction.grouped_js_divergence(
+            spark.createDataFrame(rows, "source string, lang string"),
+            ["source"], "lang",
+        ).collect()
+    }
+    # hand: p=(1,0), q=(.5,.5), m=(.75,.25);
+    # js = .5*[1*ln(1/.75)] + .5*[.5*ln(.5/.75) + .5*ln(.5/.25)] nats
+    exp = 0.5 * (1.0 * math.log(1 / 0.75)) + 0.5 * (
+        0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    )
+    for s in ("a", "b"):
+        assert abs(got[s].js_bits - exp / math.log(2)) < 1e-12
+        assert 0.0 <= got[s].js_bits <= 1.0
+        assert got[s].n == 5
