@@ -395,7 +395,15 @@ _ROTATE_OUT_R15 = [
     "docs_contamination_check_bloom", # green r9-r14
 ]
 
-# ROUND-16 ROTATION — per the round-15 verdict (items #1 and #2): the
+# ROUND-16 ROTATION — DEFERRED: round 16 turned out to be the first
+# OPTIMIZATION round, whose contract pins the declared set to round
+# 15's ("a query that disappeared makes the round a REGRESSION"), so
+# the rotation below is staged but NOT applied — the tuple is absent
+# from the merge loop. The eleven entrants stay shelved-oracle
+# (hash-equal at 3 SFs, pytest-gated) and the eleven incumbents keep
+# their driver rows; the next BUILD round applies this block by adding
+# (_ROTATE_IN_R16, _ROTATE_OUT_R16) back to the loop.
+# Original rationale (round-15 verdict items #1 and #2): the
 # full r15 staged tier gets its driver-grade rows — lineitem_price_ols2
 # (closed-form two-regressor OLS from Welford aggregates),
 # lineitem_partial_corr (confounder-audit partial correlation),
@@ -463,7 +471,7 @@ for _in, _out in (
     (_ROTATE_IN_R13, _ROTATE_OUT_R13),
     (_ROTATE_IN_R14, _ROTATE_OUT_R14),
     (_ROTATE_IN_R15, _ROTATE_OUT_R15),
-    (_ROTATE_IN_R16, _ROTATE_OUT_R16),
+    # (_ROTATE_IN_R16, _ROTATE_OUT_R16) deferred — see the block above.
 ):
     for _name in _in:
         _MERGED[_name] = SHELVED_QUERIES.pop(_name)
