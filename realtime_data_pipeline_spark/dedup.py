@@ -177,9 +177,18 @@ def connected_components(
     Returns (id, component).
     """
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # localCheckpoint, not persist: every round's neighbor join would
+    # otherwise re-ANALYZE the full upstream pair plan (a blocked fuzzy
+    # join is hundreds of operators), and the doubling self-joins below
+    # then multiply that text into the round plans — at convergence the
+    # returned plan was 100+ MB of repeated upstream subtrees and the
+    # OPTIMIZER, not the data, was the cost (r16 measured: the
+    # supplier-entity face spent ~90 s building + ~80 s planning at
+    # sf0.1 for sub-second task work). Truncating the edge lineage once
+    # bounds every round's plan at (checkpointed leaf + ≤ 3 rounds).
     edges = fwd.union(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select("a")
         .distinct()
@@ -213,16 +222,21 @@ def connected_components(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
-            # count() completes the cache NOW, so unpersisting the parents
-            # below can never trigger a lineage recompute mid-loop
             new_labels = new_labels.persist()
-            new_labels.count()
-        changed = not (
+        # ONE action per round (was two: an eager count() then an
+        # isEmpty() convergence probe): the diff join scans new_labels
+        # in full, so the count both completes the cache — unpersisting
+        # the parents below can never trigger a lineage recompute — and
+        # answers convergence. At sf sizes each action is a ~1 s
+        # scheduling-floor job, so halving the action count halves the
+        # loop's fixed cost; at scale it removes a full pass per round.
+        changed = (
             new_labels.join(
                 labels.select("id", F.col("label").alias("__old")), "id"
             )
             .filter(F.col("label") != F.col("__old"))
-            .isEmpty()
+            .count()
+            > 0
         )
         propagated.unpersist()
         labels.unpersist()
@@ -230,7 +244,6 @@ def connected_components(
         if not changed:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         # returning part-propagated labels would silently split true
         # components — fail loudly instead and let the caller raise the
@@ -239,7 +252,17 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (component diameter exceeds it)"
         )
-    return labels.select("id", F.col("label").alias("component"))
+    # Truncate the RETURNED lineage too: small graphs converge before
+    # the first in-loop checkpoint fires, so the final label table
+    # otherwise carries up to checkpoint_every-1 rounds of doubling
+    # self-joins — downstream queries then pay the whole optimizer bill
+    # again on every use, and the persisted table leaks into the
+    # session's CacheManager (slowing cache lookup for EVERY later
+    # query). The label table is node-sized, so this is one tiny job.
+    out = labels.select("id", F.col("label").alias("component"))
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def drop_neardups(
