@@ -931,6 +931,7 @@ def main() -> None:
         # shuffle default — at 100k events/batch, 8 partitions; a 100TB
         # stream raises it with volume. Conf is read at query start and
         # restored after the leg.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
             with tempfile.TemporaryDirectory() as td:
@@ -981,7 +982,11 @@ def main() -> None:
                     )
                 return time.perf_counter() - t0
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            # restore the SESSION default, not a literal: the driver
+            # re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure
+            # per-query scaling, and a hardcoded 32 would silently
+            # re-shape every later leg's shuffles at that core count
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     timings["streaming_interval_join_outer"] = _bench_timed(
         "streaming_interval_join_outer", ssoj_leg_once

@@ -79,13 +79,10 @@ def pagerank(
         .distinct()
     )
     # one shuffle each at setup; the per-iteration join then reuses the
-    # edge layout and only the rank table moves. out_deg is persisted in
-    # its own right: the dangling anti-join reads it EVERY iteration,
-    # and an unpersisted plan would recompute the edge distinct+groupBy
-    # lineage each round
-    out_deg = (
-        e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg")).persist()
-    )
+    # edge layout and only the rank table moves. out_deg folds into the
+    # persisted edge table — nothing reads it after setup (the dangling
+    # mass is derived from the contribution total each round, see below)
+    out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     e = (
         e.join(out_deg, "__src")
         .repartition("__src")
@@ -94,7 +91,6 @@ def pagerank(
     nodes = nodes.persist()
     n = nodes.count()
     e.count()
-    out_deg.count()
 
     seeds: DataFrame | None = None
     if personalization is not None:
@@ -122,31 +118,25 @@ def pagerank(
         seeds.unpersist()
         seeds = renorm
 
-    # Iteration discipline (ONE action per iteration): each iteration's
-    # ranks frame is persisted BEFORE the dangling-mass aggregate runs,
-    # so that single action materializes the iteration's join+agg work
-    # into cache; the next iteration's contributions join then reads the
-    # cache instead of re-deriving the whole chain (the old spelling ran
-    # the unpersisted lineage twice per iteration — O(checkpoint²) plan
-    # re-execution inside a checkpoint window). The previous iteration's
-    # cache is released only after the new frame is materialized, and a
-    # periodic localCheckpoint still truncates lineage so a lost cached
-    # partition never has to recompute through N joins.
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    # Iteration discipline (ONE action per iteration, and no dangling
+    # anti-join at all): the per-iteration driver scalar used to be a
+    # separate anti-join aggregate of ranks against out_deg — an extra
+    # join + scan every round. Mass conservation makes it free: ranks
+    # sum to exactly 1 by construction (both spellings below rebuild
+    # the total as (1−d) + d·dangling + d·Σc = 1), and Σ over the
+    # contribution table equals the total rank held by NON-dangling
+    # nodes (each splits rank/deg across deg edges), so
+    # dangling = 1 − Σc. The 1-row Σc aggregate doubles as the action
+    # that materializes this iteration's persisted contribs into cache;
+    # ranks itself stays lazy (one cheap nodes⋈cached-contribs join,
+    # consumed once per round). The previous iteration's cache is
+    # released only after the new frame is materialized, and a periodic
+    # localCheckpoint truncates lineage so a lost cached partition
+    # never recomputes through N joins.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev: DataFrame | None = None
     base = (1.0 - damping) / n
     for i in range(iterations):
-        # bounded 1-row aggregate -> driver scalar; ALSO the action that
-        # materializes this iteration's persisted ranks
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["__src"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
-        if prev is not None:
-            prev.unpersist()
-            prev = None
         contribs = (
             ranks.join(e, ranks["node"] == e["__src"])
             .select(
@@ -156,6 +146,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            contribs = contribs.localCheckpoint(eager=True)
+        else:
+            contribs = contribs.persist()
+        # bounded 1-row aggregate -> driver scalar; ALSO the action that
+        # materializes this iteration's contribs
+        total_c = contribs.agg(F.sum("c")).first()[0] or 0.0
+        dangling = max(0.0, 1.0 - total_c)
+        if prev is not None:
+            prev.unpersist()
+        prev = contribs
         if seeds is None:
             spread = damping * dangling / n
             new_ranks = (
@@ -185,20 +186,12 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-            ranks.unpersist()
-        else:
-            new_ranks = new_ranks.persist()
-            prev = ranks
         ranks = new_ranks
     final = ranks.localCheckpoint(eager=True)
-    ranks.unpersist()  # no-op when the last frame was checkpoint-truncated
     if prev is not None:
         prev.unpersist()
     e.unpersist()
     nodes.unpersist()
-    out_deg.unpersist()
     if seeds is not None:
         seeds.unpersist()
     return final

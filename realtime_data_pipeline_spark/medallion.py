@@ -1109,14 +1109,22 @@ def _scd2_merge_locked(
         rebuilt = rebuilt.localCheckpoint(eager=True)
     finally:
         updates.unpersist()
-    rows = rebuilt.count()
+    # rows_written rides the write via Observation (the initial-load
+    # path's existing discipline) — one fewer action per merge than the
+    # old separate count() pass over the checkpointed slice
+    from pyspark.sql import Observation
+
+    obs = Observation()
     write_parquet(
-        rebuilt, target_path, mode="overwrite", partition_by="__bucket"
+        rebuilt.observe(obs, F.count(F.lit(1)).alias("rows")),
+        target_path,
+        mode="overwrite",
+        partition_by="__bucket",
     )
     return {
         "initial_load": False,
         "affected_buckets": affected,
-        "rows_written": rows,
+        "rows_written": int(obs.get["rows"]),
     }
 
 

@@ -373,8 +373,17 @@ def incremental_neardup_minhash(
         threshold=threshold, seed=seed,
     )
     batch_kept = _dedup.drop_neardups(eligible, in_batch_pairs, id_col)
-    n_eligible = eligible.count()
-    n_batch_kept = batch_kept.count()
+    # metric counts ride on work already paid for: one combined agg
+    # splits the batch into eligible/short (was two separate scans),
+    # and n_batch_kept == sigs.count() — the signature table below has
+    # exactly one row per kept eligible doc and must be materialized
+    # anyway, so the separate batch_kept.count() action is free to drop
+    _split = new_docs.agg(
+        F.sum(has_grams.cast("long")).alias("__elig"),
+        F.count(F.lit(1)).alias("__total"),
+    ).first()
+    n_eligible = int(_split["__elig"] or 0)
+    n_short = int(_split["__total"]) - n_eligible
 
     sigs = (
         ops.spread(batch_kept, id_col)
@@ -388,7 +397,7 @@ def incremental_neardup_minhash(
         )
         .persist()
     )
-    sigs.count()
+    n_batch_kept = sigs.count()
     bands_new = _banded(sigs, id_col, n_bands, r)
 
     sig_dir, band_dir = f"{index_path}/sigs", f"{index_path}/bands"
@@ -458,10 +467,9 @@ def incremental_neardup_minhash(
     sigs.unpersist()
 
     fresh = fresh_core.unionByName(short_docs)
-    # metrics from counts already taken plus ONE short-side count — not
+    # metrics reuse the counts already taken above — never
     # new_docs.count() + fresh.count(), which would re-scan the batch
     # twice more (a daily batch at corpus scale is not free to scan)
-    n_short = short_docs.count()
     return fresh, {
         "batch_rows": n_eligible + n_short,
         "in_batch_dropped": n_eligible - n_batch_kept,
