@@ -319,17 +319,22 @@ def incremental_semantic_dedup(
         F.col("__norm"),
     )
 
+    # persist + materializing count (ONE job), not localCheckpoint +
+    # count (two): the id set is read twice below (both anti-joins) but
+    # nothing requires lineage truncation here — the write-isolation
+    # checkpoint on `fresh` is the one that matters
     in_batch_dropped = (
         _similar_pairs(slim, slim, threshold)
         .filter(F.col("__id_a") < F.col("__id_b"))
         .select(F.col("__id_b").alias(id_col))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     n_in_batch = in_batch_dropped.count()
     batch_kept = staged.join(in_batch_dropped, id_col, "left_anti")
 
     n_corpus_dups = 0
+    corpus_dups = None
     with _merge_lock(index_path, op="semantic-dedup-ingest"):
         if os.path.exists(index_path):
             batch_slim = slim.join(
@@ -374,7 +379,7 @@ def incremental_semantic_dedup(
                     _similar_pairs(index, F.broadcast(batch_slim), threshold)
                     .select(F.col("__id_b").alias(id_col))
                     .distinct()
-                    .localCheckpoint(eager=True)
+                    .persist()  # one materializing count, not ckpt+count
                 )
                 n_corpus_dups = corpus_dups.count()
                 batch_kept = batch_kept.join(
@@ -383,6 +388,12 @@ def incremental_semantic_dedup(
 
         fresh = batch_kept.localCheckpoint(eager=True)
         n_fresh = fresh.count()
+        # fresh is checkpointed — the persisted id sets above are no
+        # longer reachable through any returned lineage; release them
+        # so repeated ingests don't accumulate cache entries
+        in_batch_dropped.unpersist()
+        if corpus_dups is not None:
+            corpus_dups.unpersist()
         if n_fresh:
             (
                 fresh.select(

@@ -1276,12 +1276,19 @@ def semdedup_ingest_batch(
             F.col(id_col).alias("__id"), "__bucket", "__vec", "__norm"
         )
         _t = time.perf_counter()
+        # lazy persist, not an eager checkpoint: the id set is consumed
+        # twice (both anti-joins) but always inside ONE downstream
+        # action (the bucket collect / fresh checkpoint), where the
+        # cache fills on first touch — the separate materializing job
+        # this stage used to run was pure scheduling overhead. Stage
+        # attribution note: in_batch_pairs now reads ~0 and its work
+        # lands in index_probe's span (documented, OPTIMIZATION_r16.md).
         in_batch_dropped = (
             _sim._similar_pairs(slim, slim, threshold)
             .filter(F.col("__id_a") < F.col("__id_b"))
             .select(F.col("__id_b").alias(id_col))
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
         _sem_stage("in_batch_pairs", time.perf_counter() - _t)
         batch_kept = staged.join(in_batch_dropped, id_col, "left_anti")
@@ -1378,6 +1385,7 @@ def semdedup_ingest_batch(
                         corpus_dups, id_col, "left_anti"
                     )
             fresh = batch_kept.localCheckpoint(eager=True)
+            in_batch_dropped.unpersist()  # fresh is checkpointed
             _sem_stage("index_probe", time.perf_counter() - _t)
 
             def _bwrite(

@@ -42,37 +42,46 @@ CONFIGS = {
 
 
 def main() -> None:
-    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    results: dict[str, dict[str, float]] = {}
-    for tag, conf in CONFIGS.items():
-        from pyspark.sql import SparkSession
+    # INTERLEAVED rounds (a sequential per-config loop is order-
+    # confounded on this shared box: whichever config runs later wins
+    # as ambient decays — observed twice before this design). Each
+    # round starts a fresh session per config (the shuffle codec is
+    # fixed at context start), runs every leg once, and the per-config
+    # result is the min across rounds — ambient hits single
+    # (config, round) cells, not whole configs.
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    results: dict[str, dict[str, float]] = {
+        t: {n: float("inf") for n in LEGS} for t in CONFIGS
+    }
+    from pyspark.sql import SparkSession
 
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            active.stop()
-        from realtime_data_pipeline_spark.session import get_spark
+    from realtime_data_pipeline_spark.session import get_spark
 
-        spark = get_spark(app_name=f"conf-ab-{tag}", extra_conf=conf)
-        from realtime_data_pipeline_spark import queries as q
+    for rnd in range(rounds):
+        for tag, conf in CONFIGS.items():
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+            spark = get_spark(app_name=f"conf-ab-{tag}", extra_conf=conf)
+            from realtime_data_pipeline_spark import queries as q
 
-        # warm scan + codegen
-        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
-        res: dict[str, float] = {}
-        for name in LEGS:
-            fn = q.QUERIES.get(name) or q.SHELVED_QUERIES[name]
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(passes):
+            # warm scan + codegen
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+            for name in LEGS:
+                fn = q.QUERIES.get(name) or q.SHELVED_QUERIES[name]
+                fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()  # per-session warm (codegen for this plan)
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - t0)
-            res[name] = round(best, 3)
-        res["__total"] = round(sum(res.values()), 3)
-        results[tag] = res
-        print(f"{tag}: {res}", file=sys.stderr)
-        spark.stop()
+                dt = time.perf_counter() - t0
+                results[tag][name] = min(results[tag][name], dt)
+            spark.stop()
+            print(f"round {rnd} {tag} done", file=sys.stderr)
+    for t in CONFIGS:
+        results[t]["__total"] = sum(results[t][n] for n in LEGS)
     names = LEGS + ["__total"]
     print(f"{'leg':35s}" + "".join(f"{t:>14s}" for t in CONFIGS))
     for n in names:
