@@ -673,19 +673,41 @@ def dq_route_batch(
     materializes the cache and the second reads it; ``unpersist`` bounds
     executor memory to one in-flight batch.
     tests/test_streaming.py proves the single scan with a per-row
-    accumulator upstream of the gate."""
+    accumulator upstream of the gate.
+
+    The two sink writes are INDEPENDENT jobs and run from a 2-thread
+    pool (optimization guide §2.6): the quarantine write's tasks
+    back-fill executors freed by the silver write's tail instead of
+    waiting for its last task + commit. The single-scan guarantee
+    survives concurrency — cached-partition computation is serialized
+    per block by the BlockManager, so whichever write touches a
+    partition first computes it and the other blocks on the cache."""
+    from concurrent.futures import ThreadPoolExecutor
+
     batch_df.persist()
     try:
         clean, bad = dq.split_clean_violations(batch_df, rules)
         if curate is not None:
             clean = curate(clean)
-        for out, path in ((clean, silver_path), (bad, quarantine_path)):
+
+        def _sink(out_path):
+            out, path = out_path
             (
                 out.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(path)
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            # list() drains the iterator so the first sink's exception
+            # propagates and the second still completes or fails loudly
+            list(
+                pool.map(
+                    _sink,
+                    ((clean, silver_path), (bad, quarantine_path)),
+                )
             )
     finally:
         batch_df.unpersist()
@@ -768,21 +790,36 @@ def dedup_ingest_batch(
                 # still a duplicate — and curation stays a projection on
                 # fresh rows
                 out = curate(out)
-            (
-                out.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(silver_path)
-            )
-            (
-                fresh.select(F.col("__fp").alias("fp"))
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(index_path)
-            )
+
+            # the silver and index writes are independent jobs over the
+            # already-checkpointed fresh set — run them from a 2-thread
+            # pool (guide §2.6) so the index write's tasks back-fill the
+            # silver write's tail instead of queueing behind its commit
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _sink(df_path):
+                df_, path = df_path
+                (
+                    df_.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(path)
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(
+                    pool.map(
+                        _sink,
+                        (
+                            (out, silver_path),
+                            (
+                                fresh.select(F.col("__fp").alias("fp")),
+                                index_path,
+                            ),
+                        ),
+                    )
+                )
     finally:
         batch_df.unpersist()
 
@@ -1399,52 +1436,68 @@ def semdedup_ingest_batch(
                     .parquet(path)
                 )
 
-            _t = time.perf_counter()
-            _bwrite(
-                fresh.drop("__vec", "__bucket", "__norm").unionByName(
-                    null_vec
-                ),
-                silver_path,
-                ["batch_id"],
-            )
-            _sem_stage("silver_write", time.perf_counter() - _t)
-            _t = time.perf_counter()
             idx_rows = fresh.select(
                 F.col(id_col),
                 F.col("__vec").alias("vec"),
                 F.col("__norm").alias("norm"),
                 F.col("__bucket").alias("bucket"),
             )
-            if index_layout == "flat":
-                # ONE partition dir per batch: the commit floor is a
-                # single directory, not 2^n_bits. A few bucket-hashed
-                # files, each sorted on bucket, keep parquet min/max
-                # stats tight so the probe's bucket filter prunes row
-                # groups instead of directories.
+
+            def _silver_sink() -> None:
+                _t = time.perf_counter()
                 _bwrite(
-                    idx_rows.repartition(4, F.col("bucket"))
-                    .sortWithinPartitions("bucket"),
-                    index_path,
+                    fresh.drop("__vec", "__bucket", "__norm").unionByName(
+                        null_vec
+                    ),
+                    silver_path,
                     ["batch_id"],
                 )
-            else:
-                # repartition ON the bucket key before the partitioned
-                # write (the same discipline as build_ivf_index's cell
-                # write and this index's own compactor): a multi-
-                # partition batch would otherwise write a file into
-                # every bucket dir PER input partition. Measured honesty
-                # (r12): at sf0.1 this trims little — the dominant cost
-                # of this write is the ~256 partition DIRECTORIES' own
-                # dynamic-overwrite commit protocol (~6s, ~23ms/dir,
-                # constant in batch size: the leg's floor, amortizing
-                # once each dir holds real data) — but it bounds file
-                # count to one per bucket at any batch size.
-                _bwrite(
-                    idx_rows.repartition("bucket"),
-                    index_path,
-                    ["bucket", "batch_id"],
-                )
-            _sem_stage("index_write", time.perf_counter() - _t)
+                _sem_stage("silver_write", time.perf_counter() - _t)
+
+            def _index_sink() -> None:
+                _t = time.perf_counter()
+                if index_layout == "flat":
+                    # ONE partition dir per batch: the commit floor is a
+                    # single directory, not 2^n_bits. A few bucket-hashed
+                    # files, each sorted on bucket, keep parquet min/max
+                    # stats tight so the probe's bucket filter prunes row
+                    # groups instead of directories.
+                    _bwrite(
+                        idx_rows.repartition(4, F.col("bucket"))
+                        .sortWithinPartitions("bucket"),
+                        index_path,
+                        ["batch_id"],
+                    )
+                else:
+                    # repartition ON the bucket key before the
+                    # partitioned write (the same discipline as
+                    # build_ivf_index's cell write and this index's own
+                    # compactor): a multi-partition batch would
+                    # otherwise write a file into every bucket dir PER
+                    # input partition. Measured honesty (r12): at sf0.1
+                    # this trims little — the dominant cost of this
+                    # write is the ~256 partition DIRECTORIES' own
+                    # dynamic-overwrite commit protocol (~6s, ~23ms/dir,
+                    # constant in batch size: the leg's floor,
+                    # amortizing once each dir holds real data) — but it
+                    # bounds file count to one per bucket at any batch
+                    # size.
+                    _bwrite(
+                        idx_rows.repartition("bucket"),
+                        index_path,
+                        ["bucket", "batch_id"],
+                    )
+                _sem_stage("index_write", time.perf_counter() - _t)
+
+            # independent sink jobs over the checkpointed fresh set —
+            # 2-thread pool (guide §2.6) so the big index-dir commit
+            # overlaps the silver write instead of queueing behind it.
+            # Stage spans now OVERLAP (each records its own write's
+            # wall); their sum upper-bounds the sink phase's wall.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(lambda f: f(), (_silver_sink, _index_sink)))
             _sem_stage("batches", 1.0)
     finally:
         batch_df.unpersist()
