@@ -81,24 +81,27 @@ STEAL: dict[str, dict] = {}  # leg -> per-pass timing/steal evidence
 # verdict #5): the `shared_legs_total` field in the final JSON line sums
 # exactly these legs, so the r↔r-1 comparison no longer needs sidecar
 # reconstruction when the leg list grows. UPDATE each round to the
-# just-recorded BENCH_r{N}.json's leg names (this is r11's 42-leg list).
+# just-recorded BENCH_r{N}.json's leg names (this is r15's 48-leg list).
 _PREV_ROUND_LEGS = frozenset({
     "assemble_end_to_end", "cdc_rollup_composition", "dedup_full_recompute",
     "dedup_incremental_merge", "doc_quality_profile", "docs_neardup_minhash",
     "docs_pack_chunks", "docs_strip_boilerplate", "dq_pricing_summary",
-    "embedding_knn_bruteforce", "events_dau_wau", "events_keep_latest_per_user",
-    "events_tumbling_5min", "forecast_revenue_q6", "fuzzy_name_pairs",
-    "ivf_index_append", "ivf_index_rebuild", "ivf_index_search",
-    "lineitem_rollup_matrix", "multimodal_real_decode_2k",
-    "neardup_incremental_merge", "pagerank", "pq_adc_search",
-    "pq_refine_search",
-    "pricing_summary_q1", "python_source_scan_2m", "revenue_per_nation",
-    "scd2_merge_batch", "semantic_dedup", "semantic_dedup_incremental",
+    "embedding_knn_bruteforce", "embeddings_drift_gate", "events_dau_wau",
+    "events_keep_latest_per_user", "events_tumbling_5min",
+    "forecast_revenue_q6", "fuzzy_name_pairs", "ivf_index_append",
+    "ivf_index_rebuild", "ivf_index_search", "lineitem_rollup_matrix",
+    "logreg_train8_score", "multimodal_real_decode_2k",
+    "neardup_incremental_merge", "pagerank", "pca_train_project",
+    "pq_adc_search", "pq_refine_search", "pricing_summary_q1",
+    "python_source_scan_2m", "revenue_per_nation", "scd2_merge_batch",
+    "semantic_dedup", "semantic_dedup_incremental",
     "shipments_in_order_windows", "shipping_priority_q3", "skewed_join_auto",
     "skewed_join_salted", "skewed_join_unsalted", "streaming_curated_gate",
     "streaming_dedup_ingest", "streaming_dq_gate",
     "streaming_dq_gate_multibatch", "streaming_interval_join_outer",
-    "streaming_semdedup_ingest", "versioned_key_erase",
+    "streaming_semdedup_ingest", "streaming_semdedup_marginal_batch",
+    "streaming_semdedup_multibatch", "streaming_semdedup_multibatch_bucket",
+    "versioned_key_erase",
 })
 
 
