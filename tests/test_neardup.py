@@ -210,6 +210,39 @@ def test_connected_components_deep_chain(spark):
     assert out == {i: 0 for i in range(n)}
 
 
+def test_connected_components_returns_truncated_plan_and_no_cache_leak(
+    spark,
+):
+    """Round-16 optimization regression gate: the returned label table
+    must carry a TRUNCATED (checkpoint-leaf) plan, not the loop's
+    exponential self-join lineage — at round 16 start the supplier
+    entity face's formatted plan was 193 MB and planning, not task
+    work, was ~170 s of its runtime. Also: the loop's persisted frames
+    must be released (the leaked label cache degraded every LATER
+    query's CacheManager lookup)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from realtime_data_pipeline_spark import dedup
+
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    cache_empty_before = jcache.isEmpty()
+    # converges in < checkpoint_every rounds — exactly the case whose
+    # lineage used to escape untruncated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "ExistingRDD" in plan  # checkpoint leaf, not the loop lineage
+    assert len(plan) < 20_000, f"plan text ballooned: {len(plan)} bytes"
+    if cache_empty_before:
+        assert jcache.isEmpty(), "connected_components leaked a cache entry"
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """The loud-failure contract survives the rework: with the jump
     disabled by an impossibly small budget, part-propagated labels must
