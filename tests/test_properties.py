@@ -387,7 +387,9 @@ def test_scd2_merge_is_batch_split_invariant(
     }
 
     got: dict[str, list] = {}
-    for r in spark.read.parquet(tgt).orderBy("id", "__valid_from").collect():
+    for r in (
+        medallion.scd2_read(spark, tgt).orderBy("id", "__valid_from").collect()
+    ):
         got.setdefault(r["id"], []).append(
             (r["val"], r["__valid_from"], r["__valid_to"], r["__is_current"])
         )

@@ -25,7 +25,7 @@ def obs_df(spark, rows):
 def chain_of(spark, path, key):
     return [
         (r["tier"], r["city"], r["__valid_from"], r["__valid_to"], r["__is_current"])
-        for r in spark.read.parquet(path)
+        for r in medallion.scd2_read(spark, path)
         .filter(F.col("cust_id") == key)
         .orderBy("__valid_from")
         .collect()
@@ -34,7 +34,7 @@ def chain_of(spark, path, key):
 
 def snapshot(spark, path):
     return sorted(
-        map(str, spark.read.parquet(path).drop("__bucket").collect())
+        map(str, medallion.scd2_read(spark, path).drop("__bucket").collect())
     )
 
 
@@ -194,8 +194,8 @@ def test_null_tracked_values_compare_stably(spark, tmp_path):
 
 
 def test_merge_touches_only_affected_buckets(spark, tmp_path):
-    """A one-key merge rewrites that key's bucket directory and leaves
-    every other bucket's files byte-identical."""
+    """Hive layout: a one-key merge rewrites that key's bucket directory
+    and leaves every other bucket's files byte-identical."""
     import os
 
     tgt = str(tmp_path / "dim")
@@ -207,6 +207,7 @@ def test_merge_touches_only_affected_buckets(spark, tmp_path):
         keys=["cust_id"],
         effective_col="seen_at",
         n_buckets=8,
+        layout="hive",
     )
 
     def file_stamps():
@@ -336,7 +337,7 @@ def test_temporal_join_attributes_facts_point_in_time(spark, tmp_path):
         ],
         "order_id long, cust_id string, at timestamp",
     )
-    dim = spark.read.parquet(tgt)
+    dim = medallion.scd2_read(spark, tgt)
     got = {
         r.order_id: r.tier
         for r in medallion.scd2_temporal_join(
@@ -376,7 +377,7 @@ def test_null_key_and_null_effective_handling(spark, tmp_path):
     )
     rows = {
         (r["cust_id"], r["tier"], r["__is_current"])
-        for r in spark.read.parquet(tgt).collect()
+        for r in medallion.scd2_read(spark, tgt).collect()
     }
     assert rows == {(None, "bronze", True), ("c1", "gold", True)}
     # merging a change for the NULL key closes its open segment
@@ -389,7 +390,7 @@ def test_null_key_and_null_effective_handling(spark, tmp_path):
     )
     null_chain = [
         (r["tier"], r["__valid_from"], r["__valid_to"], r["__is_current"])
-        for r in spark.read.parquet(tgt)
+        for r in medallion.scd2_read(spark, tgt)
         .filter(F.col("cust_id").isNull())
         .orderBy("__valid_from")
         .collect()
@@ -474,7 +475,7 @@ def test_temporal_join_finds_null_key_history(spark, tmp_path):
         [(1, None, ts(5))], "order_id long, cust_id string, at timestamp"
     )
     got = medallion.scd2_temporal_join(
-        facts, spark.read.parquet(tgt), ["cust_id"], "at"
+        facts, medallion.scd2_read(spark, tgt), ["cust_id"], "at"
     ).collect()
     assert got[0].tier == "bronze"
 
@@ -613,7 +614,7 @@ def test_cdc_chain_zone_to_scd2_dimension(spark, tmp_path):
 def chain_of2(spark, path, key):
     return [
         (r["tier"], r["__valid_from"], r["__valid_to"], r["__is_current"])
-        for r in spark.read.parquet(path)
+        for r in medallion.scd2_read(spark, path)
         .filter(F.col("cust_id") == key)
         .orderBy("__valid_from")
         .collect()
@@ -791,3 +792,140 @@ def test_reclaim_never_unlinks_a_fresh_live_lock(tmp_path):
     if reacquired.is_set():  # the fresh lock must have survived the pack
         with open(lock) as f:
             assert f.read() == fresh
+
+
+def test_manifest_merge_commits_one_directory(spark, tmp_path):
+    """Manifest layout (the round-17 default): a merge writes exactly ONE
+    new gen directory — previous generations are immutable (byte-stamped)
+    — and the manifest repoints only the affected buckets."""
+    import os
+
+    from realtime_data_pipeline_spark import manifest_layout as ml
+
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [(f"c{i}", "bronze", "lyon", ts(1)) for i in range(40)]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=8,
+    )
+    data = os.path.join(tgt, "data")
+    assert sorted(e for e in os.listdir(data) if e.startswith("gen=")) == [
+        "gen=0"
+    ]
+    man0 = ml.read_manifest(data)
+
+    def stamps(root):
+        out = {}
+        for r, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = stamps(os.path.join(data, "gen=0"))
+    m = medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c7", "gold", "lyon", ts(5))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert len(m["affected_buckets"]) == 1
+    # one new gen, gen=0 untouched byte-for-byte
+    assert sorted(e for e in os.listdir(data) if e.startswith("gen=")) == [
+        "gen=0",
+        "gen=1",
+    ]
+    assert stamps(os.path.join(data, "gen=0")) == before
+    man1 = ml.read_manifest(data)
+    hit = m["affected_buckets"][0]
+    assert man1[hit] == [1]
+    assert {k: v for k, v in man1.items() if k != hit} == {
+        k: v for k, v in man0.items() if k != hit
+    }
+    # stale exclusion: the API read sees exactly one open segment per key
+    assert medallion.scd2_current(spark, tgt).count() == 40
+    assert chain_of(spark, tgt, "c7")[-1] == ("gold", "lyon", ts(5), None, True)
+
+
+def test_manifest_orphan_generation_is_invisible(spark, tmp_path):
+    """A crashed writer's un-published gen dir is ignored by readers and
+    never reused for new data."""
+    import os
+
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=4,
+    )
+    data = os.path.join(tgt, "data")
+    # simulate a crash: a fully-written but never-published generation
+    orphan = obs_df(spark, [("c1", "zzz", "mars", ts(9))])
+    medallion.scd2_merge(  # build rows via a throwaway table
+        spark,
+        str(tmp_path / "scratch"),
+        orphan,
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=4,
+    )
+    import shutil
+
+    shutil.copytree(
+        os.path.join(str(tmp_path / "scratch"), "data", "gen=0"),
+        os.path.join(data, "gen=5"),
+    )
+    # the orphan's rows are invisible
+    rows = {r["tier"] for r in medallion.scd2_read(spark, tgt).collect()}
+    assert rows == {"bronze"}
+    # and the next merge does not reuse gen=5
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "gold", "lyon", ts(3))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+    )
+    assert os.path.isdir(os.path.join(data, "gen=6"))
+    assert {r["tier"] for r in medallion.scd2_read(spark, tgt).collect()} == {
+        "bronze",
+        "gold",
+    }
+
+
+def test_manifest_layout_is_pinned_by_the_table(spark, tmp_path):
+    """The sidecar layout pin wins over the argument — a hive-requested
+    merge into a manifest table stays manifest (and vice versa)."""
+    import os
+
+    tgt = str(tmp_path / "dim")
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "bronze", "lyon", ts(1))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        n_buckets=4,
+    )
+    medallion.scd2_merge(
+        spark,
+        tgt,
+        obs_df(spark, [("c1", "gold", "lyon", ts(5))]),
+        keys=["cust_id"],
+        effective_col="seen_at",
+        layout="hive",  # ignored: the table is pinned manifest
+    )
+    assert not any(e.startswith("__bucket=") for e in os.listdir(tgt))
+    assert os.path.isdir(os.path.join(tgt, "data", "gen=1"))
+    assert chain_of(spark, tgt, "c1") == [
+        ("bronze", "lyon", ts(1), ts(5), False),
+        ("gold", "lyon", ts(5), None, True),
+    ]

@@ -1002,10 +1002,12 @@ def test_scd2_stream_accretes_history_and_replays_clean(spark, tmp_path):
         q.awaitTermination(120)
 
     def table():
+        from realtime_data_pipeline_spark import medallion
+
         return sorted(
             (r.cust_id, r.tier, str(r["__valid_from"]), str(r["__valid_to"]),
              r["__is_current"])
-            for r in spark.read.parquet(tgt).collect()
+            for r in medallion.scd2_read(spark, tgt).collect()
         )
 
     run(str(tmp_path / "ck1"))
