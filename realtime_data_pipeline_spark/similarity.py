@@ -629,6 +629,33 @@ def ivf_knn(
     )
 
 
+def _ivf_read_cells(
+    spark: SparkSession, path: str, cells: list[int] | None = None
+) -> DataFrame:
+    """Index rows (optionally pruned to ``cells``), layout-dispatched:
+    manifest indexes resolve cell -> gen-dir pointers and prune row
+    groups via the write-side cell clustering; hive indexes keep the
+    ``cell=N`` partition-filter read."""
+    from realtime_data_pipeline_spark import manifest_layout as _ml
+
+    root = f"{path}/cells"
+    if _ml.is_manifest_table(root):
+        df = _ml.pruned_read(spark, root, "cell", cells)
+        if df is None:
+            # none of the probed cells hold rows: empty frame with the
+            # index schema (any live gen dir carries it)
+            man = _ml.read_manifest(root)
+            if not man:
+                raise ValueError(f"{root}: manifest references no data")
+            g = next(iter(sorted({g for v in man.values() for g in v})))
+            df = spark.read.parquet(_ml.gen_dir(root, g)).limit(0)
+        return df
+    df = spark.read.parquet(root)
+    if cells is not None:
+        df = df.filter(F.col("cell").isin(list(cells)))
+    return df
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -637,6 +664,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     quantize: bool = False,
     corpus_assign: int = 1,
+    layout: str = "manifest",
 ) -> None:
     """Persist the IVF index the ``ivf_knn`` docstring promises at scale:
     corpus vectors cell-assigned ONCE and written hive-partitioned BY
@@ -660,7 +688,17 @@ def build_ivf_index(
     bound; see :func:`ivf_knn`); the R is stored in ``{path}/meta`` so
     :func:`append_to_ivf_index` replicates appends identically, and
     :func:`ivf_index_search` needs no change (it already de-duplicates
-    candidate pairs)."""
+    candidate pairs).
+
+    ``layout='manifest'`` (the round-17 default) writes the cells as ONE
+    generation directory plus a cell -> gen pointer file
+    (:mod:`~realtime_data_pipeline_spark.manifest_layout`) instead of
+    one ``cell=N`` hive directory per cell: the write pays ONE commit,
+    not n_centroids of them (~tens of ms each, driver-serial —
+    `scripts/commit_floor_isolate.py`), and probing prunes by manifest
+    pointer + row-group stats instead of directory names.
+    ``layout='hive'`` keeps the engine-portable dir-per-cell layout.
+    Appends and searches auto-detect the layout on disk."""
     cells = corpus.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("vec"),
@@ -695,12 +733,35 @@ def build_ivf_index(
             l2_norm(F.col("vec")).alias("norm"),
             "cell",
         )
-    (
-        cells.repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
-    )
+    if layout not in ("hive", "manifest"):
+        raise ValueError(f"layout must be hive|manifest, got {layout!r}")
+    if layout == "manifest":
+        import os
+        import shutil
+
+        from pyspark.sql import Observation
+
+        from realtime_data_pipeline_spark import manifest_layout as _ml
+
+        root = f"{path}/cells"
+        if os.path.exists(root):  # build = full overwrite, like before
+            shutil.rmtree(root)
+        obs = Observation()
+        gen = _ml.write_gen(
+            cells.observe(
+                obs, F.collect_set("cell").alias("cells")
+            ).repartition("cell"),
+            root,
+            "cell",
+        )
+        _ml.publish(root, sorted(obs.get["cells"]), gen, mode="replace")
+    else:
+        (
+            cells.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
     spark = corpus.sparkSession
     _write_local(
         spark,
@@ -777,12 +838,30 @@ def append_to_ivf_index(
         staged = staged.select(
             id_col, "vec", l2_norm(F.col("vec")).alias("norm"), "cell"
         )
-    (
-        staged.repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
-    )
+    from realtime_data_pipeline_spark import manifest_layout as _ml
+
+    root = f"{path}/cells"
+    if _ml.is_manifest_table(root):
+        # ONE new gen dir + an append-mode pointer update, instead of
+        # an append commit into every touched cell=N directory
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        gen = _ml.write_gen(
+            staged.observe(
+                obs, F.collect_set("cell").alias("cells")
+            ).repartition("cell"),
+            root,
+            "cell",
+        )
+        _ml.publish(root, sorted(obs.get["cells"]), gen, mode="append")
+    else:
+        (
+            staged.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
 
 
 def load_ivf_centroids(spark: SparkSession, path: str):
@@ -819,9 +898,7 @@ def ivf_index_search(
         query_id_col, "__qvec", "cell", l2_norm(F.col("__qvec")).alias("__qn")
     )
     probed = [r["cell"] for r in query_cells.select("cell").distinct().collect()]
-    index = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell").isin(probed)
-    )
+    index = _ivf_read_cells(spark, path, probed)
     if "qvec" in index.columns:
         # int8 index: dequantize candidates on the fly (pruned cells ×
         # queries only — never the whole index)
@@ -1396,6 +1473,7 @@ def build_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_assign: int = 1,
+    layout: str = "manifest",
 ) -> None:
     """Persist the IVF×PQ index `ivf_pq_knn`'s docstring promises at
     100 TB: cell-partitioned CODE files — each row is (id, pq_code),
@@ -1419,13 +1497,37 @@ def build_ivf_pq_index(
             ivf_cells_udf(cents, corpus_assign)(F.col(vec_col))
         ).alias("cell"),
     )
-    (
-        enc.join(cells, id_col)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
-    )
+    codes = enc.join(cells, id_col)
+    if layout not in ("hive", "manifest"):
+        raise ValueError(f"layout must be hive|manifest, got {layout!r}")
+    if layout == "manifest":
+        # same single-commit manifest shape as build_ivf_index
+        import os
+        import shutil
+
+        from pyspark.sql import Observation
+
+        from realtime_data_pipeline_spark import manifest_layout as _ml
+
+        root = f"{path}/cells"
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        obs = Observation()
+        gen = _ml.write_gen(
+            codes.observe(
+                obs, F.collect_set("cell").alias("cells")
+            ).repartition("cell"),
+            root,
+            "cell",
+        )
+        _ml.publish(root, sorted(obs.get["cells"]), gen, mode="replace")
+    else:
+        (
+            codes.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
     spark = corpus.sparkSession
     _write_local(
         spark,
@@ -1518,9 +1620,7 @@ def ivf_pq_index_search(
         corpus_assign = 1
 
     def codes_builder(probed_union):
-        return spark.read.parquet(f"{path}/cells").filter(
-            F.col("cell").isin(probed_union)
-        )
+        return _ivf_read_cells(spark, path, probed_union)
 
     return _ivf_pq_rank(
         codes_builder, refine_with, queries, k, books, cents, nprobe,

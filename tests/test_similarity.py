@@ -160,7 +160,7 @@ def test_ivf_index_persist_search_matches_inline(spark, sf_dir, tmp_path):
     )
 
     idx = str(tmp_path / "ivf")
-    similarity.build_ivf_index(emb, idx, cents)
+    similarity.build_ivf_index(emb, idx, cents, layout="hive")
     via_index = similarity.ivf_index_search(spark, idx, queries, k=5, nprobe=3)
     inline = similarity.ivf_knn(
         emb, queries, k=5, nprobe=3, centroids=cents,
@@ -179,7 +179,76 @@ def test_ivf_index_persist_search_matches_inline(spark, sf_dir, tmp_path):
         F.col("cell").isin([0, 1])
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan
+    pf_line = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "cell" in pf_line
+
+
+def test_ivf_manifest_layout_single_commit_and_parity(spark, sf_dir, tmp_path):
+    """The round-17 manifest cell layout: build writes ONE gen directory
+    (not one dir per cell), appends add one gen each with append-mode
+    pointers, and search results are identical to the hive layout's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_data_pipeline_spark import manifest_layout as ml
+    from realtime_data_pipeline_spark import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_centroids_kmeans(emb, n_centroids=8)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    man_idx = str(tmp_path / "ivf_manifest")
+    hive_idx = str(tmp_path / "ivf_hive")
+    similarity.build_ivf_index(half_a, man_idx, cents)  # manifest default
+    similarity.build_ivf_index(half_a, hive_idx, cents, layout="hive")
+    gens = sorted(
+        e
+        for e in os.listdir(f"{man_idx}/cells")
+        if e.startswith("gen=")
+    )
+    assert gens == ["gen=0"]  # one directory commit, not one per cell
+
+    similarity.append_to_ivf_index(half_b, man_idx)
+    similarity.append_to_ivf_index(half_b, hive_idx)
+    gens = sorted(
+        e
+        for e in os.listdir(f"{man_idx}/cells")
+        if e.startswith("gen=")
+    )
+    assert gens == ["gen=0", "gen=1"]
+    man = ml.read_manifest(f"{man_idx}/cells")
+    assert all(set(v) <= {0, 1} for v in man.values())
+    assert any(v == [0, 1] for v in man.values())  # append-mode pointers
+
+    got_man = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_search(
+                spark, man_idx, queries, k=5, nprobe=3
+            ).collect(),
+        )
+    )
+    got_hive = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_search(
+                spark, hive_idx, queries, k=5, nprobe=3
+            ).collect(),
+        )
+    )
+    assert got_man == got_hive
 
 
 def test_ivf_index_multi_assign_persists_and_appends(spark, sf_dir, tmp_path):
