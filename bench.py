@@ -86,7 +86,8 @@ _PREV_ROUND_LEGS = frozenset({
     "assemble_end_to_end", "cdc_rollup_composition", "dedup_full_recompute",
     "dedup_incremental_merge", "doc_quality_profile", "docs_neardup_minhash",
     "docs_pack_chunks", "docs_strip_boilerplate", "dq_pricing_summary",
-    "embedding_knn_bruteforce", "embeddings_drift_gate", "events_dau_wau",
+    "embedding_knn_bruteforce", "embeddings_drift_gate",
+    "embeddings_drift_ks", "events_dau_wau",
     "events_keep_latest_per_user", "events_tumbling_5min",
     "forecast_revenue_q6", "fuzzy_name_pairs", "ivf_index_append",
     "ivf_index_rebuild", "ivf_index_search", "lineitem_rollup_matrix",
@@ -890,9 +891,19 @@ def main() -> None:
             "streaming_semdedup_multibatch_bucket",
             lambda: semdedup_multibatch_leg_once("bucket"),
         )
+        # Round-17 (additive leg, never replacing the flat/bucket
+        # series): the manifest index layout — one gen-dir commit per
+        # batch like flat, PLUS bucket->gen pointer pruning at probe
+        # time like bucket — priced next to both twins so the
+        # flat-vs-bucket crossover story carries the third option.
+        timings["streaming_semdedup_multibatch_manifest"] = _bench_timed(
+            "streaming_semdedup_multibatch_manifest",
+            lambda: semdedup_multibatch_leg_once("manifest"),
+        )
         for layout, key in (
             ("flat", "streaming_semdedup_multibatch"),
             ("bucket", "streaming_semdedup_multibatch_bucket"),
+            ("manifest", "streaming_semdedup_multibatch_manifest"),
         ):
             maps = _sem_stage_maps.get(layout)
             if maps:

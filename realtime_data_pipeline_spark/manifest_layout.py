@@ -71,12 +71,27 @@ def gen_dir(root: str, gen: int) -> str:
 
 def read_manifest(root: str) -> dict[int, list[int]] | None:
     """``{key: [gen, ...]}`` or None when the table has no manifest."""
-    try:
-        with open(manifest_path(root)) as f:
-            raw = json.load(f)
-    except FileNotFoundError:
+    raw = _read_raw(root)
+    if raw is None:
         return None
     return {int(k): [int(g) for g in v] for k, v in raw["keys"].items()}
+
+
+def read_extra(root: str) -> dict:
+    """Caller-owned opaque metadata stored inside the manifest (so it
+    swaps atomically WITH the pointers — e.g. the streaming semdedup
+    batch_id -> gen map, whose staleness relative to the pointers would
+    break replay retraction)."""
+    raw = _read_raw(root)
+    return {} if raw is None else raw.get("extra", {})
+
+
+def _read_raw(root: str) -> dict | None:
+    try:
+        with open(manifest_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
 
 
 def is_manifest_table(root: str) -> bool:
@@ -117,21 +132,42 @@ def write_gen(
 
 
 def publish(
-    root: str, keys: Iterable[int], gen: int, mode: str = "replace"
+    root: str,
+    keys: Iterable[int],
+    gen: int,
+    mode: str = "replace",
+    retract: Iterable[int] | None = None,
+    extra: dict | None = None,
 ) -> None:
-    """Atomically point ``keys`` at ``gen`` (``os.replace`` swap)."""
+    """Atomically point ``keys`` at ``gen`` (``os.replace`` swap).
+    ``retract`` drops those gens from EVERY key first (replay of an
+    at-least-once batch: its previous gen is dereferenced in the same
+    swap that publishes the redo). ``extra`` replaces the caller-owned
+    metadata blob; None leaves it unchanged."""
     if mode not in ("replace", "append"):
         raise ValueError(f"mode must be replace|append, got {mode!r}")
-    man = read_manifest(root) or {}
+    raw = _read_raw(root) or {"keys": {}}
+    man = {int(k): [int(g) for g in v] for k, v in raw["keys"].items()}
+    if retract:
+        dead = {int(g) for g in retract}
+        man = {
+            k: kept
+            for k, v in man.items()
+            if (kept := [g for g in v if g not in dead])
+        }
     for k in keys:
         k = int(k)
         if mode == "replace":
             man[k] = [gen]
         else:
             man.setdefault(k, []).append(gen)
+    out = {"keys": {str(k): v for k, v in man.items()}}
+    new_extra = raw.get("extra") if extra is None else extra
+    if new_extra:
+        out["extra"] = new_extra
     tmp = manifest_path(root) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"keys": {str(k): v for k, v in man.items()}}, f)
+        json.dump(out, f)
     os.replace(tmp, manifest_path(root))
 
 

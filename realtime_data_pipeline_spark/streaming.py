@@ -1291,15 +1291,17 @@ def semdedup_ingest_batch(
     repaired first via :func:`_recover_semdedup_swap`. A LIVE concurrent
     compaction fails the batch loudly (``ConcurrentMergeError`` → the
     stream retries the batch) instead of corrupting it."""
+    from realtime_data_pipeline_spark import manifest_layout as _ml
     from realtime_data_pipeline_spark import similarity as _sim
     from realtime_data_pipeline_spark.medallion import (
         _hive_partition_dirs,
         _merge_lock,
     )
 
-    if index_layout not in ("bucket", "flat"):
+    if index_layout not in ("bucket", "flat", "manifest"):
         raise ValueError(
-            f"index_layout must be 'bucket' or 'flat', got {index_layout!r}"
+            "index_layout must be 'bucket', 'flat' or 'manifest', "
+            f"got {index_layout!r}"
         )
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
@@ -1354,13 +1356,24 @@ def semdedup_ingest_batch(
                 # batch whose fresh set was empty writes only _SUCCESS
                 # (no partition dirs), which must not pin the index to
                 # either layout — treating it as flat made every later
-                # bucket-layout batch raise forever (ADVICE r15)
-                existing_flat = has_batch and not has_bucket
-                want_flat = index_layout == "flat"
-                if (has_bucket or has_batch) and existing_flat != want_flat:
+                # bucket-layout batch raise forever (ADVICE r15). A
+                # manifest index is determinate the moment its pointer
+                # file exists (even with zero keys).
+                if _ml.is_manifest_table(index_path):
+                    existing_layout = "manifest"
+                elif has_batch and not has_bucket:
+                    existing_layout = "flat"
+                elif has_bucket or has_batch:
+                    existing_layout = "bucket"
+                else:
+                    existing_layout = None
+                if (
+                    existing_layout is not None
+                    and existing_layout != index_layout
+                ):
                     raise ValueError(
                         f"semdedup index at {index_path} is laid out as "
-                        f"{'flat' if existing_flat else 'bucket'} but "
+                        f"{existing_layout} but "
                         f"index_layout={index_layout!r} was requested; "
                         f"an index keeps its layout for life — compact "
                         f"and rebuild to change it"
@@ -1372,12 +1385,19 @@ def semdedup_ingest_batch(
                     .collect()
                 ]
                 index = None
-                if not (has_bucket or has_batch):
+                if existing_layout is None:
                     # dir exists but holds no data (the empty-first-
                     # batch case above): nothing to probe, and a bare
                     # read would die on schema inference
                     pass
-                elif index_layout == "flat":
+                elif existing_layout == "manifest":
+                    # bucket -> gen pointers + row-group pruning: the
+                    # probe reads only the gens holding the batch's
+                    # buckets, never the whole index tree
+                    index = _ml.pruned_read(
+                        spark, index_path, "bucket", buckets
+                    )
+                elif existing_layout == "flat":
                     # one batch_id dir per batch: no bucket dirs to
                     # prune — the bucket predicate prunes ROW GROUPS
                     # via the write-side clustering instead
@@ -1456,7 +1476,48 @@ def semdedup_ingest_batch(
 
             def _index_sink() -> None:
                 _t = time.perf_counter()
-                if index_layout == "flat":
+                if index_layout == "manifest":
+                    # ONE gen-dir commit + one pointer swap per batch.
+                    # Exactly-once under foreachBatch replay: the
+                    # previous attempt's gen (tracked in the manifest's
+                    # own batch_id -> gen map, so it can never be stale
+                    # relative to the pointers) is RETRACTED in the
+                    # same atomic swap that publishes the redo — the
+                    # manifest analog of the hive layouts' own-
+                    # batch_id-partition overwrite.
+                    import shutil
+
+                    from pyspark.sql import Observation
+
+                    bmap = dict(
+                        _ml.read_extra(index_path).get("batch_gens", {})
+                    )
+                    old_gen = bmap.get(str(batch_id))
+                    obs = Observation()
+                    gen = _ml.write_gen(
+                        idx_rows.withColumn("batch_id", F.lit(batch_id))
+                        .observe(
+                            obs, F.collect_set("bucket").alias("bkts")
+                        )
+                        .repartition(4, F.col("bucket")),
+                        index_path,
+                        "bucket",
+                    )
+                    bmap[str(batch_id)] = gen
+                    _ml.publish(
+                        index_path,
+                        sorted(obs.get["bkts"]),
+                        gen,
+                        mode="append",
+                        retract=None if old_gen is None else [old_gen],
+                        extra={"batch_gens": bmap},
+                    )
+                    if old_gen is not None:  # dereferenced by the swap
+                        shutil.rmtree(
+                            _ml.gen_dir(index_path, old_gen),
+                            ignore_errors=True,
+                        )
+                elif index_layout == "flat":
                     # ONE partition dir per batch: the commit floor is a
                     # single directory, not 2^n_bits. A few bucket-hashed
                     # files, each sorted on bucket, keep parquet min/max
@@ -1684,6 +1745,53 @@ def compact_semdedup_index(spark: SparkSession, index_path: str) -> dict:
                 "batch_partitions_before": 0,
                 "batch_partitions_after": 0,
                 "rows": 0,
+            }
+        from realtime_data_pipeline_spark import manifest_layout as _ml
+
+        if _ml.is_manifest_table(index_path):
+            # manifest layout: fold every live gen into one, with
+            # batch_id reset to -1 (folded rows must read as PRIOR
+            # corpus under the probe's own-batch exclusion — keeping
+            # original batch_ids would hide a folded batch's rows from
+            # its own replay, which would then re-append them) and the
+            # batch_id -> gen map cleared in the same swap.
+            import shutil
+
+            from pyspark.sql import Observation
+
+            man = _ml.read_manifest(index_path) or {}
+            gens_before = sorted({g for v in man.values() for g in v})
+            if not gens_before:
+                return {
+                    "batch_partitions_before": 0,
+                    "batch_partitions_after": 0,
+                    "rows": 0,
+                }
+            obs = Observation()
+            gen = _ml.write_gen(
+                _ml.pruned_read(spark, index_path, "bucket")
+                .withColumn("batch_id", F.lit(-1))
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
+                .repartition(4, F.col("bucket")),
+                index_path,
+                "bucket",
+            )
+            _ml.publish(
+                index_path,
+                man.keys(),
+                gen,
+                mode="replace",
+                extra={"batch_gens": {}},
+            )
+            for e in os.listdir(index_path):  # old gens + crash orphans
+                if e.startswith("gen=") and e != f"gen={gen}":
+                    shutil.rmtree(
+                        os.path.join(index_path, e), ignore_errors=True
+                    )
+            return {
+                "batch_partitions_before": len(gens_before),
+                "batch_partitions_after": 1,
+                "rows": int(obs.get["rows"]),
             }
         before = _count_batch_dirs(index_path)
         # layout detection (round-15): a flat index

@@ -254,6 +254,7 @@ def test_curation_stage_strip_boiler_cleans_not_drops(spark):
     assert got[5] == "no shared header here mail [EMAIL] ok"
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream inner join with event-time bounds produces exactly the
     pairs its batch twin produces on the same files."""
@@ -591,6 +592,7 @@ def test_dedup_ingest_with_curation_dedups_on_original_content(spark, tmp_path):
     assert [(r.doc_id, r.text) for r in rows] == [(1, "mail [EMAIL] now")]
 
 
+@pytest.mark.slow
 def test_neardup_ingest_stream_cross_batch_exactly_once(spark, tmp_path):
     """Streaming near-dup ingest: later batches' NEAR-duplicates (high
     Jaccard, not exact equality) are dropped against the persisted
@@ -1277,7 +1279,8 @@ def test_running_stats_per_key_v2_state_accumulates_across_batches(
     assert final[2] == (2, 9.0, 1.0, 8.0)
 
 
-@pytest.mark.parametrize("layout", ["bucket", "flat"])
+@pytest.mark.slow
+@pytest.mark.parametrize("layout", ["bucket", "flat", "manifest"])
 def test_semdedup_ingest_stream_cross_batch_exactly_once(
     spark, tmp_path, layout
 ):
@@ -1342,7 +1345,11 @@ def test_semdedup_ingest_stream_cross_batch_exactly_once(
     )
     assert sq.awaitTermination(120)
     top = {e.split("=")[0] for e in os.listdir(index) if "=" in e}
-    assert top == ({"batch_id"} if layout == "flat" else {"bucket"})
+    assert top == {
+        "flat": {"batch_id"},
+        "bucket": {"bucket"},
+        "manifest": {"gen"},
+    }[layout]
 
     def silver_ids():
         return {
@@ -1368,9 +1375,9 @@ def test_semdedup_ingest_stream_cross_batch_exactly_once(
     assert silver_ids() == got
     assert {r["vec_id"] for r in spark.read.parquet(index).collect()} == {1, 3, 11}
 
-    # layout is for life: ingesting with the OTHER layout into this
+    # layout is for life: ingesting with ANOTHER layout into this
     # index must fail loudly, not interleave conflicting hive dirs
-    other = "bucket" if layout == "flat" else "flat"
+    other = "bucket" if layout in ("flat", "manifest") else "flat"
     with pytest.raises(ValueError, match="laid out as"):
         streaming.semdedup_ingest_batch(
             b1, 50, index, silver,
@@ -1458,6 +1465,7 @@ def test_semdedup_empty_first_batch_does_not_pin_layout(
         )
 
 
+@pytest.mark.slow
 def test_rollup_histogram_quantiles_merge_exactly(spark, tmp_path):
     """Incremental approx quantiles: per-batch fixed-bin histogram map
     partials sum to EXACTLY the one-shot histogram over all events
@@ -1552,6 +1560,7 @@ def test_rollup_histogram_quantiles_merge_exactly(spark, tmp_path):
     assert p50_after > p50_before  # heavy 150.0 batch pulls p50 up
 
 
+@pytest.mark.slow
 def test_compact_semdedup_index_preserves_dedup_and_replay_safety(
     spark, tmp_path
 ):
@@ -1695,6 +1704,7 @@ def test_semdedup_compaction_crash_window_is_repaired_and_locked(
     assert idx_ids() == ids0
 
 
+@pytest.mark.slow
 def test_stream_stream_outer_interval_join_emits_unmatched(
     spark, tmp_path
 ):
@@ -1776,6 +1786,7 @@ def test_stream_stream_outer_interval_join_emits_unmatched(
         )
 
 
+@pytest.mark.slow
 def test_stream_stream_left_semi_interval_join(spark, tmp_path):
     """how='left_semi' on the watermarked stream-stream interval join:
     each left row with at least one in-window partner emits ONCE, with
@@ -1896,6 +1907,7 @@ def test_compact_dedup_index_bounds_partitions_replay_safe(
     assert fps() == {r["fp"] for r in spark.read.parquet(idx).collect()}
 
 
+@pytest.mark.slow
 def test_compact_neardup_index_folds_both_subtrees(spark, tmp_path):
     """compact_neardup_index folds sigs/ AND bands/ into batch_id=-1
     under one lock hold: the signature set is unchanged, a later
@@ -1964,6 +1976,7 @@ def test_compact_absent_index_is_clean_noop(spark, tmp_path):
         assert m["rows"] == 0
 
 
+@pytest.mark.slow
 def test_sliding_distinct_users_stream_matches_batch(spark, tmp_path):
     """W3+: chained windowed aggregations compute an EXACT sliding
     distinct (DAU/WAU shape). Streamed with availableNow + append, only
