@@ -117,6 +117,7 @@ def test_write_range_sorted_files_are_disjoint(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == orders.count()
 
 
+@pytest.mark.slow
 def test_write_zordered_skips_on_both_columns(spark, sf_dir, tmp_path):
     """Z-order contract: every file covers a small hyper-cube, so footer
     min/max ranges are narrow on BOTH clustered columns (a single-column

@@ -58,6 +58,7 @@ def test_featurization_stays_jvm_side(labeled):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_train_matches_numpy_reference(labeled):
     model = classifier.logreg_train(
         labeled, "x", "y", dim=DIM, iters=15, lr=0.5, l2=1e-4
@@ -71,6 +72,7 @@ def test_train_matches_numpy_reference(labeled):
     assert abs(model["bias"] - b_ref) < 1e-9
 
 
+@pytest.mark.slow
 def test_separable_accuracy_and_probability_shape(labeled):
     model = classifier.logreg_train(labeled, "x", "y", dim=DIM, iters=30)
     scored = classifier.logreg_score(labeled, model, "x")
@@ -85,6 +87,7 @@ def test_separable_accuracy_and_probability_shape(labeled):
     assert 0.0 <= agg.lo <= agg.hi <= 1.0
 
 
+@pytest.mark.slow
 def test_training_invariant_to_partition_layout(labeled):
     kw = dict(dim=DIM, iters=8, lr=0.5, l2=1e-4)
     a = classifier.logreg_train(labeled.coalesce(1), "x", "y", **kw)
@@ -119,6 +122,7 @@ def test_empty_input_raises(spark):
         classifier.logreg_train(empty, "x", "y", dim=8, iters=1)
 
 
+@pytest.mark.slow
 def test_face_runs_and_beats_chance(spark, sf_dir):
     from realtime_data_pipeline_spark.queries.llm import (
         docs_quality_classifier,
@@ -160,6 +164,7 @@ def labeled3(spark):
     )
 
 
+@pytest.mark.slow
 def test_softmax_matches_numpy_reference(labeled3):
     model = classifier.softmax_train(
         labeled3, "x", "y", dim=DIM, n_classes=3, iters=10, lr=0.5, l2=1e-4
@@ -173,6 +178,7 @@ def test_softmax_matches_numpy_reference(labeled3):
     np.testing.assert_allclose(model["bias"], b_ref, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_softmax_separable_accuracy_and_valid_probs(labeled3):
     model = classifier.softmax_train(
         labeled3, "x", "y", dim=DIM, n_classes=3, iters=30
@@ -199,6 +205,7 @@ def test_softmax_layout_invariance(labeled3):
     np.testing.assert_allclose(a["bias"], b["bias"], atol=1e-9)
 
 
+@pytest.mark.slow
 def test_multiclass_face_fits_bands(spark, sf_dir):
     from realtime_data_pipeline_spark.queries.llm import (
         docs_quality_band_multiclass,
@@ -212,6 +219,7 @@ def test_multiclass_face_fits_bands(spark, sf_dir):
     assert all(0.0 <= r.p_pred <= 1.0 for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_curation_stage_with_trained_gate(spark, labeled):
     """curation_stage(quality_model=...): the trained gate drops junk
     docs from a (micro-)batch map-only — the streaming sibling of

@@ -279,6 +279,7 @@ def test_cli_ingest_dedup_stream(spark, tmp_path, capsys):
     assert {r.doc_id for r in spark.read.parquet(silver).collect()} == {1, 2, 4}
 
 
+@pytest.mark.slow
 def test_cli_ingest_near_dedup(spark, tmp_path, capsys):
     """`ingest --near`: cross-batch NEAR-duplicates (one word changed)
     are dropped against the persisted signature index."""
@@ -312,6 +313,7 @@ def test_cli_ingest_near_dedup(spark, tmp_path, capsys):
     assert {r.doc_id for r in spark.read.parquet(silver).collect()} == {1}
 
 
+@pytest.mark.slow
 def test_cli_ingest_semantic_dedup(spark, tmp_path, capsys):
     """`ingest --semantic`: cross-batch embedding-space near-duplicates
     are dropped against the persisted kept-vector index (SemDeDup shape);
@@ -564,6 +566,7 @@ def test_cli_timetravel_prune_reports_stats_skipping(
         cli.main(["timetravel", "prune", "--root", root])
 
 
+@pytest.mark.slow
 def test_cli_timetravel_prune_timestamp_literal_is_chronological(
     spark, tmp_path, capsys
 ):
@@ -807,6 +810,7 @@ def test_cli_assemble_rejects_shard_band_overflow(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_cli_assemble_link_rank_culls_low_rank_docs(spark, tmp_path):
     """assemble --link-edges: PageRank over the provided edge list
     demotes link-poor documents — a hub with many in-links survives a
@@ -1190,6 +1194,7 @@ def test_cli_assemble_decontaminate_eval_removes_leaked_spans(
     assert t_plain - t_clean >= 10 * 10
 
 
+@pytest.mark.slow
 def test_cli_assemble_quality_model_gate(spark, tmp_path):
     """--quality-model: a saved logistic model scores documents map-only
     and drops those below the threshold before split/packing — the

@@ -40,6 +40,7 @@ NAMES = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("d", [1, 2])
 def test_self_pairs_equal_brute_force(spark, d):
     got = {
@@ -106,6 +107,7 @@ def test_plan_has_no_cross_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_fuzzy_ingest_batches_dedup_across_batches_and_compact(
     spark, tmp_path
 ):
@@ -159,6 +161,7 @@ def test_fuzzy_ingest_batches_dedup_across_batches_and_compact(
     assert silver_ids() == {10, 12, 14, 15, 17}
 
 
+@pytest.mark.slow
 def test_fuzzy_ingest_stream_end_to_end(spark, tmp_path):
     """fuzzy_ingest_stream: the foreachBatch wrapper routes file-stream
     micro-batches through the same exactly-once entity resolution."""

@@ -24,6 +24,7 @@ def _numpy_pagerank(edges, n, damping=0.85, iterations=20):
     return r
 
 
+@pytest.mark.slow
 def test_pagerank_matches_numpy_power_iteration(spark):
     # a graph with a hub, a chain, a dangling sink, and a 2-cycle
     edges = [
@@ -235,6 +236,7 @@ def _numpy_ppr(edges, n, seeds, damping=0.85, iterations=20):
     return r
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_matches_numpy_and_localizes(spark):
     edges = [
         (0, 1), (0, 2), (0, 3),

@@ -4,6 +4,7 @@ stubbed decode, metadata-only pruning, and correct row expansion."""
 from __future__ import annotations
 
 from realtime_data_pipeline_spark import multimodal
+import pytest
 
 
 def media_df(spark, sf_dir, n=20):
@@ -288,6 +289,7 @@ def test_resize_media_upscale_no_black_stripes(spark):
         assert rows_all_zero == 0
 
 
+@pytest.mark.slow
 def test_attach_png_media_roundtrips_through_real_decode(spark):
     """The encode side (attach_png_media, executor-side real PNG encode)
     and the decode side (real_decode=True) are exact inverses: the

@@ -164,6 +164,7 @@ def test_hashed_gram_jaccard_matches_string_jaccard(spark):
         assert abs(r.j_str - r.j_hash) < 1e-12
 
 
+@pytest.mark.slow
 def test_connected_components_chain_and_islands(spark):
     """Multi-hop label propagation: a 4-node chain (diameter 3) collapses
     to its min id; disjoint islands keep separate labels."""
@@ -177,6 +178,7 @@ def test_connected_components_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+@pytest.mark.slow
 def test_connected_components_string_ids(spark):
     """Round-3 advisory regression: non-numeric ids made the old label-SUM
     convergence check compare NULL == NULL and stop after one round,
@@ -192,6 +194,7 @@ def test_connected_components_string_ids(spark):
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 
+@pytest.mark.slow
 def test_connected_components_deep_chain(spark):
     """Round-3 verdict: adversarial chain graphs. A 50-node path (diameter
     49) must converge within the DEFAULT max_iter=12 — only possible with
@@ -295,6 +298,7 @@ def test_incremental_fingerprint_dedup_across_batches(spark, tmp_path):
     assert spark.read.parquet(idx).count() == 3
 
 
+@pytest.mark.slow
 def test_incremental_neardup_minhash_across_batches(spark, tmp_path):
     """X2 daily shape: in-batch near-dups collapse, near-dups of the
     CORPUS (via the persisted signature index) are dropped, replays add
@@ -344,6 +348,7 @@ def test_incremental_neardup_minhash_across_batches(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/sigs").count() == 3
 
 
+@pytest.mark.slow
 def test_prefix_jaccard_join_equals_brute_force(spark):
     """Prefix filtering must be COMPLETE (recall exactly 1.0): across
     random corpora with planted near-dup families and several

@@ -299,6 +299,7 @@ def test_profile_table_tolerates_map_columns(spark):
     assert prof["id"].ndv == 2
 
 
+@pytest.mark.slow
 def test_banded_interval_join_matches_nonequi_spelling(spark):
     """banded_interval_join must equal the naive non-equi join exactly:
     inclusive endpoints, intervals spanning many bands, points on band
@@ -409,6 +410,7 @@ def test_banded_interval_join_plans_hash_join_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
+@pytest.mark.slow
 def test_banded_overlap_join_matches_nonequi_spelling(spark):
     """banded_overlap_join must equal the naive overlap join exactly,
     with each qualifying pair emitted ONCE (the anchor-band rule) even

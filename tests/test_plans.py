@@ -72,6 +72,7 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_dir, name):
     assert plan.count("WindowGroupLimit") == 2
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_dir):
     """Suite-wide ban: every declared query must stay JVM-side or use
     Arrow-batched evaluation (ArrowEvalPython / MapInPandas /
@@ -85,6 +86,7 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_dir):
     assert not offenders, f"row-UDF in: {offenders}"
 
 
+@pytest.mark.slow
 def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     """The medallion hive layout must turn date predicates into
     PartitionFilters (pruned directory listing), not data filters — the

@@ -25,6 +25,7 @@ maybe_float = st.one_of(
 )
 
 
+@pytest.mark.slow
 @given(rows=st.lists(st.tuples(maybe_float, maybe_float), min_size=1, max_size=30))
 @settings(**SETTINGS)
 def test_dq_split_always_partitions_input(spark, rows):
@@ -57,6 +58,7 @@ def test_dq_split_always_partitions_input(spark, rows):
         st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
     ),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_asof_join_matches_pandas_merge_asof(spark, direction, left, right):
     """ops.asof_join (union + carry window) ≡ pandas merge_asof in all three
@@ -100,6 +102,7 @@ WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
     edits=st.integers(0, 5),
     seed=st.integers(0, 2**20),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_minhash_estimate_tracks_exact_jaccard(spark, base, edits, seed):
     """|MinHash estimate − exact Jaccard| stays within 4σ of the k=64
@@ -142,6 +145,7 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, base, edits, seed):
         unique_by=lambda t: t[0],
     ),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_merge_upsert_matches_pandas_model(spark, tmp_path_factory, base, upd):
     """merge_upsert == groupwise 'highest version wins, update beats
@@ -250,6 +254,7 @@ def test_pii_redaction_parity_spark_vs_duckdb(spark, rows):
 )
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_prefix_sum_property_matches_python_model(spark, weights, bucket_size):
     """Distributed exclusive prefix sum == the trivial Python running sum
     for arbitrary weights (incl. zeros) and any bucket geometry, over
@@ -278,6 +283,7 @@ def test_prefix_sum_property_matches_python_model(spark, weights, bucket_size):
 )
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_chunk_text_reconstructs_document(spark, n_words, chunk, overlap):
     """Lossless-coverage property: concatenating chunk 0 with every later
     chunk minus its first `overlap` words reproduces the document's token
@@ -314,6 +320,7 @@ def test_chunk_text_reconstructs_document(spark, n_words, chunk, overlap):
     cuts=st.lists(st.integers(0, 13), min_size=0, max_size=2),
     replay_last=st.booleans(),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_scd2_merge_is_batch_split_invariant(
     spark, tmp_path_factory, obs, cuts, replay_last
@@ -582,6 +589,7 @@ def test_png_decode_inverts_any_per_row_filter_choice(h, w, ch, seed):
     ),
     band=st.integers(25, 2000),
 )
+@pytest.mark.slow
 @settings(**{**SETTINGS, "max_examples": 5})
 def test_banded_joins_match_nonequi_for_any_band_width(
     spark, pts, ivs, band
@@ -679,6 +687,7 @@ def test_banded_joins_match_nonequi_for_any_band_width(
     ),
     data=st.data(),
 )
+@pytest.mark.slow
 @settings(**{**SETTINGS, "max_examples": 6})
 def test_diff_versions_equals_snapshot_multiset_difference(
     spark, tmp_path_factory, history, data
@@ -794,6 +803,7 @@ def test_grouped_ols_matches_numpy_on_random_groups(spark, rows):
         max_size=24,
     )
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_drift_psi_identity_and_symmetry(spark, vecs):
     """PSI(a, a) == 0 exactly for any corpus, and PSI is symmetric
@@ -832,6 +842,7 @@ def test_drift_psi_identity_and_symmetry(spark, vecs):
         max_size=30,
     )
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_label_mi_nonnegative_and_zero_on_single_label(spark, rows):
     """Mutual information is nonnegative for ANY corpus (up to float
@@ -924,6 +935,7 @@ def test_entropy_is_label_renaming_invariant_and_bounded(
                          allow_subnormal=False),
                min_size=1, max_size=20),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_drift_ks_symmetric_and_bounded(spark, a, b):
     """Round-15 invariants of the two-sample KS: D is symmetric in the

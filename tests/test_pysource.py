@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan, StringContains
 
 from realtime_data_pipeline_spark import pysource
+import pytest
 
 
 def _events(spark, **opts):
@@ -165,6 +166,7 @@ def test_jsonl_audit_batch_write_two_phase(spark, tmp_path):
     assert not back.filter(F.col("event_id") == 99999).count()
 
 
+@pytest.mark.slow
 def test_jsonl_audit_stream_replay_publishes_nothing_twice(spark, tmp_path):
     """A restarted streaming query replays its last uncommitted-by-Spark
     batch; the sink's manifest check must publish the replayed batch at
@@ -306,6 +308,7 @@ def test_paged_jsonl_rejects_template_without_placeholder(spark):
         )
 
 
+@pytest.mark.slow
 def test_zone_changes_streams_commits_as_microbatches(spark, tmp_path):
     """The versioned zone is a streaming SOURCE: each append commit's
     added files arrive as one micro-batch tagged _commit_version, read
@@ -355,6 +358,7 @@ def test_zone_changes_streams_commits_as_microbatches(spark, tmp_path):
     assert got == [(1, "a", 0), (2, "b", 1), (3, "c", 2), (4, "d", 3)]
 
 
+@pytest.mark.slow
 def test_zone_changes_overwrite_policy(spark, tmp_path):
     """An overwrite commit is not expressible as an append feed: the
     default fails the stream; on_overwrite=full re-emits the snapshot."""
@@ -448,6 +452,7 @@ def test_zone_roundtrip_stream_in_stream_out(spark, tmp_path):
     assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
 
 
+@pytest.mark.slow
 def test_zone_changes_paces_backlog(spark, tmp_path):
     """max_versions_per_trigger bounds catch-up batches (from the second
     trigger on): 4 pending commits with a cap of 1 drain as separate
@@ -487,6 +492,7 @@ def test_zone_changes_paces_backlog(spark, tmp_path):
     assert max(batch_rows) == 1 and len(batch_rows) == 4
 
 
+@pytest.mark.slow
 def test_zone_changes_full_reemit_aligns_by_name(spark, tmp_path):
     """on_overwrite=full across a schema-evolving overwrite: old files
     are read BY NAME against the latest declared schema — reordered
@@ -529,6 +535,7 @@ def test_zone_changes_full_reemit_aligns_by_name(spark, tmp_path):
     assert got == [("a", None, 1, 0), ("b", 2.5, 2, 1)]
 
 
+@pytest.mark.slow
 def test_zone_changes_checkpoint_behind_vacuum_surfaces_resync(
     spark, tmp_path
 ):
@@ -589,6 +596,7 @@ def test_zone_changes_checkpoint_behind_vacuum_surfaces_resync(
     assert got == [0, 1, 2, 3]
 
 
+@pytest.mark.slow
 def test_zone_changes_restart_across_compaction(spark, tmp_path):
     """Torture: a compactor racing a stopped zone_changes consumer.
     compact_snapshot publishes an OVERWRITE commit, which is not
@@ -640,6 +648,7 @@ def test_zone_changes_restart_across_compaction(spark, tmp_path):
     assert got == [(0, 0), (0, 2), (1, 1), (1, 2)]
 
 
+@pytest.mark.slow
 def test_zone_changes_where_prunes_files_and_filters_rows(spark, tmp_path):
     """zone_changes predicate pushdown: the where option is a real row
     filter AND skips provably-dead files at planning — proven by
@@ -722,6 +731,7 @@ def test_zone_changes_where_prunes_files_and_filters_rows(spark, tmp_path):
             q3.stop()
 
 
+@pytest.mark.slow
 def test_zone_changes_where_nan_rows_match_spark_semantics(spark, tmp_path):
     """NaN ordering parity: Spark SQL treats NaN as larger than every
     value, so a `where [[x, >, v]]` stream must DELIVER NaN rows — the
@@ -823,6 +833,7 @@ def test_zone_changes_bloom_prunes_point_lookup_files(spark, tmp_path):
     assert [r.k for r in spark.read.parquet(out).collect()] == [37]
 
 
+@pytest.mark.slow
 def test_zone_changes_drives_continuous_rollup(spark, tmp_path):
     """CDC-driven incremental materialized view: the versioned zone's
     commit stream (zone_changes) feeds continuous_rollup, so a per-window
@@ -895,6 +906,7 @@ def test_zone_changes_drives_continuous_rollup(spark, tmp_path):
     assert view() == batch_truth() and len(view()) == 3
 
 
+@pytest.mark.slow
 def test_zone_changes_delete_commit_is_noop_batch(spark, tmp_path):
     """An erasure commit (delete_keys) inserts nothing — the insert-only
     zone_changes stream must deliver a no-op batch for it under the
@@ -932,6 +944,7 @@ def test_zone_changes_delete_commit_is_noop_batch(spark, tmp_path):
     # survivor file, no failure), v2's append flows through
     assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 2)]
 
+@pytest.mark.slow
 def test_zone_changes_on_delete_fail_refuses_erasure_commits(spark, tmp_path):
     """on_delete='fail': a consumer that must PROPAGATE deletions (an
     insert-only mirror would silently retain erased rows) refuses the

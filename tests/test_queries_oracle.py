@@ -23,6 +23,7 @@ def test_registry_consistency():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, sf_dir, name):
     df = q.QUERIES[name](spark, sf_dir)
@@ -43,6 +44,7 @@ def test_shelved_query_matches_oracle(spark, sf_dir, name):
         | (set(q.SHELVED_QUERIES) - set(q.SHELVED_ORACLE_SQL))
     ),
 )
+@pytest.mark.slow
 def test_rows_only_query_runs(spark, sf_dir, name):
     fn = q.QUERIES.get(name) or q.SHELVED_QUERIES[name]
     df = fn(spark, sf_dir)

@@ -724,6 +724,7 @@ def test_drift_psi_flags_planted_shift(spark, emb):
     assert max(others) < 0.1, max(others)
 
 
+@pytest.mark.slow
 def test_streaming_drift_monitor_end_to_end(spark, emb, tmp_path):
     """Reference histogram → file-stream batches → per-batch PSI rows
     land batch-partitioned; a replayed batch rewrites its own partition
@@ -874,6 +875,7 @@ def test_cli_drift_gate_exit_codes(spark, emb, tmp_path, capsys):
     assert summary["worst_t"]["dim"] == 5 or summary["worst_psi"]["dim"] == 5
 
 
+@pytest.mark.slow
 def test_cli_drift_persisted_reference_mode(spark, emb, tmp_path, capsys):
     """--ref ... --save-ref-hist persists the reference; --ref-hist then
     gates PSI-only against it with the same exit-code contract."""
@@ -1490,6 +1492,7 @@ def test_grouped_ols_conformal_bands_holds_out_calibration(spark):
     assert z.slope is None and z.r_lo is None and z.r_hi is None
 
 
+@pytest.mark.slow
 def test_streaming_monitor_welch_t_catches_within_bin_shift(
     spark, tmp_path
 ):
@@ -1547,6 +1550,7 @@ def test_streaming_monitor_welch_t_catches_within_bin_shift(
     }
 
 
+@pytest.mark.slow
 def test_streaming_monitor_ks_catches_variance_shift_sample_is_deterministic(
     spark, tmp_path, capsys
 ):
@@ -1631,6 +1635,7 @@ def test_streaming_monitor_ks_catches_variance_shift_sample_is_deterministic(
         ])
 
 
+@pytest.mark.slow
 def test_drift_monitor_mixed_fleet_upgrades_in_place(spark, tmp_path):
     """Round-15 (verdict r14 item #7): the upgrade story end-to-end —
     a PSI-only era (pre-r14 reference, no stats file) lands batches 0
@@ -1824,6 +1829,7 @@ def test_batch_drift_psi_longer_batch_vectors_warn(
     assert not caplog.messages
 
 
+@pytest.mark.slow
 def test_batch_drift_ks_ref_null_fp_rate_at_default_m(spark, tmp_path):
     """Round-16 (verdict r15 item #7): the monitor's KS alert budget,
     MEASURED instead of assumed. batch_drift_ks_ref documents

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark import medallion
 from tests.test_plans import plan_str
+import pytest
 
 
 def ts(day: int, month: int = 1) -> dt.datetime:
@@ -551,6 +552,7 @@ def test_late_splice_before_collapsed_repeat(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_cdc_chain_zone_to_scd2_dimension(spark, tmp_path):
     """Full CDC chain: observation batches COMMIT into a versioned zone,
     a stream TAILS the zone via zone_changes, and scd2_stream folds each

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark import similarity
 from realtime_data_pipeline_spark.queries import vectors
+import pytest
 
 
 def test_cosine_self_similarity_is_one(spark, sf_dir):
@@ -388,6 +389,7 @@ def test_int8_quantized_cosine_preserves_knn_recall(spark, sf_dir):
     assert recall >= 0.9, f"quantized knn recall {recall}"
 
 
+@pytest.mark.slow
 def test_quantized_ivf_index_recall_and_size(spark, sf_dir, tmp_path):
     """quantize=True IVF index: search recall@10 vs exact brute-force
     stays high, incremental append matches the stored precision, and
@@ -572,6 +574,7 @@ def test_semantic_dedup_zero_vector_is_never_dropped(spark):
     assert got == {1: True, 2: True, 3: True}
 
 
+@pytest.mark.slow
 def test_incremental_semantic_dedup_probes_index_and_replays(spark, tmp_path):
     """Daily-ingest shape: batch 1 seeds the kept-vector index (after
     in-batch dominance dedup); batch 2's near-copy of an indexed vector
@@ -804,6 +807,7 @@ def test_ivf_pq_knn_recall_and_probe_pruning(spark, sf_dir):
     assert r4 >= 0.3, f"IVF-PQ recall@10 {r4:.3f} below gate at nprobe=4/16"
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_search_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     """The persisted IVF×PQ index (cell-partitioned CODE files) must
     search identically to the inline ivf_pq_knn — both delegate to one

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from realtime_data_pipeline_spark import sketches
+import pytest
 
 
 def skewed_df(spark):
@@ -349,6 +350,7 @@ def test_misra_gries_guarantee_and_lower_bounds(spark):
             assert exact[item] - lb <= slack + 1e-9
 
 
+@pytest.mark.slow
 def test_misra_gries_merge_matches_single_partition_candidates(spark):
     """Merging per-partition summaries keeps the guarantee of a summary
     built in one pass: the merged candidate set must contain every item
@@ -571,6 +573,7 @@ def _kll_bound(sketch_df, n, k):
     return 2.0 * h * n / k
 
 
+@pytest.mark.slow
 def test_kll_weight_conservation_and_bounded_size(spark):
     """Sum of 2^level over the sketch is EXACTLY n (odd stragglers keep
     their level; compaction pairs evenly), and the sketch row count is
@@ -591,6 +594,7 @@ def test_kll_weight_conservation_and_bounded_size(spark):
         assert sk.count() <= 128 * h + 128  # k per level (+ slack for top)
 
 
+@pytest.mark.slow
 def test_kll_rank_error_within_deterministic_bound(spark):
     """The 2*H*n/k worst case holds on adversarial and benign inputs:
     pre-sorted, reverse-sorted, heavy ties, lognormal — the shapes that
@@ -620,6 +624,7 @@ def test_kll_rank_error_within_deterministic_bound(spark):
     assert _kll_true_rank_err(sk, shapes["lognormal"], qs) <= n * 8 / k
 
 
+@pytest.mark.slow
 def test_kll_exact_when_uncompacted_and_null_handling(spark):
     """n <= k in one partition: nothing ever compacts, every row stays
     at level 0, and the quantile IS the exact order statistic (rank
@@ -680,6 +685,7 @@ def test_kll_merge_guarantee_and_stream_partials(spark, tmp_path):
         sketches.kll_merge(merged, other).collect()
 
 
+@pytest.mark.slow
 def test_kll_determinism_and_rank_inverse(spark):
     """Same input, same partitioning => bit-equal sketch rows (the
     deterministic toggle, not a coin flip). kll_rank is the monotone

@@ -93,6 +93,7 @@ def _read_inbox_stream(spark, inbox: str):
     )
 
 
+@pytest.mark.slow
 def test_stream_dedup_bounded_state_both_providers(
     spark, tmp_path, _restore_provider
 ):
@@ -121,6 +122,7 @@ def test_stream_dedup_bounded_state_both_providers(
     assert results["hdfs"] == results["rocksdb"]
 
 
+@pytest.mark.slow
 def test_interval_join_bounded_state_both_providers(
     spark, tmp_path, _restore_provider
 ):
@@ -185,6 +187,7 @@ def test_interval_join_bounded_state_both_providers(
     assert results["hdfs"] == results["rocksdb"]
 
 
+@pytest.mark.slow
 def test_running_count_expiry_bounded_state(spark, tmp_path, _restore_provider):
     """W6 soak on RocksDB: with expire_after_ms set, per-key state carries
     an event-time timeout; keys idle past the horizon are REMOVED (state

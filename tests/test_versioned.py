@@ -589,6 +589,7 @@ def test_file_stats_recorded_and_pruned_reads_match_full_filter(
         versioned.prune_report(root, [("id", "!=", 5)])
 
 
+@pytest.mark.slow
 def test_stats_pruning_nan_floats_and_timestamp_literals(spark, tmp_path):
     """Two comparison-regime traps in the pruner, end to end:
 
@@ -954,6 +955,7 @@ def test_external_reader_sql_duckdb_reads_pinned_snapshots(
     _os.unlink(versioned._manifest_path(root, 4))
 
 
+@pytest.mark.slow
 def test_zordered_commit_prunes_on_both_clustered_columns(
     spark, tmp_path
 ):
@@ -1020,6 +1022,7 @@ def test_zordered_commit_prunes_on_both_clustered_columns(
         )
 
 
+@pytest.mark.slow
 def test_delete_keys_prunes_rewrites_and_time_travels(spark, tmp_path):
     """GDPR key erasure: only files that CAN contain a doomed key are
     rewritten (manifest stats/bloom pruning), every other file is
@@ -1093,6 +1096,7 @@ def test_delete_keys_rewritten_files_keep_bloom_pruning(spark, tmp_path):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_changes_of_delete_commit_emits_only_erased_rows(spark, tmp_path):
     """CDC over an erasure commit: the feed is exactly the doomed rows
     tagged delete — carried files cancel at the manifest level, so the
@@ -1136,6 +1140,7 @@ def test_delete_keys_replay_is_idempotent(spark, tmp_path):
     assert versioned.read_version(spark, root).count() == 98
 
 
+@pytest.mark.slow
 def test_delete_keys_retries_cas_losses_then_succeeds(
     spark, tmp_path, monkeypatch
 ):
