@@ -163,10 +163,15 @@ def connected_components(
     Labels decrease monotonically, so convergence = "no label changed this
     round", detected with an old-vs-new equi-join on ``id`` — both sides
     come out of a groupBy/persist hash-partitioned on ``id``, so the diff
-    adds no exchange, and ``isEmpty()`` stops at the first changed row.
-    (A label-SUM fixpoint would be one scalar cheaper but silently declares
-    convergence after one round for non-numeric ids, where SUM is NULL —
-    round-3 advisory.) Each round's result is persisted and the previous
+    adds no exchange. The probe is a full ``count()`` of changed rows —
+    deliberately NOT an early-stopping ``isEmpty()``: the count is the
+    round's ONE action, and its full scan doubles as the job that
+    completes ``new_labels``' cache, so unpersisting the parents below
+    can never trigger a lineage recompute (r16: the separate
+    materializing count + isEmpty pair cost a second scheduling-floor
+    job per round). (A label-SUM fixpoint would be one scalar cheaper
+    but silently declares convergence after one round for non-numeric
+    ids, where SUM is NULL — round-3 advisory.) Each round's result is persisted and the previous
     round released — the loop holds one label table, not ``max_iter``
     lineages — and every ``checkpoint_every`` rounds the label table is
     ``localCheckpoint``-ed to truncate the lineage outright (iterative

@@ -378,12 +378,19 @@ def incremental_neardup_minhash(
     # and n_batch_kept == sigs.count() — the signature table below has
     # exactly one row per kept eligible doc and must be materialized
     # anyway, so the separate batch_kept.count() action is free to drop
+    # NULL text makes has_grams NULL (size(split(NULL)) is NULL), so such
+    # rows flow through NEITHER filter above — count shorts explicitly as
+    # "definitively not enough grams" so the metrics match the rows that
+    # actually flow through (ADVICE r16: __total - __elig silently folded
+    # null-text rows into n_short)
     _split = new_docs.agg(
         F.sum(has_grams.cast("long")).alias("__elig"),
-        F.count(F.lit(1)).alias("__total"),
+        F.sum(
+            (~F.coalesce(has_grams, F.lit(True))).cast("long")
+        ).alias("__short"),
     ).first()
     n_eligible = int(_split["__elig"] or 0)
-    n_short = int(_split["__total"]) - n_eligible
+    n_short = int(_split["__short"] or 0)
 
     sigs = (
         ops.spread(batch_kept, id_col)

@@ -32,6 +32,13 @@ from pyspark.sql.types import StructType
 
 from realtime_data_pipeline_spark import dq
 
+# Independent per-batch sink writes run from a pool of this many driver
+# threads (guide §2.6 back-fill; r16). 2 = overlap the pair of sinks;
+# 1 = serialize them — the gate for saturated clusters where two
+# concurrent jobs only fight for slots (measured both regimes in
+# OPTIMIZATION_r17.md; override per deployment or per probe run).
+SINK_POOL_WORKERS = int(os.environ.get("RDP_SINK_POOL_WORKERS", "2"))
+
 
 def read_file_stream(
     spark: SparkSession,
@@ -700,7 +707,7 @@ def dq_route_batch(
                 .parquet(path)
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=SINK_POOL_WORKERS) as pool:
             # list() drains the iterator so the first sink's exception
             # propagates and the second still completes or fails loudly
             list(
@@ -807,7 +814,7 @@ def dedup_ingest_batch(
                     .parquet(path)
                 )
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            with ThreadPoolExecutor(max_workers=SINK_POOL_WORKERS) as pool:
                 list(
                     pool.map(
                         _sink,
@@ -1336,6 +1343,16 @@ def semdedup_ingest_batch(
             "__id",
             "left_anti",
         )
+        # LOCK-HOLD NOTE (ADVICE r16): in_batch_dropped is a LAZY persist,
+        # so the O(batch²) in-batch pair computation first materializes
+        # INSIDE this critical section (during the bucket collect / fresh
+        # checkpoint). That is deliberate: foreachBatch delivers batches
+        # serially, so the streaming path is single-writer and the extra
+        # lock hold blocks nobody, while forcing the cache pre-lock would
+        # reinstate the separate materializing job r16 removed. Deployments
+        # with CONCURRENT ad-hoc writers or a hot compactor loop should
+        # force the cache before taking the lock (a count() on
+        # in_batch_dropped here) and eat the extra job.
         with _merge_lock(index_path, op="semdedup-ingest"):
             _t = time.perf_counter()
             _recover_semdedup_swap(index_path)
@@ -1557,7 +1574,7 @@ def semdedup_ingest_batch(
             # wall); their sum upper-bounds the sink phase's wall.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            with ThreadPoolExecutor(max_workers=SINK_POOL_WORKERS) as pool:
                 list(pool.map(lambda f: f(), (_silver_sink, _index_sink)))
             _sem_stage("batches", 1.0)
     finally:
