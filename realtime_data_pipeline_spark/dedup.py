@@ -191,6 +191,9 @@ def connected_components(
     # supplier-entity face spent ~90 s building + ~80 s planning at
     # sf0.1 for sub-second task work). Truncating the edge lineage once
     # bounds every round's plan at (checkpointed leaf + ≤ 3 rounds).
+    # (block lifetime: the checkpointed edge blocks are reclaimed by
+    # driver GC + ContextCleaner once this frame goes unreachable —
+    # measured bounded across repeated calls, see graph.pagerank's note)
     edges = fwd.union(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
