@@ -291,7 +291,14 @@ def softmax_train(
     per row: each iteration is one scan (Arrow UDF, (C×dim) weights in
     the closure) + one shuffle of at most ``(dim+1)·C`` groups
     (explode bag × posexplode residual), row-count-free. Labels must be
-    ints in [0, n_classes)."""
+    ints in [0, n_classes).
+
+    NOTE (r17): still the explode spelling. :func:`logreg_train` moved
+    to partition-local ``mapInPandas`` gradient partials
+    (:func:`_grad_partials`) — measured ahead at every rep and plan-
+    verified (Generate + ArrowEvalPython → one MapInPandas); the same
+    cut applies here ((dim+1)·C-slot partials) and is the proven next
+    step when a bench leg prices this path."""
     data = df.select(
         F.col(feat_col).alias("__x"),
         F.col(label_col).cast("int").alias("__y"),
